@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text functions: redaction, tokenization, quality signals.
+  *
+  * Re-expresses the reference's per-record Python regex work
+  * (/root/reference/src/preprocessing/preprocessor.py:9-27,
+  * /root/reference/src/llm/llm_processor.py:105-110) as codegen'd Catalyst
+  * expressions — `regexp_replace` / `regexp_extract_all` run inside
+  * whole-stage codegen, so redaction of 100 TB of logs is a pure scan
+  * pipeline with zero shuffles.
+  *
+  * All patterns are kept RE2-compatible so the DuckDB oracle can apply the
+  * byte-identical pattern.
+  */
+object TextFns {
+  /** preprocessor.py:10 */
+  val EmailRe = "[\\w.-]+@[\\w.-]+"
+  /** preprocessor.py:11 — 13-16 digit card numbers with optional separators */
+  val CardRe = "\\b(?:\\d[ -]*?){13,16}\\b"
+  /** llm_processor.py:108 */
+  val ApiKeyRe = "(?i)api[_-]?key\\s*[:=]\\s*\\w+"
+  /** llm_processor.py:109 */
+  val TokenRe = "(?i)token\\s*[:=]\\s*\\w+"
+  /** Coarse BPE-ish pre-tokenizer: letter runs | digit runs | single symbol */
+  val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** Tiny multi-language stopword inventory used for quality + lang-id. */
+  val EnStopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+
+  /** PII redaction as applied by LogPreprocessor.clean_log. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailRe, "[REDACTED_EMAIL]"),
+      CardRe, "[REDACTED_CARD]")
+
+  /** Secret redaction as applied by LLMProcessor._redact before prompts. */
+  def redactSecrets(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[REDACTED_EMAIL]"),
+        ApiKeyRe, "api_key=[REDACTED]"),
+      TokenRe, "token=[REDACTED]")
+
+  /** Whitespace tokens (trim first so neither engine emits edge empties). */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeRe), lit(0))).cast("long")
+
+  /** Count of characters matching a single-char regex class. */
+  def charClassCount(c: Column, clsRe: String): Column =
+    size(regexp_extract_all(c, lit(clsRe), lit(0))).cast("long")
+
+  def stopwordHits(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(EnStopRe), lit(0))).cast("long")
+}

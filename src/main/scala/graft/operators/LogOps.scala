@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** The reference's log-analytics surface, re-expressed as Spark plans.
+  *
+  * Maps the pipeline of /root/reference/main.py:14-70 onto the `events` /
+  * `documents` tables (SURVEY.md §3): NRQL-style ingestion filters
+  * (new_relic_fetcher.py:70-79), preprocessing redaction + dedup
+  * (preprocessor.py:15-43), and the dashboard aggregations
+  * (dashboard/app.py:14-43,62-88).
+  *
+  * Scale notes: every query here is filter→project→aggregate with no
+  * self-joins; filters sit directly on scan columns so they push down to
+  * parquet, and groupBys get Catalyst's map-side partial aggregation for
+  * free. At 100 TB these are single-shuffle (or zero-shuffle) plans.
+  */
+object LogOps {
+  private val TsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** NRQL-shaped ingest (new_relic_fetcher.py:70-79): projection,
+    * equality filter on the "level", LIKE / NOT LIKE message filters,
+    * SINCE/UNTIL time window, deterministic ordered LIMIT (NRQL's LIMIT is
+    * arbitrary; ordering by (ts, event_id) makes it reproducible).
+    */
+  def ingestErrors(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error" &&
+        !col("props").like("""%"k": 0}%""") &&
+        col("props").like("%k%") &&
+        col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") <  lit("2024-01-29 00:00:00").cast("timestamp"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(500)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), TsUs).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+
+  /** clean_log's PII redaction (preprocessor.py:15-27) over the corpus. */
+  def preprocessRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.redactPii(col("text")).as("clean_text"))
+
+  /** Prompt-safety redaction (llm_processor.py:105-110). */
+  def redactSecrets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.redactSecrets(col("text")).as("safe_text"))
+
+  /** preprocess_logs dedup by (message, timestamp), keep first occurrence
+    * (preprocessor.py:30-43). groupBy-min rather than distinct+join: one
+    * shuffle, map-side combined. Timestamp key is the µs-formatted string —
+    * the same normalization `clean_log` applies (`str(timestamp)`).
+    */
+  def preprocessDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("props"), date_format(col("ts"), TsUs).as("ts_us"))
+      .agg(min("event_id").as("first_event_id"), count("*").as("n_dups"))
+
+  /** Incident timeline: count per day (app.py:20-27's `timestamp[:10]`). */
+  def metricsTimeline(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count("*").as("n_incidents"))
+
+  /** Counts by service (app.py:28-29; user_id stands in for container). */
+  def metricsByService(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id").as("service_id"))
+      .agg(count("*").as("n_events"),
+        round(sum("value"), 2).as("total_value"),
+        round(avg("value"), 4).as("avg_value"))
+
+  /** Counts by level with a severity rank (app.py:32-33). */
+  def metricsByLevel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("level"))
+      .agg(count("*").as("n_events"))
+      .withColumn("severity",
+        when(col("level") === "error", 3)
+          .when(col("level") === "purchase", 2)
+          .when(col("level") === "signup", 1)
+          .otherwise(0))
+
+  /** Counts by namespace (app.py:30-31; documents.source stands in). */
+  def metricsByNamespace(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source").as("namespace"))
+      .agg(count("*").as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+
+  /** Dashboard keyword search: substring filter + attribute filter
+    * (app.py:66-88). The LIKE predicate pushes down to the parquet scan.
+    */
+  def searchKeyword(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("lang") === "en" && lower(col("text")).contains("spark"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scale-path relational analytics: the join/agg/window shapes a dashboard
+  * over 100 TB of incidents needs (SURVEY.md §2, rows 13-20).
+  *
+  * Design rules applied throughout:
+  *  - dimension tables (`region`, `nation`, `supplier`) are `broadcast()`
+  *    so fact-side scans never shuffle for them;
+  *  - aggregates group directly on scan columns → Catalyst injects partial
+  *    (map-side) aggregation before the single shuffle;
+  *  - floating aggregates are rounded on both the Spark and oracle side so
+  *    summation order can never flip a comparison hash;
+  *  - every top-N is ordered with a unique tiebreak → deterministic.
+  */
+object Relational {
+  private val TsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** TPC-H Q1 shape: wide single-pass aggregation over the big fact table. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count("*").as("count_order"))
+
+  /** TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 5-way star join; all dims broadcast; revenue per
+    * (region, nation). The only shuffle is the final small groupBy.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("o_orderdate") <  lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count("*").as("n_lineitems"))
+  }
+
+  /** Gap-based sessionization (30 min): lag + running sum of session starts.
+    * Partition-local window work — one shuffle on user_id, then linear.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1).otherwise(0))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count("*").as("n_events"),
+        round(sum("value"), 2).as("session_value"),
+        date_format(min("ts"), TsUs).as("session_start"),
+        date_format(max("ts"), TsUs).as("session_end"))
+  }
+
+  /** Per-key top-k via window rank (top 3 events per user by value). */
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Frequent-user detection: exact heavy hitters above 1.15× mean load.
+    * The per-key counts shrink the data by ~events/users before the tiny
+    * threshold cross-join, so this stays one real shuffle at any scale.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count("*").as("n_events"))
+    val thr = counts.agg((avg("n_events") * lit(1.15)).as("thr"))
+    counts.crossJoin(broadcast(thr))
+      .where(col("n_events") > col("thr"))
+      .select(col("user_id"), col("n_events"))
+  }
+
+  /** Exact percentiles of event value per level (type-7 interpolation,
+    * matching DuckDB's quantile_cont).
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"),
+        round(avg("value"), 4).as("avg_value"),
+        count("*").as("n_events"))
+
+  /** Batch twin of the Structured Streaming pipeline: tumbling 1-hour
+    * window counts by level (graft.streaming runs the same plan over
+    * readStream with a watermark).
+    */
+  def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators for the training-data pipeline (SURVEY.md §2,
+  * rows 21, 29-32): exact dedup, token counting, quality scoring.
+  *
+  * Everything is per-row expression work inside whole-stage codegen plus at
+  * most one map-side-combined groupBy — scan-bound at 100 TB.
+  */
+object TextOps {
+
+  /** Exact dedup by content fingerprint: groupBy-min over md5(text).
+    * One shuffle on the 16-byte digest (not the full text), keep-first by
+    * doc_id — the distributed form of preprocessor.py:30-43's seen-set.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("first_doc_id"),
+        count("*").as("n_copies"),
+        min("n_chars").as("n_chars"))
+
+  /** Token counting: whitespace tokens + BPE-ish pre-tokens + chars. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFns.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextFns.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+
+  /** Quality scoring: alpha/upper/digit/space/stopword ratios and a
+    * composite score. All ratios derive from raw counts in one expression
+    * evaluated identically by the oracle, so doubles match bit-for-bit.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("double")
+    val nWs = TextFns.wsTokenCount(t).cast("double")
+    val alpha = TextFns.charClassCount(t, "[A-Za-z]").cast("double")
+    val upper = TextFns.charClassCount(t, "[A-Z]").cast("double")
+    val digit = TextFns.charClassCount(t, "[0-9]").cast("double")
+    val space = TextFns.charClassCount(t, "\\s").cast("double")
+    val stop = TextFns.stopwordHits(t).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(alpha / nChars, 4).as("alpha_ratio"),
+      round(upper / nChars, 4).as("upper_ratio"),
+      round(digit / nChars, 4).as("digit_ratio"),
+      round(space / nChars, 4).as("space_ratio"),
+      round(stop / nWs, 4).as("stop_ratio"),
+      round(nChars / nWs, 4).as("avg_token_len"),
+      round(lit(0.4) * (alpha / nChars) + lit(0.3) * least(lit(1.0), nWs / lit(50.0)) +
+        lit(0.3) * (stop / nWs), 4).as("quality_score"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All loaders are plain parquet scans, so Catalyst pushes filters and
+  * projections down to the scan (visible as `PushedFilters` / `ReadSchema`
+  * in `.explain("formatted")`). On a real cluster the same code points at a
+  * partitioned table root instead of a single file; nothing else changes.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** The log-event stream (the stand-in for the reference's New Relic `Log`
+    * table, cf. /root/reference/src/ingestion/new_relic_fetcher.py:70-79).
+    *
+    * events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long and
+    * truncate to microseconds ourselves — integer division, not a double
+    * divide, so no mantissa loss on ~1.7e18 nano values. DuckDB truncates
+    * ns→µs the same way natively, so oracle comparisons stay aligned.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

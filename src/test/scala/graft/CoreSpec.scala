@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+import graft.operators.Relational
+
+object SparkTest {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val Sf = "/root/testdata/sf0.001"
+}
+
+class CoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  test("every query runs on sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql keys without queries: $extra")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("PII redaction matches the reference semantics") {
+    import spark.implicits._
+    val df = Seq(
+      "User john.doe@email.com logged in",
+      "Payment with card 4111 1111 1111 1111 done",
+      "nothing sensitive here"
+    ).toDF("text").select(TextFns.redactPii(col("text")).as("t"))
+    val out = df.as[String].collect()
+    assert(out(0) == "User [REDACTED_EMAIL] logged in")
+    assert(out(1) == "Payment with card [REDACTED_CARD] done")
+    assert(out(2) == "nothing sensitive here")
+  }
+
+  test("secret redaction matches the reference semantics") {
+    import spark.implicits._
+    val df = Seq("api_key: abc123 and token=xyz and a@b.co")
+      .toDF("text").select(TextFns.redactSecrets(col("text")).as("t"))
+    assert(df.as[String].head() == "api_key=[REDACTED] and token=[REDACTED] and [REDACTED_EMAIL]")
+  }
+
+  test("sessionize splits on >30min gaps per user") {
+    val n = Relational.sessionize(spark, Sf)
+    // sessions never exceed total events; at least one session per user
+    val users = graft.sources.Tables.events(spark, Sf)
+      .select(countDistinct("user_id")).head().getLong(0)
+    val sessions = n.count()
+    assert(sessions >= users)
+    // session event counts sum to the total event count
+    val total = n.agg(sum("n_events")).head().getLong(0)
+    val events = graft.sources.Tables.events(spark, Sf).count()
+    assert(total == events)
+  }
+
+  test("dedup_exact keeps one row per distinct text") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(graft.operators.TextOps.dedupExact(spark, Sf).count() == distinctTexts)
+  }
+
+  test("heavy_hitters only returns users above the threshold") {
+    val hh = Relational.heavyHitters(spark, Sf)
+    val minN = hh.agg(min("n_events")).head().getLong(0)
+    val avgN = graft.sources.Tables.events(spark, Sf)
+      .groupBy("user_id").count().agg(avg("count")).head().getDouble(0)
+    assert(minN > avgN * 1.15)
+  }
+}
