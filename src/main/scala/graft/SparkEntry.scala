@@ -41,7 +41,24 @@ object SparkEntry {
     // — training-data text operators —
     "dedup_exact"           -> (TextOps.dedupExact _),
     "text_tokens"           -> (TextOps.textTokens _),
-    "text_quality"          -> (TextOps.textQuality _)
+    "text_quality"          -> (TextOps.textQuality _),
+    "lang_id"               -> (TextOps.langId _),
+    "doc_fingerprint"       -> ((s: SparkSession, d: String) => TextOps.docFingerprint(s, d)),
+    // — embedding / similarity search (rows-only: not SQL-expressible) —
+    "embed_text"            -> (Embeddings.embedText _),
+    "vector_knn"            -> (Embeddings.vectorKnn _),
+    "rag_context"           -> (Embeddings.ragContext _),
+    "ann_cosine_topk"       -> (Embeddings.annCosineTopK _),
+    "ann_ivf"               -> ((s: SparkSession, d: String) => Embeddings.annIvf(s, d)),
+    "knn_label_vote"        -> (Embeddings.knnLabelVote _),
+    "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
+    // — near-duplicate detection (rows-only) —
+    "dedup_minhash"         -> ((s: SparkSession, d: String) => NearDup.dedupMinhash(s, d)),
+    "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
+    "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
+    // — multimodal plumbing (rows-only) —
+    "multimodal_meta"       -> (Multimodal.multimodalMeta _),
+    "multimodal_frames"     -> (Multimodal.multimodalFrames _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */

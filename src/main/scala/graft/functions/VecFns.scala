@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.expressions.{VecDot, VecL2Sq}
+
+/** Dense-vector math over `array<double>` columns. The hot kernels (dot,
+  * squared L2) are native codegen'd Catalyst expressions
+  * ([[graft.expressions.VecDot]] / [[VecL2Sq]]) — a tight primitive loop in
+  * whole-stage codegen instead of interpreted higher-order-function
+  * lambdas; everything composes as ordinary Columns.
+  *
+  * Re-expresses the distance kernels of the reference's FAISS index
+  * (/root/reference/src/vector_db/faiss_db.py:49-62, IndexFlatL2).
+  */
+object VecFns {
+  /** Cast a float-array embedding to double for stable accumulation. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 — what FAISS IndexFlatL2 returns as `distance`. */
+  def l2sq(a: Column, b: Column): Column =
+    Bridge.column(VecL2Sq(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => when(n > lit(0.0), x / n).otherwise(lit(0.0)))
+  }
+}

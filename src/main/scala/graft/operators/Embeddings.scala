@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{TextFns, VecFns}
+
+/** Embedding + similarity-search operators (SURVEY.md §2 rows 10-12, 25-28).
+  *
+  * The reference embeds log text with a sentence-transformer and searches a
+  * FAISS IndexFlatL2 (/root/reference/src/embedding/embedder.py:22-30,
+  * /root/reference/src/vector_db/faiss_db.py:49-62). The model itself is an
+  * external artifact (like the LLM), so here the encoder is a deterministic
+  * feature-hashing embedder — the Spark-side contract (schema, batching,
+  * normalization, search) is the real thing.
+  *
+  * Scale design: query batches are always the small side and are
+  * `broadcast()` so the corpus never shuffles for a search; the IVF variant
+  * turns ANN into an equi-join on centroid ids, which partitions cleanly at
+  * any corpus size.
+  */
+object Embeddings {
+  val Dim = 64
+
+  /** Feature-hashing text encoder: tokens hash to one of `dim` slots with a
+    * ±1 sign hash (hashing trick), then L2-normalize — a native one-pass
+    * expression ([[graft.expressions.FeatureHashEmbed]]), so embedding
+    * 100 TB of text is a pure scan, no shuffle, O(tokens + dim) per row.
+    */
+  def embedCol(text: Column, dim: Int = Dim): Column = {
+    val toks = TextFns.wsTokens(lower(text))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FeatureHashEmbed(
+        org.apache.spark.sql.graft.Bridge.expression(toks), dim))
+  }
+
+  /** embedder.embed_logs: encode the configured fields (message + event →
+    * text + source here), keep the id for metadata join-back. */
+  def embedText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), embedCol(concat_ws(" ", col("text"), col("source"))).as("embedding"))
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VecFns.toDouble(col("embedding")).as("emb"), col("label"))
+
+  /** FAISS IndexFlatL2 search semantics (faiss_db.py:49-62): exact top-k by
+    * squared L2 per query, metadata joined back, distance in the output.
+    * The 32-query batch is broadcast; the corpus scan never shuffles —
+    * the only shuffle is the per-query rank on k·|queries| rows.
+    */
+  def vectorKnn(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.where(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val byQ = Window.partitionBy("qid").orderBy(col("distance"), col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("distance", round(VecFns.l2sq(col("emb"), col("qemb")), 6))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id"), col("distance"), col("label"))
+  }
+
+  /** Brute-force cosine top-k — the exact ANN baseline. Normalized corpus,
+    * broadcast queries, dot product = cosine. */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"), col("label"))
+    val q = c.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    c.where(col("vec_id") >= 100)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(VecFns.dot(col("emb"), col("qemb")), 6))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** K-means coarse quantizer shared by the IVF operators. Training runs on
+    * the (sampled, at scale) corpus via MLlib; assignment is a broadcast
+    * argmin over k centroids — the corpus scan stays shuffle-free.
+    */
+  private[operators] def ivfAssign(spark: SparkSession, dir: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus(spark, dir)
+    val feat = c.withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("bucket").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("emb"), col("label"), col("bucket"))
+    val cents = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val centDf = spark.createDataFrame(cents).toDF("bucket", "cemb")
+    (assigned, centDf)
+  }
+
+  /** IVF ANN: probe the `nprobe` nearest centroids per query, then rank
+    * only within those buckets — an equi-join on bucket id instead of a
+    * corpus-wide cross join. At √N centroids this reads ~nprobe/√N of the
+    * corpus per query.
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, centDf) = ivfAssign(spark, dir, k)
+    val q = assigned.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val byQc = Window.partitionBy("qid").orderBy(col("cdist"), col("bucket"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", VecFns.l2sq(col("qemb"), col("cemb")))
+      .withColumn("crk", row_number().over(byQc))
+      .where(col("crk") <= nprobe)
+      .select(col("qid"), col("qemb"), col("bucket"))
+    val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "bucket")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(VecFns.cosine(col("emb"), col("qemb")), 6))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** k-NN majority-label vote: top-10 cosine neighbors from the corpus,
+    * predicted label = most frequent (ties → smaller label). */
+  def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"), col("label"))
+    val q = c.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("label").as("true_label"))
+    val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val neighbors = c.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", VecFns.dot(col("emb"), col("qemb")))
+      .withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= 10)
+    val byVote = Window.partitionBy("qid").orderBy(col("n_votes").desc, col("label"))
+    neighbors.groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count("*").as("n_votes"))
+      .withColumn("vrk", row_number().over(byVote))
+      .where(col("vrk") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("predicted_label"), col("n_votes"))
+  }
+
+  /** Embedding-cosine near-dup: IVF-blocked pairwise similarity — only
+    * same-bucket pairs are scored (N²/k work instead of N²), the standard
+    * blocking trade at corpus scale. Emits one summary row per vector.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame = {
+    val (assigned, _) = ivfAssign(spark, dir, 16)
+    val a = assigned.select(col("bucket"), col("vec_id"), col("emb"))
+    val b = a.select(col("bucket"), col("vec_id").as("vec_id_b"), col("emb").as("emb_b"))
+    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("vec_id_b"))
+    val nn = a.join(b, "bucket")
+      .where(col("vec_id") =!= col("vec_id_b"))
+      .withColumn("sim", round(VecFns.cosine(col("emb"), col("emb_b")), 6))
+      .withColumn("rk", row_number().over(best))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("vec_id_b").as("nn_id"), col("sim").as("nn_sim"))
+    assigned.select(col("vec_id"), col("bucket"))
+      .join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("nn_id"), col("nn_sim"),
+        (col("nn_sim") >= thr).as("is_dup"))
+  }
+
+  /** RAG context assembly (llm_processor.py:44-60): embed the incident
+    * batch, top-5 similar docs per incident, union, dedup.
+    *
+    * embedCol output is unit-norm, so cosine = dot.
+    */
+  def ragContext(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        embedCol(concat_ws(" ", col("text"), col("source"))).as("emb"))
+    val incidents = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(5)
+      .select(col("event_id").as("incident_id"),
+        embedCol(concat_ws(" ", col("props"), col("event_type"))).as("qemb"))
+    val byInc = Window.partitionBy("incident_id").orderBy(col("sim").desc, col("doc_id"))
+    docs.crossJoin(broadcast(incidents))
+      .withColumn("sim", VecFns.dot(col("emb"), col("qemb")))
+      .withColumn("rk", row_number().over(byInc))
+      .where(col("rk") <= 5)
+      .groupBy(col("doc_id"))
+      .agg(count("*").as("n_hits"),
+        min("incident_id").as("first_incident"),
+        round(max("sim"), 4).as("best_sim"))
+  }
+}

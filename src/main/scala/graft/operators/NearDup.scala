@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.sources.Tables
+import graft.functions.TextFns
+import graft.expressions.{CharShingles, MinHashBandKeys, MinHashSig, SimHashSig, WordShingles}
+
+/** Text near-duplicate detection at corpus scale (SURVEY.md §2 rows 22-24):
+  * MinHash-LSH, SimHash, and n-gram Jaccard — the dedup family a training
+  * -data pipeline runs before anything else.
+  *
+  * All three share one scale shape: per-doc signatures are native one-pass
+  * kernels (graft.expressions — no shuffle, no interpreted lambdas);
+  * candidate generation is an equi-join on LSH band/chunk keys (shuffle-
+  * partitionable, never an O(n²) cross join); exact verification (true
+  * Jaccard / hamming) touches candidate pairs only. Output is one summary
+  * row per document, so downstream filtering is a plain column predicate.
+  */
+object NearDup {
+
+  /** Distinct word n-shingles (native kernel). */
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(TextFns.wsTokens(lower(text))), n))
+
+  /** Distinct character n-grams (native kernel). */
+  def charShingles(text: Column, n: Int): Column =
+    Bridge.column(CharShingles(Bridge.expression(lower(text)), n))
+
+  /** MinHash signature (native kernel; one hash per shingle + affine perms). */
+  def minhashSig(shingles: Column, numPerm: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numPerm))
+
+  /** 64-bit SimHash packed in a long (native kernel). */
+  def simhashSig(toks: Column): Column =
+    Bridge.column(SimHashSig(Bridge.expression(toks)))
+
+  /** LSH band keys over a MinHash signature (bands × rowsPerBand = perms). */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+
+  /** Fused shingles → minhash → band keys (native kernel; see
+    * [[graft.expressions.MinHashBandKeys]] for why fusion matters). */
+  def minhashBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinHashBandKeys(Bridge.expression(shingles), bands, rowsPerBand))
+
+  /** Chunk keys for hamming-banding a packed SimHash (pigeonhole: sigs
+    * within hamming distance < #chunks share at least one chunk). */
+  def simhashChunkKeys(sig: Column, chunks: Int = 4, chunkBits: Int = 16): Column =
+    array((0 until chunks).map(c =>
+      xxhash64(lit(c), shiftright(sig, c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1)))): _*)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Generic LSH near-dup summary.
+    *
+    * @param base    (id, sig, keys) — `sig` is whatever the verifier needs
+    * @param simExpr exact similarity between sig_a and sig_b (higher=closer)
+    * @param thr     duplicate threshold on that similarity
+    * @return one row per id: candidate count, best match, best similarity
+    */
+  private def lshSummary(base: DataFrame, simExpr: (Column, Column) => Column,
+      thr: Double): DataFrame = {
+    val exploded = base.select(col("id"), explode(col("keys")).as("key"))
+    val pairs = exploded.as("l")
+      .join(exploded.as("r"), col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sigs = base.select(col("id"), col("sig"))
+    val scored = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("sim", round(simExpr(col("sig_a"), col("sig_b")), 6))
+    // fold pairs into per-doc rows (both directions), keep the best match
+    val perDoc = scored.select(col("id_a").as("id"), col("id_b").as("other"), col("sim"))
+      .unionAll(scored.select(col("id_b").as("id"), col("id_a").as("other"), col("sim")))
+      .groupBy("id")
+      .agg(count("*").as("n_candidates"),
+        max(struct(col("sim"), col("other"))).as("best"))
+      .select(col("id"), col("n_candidates"),
+        col("best.other").as("best_match_id"), col("best.sim").as("best_sim"))
+    base.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match_id"), col("best_sim"),
+        coalesce(col("best_sim") >= thr, lit(false)).as("is_dup"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-dup over word 3-shingles; 128 perms, 32×4 bands
+    * (catches Jaccard ≳ 0.5 with high probability), exact-Jaccard verify
+    * on the shingle sets of candidate pairs only. */
+  def dedupMinhash(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), wordShingles(col("text"), 3).as("sig"))
+      .withColumn("keys", minhashBandKeys(col("sig"), 32, 4))
+    lshSummary(base, jaccard, thr)
+  }
+
+  /** SimHash near-dup: packed 64-bit sigs, 4×16-bit hamming bands;
+    * similarity is 1 - hamming/64 so the threshold reads like the others
+    * (0.95 ≈ ≤3 differing bits). */
+  def dedupSimhash(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        simhashSig(TextFns.wsTokens(lower(col("text")))).as("sig"))
+      .withColumn("keys", simhashChunkKeys(col("sig")))
+    lshSummary(base,
+      (a, b) => lit(1.0) - hamming(a, b).cast("double") / lit(64.0), thr)
+  }
+
+  /** Character 5-gram Jaccard near-dup, MinHash-blocked (64 perms, 16×4). */
+  def ngramJaccard(spark: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), charShingles(col("text"), 5).as("sig"))
+      .withColumn("keys", minhashBandKeys(col("sig"), 16, 4))
+    lshSummary(base, jaccard, thr)
+  }
+}

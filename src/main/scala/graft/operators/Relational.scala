@@ -131,9 +131,7 @@ object Relational {
     * readStream with a watermark).
     */
   def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
+    graft.streaming.StreamPipeline.windowedCounts(Tables.events(spark, dir))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
@@ -55,5 +55,50 @@ object TextOps {
       round(nChars / nWs, 4).as("avg_token_len"),
       round(lit(0.4) * (alpha / nChars) + lit(0.3) * least(lit(1.0), nWs / lit(50.0)) +
         lit(0.3) * (stop / nWs), 4).as("quality_score"))
+  }
+
+  /** Stopword inventories for the n-gram/stopword language-ID heuristic. */
+  private val LangStops: Seq[(String, Int, Seq[String])] = Seq(
+    ("en", 4, Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "for")),
+    ("fr", 3, Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que")),
+    ("es", 2, Seq("el", "los", "las", "y", "es", "para", "por", "con", "del", "una")),
+    ("de", 1, Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "ein", "nicht")))
+
+  /** Language ID: CJK char ratio decides zh; otherwise the language whose
+    * stopwords occur most often wins (deterministic priority tiebreak).
+    * Pure per-row expression work — a scan at any corpus size.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = TextFns.wsTokens(lower(text))
+    val cjk = TextFns.charClassCount(text, "[\\x{4e00}-\\x{9fff}]").cast("double")
+    val scored = LangStops.map { case (lang, prio, stops) =>
+      val stopLit = array(stops.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(stopLit, t))).as("score"),
+        lit(prio).as("prio"), lit(lang).as("lang"))
+    }
+    when(cjk / length(text).cast("double") > 0.3, lit("zh"))
+      .otherwise(greatest(scored: _*).getField("lang"))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), langIdCol(col("text")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
+    * k-gram hashes, per-window minima, the distinct minima set is the
+    * fingerprint ([[graft.expressions.WinnowFingerprints]], a one-pass
+    * native kernel); also folded to one 64-bit digest for cheap equality.
+    */
+  def docFingerprint(spark: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val fps = Bridge.column(graft.expressions.WinnowFingerprints(
+      Bridge.expression(lower(col("text"))), k, w))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        xxhash64(col("fps")).as("fingerprint"),
+        size(col("fps")).cast("long").as("n_fingerprints"))
   }
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.TextFns
+
+/** Structured Streaming twin of the batch ingest pipeline: the reference's
+  * fetch→clean loop (/root/reference/main.py:14-45) as a continuous query.
+  *
+  * The transforms are plain DataFrame functions, so the identical code runs
+  * in batch (Relational.streamWindowedCounts verifies it against the DuckDB
+  * oracle) and over `readStream` with a watermark for state cleanup.
+  */
+object StreamPipeline {
+
+  /** NRQL-ish ingest filter + PII redaction, batch- and stream-compatible. */
+  def ingestRedact(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type").isNotNull && col("props").isNotNull)
+      .withColumn("props", TextFns.redactPii(col("props")))
+
+  /** Tumbling 1-hour counts by level. On a streaming input the 2h watermark
+    * bounds state; on a batch input `withWatermark` is a no-op. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
+  }
+
+  /** File-source deployment shape: stream new parquet drops under `dir`,
+    * aggregate, append to a sink. Used for wiring checks, not the oracle. */
+  def fileStream(spark: SparkSession, dir: String, checkpoint: String,
+      outPath: String): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(dir)
+    windowedCounts(ingestRedact(events))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(outPath)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, TextOps}
+import graft.streaming.StreamPipeline
+
+class TextAndStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  test("lang_id classifies crafted samples") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat and the dog ran to the house in the rain"),
+      ("fr", "le chat et la maison est pour les amis que nous avons"),
+      ("es", "el gato y los perros para las casas con una mesa del pueblo"),
+      ("de", "der hund und die katze ist von zu hause mit ein buch nicht da"),
+      ("zh", "大数据引擎分布式计算")
+    ).toDF("expected", "text")
+      .select(col("expected"), TextOps.langIdCol(col("text")).as("pred"))
+    df.collect().foreach(r =>
+      assert(r.getString(1) == r.getString(0), s"expected ${r.getString(0)}"))
+  }
+
+  test("doc_fingerprint: identical texts share fingerprints, distinct differ") {
+    val fp = TextOps.docFingerprint(spark, Sf)
+    assert(fp.count() == graft.sources.Tables.documents(spark, Sf).count())
+    // fingerprint must be a total function (no nulls)
+    assert(fp.where(col("fingerprint").isNull).count() == 0)
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val meta = Multimodal.multimodalMeta(spark, Sf)
+    val n = graft.sources.Tables.documents(spark, Sf).count()
+    assert(meta.count() == n)
+    // payload bytes = utf-8 of text → n_bytes equals octet length
+    val joined = meta.join(graft.sources.Tables.documents(spark, Sf),
+      col("media_id") === col("doc_id"))
+      .where(col("n_bytes") =!= octet_length(col("text")))
+    assert(joined.count() == 0)
+    // images have exactly 1 frame, audio 0
+    assert(meta.where(col("kind") === "image" && col("n_frames") =!= 1).count() == 0)
+    assert(meta.where(col("kind") === "audio" && col("n_frames") =!= 0).count() == 0)
+  }
+
+  test("multimodal frame offsets are monotone within a video") {
+    val fr = Multimodal.multimodalFrames(spark, Sf).where(col("kind") === "video")
+    val bad = fr.as("a").join(fr.as("b"),
+      col("a.media_id") === col("b.media_id") &&
+        (col("a.frame_idx") + 1) === col("b.frame_idx") &&
+        col("a.offset_ms") > col("b.offset_ms"))
+    assert(bad.count() == 0)
+    assert(fr.count() > 0)
+  }
+
+  test("streaming windowed counts match the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamPipeline.windowedCounts(events)
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"), col("total_value"))
+    val q = agg.writeStream.format("memory").queryName("wc_test")
+      .outputMode("complete").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:45:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:05:00")
+      mem.addData((t0, "error", 1.5), (t1, "error", 2.5), (t2, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("wc_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00.0", "error", 2L, 4.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stream ingestRedact applies PII redaction") {
+    import spark.implicits._
+    val df = Seq(("error", "mail bob@corp.io now")).toDF("event_type", "props")
+    val out = StreamPipeline.ingestRedact(df).select("props").as[String].head()
+    assert(out == "mail [REDACTED_EMAIL] now")
+  }
+}

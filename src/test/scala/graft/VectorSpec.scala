@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VecFns
+import graft.operators.{Embeddings, NearDup}
+
+class VectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  test("vector math: dot/cosine/l2 on known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0, 2.0), Seq(3.0, 4.0, 0.0))).toDF("a", "b")
+    val row = df.select(
+      VecFns.dot(col("a"), col("b")).as("dot"),
+      VecFns.l2sq(col("a"), col("b")).as("l2"),
+      VecFns.norm(col("a")).as("na")).head()
+    assert(row.getDouble(0) == 3.0)
+    assert(row.getDouble(1) == (4.0 + 16.0 + 4.0))
+    assert(math.abs(row.getDouble(2) - math.sqrt(5.0)) < 1e-12)
+  }
+
+  test("embedCol is deterministic and L2-normalized") {
+    import spark.implicits._
+    val df = Seq("hello world foo", "hello world foo", "different text entirely")
+      .toDF("text").select(Embeddings.embedCol(col("text")).as("e"))
+    val rows = df.select(VecFns.norm(col("e")).as("n"), col("e")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-9)
+    assert(rows(0).getSeq[Double](1) == rows(1).getSeq[Double](1))
+    assert(rows(0).getSeq[Double](1) != rows(2).getSeq[Double](1))
+  }
+
+  test("vector_knn returns 5 ranked neighbors per query, self first") {
+    val knn = Embeddings.vectorKnn(spark, Sf)
+    val counts = knn.groupBy("qid").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSet == Set(5L))
+    // a query's nearest neighbor under L2 is itself (distance 0)
+    val self = knn.where(col("rk") === 1).collect()
+    assert(self.forall(r => r.getAs[Long]("qid") == r.getAs[Long]("vec_id")))
+    assert(self.forall(r => r.getAs[Double]("distance") == 0.0))
+  }
+
+  test("ann_cosine_topk ranks are ordered by similarity") {
+    val ann = Embeddings.annCosineTopK(spark, Sf)
+    val bad = ann.as("a").join(ann.as("b"),
+      col("a.qid") === col("b.qid") && (col("a.rk") + 1) === col("b.rk") &&
+        col("a.sim") < col("b.sim"))
+    assert(bad.count() == 0)
+  }
+
+  test("ann_ivf returns results for every query") {
+    val ivf = Embeddings.annIvf(spark, Sf)
+    assert(ivf.select("qid").distinct().count() > 0)
+    assert(ivf.where(col("rk") > 10).count() == 0)
+  }
+
+  test("knn_label_vote predicts one label per query") {
+    val v = Embeddings.knnLabelVote(spark, Sf)
+    assert(v.groupBy("qid").count().where(col("count") =!= 1).count() == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val doc = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = Seq((0L, doc), (1L, nearDup), (2L, other)).toDF("id", "text")
+      .select(col("id"), NearDup.wordShingles(col("text"), 3).as("sig"))
+      .withColumn("keys", NearDup.bandKeys(NearDup.minhashSig(col("sig"), 128), 32, 4))
+    // reuse the internal summary path via the public query on a temp view is
+    // awkward; verify the primitive instead: docs 0 and 1 share a band key
+    val k0 = docs.where(col("id") === 0).select(explode(col("keys"))).as[Long].collect().toSet
+    val k1 = docs.where(col("id") === 1).select(explode(col("keys"))).as[Long].collect().toSet
+    val k2 = docs.where(col("id") === 2).select(explode(col("keys"))).as[Long].collect().toSet
+    assert((k0 & k1).nonEmpty, "near-dups must share an LSH band")
+    assert((k0 & k2).isEmpty, "unrelated docs must not collide")
+  }
+
+  test("simhash hamming distance: identical texts collide, different do not") {
+    import spark.implicits._
+    val df = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "zz yy xx ww vv uu")).toDF("id", "text")
+      .select(col("id"), NearDup.simhashSig(
+        graft.functions.TextFns.wsTokens(lower(col("text")))).as("sig"))
+    val sigs = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(0L) == sigs(1L))
+    val hd = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    assert(hd > 5, s"unrelated docs should differ in many bits, got $hd")
+  }
+
+  test("near-dup summary queries emit one row per document") {
+    val nDocs = graft.sources.Tables.documents(spark, Sf).count()
+    assert(NearDup.dedupMinhash(spark, Sf).count() == nDocs)
+    assert(NearDup.dedupSimhash(spark, Sf).count() == nDocs)
+    assert(NearDup.ngramJaccard(spark, Sf).count() == nDocs)
+  }
+
+  test("dedup_embedding emits one row per vector") {
+    val n = graft.sources.Tables.embeddings(spark, Sf).count()
+    assert(Embeddings.dedupEmbedding(spark, Sf).count() == n)
+  }
+
+  test("rag_context dedups doc hits across the incident batch") {
+    val ctx = Embeddings.ragContext(spark, Sf)
+    assert(ctx.count() > 0)
+    assert(ctx.groupBy("doc_id").count().where(col("count") > 1).count() == 0)
+    assert(ctx.agg(sum("n_hits")).head().getLong(0) == 25L) // 5 incidents × 5 hits
+  }
+}
