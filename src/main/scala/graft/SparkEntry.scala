@@ -29,6 +29,8 @@ object SparkEntry {
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
+    "incident_report"       -> (LogOps.incidentReport _),
+    "rag_prompt"            -> (Embeddings.ragPrompt _),
     // — scale-path analytics —
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_top_orders"         -> (Relational.q3TopOrders _),
@@ -124,6 +126,17 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
         |FROM documents
         |WHERE lang = 'en' AND contains(lower(text), 'spark')""".stripMargin,
+
+    "incident_report" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents,
+        |       string_agg(
+        |         printf('- %s | user_%d | %s | %s',
+        |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type, props),
+        |         chr(10)
+        |         ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id) AS report
+        |FROM events
+        |WHERE event_type = 'error'
+        |GROUP BY 1""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

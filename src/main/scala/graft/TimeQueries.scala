@@ -12,7 +12,9 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"FAIL $name: ${e.getMessage.take(200)}"); -1L }
+      // noop write, not count(): count lets Catalyst prune whole joins
+      val n = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); 0L }
+        catch { case e: Throwable => println(s"FAIL $name: ${e.getMessage.take(200)}"); -1L }
       println(f"TIMING ${(System.nanoTime() - t0) / 1e9}%8.2f s  $name%-24s rows=$n")
     }
     spark.stop()

@@ -25,6 +25,20 @@ private[expressions] object SigUtil {
   /** Deterministic per-permutation affine coefficients. */
   def coefA(j: Int): Long = java.lang.Long.rotateLeft(0x9E3779B97F4A7C15L * (2 * j + 1), j) | 1L
   def coefB(j: Int): Long = java.lang.Long.rotateLeft(0xC2B2AE3D27D4EB4FL * (j + 1), j * 7 % 63)
+
+  /** Byte offset of every code point (plus the end offset), in one pass —
+    * repeated substringSQL would re-walk from the start each call,
+    * turning n-gram extraction O(chars²). */
+  def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    val offs = new mutable.ArrayBuffer[Int](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) {
+      offs += i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs += bytes.length
+    offs.toArray
+  }
 }
 
 /** Distinct word n-shingles over a token array (docs shorter than n
@@ -74,12 +88,17 @@ case class CharShingles(child: Expression, n: Int)
   }
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val m = s.numChars()
+    val bytes = s.getBytes // one materialization; slices below are zero-copy
+    val offs = SigUtil.codePointOffsets(bytes)
+    val m = offs.length - 1
     val out = new mutable.LinkedHashSet[UTF8String]
     if (m < n) out += s
     else {
-      var i = 1
-      while (i <= m - n + 1) { out += s.substringSQL(i, n); i += 1 }
+      var i = 0
+      while (i <= m - n) {
+        out += UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+        i += 1
+      }
     }
     new GenericArrayData(out.toArray[Any])
   }
@@ -184,10 +203,14 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   }
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val m = s.numChars()
+    val bytes = s.getBytes
+    val offs = SigUtil.codePointOffsets(bytes)
+    val m = offs.length - 1
     val grams: Array[Long] =
       if (m < k) Array(SigUtil.hash(s, 42L))
-      else Array.tabulate(m - k + 1)(i => SigUtil.hash(s.substringSQL(i + 1, k), 42L))
+      else Array.tabulate(m - k + 1)(i =>
+        XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+          offs(i + k) - offs(i), 42L))
     val mins =
       if (grams.length <= w) Array(grams.min)
       else Array.tabulate(grams.length - w + 1) { i =>

@@ -188,4 +188,40 @@ object Embeddings {
         min("incident_id").as("first_incident"),
         round(max("sim"), 4).as("best_sim"))
   }
+
+  /** Full build_prompt assembly (llm_processor.py:30-42): one RCA prompt
+    * for the incident batch — current log lines + RAG context lines +
+    * instruction header/footer — assembled distributively. */
+  def ragPrompt(spark: SparkSession, dir: String): DataFrame = {
+    val incidents = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(5)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        TextFns.redactSecrets(col("props")).as("msg"))
+    val batchLines = incidents
+      .select(col("event_id"),
+        format_string("- %s | user_%d | %s | %s",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          col("user_id"), col("event_type"), col("msg")).as("line"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("event_id"), col("line")))),
+        x => x.getField("line")), "\n").as("batch_txt"))
+    val simLines = ragContext(spark, dir)
+      .join(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"),
+        format_string("- doc_%d | %s | %s",
+          col("doc_id"), col("source"),
+          TextFns.redactSecrets(col("text"))).as("line"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("line")))),
+        x => x.getField("line")), "\n").as("sim_txt"))
+    batchLines.crossJoin(simLines)
+      .select(concat(
+        lit("Given the following logs and similar past incidents, summarize the root cause and suggest a fix.\n\nCurrent Logs:\n"),
+        col("batch_txt"),
+        lit("\n\nSimilar Past Incidents:\n"),
+        col("sim_txt"),
+        lit("\n\nRCA and Fix Suggestion:")).as("prompt"))
+  }
 }

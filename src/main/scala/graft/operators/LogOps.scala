@@ -99,4 +99,26 @@ object LogOps {
     Tables.documents(spark, dir)
       .where(col("lang") === "en" && lower(col("text")).contains("spark"))
       .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Per-day incident report: the `- ts | container | level | message` log
+    * lines of build_prompt (llm_processor.py:30-42), aggregated into one
+    * ordered report string per day. Distributed string assembly: collect
+    * sorted structs per group, join — one shuffle, no driver loop.
+    */
+  def incidentReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_id"),
+        date_format(col("ts"), TsUs).as("ts_us"),
+        format_string("- %s | user_%d | %s | %s",
+          date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
+          col("props")).as("line"))
+      .groupBy(col("day"))
+      .agg(count("*").as("n_incidents"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("report"))
 }

@@ -61,9 +61,18 @@ object NearDup {
     * @param thr     duplicate threshold on that similarity
     * @return one row per id: candidate count, best match, best similarity
     */
+  /** Hot-bucket cap: band keys shared by more than this many docs are
+    * dropped before pairing. Degenerate buckets (boilerplate shingles) are
+    * what turns LSH quadratic; genuinely identical docs are the job of
+    * dedup_exact, which runs before near-dup in the pipeline. */
+  private val MaxBucket = 64
+
   private def lshSummary(base: DataFrame, simExpr: (Column, Column) => Column,
       thr: Double): DataFrame = {
-    val exploded = base.select(col("id"), explode(col("keys")).as("key"))
+    val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
+    val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
+    val exploded = allKeys.join(keyCounts.where(col("kn") <= MaxBucket), "key")
+      .select(col("id"), col("key"))
     val pairs = exploded.as("l")
       .join(exploded.as("r"), col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -114,11 +123,14 @@ object NearDup {
       (a, b) => lit(1.0) - hamming(a, b).cast("double") / lit(64.0), thr)
   }
 
-  /** Character 5-gram Jaccard near-dup, MinHash-blocked (64 perms, 16×4). */
+  /** Character 5-gram Jaccard near-dup, MinHash-blocked. 8 bands × 8 rows:
+    * char n-grams of same-domain corpora overlap heavily, so 4-row bands
+    * would pass most of the corpus as candidates (O(n²) verify); 8-row
+    * bands keep the candidate set to genuinely close pairs (J ≳ 0.75). */
   def ngramJaccard(spark: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), charShingles(col("text"), 5).as("sig"))
-      .withColumn("keys", minhashBandKeys(col("sig"), 16, 4))
+      .withColumn("keys", minhashBandKeys(col("sig"), 8, 8))
     lshSummary(base, jaccard, thr)
   }
 }

@@ -80,6 +80,36 @@ class TextAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IO: partitioned parquet sink enables partition pruning") {
+    import graft.sources.{IO, Tables}
+    val out = "/tmp/graft_io_test/events_parted"
+    val ev = Tables.events(spark, Sf)
+    IO.writePartitioned(ev, out, Seq("event_type"))
+    val back = IO.readParquet(spark, out).where(col("event_type") === "error")
+    assert(back.count() == ev.where(col("event_type") === "error").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      "filter on the partition column must prune partitions")
+  }
+
+  test("IO: json round-trip preserves rows with explicit schema") {
+    import graft.sources.{IO, Tables}
+    val out = "/tmp/graft_io_test/docs_json"
+    val docs = Tables.documents(spark, Sf)
+    IO.writeJson(docs, out)
+    val back = IO.readJson(spark, out, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.columns.sorted.sameElements(docs.columns.sorted))
+  }
+
+  test("rag_prompt assembles the reference prompt shape") {
+    val p = graft.operators.Embeddings.ragPrompt(spark, Sf).head().getString(0)
+    assert(p.startsWith("Given the following logs and similar past incidents"))
+    assert(p.contains("Current Logs:\n- "))
+    assert(p.contains("Similar Past Incidents:\n- doc_"))
+    assert(p.endsWith("RCA and Fix Suggestion:"))
+  }
+
   test("stream ingestRedact applies PII redaction") {
     import spark.implicits._
     val df = Seq(("error", "mail bob@corp.io now")).toDF("event_type", "props")
