@@ -90,8 +90,11 @@ object Embeddings {
     val feat = c.withColumn("features", array_to_vector(col("emb")))
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("bucket").fit(feat)
+    // consumers reference the assignment several times (probe join sides,
+    // near-dup pair sides) — persist so assignment runs once
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("emb"), col("label"), col("bucket"))
+      .persist()
     val cents = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     val centDf = spark.createDataFrame(cents).toDF("bucket", "cemb")
     (assigned, centDf)

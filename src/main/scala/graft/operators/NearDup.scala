@@ -67,8 +67,13 @@ object NearDup {
     * dedup_exact, which runs before near-dup in the pipeline. */
   private val MaxBucket = 64
 
-  private def lshSummary(base: DataFrame, simExpr: (Column, Column) => Column,
+  private def lshSummary(rawBase: DataFrame, simExpr: (Column, Column) => Column,
       thr: Double): DataFrame = {
+    // The pipeline references the (id, sig, keys) relation ~6 times
+    // (explode, bucket counts, both sides of the verify join, the final
+    // left join). Persist the signatures — a few % of corpus size — so the
+    // corpus is scanned and shingled exactly once, not per reference.
+    val base = rawBase.persist()
     val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
     val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
     val exploded = allKeys.join(keyCounts.where(col("kn") <= MaxBucket), "key")
