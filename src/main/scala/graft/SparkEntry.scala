@@ -31,6 +31,21 @@ object SparkEntry {
     "search_keyword"        -> (LogOps.searchKeyword _),
     "incident_report"       -> (LogOps.incidentReport _),
     "rag_prompt"            -> (Embeddings.ragPrompt _),
+    "props_parse"           -> (LogOps.propsParse _),
+    "distinct_users"        -> (LogOps.distinctUsers _),
+    "approx_distinct"       -> (LogOps.approxDistinct _),
+    "sessionize_stateful"   -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.SessEvent]
+      graft.streaming.StatefulSessionize(ev).toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("session_value"), 2).as("session_value"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+    }),
     // — scale-path analytics —
     "q1_pricing_summary"    -> (Relational.q1PricingSummary _),
     "q3_top_orders"         -> (Relational.q3TopOrders _),
@@ -126,6 +141,35 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
         |FROM documents
         |WHERE lang = 'en' AND contains(lower(text), 'spark')""".stripMargin,
+
+    "props_parse" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "sessionize_stateful" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_events,
+        |       round(sum(value), 2) AS session_value,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "incident_report" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents,

@@ -100,6 +100,41 @@ object LogOps {
       .where(col("lang") === "en" && lower(col("text")).contains("spark"))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** Semi-structured props parsing: extract typed fields from the JSON
+    * message payload at scan time (codegen'd JSON path, no UDF), then
+    * aggregate. The reference receives logs as JSON dicts
+    * (new_relic_fetcher.py:118-126); at scale the parse happens in the
+    * scan pipeline, not a driver loop.
+    */
+  def propsParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count("*").as("n_events"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+
+  /** Exact distinct-user counts per level (partial-agg'd two-phase
+    * distinct — the exact twin of [[approxDistinct]]). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count("*").as("n_events"))
+
+  /** HyperLogLog++ distinct counts — the constant-memory path for
+    * cardinalities where exact distinct would shuffle 100 TB of keys.
+    * rows-only check (sketches are engine-specific); the spec bounds its
+    * error against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        approx_count_distinct(col("props"), 0.02).as("n_props_approx"),
+        count("*").as("n_events"))
+
   /** Per-day incident report: the `- ts | container | level | message` log
     * lines of build_prompt (llm_processor.py:30-42), aggregated into one
     * ordered report string per day. Distributed string assembly: collect

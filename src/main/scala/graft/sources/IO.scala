@@ -38,4 +38,12 @@ object IO {
   /** JSON export (dashboard-history shape). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Bucketed managed table: both sides of a repeated large-to-large join
+    * bucketed on the join key never exchange at read time (co-located
+    * scans). The sort makes merge joins sort-free too. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
 }

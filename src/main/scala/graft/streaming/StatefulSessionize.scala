@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class SessEvent(user_id: Long, ts: Timestamp, value: Double)
+
+case class SessBuf(startUs: Long, lastUs: Long, n: Int, sum: Double)
+
+case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Int, session_value: Double)
+
+/** Continuous gap-based sessionization via `flatMapGroupsWithState` —
+  * custom per-key state the built-in windowed aggregations can't express
+  * (sessions have data-dependent extents).
+  *
+  * State per user is a single [[SessBuf]] (32 bytes), bounded by the
+  * event-time timeout: once the watermark passes `lastUs + gap`, the
+  * session closes, emits, and the state is freed — state size tracks the
+  * number of *concurrently active* users, not history. Batch mode runs the
+  * identical function (timeouts never fire; open sessions close at
+  * end-of-group), which is how the oracle cross-checks it against the
+  * window-function sessionizer (Relational.sessionize).
+  */
+object StatefulSessionize {
+  val DefaultGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** µs-precision round trip (Timestamp.getTime alone is ms-truncated). */
+  def tsToUs(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  def apply(events: Dataset[SessEvent], gapUs: Long = DefaultGapUs,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuf, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessBuf]) =>
+          def close(s: SessBuf): SessionOut =
+            SessionOut(uid, usToTs(s.startUs), usToTs(s.lastUs), s.n, s.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val out = ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            // events within one trigger arrive unordered; sort locally
+            it.toSeq.sortBy(e => (tsToUs(e.ts), e.value)).foreach { e =>
+              val t = tsToUs(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(SessBuf(s.startUs, math.max(s.lastUs, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += close(s)
+                  cur = Some(SessBuf(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessBuf(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              if (streaming) {
+                state.update(s)
+                state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+              } else {
+                // batch: no more data will come; close the open session
+                out += close(s)
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{JoinOps, Relational}
+import graft.streaming.{SessEvent, StatefulSessionize}
+
+class StatefulAndJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  test("batch stateful sessionize matches the window-function sessionizer") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+    val stateful = StatefulSessionize(ev).toDF()
+    val windowed = Relational.sessionize(spark, Sf)
+    assert(stateful.count() == windowed.count())
+    assert(stateful.agg(sum("n_events")).head().getLong(0) ==
+      windowed.agg(sum("n_events")).head().getLong(0))
+  }
+
+  test("streaming stateful sessionize closes sessions on gap and watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = StatefulSessionize(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    try {
+      mem.addData(
+        SessEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+        SessEvent(1, ts("2024-01-01 10:10:00"), 2.0),
+        SessEvent(1, ts("2024-01-01 13:00:00"), 5.0))
+      q.processAllAvailable()
+      // gap between 10:10 and 13:00 closes the first session inline
+      val afterB1 = spark.table("sess_test").collect()
+      assert(afterB1.length == 1)
+      assert(afterB1(0).getAs[Int]("n_events") == 2)
+      assert(afterB1(0).getAs[Double]("session_value") == 3.0)
+      // advance the watermark well past 13:00+gap → timeout fires
+      mem.addData(SessEvent(2, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(SessEvent(2, ts("2024-01-01 23:00:00"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_test").collect()
+      assert(out.exists(r => r.getAs[Long]("user_id") == 1 &&
+        r.getAs[Int]("n_events") == 1 && r.getAs[Double]("session_value") == 5.0),
+        s"timed-out session must be emitted, got ${out.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("graft kernels are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val dot = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql("SELECT word_shingles(array('a','b','c','d'), 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val sig = spark.sql("SELECT simhash_sig(array('x','y')) AS s").head().getLong(0)
+    val sig2 = spark.sql("SELECT simhash_sig(array('x','y')) AS s").head().getLong(0)
+    assert(sig == sig2)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    val left = (Seq.fill(500)(1L) ++ (2L to 50L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val right = (1L to 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, "k").select("k", "v", "name")
+    val salted = JoinOps.saltedJoin(left, right, "k", 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without exchange") {
+    import graft.sources.{IO, Tables}
+    val ev = Tables.events(spark, Sf).groupBy("user_id").count()
+    val users = Tables.events(spark, Sf).groupBy("user_id")
+      .agg(sum("value").as("total"))
+    Seq("ev_bucketed", "users_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    IO.writeBucketed(ev, "ev_bucketed", "user_id", 8)
+    IO.writeBucketed(users, "users_bucketed", "user_id", 8)
+    // force the shuffle-join path (broadcast would sidestep bucketing here)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed").join(spark.table("users_bucketed"), "user_id")
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
