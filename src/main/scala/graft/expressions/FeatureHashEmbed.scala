@@ -40,10 +40,12 @@ case class FeatureHashEmbed(child: Expression, dim: Int)
     while (i < n) {
       if (!toks.isNullAt(i)) {
         val t = toks.getUTF8String(i)
-        val slot = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
-        val sign = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 77L)
-        val idx = java.lang.Math.floorMod(slot, dim.toLong).toInt
-        acc(idx) += (if ((sign & 1L) == 0L) 1.0 else -1.0)
+        if (t.numBytes > 0) { // empty tokens (e.g. split of "") carry no signal
+          val slot = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+          val sign = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 77L)
+          val idx = java.lang.Math.floorMod(slot, dim.toLong).toInt
+          acc(idx) += (if ((sign & 1L) == 0L) 1.0 else -1.0)
+        }
       }
       i += 1
     }

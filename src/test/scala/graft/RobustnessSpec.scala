@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFns, VecFns}
+import graft.operators.{Embeddings, NearDup, TextOps}
+
+/** Null/empty/degenerate input behavior of the column-level functions —
+  * at 100 TB every pathological row shape exists somewhere. */
+class RobustnessSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(Option(text)).toDF("text").select(c.as("v")).head()
+  }
+
+  test("redaction passes nulls through and handles empty strings") {
+    assert(one(TextFns.redactPii(col("text")), null).isNullAt(0))
+    assert(one(TextFns.redactPii(col("text")), "").getString(0) == "")
+    assert(one(TextFns.redactSecrets(col("text")), "").getString(0) == "")
+  }
+
+  test("embedCol: empty text yields the zero vector, null stays null") {
+    val z = one(Embeddings.embedCol(col("text")), "")
+    assert(z.getSeq[Double](0).forall(_ == 0.0))
+    assert(one(Embeddings.embedCol(col("text")), null).isNullAt(0))
+  }
+
+  test("shingles of short/empty text degrade to a single shingle") {
+    assert(one(NearDup.wordShingles(col("text"), 3), "only two").getSeq[String](0) == Seq("only two"))
+    assert(one(NearDup.charShingles(col("text"), 5), "abc").getSeq[String](0) == Seq("abc"))
+    assert(one(NearDup.wordShingles(col("text"), 3), null).isNullAt(0))
+  }
+
+  test("simhash/minhash of empty token lists are defined and deterministic") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[String], Seq.empty[String]).toDF("toks")
+      .select(NearDup.simhashSig(col("toks")).as("s"),
+        NearDup.minhashSig(col("toks"), 8).as("m"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == rows(1).getLong(0))
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+  }
+
+  test("vector kernels: mismatched lengths use the shorter prefix, nulls propagate") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    assert(df.select(VecFns.dot(col("a"), col("b"))).head().getDouble(0) == 14.0)
+    val n = Seq((Option.empty[Seq[Double]], Option(Seq(1.0))))
+      .toDF("a", "b").select(VecFns.dot(col("a"), col("b")))
+    assert(n.head().isNullAt(0))
+  }
+
+  test("lang_id tolerates empty and whitespace-only text") {
+    val r = one(TextOps.langIdCol(col("text")), "   ")
+    assert(r.getString(0) != null) // some deterministic label, no crash
+    assert(one(TextOps.langIdCol(col("text")), null).isNullAt(0) ||
+      one(TextOps.langIdCol(col("text")), null).getString(0) != null)
+  }
+}
