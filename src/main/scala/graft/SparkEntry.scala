@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
     // — near-duplicate detection (rows-only) —
     "dedup_minhash"         -> ((s: SparkSession, d: String) => NearDup.dedupMinhash(s, d)),
+    "dedup_clusters"        -> ((s: SparkSession, d: String) => NearDup.dedupClusters(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     // — multimodal plumbing (rows-only) —

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the clustering step that turns
+  * verified near-dup pairs into canonical cluster ids (keep min-id doc per
+  * cluster, drop the rest).
+  *
+  * Min-label propagation: every node adopts the smallest label among
+  * itself and its neighbors until fixpoint — O(component diameter)
+  * iterations of one equi-join + partial-agg'd groupBy each. Dedup graphs
+  * have tiny diameters (dup clusters are near-cliques), so this converges
+  * in 2-3 rounds at any corpus size. Each iteration's result is persisted
+  * and the previous one released, so lineage stays flat.
+  */
+object Cluster {
+
+  /** @param edges (id_a, id_b) undirected pairs
+    * @param nodes one `id` column — universe of nodes (members of no edge
+    *              become singleton clusters)
+    * @return (id, cluster) with cluster = min id of the component
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster").as("dst_cluster")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
+        .persist()
+      changed = next.where(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next.drop("prev")
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -67,13 +67,11 @@ object NearDup {
     * dedup_exact, which runs before near-dup in the pipeline. */
   private val MaxBucket = 64
 
-  private def lshSummary(rawBase: DataFrame, simExpr: (Column, Column) => Column,
-      thr: Double): DataFrame = {
-    // The pipeline references the (id, sig, keys) relation ~6 times
-    // (explode, bucket counts, both sides of the verify join, the final
-    // left join). Persist the signatures — a few % of corpus size — so the
-    // corpus is scanned and shingled exactly once, not per reference.
-    val base = rawBase.persist()
+  /** LSH candidate pairs with exact similarity — shared by the per-doc
+    * summaries and the cluster operator. `base` must be persisted by the
+    * caller (it is referenced ~6 times downstream). */
+  private def scoredPairs(base: DataFrame,
+      simExpr: (Column, Column) => Column): DataFrame = {
     val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
     val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
     val exploded = allKeys.join(keyCounts.where(col("kn") <= MaxBucket), "key")
@@ -83,10 +81,18 @@ object NearDup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val sigs = base.select(col("id"), col("sig"))
-    val scored = pairs
+    pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("sim", round(simExpr(col("sig_a"), col("sig_b")), 6))
+  }
+
+  private def lshSummary(rawBase: DataFrame, simExpr: (Column, Column) => Column,
+      thr: Double): DataFrame = {
+    // Persist the signatures — a few % of corpus size — so the corpus is
+    // scanned and shingled exactly once, not once per plan reference.
+    val base = rawBase.persist()
+    val scored = scoredPairs(base, simExpr)
     // fold pairs into per-doc rows (both directions), keep the best match
     val perDoc = scored.select(col("id_a").as("id"), col("id_b").as("other"), col("sim"))
       .unionAll(scored.select(col("id_b").as("id"), col("id_a").as("other"), col("sim")))
@@ -126,6 +132,24 @@ object NearDup {
       .withColumn("keys", simhashChunkKeys(col("sig")))
     lshSummary(base,
       (a, b) => lit(1.0) - hamming(a, b).cast("double") / lit(64.0), thr)
+  }
+
+  /** Near-dup clustering: MinHash-LSH pairs above `thr` → connected
+    * components → one row per doc with its canonical cluster id (min doc_id
+    * of the component) and cluster size. Downstream dedup = `keep rows
+    * where doc_id == cluster_id`. */
+  def dedupClusters(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), wordShingles(col("text"), 3).as("sig"))
+      .withColumn("keys", minhashBandKeys(col("sig"), 32, 4))
+      .persist()
+    val dupEdges = scoredPairs(base, jaccard).where(col("sim") >= thr)
+      .select(col("id_a"), col("id_b"))
+    val labels = Cluster.connectedComponents(dupEdges, base.select(col("id")))
+    val sizes = labels.groupBy(col("cluster")).agg(count("*").as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("cluster")).as("is_canonical"))
   }
 
   /** Character 5-gram Jaccard near-dup, MinHash-blocked. 8 bands × 8 rows:

@@ -97,6 +97,28 @@ class VectorSpec extends AnyFunSuite {
     assert(NearDup.ngramJaccard(spark, Sf).count() == nDocs)
   }
 
+  test("connected components label planted clusters correctly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("id")
+    val cc = graft.operators.Cluster.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedup_clusters covers every doc exactly once and sizes add up") {
+    val cl = graft.operators.NearDup.dedupClusters(spark, Sf)
+    val n = graft.sources.Tables.documents(spark, Sf).count()
+    assert(cl.count() == n)
+    // every cluster has exactly one canonical doc
+    val canonPerCluster = cl.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"))
+    assert(canonPerCluster.where(col("n_canon") =!= 1).count() == 0)
+    // sizes sum back to the doc count
+    assert(cl.select("cluster_id", "cluster_size").distinct()
+      .agg(sum("cluster_size")).head().getLong(0) == n)
+  }
+
   test("dedup_embedding emits one row per vector") {
     val n = graft.sources.Tables.embeddings(spark, Sf).count()
     assert(Embeddings.dedupEmbedding(spark, Sf).count() == n)
