@@ -1,0 +1,186 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel bodies shared by the interpreted eval path and generated
+  * code. `doGenCode` emits direct static calls to these methods, so stages
+  * containing graft expressions stay inside whole-stage codegen (a
+  * CodegenFallback expression would kick its whole stage out to
+  * row-at-a-time interpretation).
+  */
+object Kernels {
+
+  def featureHashEmbed(toks: ArrayData, dim: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        if (t.numBytes > 0) { // empty tokens (e.g. split of "") carry no signal
+          val slot = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+          val sign = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 77L)
+          val idx = java.lang.Math.floorMod(slot, dim.toLong).toInt
+          acc(idx) += (if ((sign & 1L) == 0L) 1.0 else -1.0)
+        }
+      }
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    if (ss > 0.0) {
+      val inv = 1.0 / java.lang.Math.sqrt(ss)
+      j = 0
+      while (j < dim) { acc(j) *= inv; j += 1 }
+    }
+    new GenericArrayData(acc)
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val out = new mutable.LinkedHashSet[UTF8String]
+    if (m < n) {
+      val all = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { all(i) = toks.getUTF8String(i); i += 1 }
+      out += UTF8String.concatWs(space, all.toIndexedSeq: _*)
+    } else {
+      var i = 0
+      while (i <= m - n) {
+        val w = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { w(j) = toks.getUTF8String(i + j); j += 1 }
+        out += UTF8String.concatWs(space, w.toIndexedSeq: _*)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Byte offset of every code point (plus the end offset), in one pass —
+    * per-position substring extraction would be O(chars²). */
+  private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    val offs = new mutable.ArrayBuffer[Int](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) {
+      offs += i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs += bytes.length
+    offs.toArray
+  }
+
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes // one materialization; slices below are zero-copy
+    val offs = codePointOffsets(bytes)
+    val m = offs.length - 1
+    val out = new mutable.LinkedHashSet[UTF8String]
+    if (m < n) out += s
+    else {
+      var i = 0
+      while (i <= m - n) {
+        out += UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  private def coefs(numPerm: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(numPerm, _ =>
+      (Array.tabulate(numPerm)(SigUtil.coefA), Array.tabulate(numPerm)(SigUtil.coefB)))
+
+  private def minhashRaw(sh: ArrayData, numPerm: Int): Array[Long] = {
+    val (as, bs) = coefs(numPerm)
+    val m = sh.numElements()
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      if (!sh.isNullAt(i)) {
+        val h = SigUtil.hash(sh.getUTF8String(i), 42L)
+        var j = 0
+        while (j < numPerm) {
+          val p = as(j) * h + bs(j)
+          if (p < sig(j)) sig(j) = p
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhashSig(sh: ArrayData, numPerm: Int): ArrayData =
+    new GenericArrayData(minhashRaw(sh, numPerm))
+
+  def minhashBandKeys(sh: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minhashRaw(sh, bands * rowsPerBand)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0x9E3779B97F4A7C15L * (b + 1)
+      var r = 0
+      while (r < rowsPerBand) {
+        k = java.lang.Long.rotateLeft(k ^ sig(b * rowsPerBand + r), 27) * 0xC2B2AE3D27D4EB4FL
+        r += 1
+      }
+      keys(b) = k
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  def simhashSig(toks: ArrayData): Long = {
+    val m = toks.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      if (!toks.isNullAt(i)) {
+        val h = SigUtil.hash(toks.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = codePointOffsets(bytes)
+    val m = offs.length - 1
+    val grams: Array[Long] =
+      if (m < k) Array(SigUtil.hash(s, 42L))
+      else Array.tabulate(m - k + 1)(i =>
+        XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+          offs(i + k) - offs(i), 42L))
+    val mins =
+      if (grams.length <= w) Array(grams.min)
+      else Array.tabulate(grams.length - w + 1) { i =>
+        var mn = grams(i)
+        var j = 1
+        while (j < w) { if (grams(i + j) < mn) mn = grams(i + j); j += 1 }
+        mn
+      }
+    val distinct = mins.distinct
+    java.util.Arrays.sort(distinct)
+    new GenericArrayData(distinct)
+  }
+}
