@@ -28,6 +28,25 @@ object StreamPipeline {
       .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
   }
 
+  /** Streaming upsert sink via foreachBatch: each micro-batch's windowed
+    * aggregate overwrites only the date partitions it touches (dynamic
+    * partition overwrite), giving idempotent latest-state parquet — the
+    * streaming twin of the dashboard history file the reference rewrites
+    * per run (dashboard/app.py:91-95). */
+  def foreachBatchUpsert(agg: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    agg
+      .select(col("w.start").as("window_start"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy("day").parquet(outPath)
+      }
+      .start()
+
   /** File-source deployment shape: stream new parquet drops under `dir`,
     * aggregate, append to a sink. Used for wiring checks, not the oracle. */
   def fileStream(spark: SparkSession, dir: String, checkpoint: String,

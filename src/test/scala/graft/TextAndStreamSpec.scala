@@ -110,6 +110,32 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(p.endsWith("RCA and Fix Suggestion:"))
   }
 
+  test("foreachBatch upsert sink writes idempotent partitioned state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = "/tmp/graft_stream_upsert/out"
+    val ckpt = "/tmp/graft_stream_upsert/ckpt"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/tmp/graft_stream_upsert")).deleteRecursively()
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamPipeline.windowedCounts(mem.toDF().toDF("ts", "event_type", "value"))
+    val q = StreamPipeline.foreachBatchUpsert(agg, out, ckpt)
+    try {
+      val t = java.sql.Timestamp.valueOf(_: String)
+      mem.addData((t("2024-01-01 10:05:00"), "error", 1.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 10:20:00"), "error", 2.0))
+      q.processAllAvailable()
+      val state = spark.read.parquet(out)
+        .where(col("event_type") === "error")
+      // updated count for the 10:00 window replaces the old row
+      val rows = state.collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("n_events") == 2L,
+        s"expected one upserted window row, got ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("stream ingestRedact applies PII redaction") {
     import spark.implicits._
     val df = Seq(("error", "mail bob@corp.io now")).toDF("event_type", "props")
