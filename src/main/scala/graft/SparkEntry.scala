@@ -76,7 +76,9 @@ object SparkEntry {
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     // — multimodal plumbing (rows-only) —
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
-    "multimodal_frames"     -> (Multimodal.multimodalFrames _)
+    "multimodal_frames"     -> (Multimodal.multimodalFrames _),
+    "multimodal_resize"     -> ((s: SparkSession, d: String) => Multimodal.multimodalResize(s, d)),
+    "multimodal_features"   -> (Multimodal.multimodalFeatures _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
@@ -265,6 +267,24 @@ object SparkEntry {
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) / length(text) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|you|that|for)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|est|pour|que)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|para|por|con|del|una)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|zu|mit|ein|nicht)\b')) AS s_de
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |       WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_de THEN 'es'
+        |       ELSE 'de' END AS pred_lang,
+        |  lang AS labeled_lang
+        |FROM s""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,

@@ -66,6 +66,50 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("duration_ms"), col("n_frames"))
 
+  /** STUB resize plan — a real implementation scales pixel buffers; the
+    * Spark-side contract (per-record binary in/out, metadata update) is
+    * what matters. Deterministically truncates the payload to emulate a
+    * bounded-size thumbnail. */
+  private[operators] def resizeStub(m: MediaMeta, payload: Array[Byte],
+      maxDim: Int): (Array[Byte], Int, Int) = {
+    val scale = math.max(1, math.max(m.width, m.height) / maxDim)
+    val w = math.max(1, m.width / scale)
+    val h = math.max(1, m.height / scale)
+    val keep = math.max(1, payload.length / (scale * scale))
+    (java.util.Arrays.copyOf(payload, keep), w, h)
+  }
+
+  /** Thumbnail pipeline: decode metadata + resize-stub in one batched
+    * per-partition pass; emits the reduced payload with updated dims. */
+  def multimodalResize(spark: SparkSession, dir: String, maxDim: Int = 256): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val meta = decodeStub(m)
+        val (bytes, w, h) = resizeStub(meta, m.payload, maxDim)
+        (m.media_id, m.kind, w, h, bytes.length.toLong, bytes)
+      }))
+      .toDF("media_id", "kind", "width", "height", "n_bytes", "thumb")
+  }
+
+  /** Feature extraction over the binary payload: 64-bin byte histogram,
+    * L1-normalized — the deterministic stand-in for an image/audio
+    * feature network, emitting the same `Array[Double]` column contract
+    * as the text embedder (so ANN operators run on media too). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val hist = new Array[Double](64)
+        var i = 0
+        while (i < m.payload.length) { hist((m.payload(i) & 0xff) % 64) += 1.0; i += 1 }
+        val n = m.payload.length.toDouble
+        if (n > 0) { var j = 0; while (j < 64) { hist(j) /= n; j += 1 } }
+        (m.media_id, m.kind, hist.toSeq)
+      }))
+      .toDF("media_id", "kind", "features")
+  }
+
   /** Frame sampling: explode the decode plan into per-frame rows with
     * deterministic offsets — the input shape for a frame-featurizer. */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =

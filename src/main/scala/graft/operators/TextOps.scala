@@ -57,25 +57,30 @@ object TextOps {
         lit(0.3) * (stop / nWs), 4).as("quality_score"))
   }
 
-  /** Stopword inventories for the n-gram/stopword language-ID heuristic. */
-  private val LangStops: Seq[(String, Int, Seq[String])] = Seq(
-    ("en", 4, Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "for")),
-    ("fr", 3, Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que")),
-    ("es", 2, Seq("el", "los", "las", "y", "es", "para", "por", "con", "del", "una")),
-    ("de", 1, Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "ein", "nicht")))
+  /** Stopword inventories for the n-gram/stopword language-ID heuristic.
+    * Listed in priority order — earlier languages win score ties. */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    ("en", Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "for")),
+    ("fr", Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que")),
+    ("es", Seq("el", "los", "las", "y", "es", "para", "por", "con", "del", "una")),
+    ("de", Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "ein", "nicht")))
+
+  /** RE2-compatible word-boundary pattern counting a language's stopword
+    * occurrences — the identical pattern runs in the DuckDB oracle. */
+  def stopRe(stops: Seq[String]): String = "\\b(" + stops.mkString("|") + ")\\b"
 
   /** Language ID: CJK char ratio decides zh; otherwise the language whose
-    * stopwords occur most often wins (deterministic priority tiebreak).
-    * Pure per-row expression work — a scan at any corpus size.
+    * stopwords occur most often wins (ties → priority order). Pure per-row
+    * regex expression work — a scan at any corpus size, and byte-identical
+    * semantics to the SQL oracle.
     */
   def langIdCol(text: Column): Column = {
-    val toks = TextFns.wsTokens(lower(text))
+    val lo = lower(text)
     val cjk = TextFns.charClassCount(text, "[\\x{4e00}-\\x{9fff}]").cast("double")
-    val scored = LangStops.map { case (lang, prio, stops) =>
-      val stopLit = array(stops.map(lit): _*)
+    val scored = LangStops.zipWithIndex.map { case ((lang, stops), i) =>
       struct(
-        size(filter(toks, t => array_contains(stopLit, t))).as("score"),
-        lit(prio).as("prio"), lit(lang).as("lang"))
+        size(regexp_extract_all(lo, lit(stopRe(stops)), lit(0))).as("score"),
+        lit(LangStops.size - i).as("prio"), lit(lang).as("lang"))
     }
     when(cjk / length(text).cast("double") > 0.3, lit("zh"))
       .otherwise(greatest(scored: _*).getField("lang"))

@@ -45,6 +45,25 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(meta.where(col("kind") === "audio" && col("n_frames") =!= 0).count() == 0)
   }
 
+  test("multimodal resize bounds dimensions and shrinks payloads") {
+    val r = Multimodal.multimodalResize(spark, Sf, maxDim = 64)
+    assert(r.count() == graft.sources.Tables.documents(spark, Sf).count())
+    assert(r.where(col("width") > 1024 || col("height") > 1024).count() == 0)
+    val meta = Multimodal.multimodalMeta(spark, Sf)
+      .select(col("media_id"), col("n_bytes").as("orig_bytes"))
+    val grew = r.join(meta, "media_id").where(col("n_bytes") > col("orig_bytes"))
+    assert(grew.count() == 0, "thumbnails must never exceed the original")
+  }
+
+  test("multimodal features are L1-normalized 64-bin histograms") {
+    import spark.implicits._
+    val f = Multimodal.multimodalFeatures(spark, Sf)
+    val sums = f.select(aggregate(col("features"), lit(0.0), (a, x) => a + x).as("s"))
+      .where(abs(col("s") - 1.0) > 1e-9)
+    assert(sums.count() == 0)
+    assert(f.select(size(col("features"))).distinct().as[Int].collect().toSeq == Seq(64))
+  }
+
   test("multimodal frame offsets are monotone within a video") {
     val fr = Multimodal.multimodalFrames(spark, Sf).where(col("kind") === "video")
     val bad = fr.as("a").join(fr.as("b"),
