@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the physical-plan properties the engine's 100 TB
+  * story depends on. A change that silently loses pushdown, codegen, or
+  * rank-limit would still pass value checks — these specs catch it.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("ingest filters push down to the parquet scan") {
+    val p = plan("ingest_errors")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(event_type,error)"),
+      s"event_type filter must reach the scan:\n$p")
+  }
+
+  test("scans read only the columns a query needs") {
+    val p = plan("metrics_by_namespace")
+    assert(p.contains("ReadSchema: struct<source:string"),
+      s"namespace metrics must scan only source (+agg cols):\n$p")
+    assert(!p.contains("text"), s"must not scan the text column:\n$p")
+  }
+
+  test("star joins broadcast their dimension sides") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-k windows use rank-limit pushdown (WindowGroupLimit)") {
+    assert(plan("top_events_per_user").contains("WindowGroupLimit"))
+    assert(plan("vector_knn").contains("WindowGroupLimit"))
+  }
+
+  test("native kernel projections stay inside whole-stage codegen") {
+    val p = plan("embed_text")
+    assert(p.contains("*("), s"embed projection must be codegen'd:\n$p")
+    val fp = plan("doc_fingerprint")
+    assert(fp.contains("*("), s"fingerprint projection must be codegen'd:\n$fp")
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — an unbroadcast cross join:\n$p")
+    }
+  }
+
+  test("LSH candidate joins are equi-joins, not nested loops") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"band join must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
