@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scaling-behavior evidence. Replicates the sf0.1 tables ×N
+  * in-plan (distinct ids via offset, no files written) and times key
+  * operators at 1× and N× — near-linear growth means the plan has no
+  * super-linear stage hiding at small scale.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 16
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.sources.Tables
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val ids = spark.range(n).toDF("__rep")
+      df.crossJoin(broadcast(ids))
+        .withColumn(idCol, col(idCol) * n + col("__rep"))
+        .drop("__rep")
+    }
+
+    def time(name: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $name%-28s $s%7.2f s")
+      s
+    }
+
+    val ev1 = Tables.events(spark, dir)
+    val evN = replicate(ev1, "event_id", factor)
+    val doc1 = Tables.documents(spark, dir)
+    val docN = replicate(doc1, "doc_id", factor)
+
+    println(s"== events ${ev1.count()} -> ${evN.count()}, docs ${doc1.count()} -> ${docN.count()} ==")
+
+    def sess(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      df.withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          unix_micros(col("ts")) - col("prev") > 1800000000L, 1).otherwise(0))
+        .groupBy("user_id").agg(sum("new_s").as("n_sessions"))
+    }
+    def windowed(df: DataFrame): DataFrame =
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count("*"), sum("value"))
+    def dedupK(df: DataFrame): DataFrame = {
+      import graft.operators.NearDup
+      val base = df.select(col("doc_id").as("id"),
+          NearDup.wordShingles(col("text"), 3).as("sig"))
+        .withColumn("keys", NearDup.minhashBandKeys(col("sig"), 32, 4))
+      base.select(col("id"), explode(col("keys")).as("key"))
+        .groupBy("key").agg(count("*").as("n"))
+    }
+    def embed(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        graft.operators.Embeddings.embedCol(col("text")).as("e"))
+
+    val r = Seq(
+      ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
+      ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
+      ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
+      ("embed", time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))))
+    r.foreach { case (n, a, b) =>
+      println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
+    }
+    spark.stop()
+  }
+}
