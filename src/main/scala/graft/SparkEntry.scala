@@ -78,7 +78,12 @@ object SparkEntry {
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_resize"     -> ((s: SparkSession, d: String) => Multimodal.multimodalResize(s, d)),
-    "multimodal_features"   -> (Multimodal.multimodalFeatures _)
+    "multimodal_features"   -> (Multimodal.multimodalFeatures _),
+    // — corpus preparation —
+    "build_vocab"           -> ((s: SparkSession, d: String) => Corpus.buildVocab(s, d)),
+    "encode_tokens"         -> (Corpus.encodeTokens _),
+    "train_test_split"      -> ((s: SparkSession, d: String) => Corpus.trainTestSplit(s, d)),
+    "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
@@ -267,6 +272,18 @@ object SparkEntry {
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "build_vocab" ->
+      """SELECT token, freq, token_id FROM (
+        |  SELECT token, freq,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+        |  FROM (
+        |    SELECT token, count(*) AS freq FROM (
+        |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents) t
+        |    WHERE length(token) > 0
+        |    GROUP BY token HAVING count(*) >= 2) c) r
+        |WHERE token_id <= 1000""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Corpus-preparation operators: the steps between "deduped documents" and
+  * "training batches" — vocabulary, token encoding, leakage-safe splits,
+  * stratified sampling.
+  */
+object Corpus {
+
+  /** Frequency-ranked vocabulary. The explode+count phase is map-side
+    * combined over the corpus; the global rank runs on the aggregated
+    * vocabulary, which is ≪ corpus size (bounded by maxVocab anyway) —
+    * the single-partition window is on purpose and cheap.
+    */
+  def buildVocab(spark: SparkSession, dir: String, minCount: Int = 2,
+      maxVocab: Int = 1000): DataFrame = {
+    val byFreq = Window.orderBy(col("freq").desc, col("token"))
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.wsTokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count("*").as("freq"))
+      .where(col("freq") >= minCount)
+      .withColumn("token_id", row_number().over(byFreq).cast("long"))
+      .where(col("token_id") <= maxVocab)
+  }
+
+  /** Token-id encoding: docs → position-ordered vocab-id arrays, OOV → 0.
+    * Vocabulary is broadcast; the corpus side is explode → equi-join →
+    * re-collect, all shuffle-partitioned by doc. */
+  def encodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = buildVocab(spark, dir)
+      .select(col("token"), col("token_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid")).as("token_ids"),
+        count("*").as("n_tokens"),
+        sum(when(col("token_id").isNull, 1).otherwise(0)).as("n_oov"))
+  }
+
+  /** Leakage-safe train/test split: near-duplicate documents must land in
+    * the same split or evaluation leaks training data. Split is hashed
+    * from the dedup *cluster* id, so every member of a dup cluster moves
+    * together. */
+  def trainTestSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 80): DataFrame =
+    NearDup.dedupClusters(spark, dir)
+      .withColumn("split",
+        when(pmod(xxhash64(col("cluster_id")), lit(100)) < trainPct, "train")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+
+  /** Stratified sample: equal fractions per level so rare event types
+    * survive sampling (seeded → deterministic). The distinct-types collect
+    * is a dimension-sized driver read, same as broadcasting a dim table. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      fraction: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    ev.stat.sampleBy("event_type", types.map(_ -> fraction).toMap, seed)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  test("vocab ids are dense, unique, frequency-ordered") {
+    val v = Corpus.buildVocab(spark, Sf).collect()
+    val ids = v.map(_.getAs[Long]("token_id")).sorted
+    assert(ids.toSeq == (1L to ids.length).toSeq, "ids must be dense from 1")
+    val byId = v.sortBy(_.getAs[Long]("token_id"))
+    val freqs = byId.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      "lower id must never have lower frequency")
+  }
+
+  test("encode_tokens round-trips token counts and flags OOV") {
+    val enc = Corpus.encodeTokens(spark, Sf)
+    val bad = enc.where(size(col("token_ids")) =!= col("n_tokens"))
+    assert(bad.count() == 0)
+    assert(enc.where(col("n_oov") > col("n_tokens")).count() == 0)
+    // encoding must cover every document
+    assert(enc.count() == graft.sources.Tables.documents(spark, Sf).count())
+  }
+
+  test("train/test split keeps dup clusters together and near the target ratio") {
+    val split = Corpus.trainTestSplit(spark, Sf)
+    val mixedClusters = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .where(col("n_splits") > 1)
+    assert(mixedClusters.count() == 0, "a dup cluster must not straddle the split")
+    val n = split.count().toDouble
+    val train = split.where(col("split") === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95, s"train fraction ${train / n}")
+  }
+
+  test("stratified sample is deterministic and covers all strata") {
+    val s1 = Corpus.stratifiedSample(spark, Sf)
+    val s2 = Corpus.stratifiedSample(spark, Sf)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0,
+      "same seed must give the same sample")
+    val strata = s1.select("event_type").distinct().count()
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_type").distinct().count()
+    assert(strata == all, "every stratum must survive sampling")
+    val frac = s1.count().toDouble / graft.sources.Tables.events(spark, Sf).count()
+    assert(frac > 0.03 && frac < 0.25, s"sampled fraction $frac far from 0.1")
+  }
+}
