@@ -192,14 +192,17 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
-        |       count(*) AS count_order
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -219,7 +222,8 @@ object SparkEntry {
 
     "q5_region_revenue" ->
       """SELECT r_name AS region, n_name AS nation,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
         |       count(*) AS n_lineitems
         |FROM lineitem, orders, supplier, nation, region
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey

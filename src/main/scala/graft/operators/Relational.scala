@@ -20,20 +20,34 @@ import graft.sources.Tables
 object Relational {
   private val TsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  /** TPC-H Q1 shape: wide single-pass aggregation over the big fact table. */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1 shape: wide single-pass aggregation over the big fact table.
+    *
+    * Money columns are summed as DECIMAL, not DOUBLE: double summation is
+    * shuffle-order dependent (±~1e-4 over 10⁵ addends), which can flip a
+    * rounded cent against the oracle between runs. Exact decimal sums make
+    * the result bit-stable at any scale; the cast to double happens once,
+    * after aggregation.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
+    val one = lit(1.0).cast("decimal(3,2)")
+    val n = count("*")
     Tables.lineitem(spark, dir)
       .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
-        count("*").as("count_order"))
+        round(sum(qty).cast("double"), 2).as("sum_qty"),
+        round(sum(price).cast("double"), 2).as("sum_base_price"),
+        round(sum(price * (one - disc)).cast("double"), 2).as("sum_disc_price"),
+        round(sum(price * (one - disc) * (one + tax)).cast("double"), 2).as("sum_charge"),
+        round(sum(qty).cast("double") / n, 4).as("avg_qty"),
+        round(sum(price).cast("double") / n, 4).as("avg_price"),
+        round(sum(disc).cast("double") / n, 6).as("avg_disc"),
+        n.as("count_order"))
+  }
 
   /** TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue. */
   def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -68,7 +82,9 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double"), 2).as("revenue"),
         count("*").as("n_lineitems"))
   }
 
