@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Embeddings, NearDup}
+
+/** Statistical laws of the signature kernels, checked against brute-force
+  * ground truth on constructed corpora — the verification angle for
+  * operators whose outputs are engine-specific (no SQL oracle).
+  */
+class SignatureLawsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("minhash signature agreement estimates true Jaccard (±0.15, 128 perms)") {
+    import spark.implicits._
+    val r = rng(7)
+    // pairs with controlled overlap: share k of 60 tokens
+    val cases = Seq(10, 30, 50).map { k =>
+      val shared = (1 to k).map(i => s"s$i")
+      val a = shared ++ (1 to (60 - k)).map(i => s"a$i")
+      val b = shared ++ (1 to (60 - k)).map(i => s"b$i")
+      (r.shuffle(a).mkString(" "), r.shuffle(b).mkString(" "))
+    }
+    val df = cases.toDF("ta", "tb").select(
+      NearDup.minhashSig(NearDup.wordShingles(col("ta"), 1), 128).as("sa"),
+      NearDup.minhashSig(NearDup.wordShingles(col("tb"), 1), 128).as("sb"),
+      (size(array_intersect(NearDup.wordShingles(col("ta"), 1), NearDup.wordShingles(col("tb"), 1))).cast("double") /
+        size(array_union(NearDup.wordShingles(col("ta"), 1), NearDup.wordShingles(col("tb"), 1))).cast("double")).as("trueJ"),
+      (size(zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)).alias("z")) * lit(0)).as("dummy"))
+    // estimated J = fraction of matching signature positions
+    val est = df.select(col("trueJ"),
+      (aggregate(zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+        lit(0.0), (acc, x) => acc + x) / lit(128.0)).as("estJ")).collect()
+    est.foreach { row =>
+      val (t, e) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(t - e) < 0.15, s"true=$t est=$e")
+    }
+  }
+
+  test("simhash hamming distance orders pairs by similarity") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"w$i")
+    def text(change: Int) =
+      (base.take(80 - change) ++ (1 to change).map(i => s"x$i")).mkString(" ")
+    val df = Seq((0, text(0)), (5, text(5)), (40, text(40))).toDF("change", "t")
+      .select(col("change"), NearDup.simhashSig(
+        graft.functions.TextFns.wsTokens(lower(col("t")))).as("sig"))
+    val sigs = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val h0 = java.lang.Long.bitCount(sigs(0) ^ sigs(0))
+    val h5 = java.lang.Long.bitCount(sigs(0) ^ sigs(5))
+    val h40 = java.lang.Long.bitCount(sigs(0) ^ sigs(40))
+    assert(h0 == 0 && h5 < h40, s"hamming must grow with edits: $h0 $h5 $h40")
+  }
+
+  test("feature-hash embedding: cosine reflects textual overlap") {
+    import spark.implicits._
+    val shared = (1 to 50).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      ("orig", shared + " extra1 extra2"),
+      ("near", shared + " other1 other2"),
+      ("far", (1 to 52).map(i => s"z$i").mkString(" "))
+    ).toDF("k", "t").select(col("k"), Embeddings.embedCol(col("t")).as("e"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val near = cos(m("orig"), m("near"))
+    val far = cos(m("orig"), m("far"))
+    assert(near > 0.7, s"overlapping docs must be similar, got $near")
+    assert(far < 0.4, s"disjoint docs must be dissimilar, got $far")
+    assert(near > far)
+  }
+
+  test("winnow fingerprints: shared substrings produce shared fingerprints") {
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      ("a", "PREFIX " + core),
+      ("b", core + " SUFFIX"),
+      ("c", "completely unrelated content with different characters entirely")
+    ).toDF("k", "t").select(col("k"),
+      org.apache.spark.sql.graft.Bridge.column(graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.graft.Bridge.expression(lower(col("t"))), 5, 4)).as("fps"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val abShared = (m("a") & m("b")).size.toDouble / (m("a") | m("b")).size
+    val acShared = (m("a") & m("c")).size.toDouble / (m("a") | m("c")).size
+    assert(abShared > 0.5, s"docs sharing a long substring must share fingerprints: $abShared")
+    assert(acShared < 0.1, s"unrelated docs must not: $acShared")
+  }
+}
