@@ -83,7 +83,8 @@ object SparkEntry {
     "build_vocab"           -> ((s: SparkSession, d: String) => Corpus.buildVocab(s, d)),
     "encode_tokens"         -> (Corpus.encodeTokens _),
     "train_test_split"      -> ((s: SparkSession, d: String) => Corpus.trainTestSplit(s, d)),
-    "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d))
+    "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
+    "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */

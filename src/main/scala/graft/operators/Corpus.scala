@@ -60,6 +60,33 @@ object Corpus {
           .otherwise("test"))
       .select(col("doc_id"), col("cluster_id"), col("split"))
 
+  /** Sequence packing: greedy first-fit of documents into token-budget
+    * bins (training-batch construction). Packing is per-partition after a
+    * range partition on doc_id — deterministic, no shuffle beyond the
+    * range exchange, and bins never span partitions (bin ids are
+    * partition-prefixed). Oversized docs get a bin of their own.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      maxTokens: Int = 512): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokenCount(col("text")).as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, nTok) =>
+          if (fill > 0 && fill + nTok > maxTokens) { bin += 1; fill = 0 }
+          fill += nTok
+          (docId, nTok, pid * 1000000L + bin)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+  }
+
   /** Stratified sample: equal fractions per level so rare event types
     * survive sampling (seeded → deterministic). The distinct-types collect
     * is a dimension-sized driver read, same as broadcasting a dim table. */

@@ -39,6 +39,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(train / n > 0.6 && train / n < 0.95, s"train fraction ${train / n}")
   }
 
+  test("pack_sequences respects the token budget and covers every doc") {
+    val packed = Corpus.packSequences(spark, Sf, maxTokens = 128)
+    assert(packed.count() == graft.sources.Tables.documents(spark, Sf).count())
+    val overs = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count("*").as("n_docs"))
+      .where(col("fill") > 128 && col("n_docs") > 1)
+    assert(overs.count() == 0, "multi-doc bins must fit the budget")
+  }
+
   test("stratified sample is deterministic and covers all strata") {
     val s1 = Corpus.stratifiedSample(spark, Sf)
     val s2 = Corpus.stratifiedSample(spark, Sf)
