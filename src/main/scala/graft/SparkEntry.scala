@@ -129,8 +129,8 @@ object SparkEntry {
 
     "metrics_by_service" ->
       """SELECT user_id AS service_id, count(*) AS n_events,
-        |       round(sum(value), 2) AS total_value,
-        |       round(avg(value), 4) AS avg_value
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
 
     "metrics_by_level" ->
@@ -193,16 +193,16 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |        (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |        (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
-        |        (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |       (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |       (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |       (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -210,7 +210,8 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT o_orderkey,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |            (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING'
@@ -223,8 +224,8 @@ object SparkEntry {
 
     "q5_region_revenue" ->
       """SELECT r_name AS region, n_name AS nation,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |            (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |       count(*) AS n_lineitems
         |FROM lineitem, orders, supplier, nation, region
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
@@ -268,7 +269,7 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.9), 4) AS p90,
         |       round(quantile_cont(value, 0.99), 4) AS p99,
-        |       round(avg(value), 4) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 

@@ -66,13 +66,19 @@ object LogOps {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count("*").as("n_incidents"))
 
-  /** Counts by service (app.py:28-29; user_id stands in for container). */
-  def metricsByService(spark: SparkSession, dir: String): DataFrame =
+  /** Counts by service (app.py:28-29; user_id stands in for container).
+    * value is summed as DECIMAL (double summation is shuffle-order
+    * dependent) and the outputs deliberately unrounded — engines disagree
+    * on round() of boundary-exact quotients; identical exact sums cast to
+    * bit-identical doubles instead (see Relational.q1PricingSummary). */
+  def metricsByService(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(12,2)")
     Tables.events(spark, dir)
       .groupBy(col("user_id").as("service_id"))
       .agg(count("*").as("n_events"),
-        round(sum("value"), 2).as("total_value"),
-        round(avg("value"), 4).as("avg_value"))
+        sum(v).cast("double").as("total_value"),
+        (sum(v).cast("double") / count("*")).as("avg_value"))
+  }
 
   /** Counts by level with a severity rank (app.py:32-33). */
   def metricsByLevel(spark: SparkSession, dir: String): DataFrame =

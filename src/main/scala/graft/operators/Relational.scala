@@ -24,9 +24,11 @@ object Relational {
     *
     * Money columns are summed as DECIMAL, not DOUBLE: double summation is
     * shuffle-order dependent (±~1e-4 over 10⁵ addends), which can flip a
-    * rounded cent against the oracle between runs. Exact decimal sums make
-    * the result bit-stable at any scale; the cast to double happens once,
-    * after aggregation.
+    * rounded cent against the oracle between runs. The exact decimal sum
+    * casts to a bit-identical double in both engines, so the outputs are
+    * deliberately NOT round()ed — engines disagree on boundary-exact
+    * round() inputs (shortest-decimal vs binary semantics), and quotients
+    * of cent-sums land exactly on boundaries all the time.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val qty = col("l_quantity").cast("decimal(12,2)")
@@ -39,13 +41,13 @@ object Relational {
       .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(qty).cast("double"), 2).as("sum_qty"),
-        round(sum(price).cast("double"), 2).as("sum_base_price"),
-        round(sum(price * (one - disc)).cast("double"), 2).as("sum_disc_price"),
-        round(sum(price * (one - disc) * (one + tax)).cast("double"), 2).as("sum_charge"),
-        round(sum(qty).cast("double") / n, 4).as("avg_qty"),
-        round(sum(price).cast("double") / n, 4).as("avg_price"),
-        round(sum(disc).cast("double") / n, 6).as("avg_disc"),
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / n).as("avg_qty"),
+        (sum(price).cast("double") / n).as("avg_price"),
+        (sum(disc).cast("double") / n).as("avg_disc"),
         n.as("count_order"))
   }
 
@@ -59,7 +61,9 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -82,9 +86,9 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("double"), 2).as("revenue"),
+          .cast("double").as("revenue"),
         count("*").as("n_lineitems"))
   }
 
@@ -139,7 +143,9 @@ object Relational {
         round(percentile(col("value"), lit(0.5)), 4).as("p50"),
         round(percentile(col("value"), lit(0.9)), 4).as("p90"),
         round(percentile(col("value"), lit(0.99)), 4).as("p99"),
-        round(avg("value"), 4).as("avg_value"),
+        // decimal sum, unrounded: see q1PricingSummary for why
+        (sum(col("value").cast("decimal(12,2)")).cast("double") / count("*"))
+          .as("avg_value"),
         count("*").as("n_events"))
 
   /** Batch twin of the Structured Streaming pipeline: tumbling 1-hour
