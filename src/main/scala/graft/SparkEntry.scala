@@ -291,6 +291,28 @@ object SparkEntry {
         |    GROUP BY token HAVING count(*) >= 2) c) r
         |WHERE token_id <= 1000""".stripMargin,
 
+    "encode_tokens" ->
+      """WITH vocab AS (
+        |  SELECT token, token_id FROM (
+        |    SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+        |    FROM (
+        |      SELECT token, count(*) AS freq FROM (
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |        FROM documents) t
+        |      WHERE length(token) > 0
+        |      GROUP BY token HAVING count(*) >= 2) c) r
+        |  WHERE token_id <= 1000),
+        |toks AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |        FROM documents) d)
+        |SELECT t.doc_id,
+        |       string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ',' ORDER BY t.pos) AS token_ids_csv,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM toks t LEFT JOIN vocab v USING (token)
+        |GROUP BY t.doc_id""".stripMargin,
+
     "lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

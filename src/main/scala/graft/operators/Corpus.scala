@@ -13,25 +13,35 @@ import graft.functions.TextFns
 object Corpus {
 
   /** Frequency-ranked vocabulary. The explode+count phase is map-side
-    * combined over the corpus; the global rank runs on the aggregated
-    * vocabulary, which is ≪ corpus size (bounded by maxVocab anyway) —
-    * the single-partition window is on purpose and cheap.
+    * combined over the corpus; the survivors are cut to `maxVocab` with a
+    * distributed TakeOrdered (`orderBy().limit()` → per-partition top-N,
+    * no global sort) BEFORE any ranking window runs — a min-count-2
+    * vocabulary over 100 TB is still 10⁸⁺ tokens, far too many for a
+    * single-partition window. The rank itself then runs over ≤ maxVocab
+    * rows on a constant partition key, which is bounded by construction.
     */
   def buildVocab(spark: SparkSession, dir: String, minCount: Int = 2,
       maxVocab: Int = 1000): DataFrame = {
-    val byFreq = Window.orderBy(col("freq").desc, col("token"))
+    val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
     Tables.documents(spark, dir)
       .select(explode(TextFns.wsTokens(lower(col("text")))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count("*").as("freq"))
       .where(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(maxVocab)
       .withColumn("token_id", row_number().over(byFreq).cast("long"))
-      .where(col("token_id") <= maxVocab)
   }
 
-  /** Token-id encoding: docs → position-ordered vocab-id arrays, OOV → 0.
-    * Vocabulary is broadcast; the corpus side is explode → equi-join →
-    * re-collect, all shuffle-partitioned by doc. */
+  /** Token-id encoding: docs → position-ordered vocab-id sequences, OOV →
+    * 0. Vocabulary is broadcast; the corpus side is explode → equi-join →
+    * re-collect, all shuffle-partitioned by doc.
+    *
+    * The id sequence is emitted as a comma-joined string, not a raw
+    * `array<bigint>`: it stays byte-identical to the oracle's
+    * `string_agg(... ORDER BY pos)` (making this operator fully
+    * SQL-verifiable) and keeps every output cell driver-sortable.
+    */
   def encodeTokens(spark: SparkSession, dir: String): DataFrame = {
     val vocab = buildVocab(spark, dir)
       .select(col("token"), col("token_id"))
@@ -42,10 +52,11 @@ object Corpus {
       .withColumn("tid", coalesce(col("token_id"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
-          x => x.getField("tid")).as("token_ids"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string")), ",").as("token_ids_csv"),
         count("*").as("n_tokens"),
-        sum(when(col("token_id").isNull, 1).otherwise(0)).as("n_oov"))
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
   /** Leakage-safe train/test split: near-duplicate documents must land in

@@ -36,10 +36,21 @@ object Embeddings {
   }
 
   /** embedder.embed_logs: encode the configured fields (message + event →
-    * text + source here), keep the id for metadata join-back. */
+    * text + source here), keep the id for metadata join-back.
+    *
+    * Output is driver-hashable scalars — dim, rounded L1 mass, and a
+    * stable digest of the rounded vector — not the raw array (the driver's
+    * row-sort can't order array cells). The raw embedding column is
+    * [[embedCol]], which every downstream ANN operator consumes directly.
+    */
   def embedText(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), embedCol(concat_ws(" ", col("text"), col("source"))).as("embedding"))
+      .select(col("doc_id"),
+        size(col("embedding")).as("dim"),
+        round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_mass"),
+        xxhash64(array_join(
+          transform(col("embedding"), x => round(x, 6).cast("string")), ",")).as("emb_sig"))
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -22,15 +22,18 @@ object LogOps {
   private val TsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** NRQL-shaped ingest (new_relic_fetcher.py:70-79): projection,
-    * equality filter on the "level", LIKE / NOT LIKE message filters,
-    * SINCE/UNTIL time window, deterministic ordered LIMIT (NRQL's LIMIT is
-    * arbitrary; ordering by (ts, event_id) makes it reproducible).
+    * equality filter on the "level", LIKE / NOT LIKE message filters, the
+    * container-name LIKE filter (new_relic_fetcher.py:76 — user_id stands
+    * in for container, matched on its string form), SINCE/UNTIL time
+    * window, deterministic ordered LIMIT (NRQL's LIMIT is arbitrary;
+    * ordering by (ts, event_id) makes it reproducible).
     */
   def ingestErrors(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .where(col("event_type") === "error" &&
         !col("props").like("""%"k": 0}%""") &&
         col("props").like("%k%") &&
+        col("user_id").cast("string").like("%1%") &&
         col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
         col("ts") <  lit("2024-01-29 00:00:00").cast("timestamp"))
       .orderBy(col("ts"), col("event_id"))
@@ -105,6 +108,26 @@ object LogOps {
     Tables.documents(spark, dir)
       .where(col("lang") === "en" && lower(col("text")).contains("spark"))
       .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Full dashboard search (app.py:66-88): every filter attribute at once —
+    * level equality + service (container) LIKE + keyword substring over the
+    * message + a time window — then newest-first ordering with a unique
+    * tiebreak and a page-sized LIMIT, exactly the filter stack the
+    * dashboard applies before rendering. All predicates sit on scan
+    * columns, so they push down; the ordered LIMIT plans as a distributed
+    * TakeOrdered.
+    */
+  def searchEntries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error" &&
+        col("user_id").cast("string").like("%2%") &&
+        lower(col("props")).contains("7") &&
+        col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(200)
+      .select(col("event_id"),
+        date_format(col("ts"), TsUs).as("ts_us"),
+        col("user_id"), col("event_type"), col("props"))
 
   /** Semi-structured props parsing: extract typed fields from the JSON
     * message payload at scan time (codegen'd JSON path, no UDF), then

@@ -92,22 +92,43 @@ object Multimodal {
       .toDF("media_id", "kind", "width", "height", "n_bytes", "thumb")
   }
 
-  /** Feature extraction over the binary payload: 64-bin byte histogram,
-    * L1-normalized — the deterministic stand-in for an image/audio
-    * feature network, emitting the same `Array[Double]` column contract
-    * as the text embedder (so ANN operators run on media too). */
+  /** Feature vector for a payload: 64-bin byte histogram, L1-normalized —
+    * the deterministic stand-in for an image/audio feature network, on the
+    * same `Array[Double]` contract as the text embedder (so ANN operators
+    * run on media too). Library API; the query emits scalars from it. */
+  private[graft] def byteHistogram(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](64)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) % 64) += 1.0; i += 1 }
+    val n = payload.length.toDouble
+    if (n > 0) { var j = 0; while (j < 64) { hist(j) /= n; j += 1 } }
+    hist
+  }
+
+  /** Feature extraction over the binary payload. The query output is
+    * driver-hashable scalars — nonzero-bin count, dominant bin, and a
+    * stable FNV digest of the rounded vector — rather than the raw array
+    * (the driver's row-sort can't order array cells). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val hist = new Array[Double](64)
-        var i = 0
-        while (i < m.payload.length) { hist((m.payload(i) & 0xff) % 64) += 1.0; i += 1 }
-        val n = m.payload.length.toDouble
-        if (n > 0) { var j = 0; while (j < 64) { hist(j) /= n; j += 1 } }
-        (m.media_id, m.kind, hist.toSeq)
+        val hist = byteHistogram(m.payload)
+        var nonzero = 0
+        var top = 0
+        var sig = 1469598103934665603L
+        var j = 0
+        while (j < 64) {
+          if (hist(j) > 0) nonzero += 1
+          if (hist(j) > hist(top)) top = j
+          val s = f"${hist(j)}%.6f"
+          var c = 0
+          while (c < s.length) { sig = (sig ^ s.charAt(c)) * 1099511628211L; c += 1 }
+          j += 1
+        }
+        (m.media_id, m.kind, nonzero.toLong, top.toLong, sig)
       }))
-      .toDF("media_id", "kind", "features")
+      .toDF("media_id", "kind", "n_nonzero_bins", "top_bin", "feat_sig")
   }
 
   /** Frame sampling: explode the decode plan into per-frame rows with

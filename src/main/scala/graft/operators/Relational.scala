@@ -134,18 +134,56 @@ object Relational {
   }
 
   /** Exact percentiles of event value per level (type-7 interpolation,
-    * matching DuckDB's quantile_cont).
+    * matching DuckDB's quantile_cont — and Spark's own `percentile`:
+    * v_lo + (v_hi - v_lo) * frac at rank (n-1)*p).
+    *
+    * Sort-based two-pass, NOT the `percentile` aggregate: that aggregate
+    * buffers every group value in an in-memory (non-spilling) aggregation
+    * buffer, which is unbounded at 100 TB. Here the heavy path is a
+    * per-key window sort + row_number, both backed by disk-spillable
+    * buffers (UnsafeExternalSorter / ExternalAppendOnlyUnsafeRowBuffer);
+    * group sizes are pre-counted in a dimension-sized pass that
+    * broadcasts. The groupBy after the window reuses the window's hash
+    * partitioning — no extra shuffle.
     */
-  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val counts = ev.groupBy("event_type")
+      .agg(count("*").as("n_events"),
+        // decimal sum, unrounded: see q1PricingSummary for why
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_v"))
+    val w = Window.partitionBy("event_type").orderBy(col("value"))
+    val ranked = ev.join(broadcast(counts), "event_type")
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    def pos(p: Double): Column = (col("n_events") - 1).cast("double") * lit(p)
+    def vAt(idx: Column): Column = max(when(col("rn") === idx, col("value")))
+    val picks = ps.flatMap { case (p, nm) => Seq(
+      vAt(floor(pos(p)).cast("long") + 1).as(s"lo_$nm"),
+      vAt(ceil(pos(p)).cast("long") + 1).as(s"hi_$nm"))
+    }
+    val agg = ranked.groupBy(col("event_type"), col("n_events"), col("sum_v"))
+      .agg(picks.head, picks.tail: _*)
+    val qs = ps.map { case (p, nm) =>
+      round(col(s"lo_$nm") +
+        (col(s"hi_$nm") - col(s"lo_$nm")) * (pos(p) - floor(pos(p))), 4).as(nm)
+    }
+    agg.select(col("event_type") +: qs :+
+      (col("sum_v") / col("n_events")).as("avg_value") :+
+      col("n_events").alias("n_events"): _*)
+  }
+
+  /** Constant-memory percentile path for 100 TB: t-digest-backed
+    * `approx_percentile` with a 10⁴ accuracy parameter (≤0.01% rank
+    * error). rows-only check — sketch internals are engine-specific; the
+    * spec bounds its error against the exact operator instead. */
+  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
-        round(percentile(col("value"), lit(0.99)), 4).as("p99"),
-        // decimal sum, unrounded: see q1PricingSummary for why
-        (sum(col("value").cast("decimal(12,2)")).cast("double") / count("*"))
-          .as("avg_value"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+        approx_percentile(col("value"), lit(0.99), lit(10000)).as("p99_approx"),
         count("*").as("n_events"))
 
   /** Batch twin of the Structured Streaming pipeline: tumbling 1-hour

@@ -29,21 +29,28 @@ object StreamPipeline {
   }
 
   /** Streaming upsert sink via foreachBatch: each micro-batch's windowed
-    * aggregate overwrites only the date partitions it touches (dynamic
-    * partition overwrite), giving idempotent latest-state parquet — the
-    * streaming twin of the dashboard history file the reference rewrites
-    * per run (dashboard/app.py:91-95). */
+    * aggregate overwrites only the (window, level) partitions it touches
+    * (dynamic partition overwrite), giving idempotent latest-state parquet
+    * — the streaming twin of the dashboard history file the reference
+    * rewrites per run (dashboard/app.py:91-95).
+    *
+    * The partition granularity MUST match the update granularity: update
+    * mode emits only the (window, event_type) groups the batch changed, so
+    * overwriting any coarser partition (e.g. a whole day) would silently
+    * drop that partition's untouched groups. `partitionOverwriteMode` is a
+    * per-write option, not a session conf mutation. */
   def foreachBatchUpsert(agg: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
     agg
-      .select(col("w.start").as("window_start"),
-        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+      .select(date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite").partitionBy("day").parquet(outPath)
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("window_start", "event_type")
+          .parquet(outPath)
       }
       .start()
 

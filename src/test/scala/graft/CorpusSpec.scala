@@ -21,7 +21,7 @@ class CorpusSpec extends AnyFunSuite {
 
   test("encode_tokens round-trips token counts and flags OOV") {
     val enc = Corpus.encodeTokens(spark, Sf)
-    val bad = enc.where(size(col("token_ids")) =!= col("n_tokens"))
+    val bad = enc.where(size(split(col("token_ids_csv"), ",")) =!= col("n_tokens"))
     assert(bad.count() == 0)
     assert(enc.where(col("n_oov") > col("n_tokens")).count() == 0)
     // encoding must cover every document

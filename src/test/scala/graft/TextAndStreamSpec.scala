@@ -56,12 +56,16 @@ class TextAndStreamSpec extends AnyFunSuite {
   }
 
   test("multimodal features are L1-normalized 64-bin histograms") {
-    import spark.implicits._
+    // the vector contract, checked on the kernel directly
+    val h = Multimodal.byteHistogram("hello spark histogram".getBytes("UTF-8"))
+    assert(h.length == 64)
+    assert(math.abs(h.sum - 1.0) < 1e-9)
+    assert(Multimodal.byteHistogram(Array.emptyByteArray).sum == 0.0)
+    // the query emits one scalar summary row per media item
     val f = Multimodal.multimodalFeatures(spark, Sf)
-    val sums = f.select(aggregate(col("features"), lit(0.0), (a, x) => a + x).as("s"))
-      .where(abs(col("s") - 1.0) > 1e-9)
-    assert(sums.count() == 0)
-    assert(f.select(size(col("features"))).distinct().as[Int].collect().toSeq == Seq(64))
+    assert(f.where(col("n_nonzero_bins") < 1 || col("n_nonzero_bins") > 64).count() == 0)
+    assert(f.where(col("top_bin") < 0 || col("top_bin") > 63).count() == 0)
+    assert(f.count() == graft.sources.Tables.documents(spark, Sf).count())
   }
 
   test("multimodal frame offsets are monotone within a video") {
