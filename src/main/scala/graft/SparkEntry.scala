@@ -96,6 +96,7 @@ object SparkEntry {
         |WHERE event_type = 'error'
         |  AND props NOT LIKE '%"k": 0}%'
         |  AND props LIKE '%k%'
+        |  AND CAST(user_id AS VARCHAR) LIKE '%1%'
         |  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-29 00:00:00'
         |ORDER BY ts, event_id

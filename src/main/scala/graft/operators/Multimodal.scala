@@ -121,7 +121,9 @@ object Multimodal {
         while (j < 64) {
           if (hist(j) > 0) nonzero += 1
           if (hist(j) > hist(top)) top = j
-          val s = f"${hist(j)}%.6f"
+          // Locale.ROOT: default-locale %f would digest "0,015625" on
+          // comma-decimal JVMs and break cross-env reproducibility
+          val s = String.format(java.util.Locale.ROOT, "%.6f", Double.box(hist(j)))
           var c = 0
           while (c < s.length) { sig = (sig ^ s.charAt(c)) * 1099511628211L; c += 1 }
           j += 1

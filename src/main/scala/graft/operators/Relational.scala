@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -148,29 +148,38 @@ object Relational {
     */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    // count(*) (incl. NULL values — the oracle's n_events/avg divisor) and
+    // count(value) (non-null — the quantile_cont rank base) both in one pass
     val counts = ev.groupBy("event_type")
       .agg(count("*").as("n_events"),
+        count(col("value")).as("n_nn"),
         // decimal sum, unrounded: see q1PricingSummary for why
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_v"))
     val w = Window.partitionBy("event_type").orderBy(col("value"))
-    val ranked = ev.join(broadcast(counts), "event_type")
+    // quantile_cont ignores NULLs: rank non-null values only
+    val ranked = ev.where(col("value").isNotNull)
+      .join(broadcast(counts.select(col("event_type"), col("n_nn"))), "event_type")
       .withColumn("rn", row_number().over(w).cast("long"))
     val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
-    def pos(p: Double): Column = (col("n_events") - 1).cast("double") * lit(p)
+    def pos(p: Double): Column = (col("n_nn") - 1).cast("double") * lit(p)
     def vAt(idx: Column): Column = max(when(col("rn") === idx, col("value")))
     val picks = ps.flatMap { case (p, nm) => Seq(
       vAt(floor(pos(p)).cast("long") + 1).as(s"lo_$nm"),
       vAt(ceil(pos(p)).cast("long") + 1).as(s"hi_$nm"))
     }
-    val agg = ranked.groupBy(col("event_type"), col("n_events"), col("sum_v"))
-      .agg(picks.head, picks.tail: _*)
     val qs = ps.map { case (p, nm) =>
       round(col(s"lo_$nm") +
         (col(s"hi_$nm") - col(s"lo_$nm")) * (pos(p) - floor(pos(p))), 4).as(nm)
     }
-    agg.select(col("event_type") +: qs :+
-      (col("sum_v") / col("n_events")).as("avg_value") :+
-      col("n_events").alias("n_events"): _*)
+    // groupBy keys ⊇ the window's partition key → reuses its partitioning
+    val quant = ranked.groupBy(col("event_type"), col("n_nn"))
+      .agg(picks.head, picks.tail: _*)
+      .select(col("event_type") +: qs: _*)
+    // left join so all-NULL groups still surface (with NULL percentiles),
+    // matching the SQL GROUP BY; both sides are dimension-sized here
+    counts.join(quant, Seq("event_type"), "left")
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        (col("sum_v") / col("n_events")).as("avg_value"), col("n_events"))
   }
 
   /** Constant-memory percentile path for 100 TB: t-digest-backed

@@ -6,12 +6,16 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-case class SessEvent(user_id: Long, ts: Timestamp, value: Double)
+/** `value` is Option: the events table's value column is nullable, and a
+  * non-nullable Double here fails the encoder's NOT_NULL assert at runtime
+  * on the first NULL row. */
+case class SessEvent(user_id: Long, ts: Timestamp, value: Option[Double])
 
-case class SessBuf(startUs: Long, lastUs: Long, n: Int, sum: Double)
+case class SessBuf(startUs: Long, lastUs: Long, n: Int, sum: Double,
+    hasVal: Boolean)
 
 case class SessionOut(user_id: Long, session_start: Timestamp,
-    session_end: Timestamp, n_events: Int, session_value: Double)
+    session_end: Timestamp, n_events: Int, session_value: Option[Double])
 
 /** Continuous gap-based sessionization via `flatMapGroupsWithState` —
   * custom per-key state the built-in windowed aggregations can't express
@@ -45,8 +49,11 @@ object StatefulSessionize {
       .flatMapGroupsWithState[SessBuf, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[SessEvent], state: GroupState[SessBuf]) =>
+          // SQL-sum semantics: NULLs are skipped; an all-NULL session sums
+          // to NULL (not 0.0), matching the oracle's round(sum(value), 2)
           def close(s: SessBuf): SessionOut =
-            SessionOut(uid, usToTs(s.startUs), usToTs(s.lastUs), s.n, s.sum)
+            SessionOut(uid, usToTs(s.startUs), usToTs(s.lastUs), s.n,
+              if (s.hasVal) Some(s.sum) else None)
           if (state.hasTimedOut) {
             val out = state.getOption.map(close).iterator
             state.remove()
@@ -55,16 +62,19 @@ object StatefulSessionize {
             val out = ArrayBuffer.empty[SessionOut]
             var cur = state.getOption
             // events within one trigger arrive unordered; sort locally
-            it.toSeq.sortBy(e => (tsToUs(e.ts), e.value)).foreach { e =>
+            it.toSeq.sortBy(e => (tsToUs(e.ts), e.value.getOrElse(0.0))).foreach { e =>
               val t = tsToUs(e.ts)
+              val v = e.value.getOrElse(0.0)
+              val has = e.value.isDefined
               cur match {
                 case Some(s) if t - s.lastUs <= gapUs =>
-                  cur = Some(SessBuf(s.startUs, math.max(s.lastUs, t), s.n + 1, s.sum + e.value))
+                  cur = Some(SessBuf(s.startUs, math.max(s.lastUs, t),
+                    s.n + 1, s.sum + v, s.hasVal || has))
                 case Some(s) =>
                   out += close(s)
-                  cur = Some(SessBuf(t, t, 1, e.value))
+                  cur = Some(SessBuf(t, t, 1, v, has))
                 case None =>
-                  cur = Some(SessBuf(t, t, 1, e.value))
+                  cur = Some(SessBuf(t, t, 1, v, has))
               }
             }
             cur.foreach { s =>

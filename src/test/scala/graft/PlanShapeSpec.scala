@@ -15,9 +15,17 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
 
   test("ingest filters push down to the parquet scan") {
-    val p = plan("ingest_errors")
-    assert(p.contains("PushedFilters:") && p.contains("EqualTo(event_type,error)"),
-      s"event_type filter must reach the scan:\n$p")
+    // assert on the scan node's metadata, not the rendered plan string —
+    // simpleString truncates long PushedFilters lists, so a new pushed
+    // filter can shove an old one past the cutoff and break a string match
+    val exec = SparkEntry.queries("ingest_errors")(spark, Sf)
+      .queryExecution.executedPlan
+    val pushed = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    assert(pushed.contains("EqualTo(event_type,error)"),
+      s"event_type filter must reach the scan; pushed: $pushed")
   }
 
   test("scans read only the columns a query needs") {

@@ -33,9 +33,9 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     def ts(s: String) = Timestamp.valueOf(s)
     try {
       mem.addData(
-        SessEvent(1, ts("2024-01-01 10:00:00"), 1.0),
-        SessEvent(1, ts("2024-01-01 10:10:00"), 2.0),
-        SessEvent(1, ts("2024-01-01 13:00:00"), 5.0))
+        SessEvent(1, ts("2024-01-01 10:00:00"), Some(1.0)),
+        SessEvent(1, ts("2024-01-01 10:10:00"), Some(2.0)),
+        SessEvent(1, ts("2024-01-01 13:00:00"), Some(5.0)))
       q.processAllAvailable()
       // gap between 10:10 and 13:00 closes the first session inline
       val afterB1 = spark.table("sess_test").collect()
@@ -43,9 +43,9 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       assert(afterB1(0).getAs[Int]("n_events") == 2)
       assert(afterB1(0).getAs[Double]("session_value") == 3.0)
       // advance the watermark well past 13:00+gap → timeout fires
-      mem.addData(SessEvent(2, ts("2024-01-01 20:00:00"), 1.0))
+      mem.addData(SessEvent(2, ts("2024-01-01 20:00:00"), Some(1.0)))
       q.processAllAvailable()
-      mem.addData(SessEvent(2, ts("2024-01-01 23:00:00"), 1.0))
+      mem.addData(SessEvent(2, ts("2024-01-01 23:00:00"), Some(1.0)))
       q.processAllAvailable()
       val out = spark.table("sess_test").collect()
       assert(out.exists(r => r.getAs[Long]("user_id") == 1 &&
