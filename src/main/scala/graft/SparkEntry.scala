@@ -29,6 +29,8 @@ object SparkEntry {
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
+    "search_entries"        -> (LogOps.searchEntries _),
+    "feedback_upsert"       -> (Upsert.feedbackUpsert _),
     "incident_report"       -> (LogOps.incidentReport _),
     "rag_prompt"            -> (Embeddings.ragPrompt _),
     "props_parse"           -> (LogOps.propsParse _),
@@ -54,6 +56,7 @@ object SparkEntry {
     "top_events_per_user"   -> (Relational.topEventsPerUser _),
     "heavy_hitters"         -> (Relational.heavyHitters _),
     "value_percentiles"     -> (Relational.valuePercentiles _),
+    "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "stream_windowed_counts" -> (Relational.streamWindowedCounts _),
     // — training-data text operators —
     "dedup_exact"           -> (TextOps.dedupExact _),
@@ -101,6 +104,32 @@ object SparkEntry {
         |  AND ts <  TIMESTAMP '2024-01-29 00:00:00'
         |ORDER BY ts, event_id
         |LIMIT 500""".stripMargin,
+
+    "search_entries" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+        |       user_id, event_type, props
+        |FROM events
+        |WHERE event_type = 'error'
+        |  AND CAST(user_id AS VARCHAR) LIKE '%2%'
+        |  AND contains(lower(props), '7')
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |ORDER BY ts DESC, event_id
+        |LIMIT 200""".stripMargin,
+
+    "feedback_upsert" ->
+      """WITH history AS (
+        |  SELECT event_id AS entry_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+        |         props AS message, CAST(0 AS BIGINT) AS vote, '' AS comment
+        |  FROM events WHERE event_type = 'error'),
+        |feedback AS (
+        |  SELECT entry_id,
+        |         CAST(CASE WHEN entry_id % 14 = 0 THEN 1 ELSE -1 END AS BIGINT) AS vote,
+        |         CASE WHEN entry_id % 14 = 0 THEN 'confirmed' ELSE 'noise' END AS comment
+        |  FROM history WHERE entry_id % 7 = 0)
+        |SELECT coalesce(f.entry_id, h.entry_id) AS entry_id, h.ts_us, h.message,
+        |       coalesce(f.vote, h.vote) AS vote,
+        |       coalesce(f.comment, h.comment) AS comment
+        |FROM history h FULL OUTER JOIN feedback f ON h.entry_id = f.entry_id""".stripMargin,
 
     "preprocess_redact" ->
       """SELECT doc_id,

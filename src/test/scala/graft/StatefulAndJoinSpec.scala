@@ -67,6 +67,60 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(sig == sig2)
   }
 
+  test("mergeByKey: update wins on match, base-only passes, update-only inserts") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    val updates = Seq(
+      (2L, Some(25.0)),                 // matched: update wins
+      (3L, None: Option[Double]),       // matched but NULL: base survives
+      (4L, Some(40.0)))                 // unmatched: insert (name NULL)
+      .toDF("id", "score")
+    val out = graft.operators.Upsert.mergeByKey(base, updates, Seq("id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("name")),
+        Option(r.getAs[Any]("score")))).toSet
+    assert(out == Set(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(25.0)),
+      (3L, Some("c"), Some(30.0)),
+      (4L, None, Some(40.0))))
+  }
+
+  test("mergeByKey rejects update columns absent from the base") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "name")
+    val updates = Seq((1L, 9.0)).toDF("id", "bogus")
+    intercept[IllegalArgumentException] {
+      graft.operators.Upsert.mergeByKey(base, updates, Seq("id"))
+    }
+  }
+
+  test("approx percentiles are rank-bounded against the data") {
+    // t-digest @ accuracy 10⁴ promises ≤1e-4 rank error; allow that plus
+    // one discrete rank step at the test's small n
+    val ap = Relational.valuePercentilesApprox(spark, Sf)
+      .select(col("event_type"), col("p50_approx"), col("p90_approx"), col("n_events"))
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .where(col("value").isNotNull).select(col("event_type"), col("value"))
+    val checked = ev.join(broadcast(ap), "event_type")
+      .groupBy(col("event_type"), col("n_events"))
+      .agg(
+        avg(when(col("value") <= col("p50_approx"), 1.0).otherwise(0.0)).as("le50"),
+        avg(when(col("value") <  col("p50_approx"), 1.0).otherwise(0.0)).as("lt50"),
+        avg(when(col("value") <= col("p90_approx"), 1.0).otherwise(0.0)).as("le90"),
+        avg(when(col("value") <  col("p90_approx"), 1.0).otherwise(0.0)).as("lt90"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val eps = 1e-4 + 1.0 / r.getAs[Long]("n_events")
+      assert(r.getAs[Double]("lt50") <= 0.5 + eps && r.getAs[Double]("le50") >= 0.5 - eps,
+        s"p50 rank off for ${r.get(0)}: $r")
+      assert(r.getAs[Double]("lt90") <= 0.9 + eps && r.getAs[Double]("le90") >= 0.9 - eps,
+        s"p90 rank off for ${r.get(0)}: $r")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (Seq.fill(500)(1L) ++ (2L to 50L)).zipWithIndex
