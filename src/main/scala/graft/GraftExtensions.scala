@@ -37,6 +37,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
+    "vec_l2_normalize" -> (es => VecL2Normalize(es(0))),
     "feature_hash_embed" -> (es => FeatureHashEmbed(es(0), intArg(es(1), "dim"))),
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
     "char_shingles" -> (es => CharShingles(es(0), intArg(es(1), "n"))),

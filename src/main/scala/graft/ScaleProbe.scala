@@ -38,6 +38,9 @@ object ScaleProbe {
     val evN = replicate(ev1, "event_id", factor)
     val doc1 = Tables.documents(spark, dir)
     val docN = replicate(doc1, "doc_id", factor)
+    val emb1 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val embN = replicate(emb1, "vec_id", factor)
 
     println(s"== events ${ev1.count()} -> ${evN.count()}, docs ${doc1.count()} -> ${docN.count()} ==")
 
@@ -63,12 +66,17 @@ object ScaleProbe {
     def embed(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
         graft.operators.Embeddings.embedCol(col("text")).as("e"))
+    // embedding near-dup end-to-end: √N-centroid fit (sampled), bucket
+    // equi-join, capped candidates — sub-quadratic growth is the claim
+    def ivfDedup(df: DataFrame): DataFrame =
+      graft.operators.Embeddings.dedupEmbeddingFrom(df)
 
     val r = Seq(
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
       ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
-      ("embed", time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))))
+      ("embed", time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))),
+      ("ivf_dedup", time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))))
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -91,4 +91,58 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecL2Sq =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unit-L2-normalized copy of an array<double> (zero vector stays zero).
+  *
+  * Replaces the interpreted `transform(a, x => x / sqrt(dot(a,a)))` HOF,
+  * which re-evaluated the whole norm subtree per element — O(dim²) work per
+  * row and a CodegenFallback on the corpus side of every ANN scan. Here the
+  * norm is computed once and the division loop is primitive, all inside
+  * whole-stage codegen.
+  */
+case class VecL2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    if (nrm > 0.0) { i = 0; while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 } }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $v = $a.getDouble($i); $s += $v * $v; }
+         |double $nrm = java.lang.Math.sqrt($s);
+         |double[] $out = new double[$n];
+         |if ($nrm > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] = $a.getDouble($i) / $nrm; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecL2Normalize =
+    copy(child = newChild)
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
-import graft.expressions.{VecDot, VecL2Sq}
+import graft.expressions.{VecDot, VecL2Normalize, VecL2Sq}
 
 /** Dense-vector math over `array<double>` columns. The hot kernels (dot,
   * squared L2) are native codegen'd Catalyst expressions
@@ -29,8 +29,7 @@ object VecFns {
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(VecL2Sq(Bridge.expression(a), Bridge.expression(b)))
 
-  def l2Normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => when(n > lit(0.0), x / n).otherwise(lit(0.0)))
-  }
+  /** Unit-normalize, native one-pass kernel (zero vector stays zero). */
+  def l2Normalize(a: Column): Column =
+    Bridge.column(VecL2Normalize(Bridge.expression(a)))
 }

@@ -89,18 +89,39 @@ object Embeddings {
       .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
   }
 
-  /** K-means coarse quantizer shared by the IVF operators. Training runs on
-    * the (sampled, at scale) corpus via MLlib; assignment is a broadcast
-    * argmin over k centroids — the corpus scan stays shuffle-free.
+  /** Coarse-quantizer training set cap: k-means cost is O(train·k·iters),
+    * so at 100 TB the fit runs on a bounded uniform sample — centroid
+    * quality converges long before 10⁵ points. */
+  private val MaxKMeansTrain = 100000
+
+  /** Hot-bucket cap (mirror of NearDup.MaxBucket): a skewed centroid
+    * bucket makes within-bucket work quadratic; candidates beyond the cap
+    * are dropped deterministically (by vec_id). Expected bucket size at
+    * k=√N is √N, so the cap only engages on pathological skew. */
+  private val MaxIvfBucket = 1024
+
+  /** K-means coarse quantizer shared by the IVF operators. `k <= 0` picks
+    * √N centroids (floored at 16) from a cheap metadata count; training
+    * runs on a ≤[[MaxKMeansTrain]]-row sample via MLlib; assignment is a
+    * broadcast argmin over k centroids — the corpus scan stays
+    * shuffle-free.
     */
-  private[operators] def ivfAssign(spark: SparkSession, dir: String, k: Int)
+  private[operators] def ivfAssign(spark: SparkSession, dir: String, k: Int = 0)
+      : (DataFrame, DataFrame) =
+    ivfAssignFrom(corpus(spark, dir), k)
+
+  private[graft] def ivfAssignFrom(c: DataFrame, k: Int = 0)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus(spark, dir)
+    val spark = c.sparkSession
+    val n = math.max(1L, c.count())
+    val kk = if (k > 0) k else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val feat = c.withColumn("features", array_to_vector(col("emb")))
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("bucket").fit(feat)
+    val trainFrac = MaxKMeansTrain.toDouble / n
+    val train = if (trainFrac < 1.0) feat.sample(withReplacement = false, trainFrac, 42) else feat
+    val model = new KMeans().setK(kk).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("bucket").fit(train)
     // consumers reference the assignment several times (probe join sides,
     // near-dup pair sides) — persist so assignment runs once
     val assigned = model.transform(feat)
@@ -111,12 +132,22 @@ object Embeddings {
     (assigned, centDf)
   }
 
+  /** Deterministic per-bucket candidate cap — one partition-local window
+    * on the bucket key (the same shuffle the candidate equi-join needs
+    * anyway, so AQE coalesces them into one exchange). */
+  private def capBucket(df: DataFrame, idCol: String): DataFrame = {
+    val byBucket = Window.partitionBy("bucket").orderBy(col(idCol))
+    df.withColumn("__bn", row_number().over(byBucket))
+      .where(col("__bn") <= MaxIvfBucket)
+      .drop("__bn")
+  }
+
   /** IVF ANN: probe the `nprobe` nearest centroids per query, then rank
     * only within those buckets — an equi-join on bucket id instead of a
     * corpus-wide cross join. At √N centroids this reads ~nprobe/√N of the
     * corpus per query.
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 0, nprobe: Int = 4): DataFrame = {
     val (assigned, centDf) = ivfAssign(spark, dir, k)
     val q = assigned.where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
@@ -127,7 +158,7 @@ object Embeddings {
       .where(col("crk") <= nprobe)
       .select(col("qid"), col("qemb"), col("bucket"))
     val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "bucket")
+    capBucket(assigned, "vec_id").join(broadcast(probes), "bucket")
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(VecFns.cosine(col("emb"), col("qemb")), 6))
       .withColumn("rk", row_number().over(byQ).cast("long"))
@@ -160,10 +191,16 @@ object Embeddings {
     * same-bucket pairs are scored (N²/k work instead of N²), the standard
     * blocking trade at corpus scale. Emits one summary row per vector.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame = {
-    val (assigned, _) = ivfAssign(spark, dir, 16)
+  def dedupEmbedding(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame =
+    dedupEmbeddingFrom(corpus(spark, dir), thr)
+
+  private[graft] def dedupEmbeddingFrom(c: DataFrame, thr: Double = 0.95): DataFrame = {
+    val (assigned, _) = ivfAssignFrom(c)
     val a = assigned.select(col("bucket"), col("vec_id"), col("emb"))
-    val b = a.select(col("bucket"), col("vec_id").as("vec_id_b"), col("emb").as("emb_b"))
+    // candidate side capped: every vector still gets scored, against at
+    // most MaxIvfBucket same-bucket candidates
+    val b = capBucket(a, "vec_id")
+      .select(col("bucket"), col("vec_id").as("vec_id_b"), col("emb").as("emb_b"))
     val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("vec_id_b"))
     val nn = a.join(b, "bucket")
       .where(col("vec_id") =!= col("vec_id_b"))

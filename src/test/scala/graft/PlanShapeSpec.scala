@@ -53,6 +53,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(fp.contains("*("), s"fingerprint projection must be codegen'd:\n$fp")
   }
 
+  test("ANN corpus normalize is the native kernel, not an interpreted HOF") {
+    Seq("ann_cosine_topk", "knn_label_vote").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"),
+        s"$q corpus side must use VecL2Normalize, found interpreted HOF:\n$p")
+      assert(p.toLowerCase.contains("vecl2normalize"), s"$q must use the native kernel:\n$p")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

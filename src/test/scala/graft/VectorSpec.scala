@@ -22,6 +22,28 @@ class VectorSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - math.sqrt(5.0)) < 1e-12)
   }
 
+  test("l2Normalize: unit norm, zero vector stays zero, codegen-safe") {
+    import spark.implicits._
+    val df = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0), Seq(-1.0, 0.0))
+      .toDF("v").select(VecFns.l2Normalize(col("v")).as("u"))
+    val rows = df.collect().map(_.getSeq[Double](0))
+    assert(rows(0) == Seq(0.6, 0.8))
+    assert(rows(1) == Seq(0.0, 0.0))
+    assert(rows(2) == Seq(-1.0, 0.0))
+    // the kernel must stay inside whole-stage codegen (no interpreted HOF)
+    // — over a real scan: literal inputs constant-fold to a LocalTableScan
+    val scanned = spark.range(3).select(
+      VecFns.l2Normalize(array(col("id").cast("double"), lit(4.0))).as("u"))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"l2Normalize must be codegen'd:\n$plan")
+    assert(scanned.collect().last.getSeq[Double](0) == Seq(2.0 / math.sqrt(20.0), 4.0 / math.sqrt(20.0)))
+    // and be callable from SQL after registration
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT vec_l2_normalize(array(3.0d, 4.0d)) AS u")
+      .head().getSeq[Double](0)
+    assert(viaSql == Seq(0.6, 0.8))
+  }
+
   test("embedCol is deterministic and L2-normalized") {
     import spark.implicits._
     val df = Seq("hello world foo", "hello world foo", "different text entirely")
