@@ -44,6 +44,7 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "numPerm"))),
     "minhash_band_keys" -> (es =>
       MinHashBandKeys(es(0), intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))),
+    "minhash_jaccard" -> (es => MinHashJaccard(es(0), es(1))),
     "simhash_sig" -> (es => SimHashSig(es(0))),
     "winnow_fingerprints" -> (es =>
       WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))))

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -104,6 +104,55 @@ case class SimHashSig(child: Expression) extends KernelExpression {
     s"graft.expressions.Kernels.simhashSig($c)"
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
+}
+
+/** MinHash Jaccard estimate: the fraction of agreeing permutation minima
+  * of two signatures — the classic unbiased estimator, SE =
+  * √(J(1−J)/numPerm) (≈0.035 at 128 perms, J=0.8). Lets LSH verification
+  * run on kilobyte signatures instead of re-shuffling raw shingle sets. */
+case class MinHashJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> signatures, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) 0.0 else {
+      var eq = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+      eq.toDouble / n
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : (double) $eq / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinHashJaccard =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling k-gram

@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   * itself and its neighbors until fixpoint — O(component diameter)
   * iterations of one equi-join + partial-agg'd groupBy each. Dedup graphs
   * have tiny diameters (dup clusters are near-cliques), so this converges
-  * in 2-3 rounds at any corpus size. Each iteration's result is persisted
-  * and the previous one released, so lineage stays flat.
+  * in 2-3 rounds at any corpus size.
+  *
+  * Each round ends in `localCheckpoint`, not `persist`: the round's plan
+  * references the previous labels twice (through nbrMin and the join), so
+  * without lineage truncation the logical plan doubles per round —
+  * exponential analysis cost that OOMs the driver near 20 rounds
+  * (persist caches execution but Catalyst still walks the full tree).
   */
 object Cluster {
 
@@ -27,8 +32,7 @@ object Cluster {
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = nodes.select(col("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
-    labels.count()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -40,13 +44,20 @@ object Cluster {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           col("cluster").as("prev"))
-        .persist()
+        .localCheckpoint()
       changed = next.where(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
       labels = next.drop("prev")
       it += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      // Surface loudly: callers (train_test_split) build leakage-safety on
+      // these labels; silently-wrong canonical ids would leak near-dups
+      // across the split with no signal.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIter; raise maxIter or pre-contract the graph")
     labels
   }
 }

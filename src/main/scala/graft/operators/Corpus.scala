@@ -92,7 +92,11 @@ object Corpus {
         it.map { case (docId, nTok) =>
           if (fill > 0 && fill + nTok > maxTokens) { bin += 1; fill = 0 }
           fill += nTok
-          (docId, nTok, pid * 1000000L + bin)
+          // (pid << 40) | bin: collision-free by construction up to 2^40
+          // bins per partition and 2^23 partitions — a decimal prefix
+          // (pid * 10^6 + bin) silently merges bins past 10^6/partition,
+          // which a 100 TB corpus reaches easily
+          (docId, nTok, (pid << 40) | bin)
         }
       }
       .toDF("doc_id", "n_tokens", "bin_id")

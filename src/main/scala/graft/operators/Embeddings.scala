@@ -106,9 +106,21 @@ object Embeddings {
     * broadcast argmin over k centroids — the corpus scan stays
     * shuffle-free.
     */
+  /** Session-scoped memo of the persisted IVF assignment: ann_ivf and
+    * dedup_embedding share one k-means fit + assignment per corpus instead
+    * of each training their own. Release via [[releaseCache]]. */
+  private val ivfMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame)]
+
+  /** Unpersist and drop every IVF assignment cached for `spark`. */
+  def releaseCache(spark: SparkSession): Unit =
+    ivfMemo.filterInPlace { case ((s, _, _), (assigned, _)) =>
+      if (s eq spark) { assigned.unpersist(); false } else true
+    }
+
   private[operators] def ivfAssign(spark: SparkSession, dir: String, k: Int = 0)
       : (DataFrame, DataFrame) =
-    ivfAssignFrom(corpus(spark, dir), k)
+    ivfMemo.getOrElseUpdate((spark, dir, k), ivfAssignFrom(corpus(spark, dir), k))
 
   private[graft] def ivfAssignFrom(c: DataFrame, k: Int = 0)
       : (DataFrame, DataFrame) = {
@@ -192,10 +204,12 @@ object Embeddings {
     * blocking trade at corpus scale. Emits one summary row per vector.
     */
   def dedupEmbedding(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame =
-    dedupEmbeddingFrom(corpus(spark, dir), thr)
+    dedupEmbeddingOn(ivfAssign(spark, dir)._1, thr)
 
-  private[graft] def dedupEmbeddingFrom(c: DataFrame, thr: Double = 0.95): DataFrame = {
-    val (assigned, _) = ivfAssignFrom(c)
+  private[graft] def dedupEmbeddingFrom(c: DataFrame, thr: Double = 0.95): DataFrame =
+    dedupEmbeddingOn(ivfAssignFrom(c)._1, thr)
+
+  private def dedupEmbeddingOn(assigned: DataFrame, thr: Double): DataFrame = {
     val a = assigned.select(col("bucket"), col("vec_id"), col("emb"))
     // candidate side capped: every vector still gets scored, against at
     // most MaxIvfBucket same-bucket candidates

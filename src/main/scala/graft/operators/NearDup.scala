@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import graft.sources.Tables
 import graft.functions.TextFns
-import graft.expressions.{CharShingles, MinHashBandKeys, MinHashSig, SimHashSig, WordShingles}
+import graft.expressions.{CharShingles, MinHashBandKeys, MinHashJaccard, MinHashSig, SimHashSig, WordShingles}
 
 /** Text near-duplicate detection at corpus scale (SURVEY.md §2 rows 22-24):
   * MinHash-LSH, SimHash, and n-gram Jaccard — the dedup family a training
@@ -46,6 +46,11 @@ object NearDup {
   def minhashBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column =
     Bridge.column(MinHashBandKeys(Bridge.expression(shingles), bands, rowsPerBand))
 
+  /** Unbiased Jaccard estimate from two MinHash signatures (native kernel;
+    * SE = √(J(1−J)/perms)). */
+  def minhashJaccard(a: Column, b: Column): Column =
+    Bridge.column(MinHashJaccard(Bridge.expression(a), Bridge.expression(b)))
+
   /** Chunk keys for hamming-banding a packed SimHash (pigeonhole: sigs
     * within hamming distance < #chunks share at least one chunk). */
   def simhashChunkKeys(sig: Column, chunks: Int = 4, chunkBits: Int = 16): Column =
@@ -67,6 +72,24 @@ object NearDup {
     * dedup_exact, which runs before near-dup in the pipeline. */
   private val MaxBucket = 64
 
+  /** Session-scoped cache of persisted signature bases. Several operators
+    * share one base (dedup_minhash + dedup_clusters read the same word-3
+    * signatures); memoizing the persisted DataFrame means one scan+persist
+    * per (session, corpus, signature kind) instead of one per query — and
+    * no CacheManager "already cached" re-persist noise. Lifecycle: held
+    * until [[releaseCache]] (or session end); entries are kilobytes/doc. */
+  private val baseMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  private def memoBase(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    baseMemo.getOrElseUpdate((spark, key), build.persist())
+
+  /** Unpersist and drop every signature base cached for `spark`. */
+  def releaseCache(spark: SparkSession): Unit =
+    baseMemo.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true
+    }
+
   /** LSH candidate pairs with exact similarity — shared by the per-doc
     * summaries and the cluster operator. `base` must be persisted by the
     * caller (it is referenced ~6 times downstream). */
@@ -87,11 +110,10 @@ object NearDup {
       .withColumn("sim", round(simExpr(col("sig_a"), col("sig_b")), 6))
   }
 
-  private def lshSummary(rawBase: DataFrame, simExpr: (Column, Column) => Column,
+  /** `base` must already be persisted (callers go through [[memoBase]] —
+    * it is referenced several times downstream). */
+  private def lshSummary(base: DataFrame, simExpr: (Column, Column) => Column,
       thr: Double): DataFrame = {
-    // Persist the signatures — a few % of corpus size — so the corpus is
-    // scanned and shingled exactly once, not once per plan reference.
-    val base = rawBase.persist()
     val scored = scoredPairs(base, simExpr)
     // fold pairs into per-doc rows (both directions), keep the best match
     val perDoc = scored.select(col("id_a").as("id"), col("id_b").as("other"), col("sim"))
@@ -109,27 +131,46 @@ object NearDup {
         coalesce(col("best_sim") >= thr, lit(false)).as("is_dup"))
   }
 
-  private def jaccard(a: Column, b: Column): Column =
+  /** Exact set Jaccard — for re-scoring candidate pairs when the estimator
+    * isn't enough; not used on the main LSH path (it would force the raw
+    * shingle arrays through the candidate shuffle). */
+  def exactJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
   /** MinHash-LSH near-dup over word 3-shingles; 128 perms, 32×4 bands
-    * (catches Jaccard ≳ 0.5 with high probability), exact-Jaccard verify
-    * on the shingle sets of candidate pairs only. */
-  def dedupMinhash(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), wordShingles(col("text"), 3).as("sig"))
-      .withColumn("keys", minhashBandKeys(col("sig"), 32, 4))
-    lshSummary(base, jaccard, thr)
-  }
+    * (catches Jaccard ≳ 0.5 with high probability), candidate similarity
+    * from the 128-perm signatures (SE ≈ 0.035).
+    *
+    * Signature-based verify, deliberately: the persisted/shuffled state is
+    * a 1 KB signature per doc, not the raw shingle set (~10× doc size) —
+    * at 100 TB the candidate join moves kilobytes per doc, and the
+    * estimator is deterministic, so outputs are still stable run-to-run.
+    * Exact set Jaccard remains available as [[exactJaccard]] for a
+    * re-score of flagged pairs. */
+  def dedupMinhash(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame =
+    lshSummary(word3Base(spark, dir), minhashJaccard, thr)
+
+  /** Shared word-3-shingle signature base (dedup_minhash, dedup_clusters,
+    * train_test_split all read it) — memoized + persisted per session. */
+  private def word3Base(spark: SparkSession, dir: String): DataFrame =
+    memoBase(spark, s"word3:$dir") {
+      val sh = wordShingles(col("text"), 3)
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"),
+          minhashSig(sh, 128).as("sig"),
+          minhashBandKeys(sh, 32, 4).as("keys"))
+    }
 
   /** SimHash near-dup: packed 64-bit sigs, 4×16-bit hamming bands;
     * similarity is 1 - hamming/64 so the threshold reads like the others
     * (0.95 ≈ ≤3 differing bits). */
   def dedupSimhash(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"),
-        simhashSig(TextFns.wsTokens(lower(col("text")))).as("sig"))
-      .withColumn("keys", simhashChunkKeys(col("sig")))
+    val base = memoBase(spark, s"simhash:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"),
+          simhashSig(TextFns.wsTokens(lower(col("text")))).as("sig"))
+        .withColumn("keys", simhashChunkKeys(col("sig")))
+    }
     lshSummary(base,
       (a, b) => lit(1.0) - hamming(a, b).cast("double") / lit(64.0), thr)
   }
@@ -139,11 +180,8 @@ object NearDup {
     * of the component) and cluster size. Downstream dedup = `keep rows
     * where doc_id == cluster_id`. */
   def dedupClusters(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), wordShingles(col("text"), 3).as("sig"))
-      .withColumn("keys", minhashBandKeys(col("sig"), 32, 4))
-      .persist()
-    val dupEdges = scoredPairs(base, jaccard).where(col("sim") >= thr)
+    val base = word3Base(spark, dir)
+    val dupEdges = scoredPairs(base, minhashJaccard).where(col("sim") >= thr)
       .select(col("id_a"), col("id_b"))
     val labels = Cluster.connectedComponents(dupEdges, base.select(col("id")))
     val sizes = labels.groupBy(col("cluster")).agg(count("*").as("cluster_size"))
@@ -157,9 +195,13 @@ object NearDup {
     * would pass most of the corpus as candidates (O(n²) verify); 8-row
     * bands keep the candidate set to genuinely close pairs (J ≳ 0.75). */
   def ngramJaccard(spark: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), charShingles(col("text"), 5).as("sig"))
-      .withColumn("keys", minhashBandKeys(col("sig"), 8, 8))
-    lshSummary(base, jaccard, thr)
+    val base = memoBase(spark, s"char5:$dir") {
+      val sh = charShingles(col("text"), 5)
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"),
+          minhashSig(sh, 128).as("sig"),
+          minhashBandKeys(sh, 8, 8).as("keys"))
+    }
+    lshSummary(base, minhashJaccard, thr)
   }
 }

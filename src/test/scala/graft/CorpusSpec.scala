@@ -48,6 +48,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(overs.count() == 0, "multi-doc bins must fit the budget")
   }
 
+  test("pack_sequences bin ids never collide across partitions") {
+    // (pid << 40) | bin: a bin's docs are contiguous in doc_id (packing is
+    // a sorted per-partition scan), so if two partitions shared a bin id
+    // the bin's doc range would be non-contiguous across partition bounds
+    val packed = Corpus.packSequences(spark, Sf, maxTokens = 64)
+    val pids = packed.select(shiftright(col("bin_id"), 40).as("pid"),
+        col("bin_id"))
+      .groupBy("bin_id").agg(countDistinct("pid").as("n_pids"))
+      .where(col("n_pids") > 1)
+    assert(pids.count() == 0, "a bin id must map to exactly one partition")
+    // and the encoding is lossless: low 40 bits recover the local bin
+    val bins = packed.select(col("bin_id")).distinct().count()
+    val pairs = packed.select(shiftright(col("bin_id"), 40).as("pid"),
+      col("bin_id").bitwiseAND(lit((1L << 40) - 1)).as("local"))
+      .distinct().count()
+    assert(bins == pairs)
+  }
+
   test("stratified sample is deterministic and covers all strata") {
     val s1 = Corpus.stratifiedSample(spark, Sf)
     val s2 = Corpus.stratifiedSample(spark, Sf)

@@ -30,13 +30,17 @@ class SignatureLawsSpec extends AnyFunSuite {
       (size(array_intersect(NearDup.wordShingles(col("ta"), 1), NearDup.wordShingles(col("tb"), 1))).cast("double") /
         size(array_union(NearDup.wordShingles(col("ta"), 1), NearDup.wordShingles(col("tb"), 1))).cast("double")).as("trueJ"),
       (size(zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)).alias("z")) * lit(0)).as("dummy"))
-    // estimated J = fraction of matching signature positions
+    // estimated J = fraction of matching signature positions — via the
+    // native kernel the LSH verify path uses, and the HOF formulation
+    // (they must agree exactly: same definition)
     val est = df.select(col("trueJ"),
       (aggregate(zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-        lit(0.0), (acc, x) => acc + x) / lit(128.0)).as("estJ")).collect()
+        lit(0.0), (acc, x) => acc + x) / lit(128.0)).as("estJ"),
+      NearDup.minhashJaccard(col("sa"), col("sb")).as("kernelJ")).collect()
     est.foreach { row =>
       val (t, e) = (row.getDouble(0), row.getDouble(1))
       assert(math.abs(t - e) < 0.15, s"true=$t est=$e")
+      assert(row.getDouble(2) == e, s"kernel must equal the HOF estimator: $row")
     }
   }
 

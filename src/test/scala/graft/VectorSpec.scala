@@ -128,6 +128,21 @@ class VectorSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components: long chains converge or fail loudly") {
+    import spark.implicits._
+    // a 30-node chain has diameter 29: min-label propagation needs 29
+    // rounds, so maxIter=20 must THROW (silent wrong labels would leak
+    // near-dups across train_test_split), and maxIter=35 must converge
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 29L).toDF("id")
+    intercept[IllegalStateException] {
+      graft.operators.Cluster.connectedComponents(chain, nodes, maxIter = 20).collect()
+    }
+    val cc = graft.operators.Cluster.connectedComponents(chain, nodes, maxIter = 35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(0L), s"one component labeled 0, got $cc")
+  }
+
   test("dedup_clusters covers every doc exactly once and sizes add up") {
     val cl = graft.operators.NearDup.dedupClusters(spark, Sf)
     val n = graft.sources.Tables.documents(spark, Sf).count()
