@@ -32,6 +32,7 @@ object SparkEntry {
     "search_entries"        -> (LogOps.searchEntries _),
     "feedback_upsert"       -> (Upsert.feedbackUpsert _),
     "incident_report"       -> (LogOps.incidentReport _),
+    "slack_message"         -> (LogOps.slackMessage _),
     "rag_prompt"            -> (Embeddings.ragPrompt _),
     "props_parse"           -> (LogOps.propsParse _),
     "distinct_users"        -> (LogOps.distinctUsers _),
@@ -220,6 +221,30 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'error'
         |GROUP BY 1""".stripMargin,
+
+    "slack_message" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |         printf('- %s | user_%d | %s | %s',
+        |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type,
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(props, '[\w.-]+@[\w.-]+', '[REDACTED_EMAIL]', 'g'),
+        |                    '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
+        |                  '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g')) AS line
+        |  FROM events
+        |  WHERE event_type = 'error'
+        |  ORDER BY ts, event_id
+        |  LIMIT 5),
+        |a AS (
+        |  SELECT count(*) AS n_logs,
+        |         string_agg(line, chr(10) ORDER BY event_id) AS logs_txt
+        |  FROM b)
+        |SELECT '*AI RCA & Fix Suggestion:*' || chr(10) || '*Logs:*' || chr(10) ||
+        |       logs_txt || chr(10) || '*RCA & Fix:*' || chr(10) ||
+        |       printf('RCA pending for %d incidents (batch digest %s)', n_logs, md5(logs_txt))
+        |         AS message
+        |FROM a""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

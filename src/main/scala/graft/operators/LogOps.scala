@@ -185,4 +185,34 @@ object LogOps {
           transform(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("line")))),
             x => x.getField("line")),
           "\n").as("report"))
+
+  /** Slack RCA share message (_format_slack_message, llm_processor.py:97-105
+    * and app.py:138-143): `*AI RCA & Fix Suggestion:*` header, the redacted
+    * `- ts | container | level | message` lines of the incident batch, then
+    * the RCA body. The LLM output itself is an external artifact (like the
+    * model call it comes from), so the body is a deterministic stand-in
+    * derived from the batch digest — the assembly, ordering, redaction, and
+    * formatting are the testable surface. */
+  def slackMessage(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(5)
+      .select(col("event_id"),
+        format_string("- %s | user_%d | %s | %s",
+          date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
+          graft.functions.TextFns.redactSecrets(col("props"))).as("line"))
+    batch
+      .agg(count("*").as("n_logs"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("event_id"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("logs_txt"))
+      .select(concat(
+        lit("*AI RCA & Fix Suggestion:*\n*Logs:*\n"),
+        col("logs_txt"),
+        lit("\n*RCA & Fix:*\n"),
+        format_string("RCA pending for %d incidents (batch digest %s)",
+          col("n_logs"), md5(col("logs_txt")))).as("message"))
+  }
 }
