@@ -31,7 +31,12 @@ object Cluster {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col("id")).distinct()
+    // Iterate over edge endpoints only: non-endpoint nodes are singleton
+    // clusters by definition and would just ride through every round's
+    // join unchanged — at corpus scale the propagation loop then costs
+    // O(dup docs × diameter), not O(corpus × diameter). Singletons are
+    // united back in one final anti-join.
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var it = 0
@@ -49,6 +54,10 @@ object Cluster {
       labels = next.drop("prev")
       it += 1
     }
+    val singletons = nodes.select(col("id")).distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    val all = labels.unionAll(singletons)
     sym.unpersist()
     if (changed > 0)
       // Surface loudly: callers (train_test_split) build leakage-safety on
@@ -58,6 +67,6 @@ object Cluster {
         s"connectedComponents did not converge in $maxIter iterations " +
           s"($changed labels still changing) — component diameter exceeds " +
           "maxIter; raise maxIter or pre-contract the graph")
-    labels
+    all
   }
 }
