@@ -53,6 +53,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(fp.contains("*("), s"fingerprint projection must be codegen'd:\n$fp")
   }
 
+  test("search_entries plans a distributed TakeOrdered with pushed filters") {
+    val p = plan("search_entries")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ordered LIMIT must be a distributed top-N, not a global sort:\n$p")
+  }
+
+  test("feedback_upsert merge is a keyed shuffle join") {
+    val p = plan("feedback_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"full-outer MERGE must be a keyed join:\n$p")
+  }
+
   test("ANN corpus normalize is the native kernel, not an interpreted HOF") {
     Seq("ann_cosine_topk", "knn_label_vote").foreach { q =>
       val p = plan(q)
