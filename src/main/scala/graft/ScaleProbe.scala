@@ -70,13 +70,24 @@ object ScaleProbe {
     // equi-join, capped candidates — sub-quadratic growth is the claim
     def ivfDedup(df: DataFrame): DataFrame =
       graft.operators.Embeddings.dedupEmbeddingFrom(df)
+    // connected components on planted 5-chains (diameter 4, ~5 rounds):
+    // endpoint-only iteration + per-round localCheckpoint keep the cost
+    // O(dup docs × diameter) with a flat lineage
+    def cc(n: Long): DataFrame = {
+      val edges = spark.range(n).toDF("id_a")
+        .withColumn("id_b", col("id_a") + 1)
+        .where(pmod(col("id_a"), lit(5)) =!= 4)
+      graft.operators.Cluster.connectedComponents(
+        edges, spark.range(n + 1).toDF("id"))
+    }
 
     val r = Seq(
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
       ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
       ("embed", time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))),
-      ("ivf_dedup", time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))))
+      ("ivf_dedup", time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))),
+      ("connected_comp", time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor))))
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }

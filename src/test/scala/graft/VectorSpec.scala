@@ -161,6 +161,20 @@ class VectorSpec extends AnyFunSuite {
     assert(Embeddings.dedupEmbedding(spark, Sf).count() == n)
   }
 
+  test("releaseCache unpersists memoized bases and assignments") {
+    // warm the caches
+    graft.operators.NearDup.dedupMinhash(spark, Sf).count()
+    graft.operators.Embeddings.annIvf(spark, Sf).count()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore > 0, "memoized bases must be persisted")
+    graft.operators.NearDup.releaseCache(spark)
+    graft.operators.Embeddings.releaseCache(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
+      "releaseCache must unpersist the session's cached relations")
+    // queries still work after release (caches rebuild on demand)
+    assert(graft.operators.NearDup.dedupMinhash(spark, Sf).count() > 0)
+  }
+
   test("rag_context dedups doc hits across the incident batch") {
     val ctx = Embeddings.ragContext(spark, Sf)
     assert(ctx.count() > 0)
