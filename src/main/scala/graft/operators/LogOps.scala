@@ -208,11 +208,14 @@ object LogOps {
           transform(sort_array(collect_list(struct(col("event_id"), col("line")))),
             x => x.getField("line")),
           "\n").as("logs_txt"))
-      .select(concat(
-        lit("*AI RCA & Fix Suggestion:*\n*Logs:*\n"),
-        col("logs_txt"),
-        lit("\n*RCA & Fix:*\n"),
-        format_string("RCA pending for %d incidents (batch digest %s)",
-          col("n_logs"), md5(col("logs_txt")))).as("message"))
+      .select(
+        // NULL on an empty batch, matching SQL semantics (string_agg over
+        // zero rows is NULL, and || propagates it)
+        when(col("n_logs") > 0, concat(
+          lit("*AI RCA & Fix Suggestion:*\n*Logs:*\n"),
+          col("logs_txt"),
+          lit("\n*RCA & Fix:*\n"),
+          format_string("RCA pending for %d incidents (batch digest %s)",
+            col("n_logs"), md5(col("logs_txt"))))).as("message"))
   }
 }
