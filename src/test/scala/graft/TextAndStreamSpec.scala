@@ -103,6 +103,39 @@ class TextAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed counts drop data later than the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamPipeline.windowedCounts(mem.toDF().toDF("ts", "event_type", "value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+    // append mode: a window only emits once the watermark passes its end —
+    // that's the state-cleanup contract that bounds memory at 100 TB/day
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((ts("2024-01-01 10:15:00"), "error", 1.0))
+      q.processAllAvailable()
+      // advance the watermark beyond 10:00-11:00 + 2h
+      mem.addData((ts("2024-01-01 13:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(afterClose == Set(("2024-01-01 10:00:00.0", "error", 1L)),
+        s"closed window must have emitted exactly once: $afterClose")
+      // an event 3.5h late, beyond the 2h watermark: must be DROPPED, not
+      // re-open the closed 10:00 window
+      mem.addData((ts("2024-01-01 10:20:00"), "error", 9.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("wm_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(afterLate == afterClose,
+        s"late data beyond the watermark must not re-emit: $afterLate")
+    } finally q.stop()
+  }
+
   test("IO: partitioned parquet sink enables partition pruning") {
     import graft.sources.{IO, Tables}
     val out = "/tmp/graft_io_test/events_parted"
