@@ -71,6 +71,7 @@ object SparkEntry {
     "rag_context"           -> (Embeddings.ragContext _),
     "ann_cosine_topk"       -> (Embeddings.annCosineTopK _),
     "ann_ivf"               -> ((s: SparkSession, d: String) => Embeddings.annIvf(s, d)),
+    "ann_lsh"               -> ((s: SparkSession, d: String) => Embeddings.annLsh(s, d)),
     "knn_label_vote"        -> (Embeddings.knnLabelVote _),
     "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
     // — near-duplicate detection (rows-only) —

@@ -178,6 +178,68 @@ object Embeddings {
       .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
   }
 
+  /** Random-hyperplane LSH ANN (cosine): the training-free scale path next
+    * to [[annIvf]]. `nBits` signed projections against deterministic
+    * pseudo-random hyperplanes give each vector a bit signature; the bits
+    * fold into `bands` band keys (any shared band → candidate, the same
+    * pigeonhole banding as SimHash); candidates rank by exact cosine.
+    *
+    * For vectors at angle θ, P(bit agrees) = 1 − θ/π (Goemans–Williamson),
+    * so an 8-bit band matches with p⁸ and 4 bands catch cosine ≳ 0.9 pairs
+    * with ~75% probability per probe — no k-means fit, no metadata count,
+    * fully deterministic. Candidate generation is an equi-join on band
+    * keys with the same hot-bucket cap as the minhash path.
+    *
+    * Contract (unlike [[annIvf]]): this is a near-duplicate search — it
+    * retrieves neighbors above the banding's similarity floor and returns
+    * nothing for a query with no genuinely-close vector, by design. Use
+    * IVF when every query must get k results regardless of distance.
+    */
+  def annLsh(spark: SparkSession, dir: String, nBits: Int = 32,
+      bands: Int = 4, topK: Int = 10): DataFrame =
+    annLshFrom(corpus(spark, dir), nBits, bands, topK)
+
+  private[graft] def annLshFrom(corpusDf: DataFrame, nBits: Int = 32,
+      bands: Int = 4, topK: Int = 10): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val rowsPerBand = nBits / bands
+    val c = corpusDf
+      .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"), col("label"))
+    // deterministic hyperplanes: hash-seeded uniform in [-1, 1] — unit
+    // norm is irrelevant for the sign test
+    val planes: Seq[Column] = (0 until nBits).map { b =>
+      typedLit(Seq.tabulate(Dim) { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, d, 42))
+        h.toDouble / Int.MaxValue
+      })
+    }
+    def bandKeys(v: Column): Column = array((0 until bands).map { k =>
+      val bits = (0 until rowsPerBand).map { r =>
+        (VecFns.dot(v, planes(k * rowsPerBand + r)) > 0).cast("long") * lit(1L << r)
+      }.reduce(_ + _)
+      xxhash64(lit(k), bits)
+    }: _*)
+    val sigs = c.withColumn("keys", bandKeys(col("emb")))
+    val queries = sigs.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        explode(col("keys")).as("key"))
+    val cand = sigs.select(col("vec_id"), col("emb"), explode(col("keys")).as("key"))
+    // hot-bucket cap (mirror of the minhash path): a degenerate band key —
+    // e.g. a mass of near-zero vectors landing on one signature — would
+    // otherwise make one bucket's candidate join quadratic
+    val keyCounts = cand.groupBy("key").agg(count("*").as("kn"))
+    val capped = cand.join(keyCounts.where(col("kn") <= MaxIvfBucket), "key")
+      .select(col("vec_id"), col("emb"), col("key"))
+    val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    capped.join(broadcast(queries), "key")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("vec_id"), col("emb")).distinct()
+      .withColumn("sim", round(VecFns.dot(col("emb"), col("qemb")), 6))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+  }
+
   /** k-NN majority-label vote: top-10 cosine neighbors from the corpus,
     * predicted label = most frequent (ties → smaller label). */
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {

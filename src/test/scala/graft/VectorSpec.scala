@@ -108,6 +108,42 @@ class VectorSpec extends AnyFunSuite {
     assert(mean > 0.5, f"mean recall@10 $mean%.3f must exceed 0.5")
   }
 
+  test("ann_lsh retrieves planted near-duplicates as top hit") {
+    import spark.implicits._
+    // corpus: 400 hash-deterministic pseudo-random vectors; queries 0..19
+    // are small perturbations of corpus vectors 1000..1019 (cosine ~0.99)
+    def vec(seed: Int): Array[Double] = Array.tabulate(64) { d =>
+      scala.util.hashing.MurmurHash3.productHash((seed, d)).toDouble / Int.MaxValue
+    }
+    val base = (1000 until 1400).map(i => (i.toLong, vec(i).toSeq, "c"))
+    val queries = (0 until 20).map { q =>
+      val twin = vec(1000 + q)
+      val perturbed = twin.zipWithIndex.map { case (v, d) => v + 0.02 * vec(q + 5000)(d) }
+      (q.toLong, perturbed.toSeq, "q")
+    }
+    val corpus = (base ++ queries).toDF("vec_id", "emb", "label")
+    val hits = Embeddings.annLshFrom(corpus).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    (0L until 20L).foreach { q =>
+      assert(hits.get(q).contains(1000 + q),
+        s"query $q must retrieve its planted twin ${1000 + q}, got ${hits.get(q)}")
+    }
+    // an isolated query (no close vector) only sees rare random band
+    // collisions: few candidates, none reported as similar — the near-dup
+    // contract is honest absence, not fabricated far neighbors
+    val lonely = ((0 until 400).map(i => (1000L + i, vec(i + 9000).toSeq, "c"))
+      :+ ((5L, vec(77).toSeq, "q"))).toDF("vec_id", "emb", "label")
+    val lonelyHits = Embeddings.annLshFrom(lonely)
+      .where(col("qid") === 5L).collect()
+    assert(lonelyHits.length < 40,
+      s"random collisions must stay rare: ${lonelyHits.length} of 400")
+    lonelyHits.foreach { r =>
+      assert(r.getAs[Double]("sim") < 0.6,
+        s"collision candidates must carry their true low similarity: $r")
+    }
+  }
+
   test("knn_label_vote predicts one label per query") {
     val v = Embeddings.knnLabelVote(spark, Sf)
     assert(v.groupBy("qid").count().where(col("count") =!= 1).count() == 0)
