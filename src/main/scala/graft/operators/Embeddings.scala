@@ -112,11 +112,16 @@ object Embeddings {
   private val ivfMemo = new scala.collection.concurrent.TrieMap[
     (SparkSession, String, Int), (DataFrame, DataFrame)]
 
-  /** Unpersist and drop every IVF assignment cached for `spark`. */
-  def releaseCache(spark: SparkSession): Unit =
+  /** Unpersist and drop every IVF assignment and LSH signature base cached
+    * for `spark`. */
+  def releaseCache(spark: SparkSession): Unit = {
     ivfMemo.filterInPlace { case ((s, _, _), (assigned, _)) =>
       if (s eq spark) { assigned.unpersist(); false } else true
     }
+    lshMemo.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true
+    }
+  }
 
   private[operators] def ivfAssign(spark: SparkSession, dir: String, k: Int = 0)
       : (DataFrame, DataFrame) =
@@ -196,11 +201,23 @@ object Embeddings {
     * IVF when every query must get k results regardless of distance.
     */
   def annLsh(spark: SparkSession, dir: String, nBits: Int = 32,
-      bands: Int = 4, topK: Int = 10): DataFrame =
-    annLshFrom(corpus(spark, dir), nBits, bands, topK)
+      bands: Int = 4, topK: Int = 10): DataFrame = {
+    // the signature projection feeds three plan references (queries,
+    // candidates, hot-bucket counts) — persist it once per session, like
+    // the other shared bases
+    val sigs = lshMemo.getOrElseUpdate((spark, s"$dir:$nBits:$bands"),
+      lshSigs(corpus(spark, dir), nBits, bands).persist())
+    lshSearch(sigs, topK)
+  }
+
+  private val lshMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
   private[graft] def annLshFrom(corpusDf: DataFrame, nBits: Int = 32,
-      bands: Int = 4, topK: Int = 10): DataFrame = {
+      bands: Int = 4, topK: Int = 10): DataFrame =
+    lshSearch(lshSigs(corpusDf, nBits, bands), topK)
+
+  private def lshSigs(corpusDf: DataFrame, nBits: Int, bands: Int): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rowsPerBand = nBits / bands
     val c = corpusDf
@@ -219,7 +236,10 @@ object Embeddings {
       }.reduce(_ + _)
       xxhash64(lit(k), bits)
     }: _*)
-    val sigs = c.withColumn("keys", bandKeys(col("emb")))
+    c.withColumn("keys", bandKeys(col("emb")))
+  }
+
+  private def lshSearch(sigs: DataFrame, topK: Int): DataFrame = {
     val queries = sigs.where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         explode(col("keys")).as("key"))
