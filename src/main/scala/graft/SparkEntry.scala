@@ -58,6 +58,7 @@ object SparkEntry {
     "heavy_hitters"         -> (Relational.heavyHitters _),
     "value_percentiles"     -> (Relational.valuePercentiles _),
     "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
+    "asof_prev_error"       -> (Relational.asofPrevError _),
     "stream_windowed_counts" -> (Relational.streamWindowedCounts _),
     // — training-data text operators —
     "dedup_exact"           -> (TextOps.dedupExact _),
@@ -307,6 +308,18 @@ object SparkEntry {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "asof_prev_error" ->
+      """WITH errs AS (
+        |  SELECT user_id, ts, max(event_id) AS prev_error_id
+        |  FROM events
+        |  WHERE event_type = 'error'
+        |  GROUP BY user_id, ts)
+        |SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+        |       e.user_id, r.prev_error_id,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts_us
+        |FROM events e ASOF LEFT JOIN errs r
+        |  ON e.user_id = r.user_id AND e.ts > r.ts""".stripMargin,
 
     "top_events_per_user" ->
       """SELECT user_id, rk, event_id, event_type, value FROM (

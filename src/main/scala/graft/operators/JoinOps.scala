@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join strategies for hostile key distributions at scale.
@@ -33,4 +34,40 @@ object JoinOps {
   def aggThenJoin(fact: DataFrame, dim: DataFrame, key: String,
       aggs: Seq[Column]): DataFrame =
     fact.groupBy(key).agg(aggs.head, aggs.tail: _*).join(dim, key)
+
+  /** As-of join (LEFT): for each left row, the latest right row at or
+    * before (`strict`: strictly before) the left row's time, per key —
+    * right's non-key columns arrive as one struct column `payloadName`
+    * (NULL when no right row qualifies).
+    *
+    * Spark-first formulation: no range join, no per-key collect. Both
+    * sides union (right's payload rides a nullable struct), one hash
+    * shuffle on the key, one spillable partition-local time sort, then a
+    * running `last(payload, ignoreNulls)` window carries the newest right
+    * payload forward onto each left row — O(n log n) in partition size
+    * with merge-join memory behavior, at any scale. Tie order at equal
+    * timestamps is encoded in `__o` (right-before-left for inclusive,
+    * left-before-right for strict).
+    *
+    * `right` must be unique per (key, rightTime) — pre-aggregate ties
+    * (e.g. `groupBy(key, t).agg(max(...))`) or the carried payload at a
+    * tied timestamp is sort-order dependent.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadName: String,
+      strict: Boolean = false): DataFrame = {
+    require(!left.columns.contains(payloadName),
+      s"left already has a column named $payloadName")
+    val payload = struct(right.columns.filterNot(_ == key).map(col): _*)
+    val r = right.select(col(key), col(rightTime).as("__t"),
+      payload.as(payloadName)).withColumn("__o", lit(if (strict) 1 else 0))
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__o", lit(if (strict) 0 else 1))
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(payloadName, last(col(payloadName), ignoreNulls = true).over(w))
+      .where(col("__o") === lit(if (strict) 0 else 1))
+      .drop("__t", "__o")
+  }
 }

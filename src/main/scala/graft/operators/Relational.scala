@@ -195,6 +195,27 @@ object Relational {
         approx_percentile(col("value"), lit(0.99), lit(10000)).as("p99_approx"),
         count("*").as("n_events"))
 
+  /** As-of join: each event annotated with the user's most recent strictly
+    * earlier error event — the "what was already broken when this
+    * happened" context an incident dashboard needs. One shuffle on
+    * user_id + a spillable time sort ([[JoinOps.asofJoin]]); ties at equal
+    * timestamps are pre-reduced to max event_id so both engines pick the
+    * same row. */
+  def asofPrevError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val errs = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("prev_error_id"))
+    JoinOps.asofJoin(ev, errs, "user_id", "ts", "ts", "prev", strict = true)
+      .select(col("event_id"),
+        date_format(col("ts"), TsUs).as("ts_us"),
+        col("user_id"),
+        col("prev.prev_error_id").as("prev_error_id"),
+        date_format(col("prev.ts"), TsUs).as("prev_error_ts_us"))
+  }
+
   /** Batch twin of the Structured Streaming pipeline: tumbling 1-hour
     * window counts by level (graft.streaming runs the same plan over
     * readStream with a watermark).

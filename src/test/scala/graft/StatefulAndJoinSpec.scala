@@ -121,6 +121,30 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: inclusive vs strict semantics and no-match NULLs") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),   // exactly at a right row
+      (2L, ts("2024-01-01 10:30:00"), 1L),   // between right rows
+      (3L, ts("2024-01-01 09:00:00"), 1L),   // before any right row
+      (4L, ts("2024-01-01 12:00:00"), 2L))   // key with no right rows
+      .toDF("id", "ts", "k")
+    val right = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "a"),
+      (ts("2024-01-01 11:00:00"), 1L, "b"))
+      .toDF("rts", "k", "v")
+    def run(strict: Boolean): Map[Long, Option[String]] =
+      JoinOps.asofJoin(left, right, "k", "ts", "rts", "p", strict)
+        .select(col("id"), col("p.v"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(run(strict = false) == Map(
+      1L -> Some("a"), 2L -> Some("a"), 3L -> None, 4L -> None))
+    // strict: the 10:00 event no longer matches the 10:00 right row
+    assert(run(strict = true) == Map(
+      1L -> None, 2L -> Some("a"), 3L -> None, 4L -> None))
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (Seq.fill(500)(1L) ++ (2L to 50L)).zipWithIndex
