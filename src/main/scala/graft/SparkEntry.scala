@@ -90,7 +90,8 @@ object SparkEntry {
     "encode_tokens"         -> (Corpus.encodeTokens _),
     "train_test_split"      -> ((s: SparkSession, d: String) => Corpus.trainTestSplit(s, d)),
     "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
-    "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d))
+    "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
+    "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
@@ -381,6 +382,21 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |FROM toks t LEFT JOIN vocab v USING (token)
         |GROUP BY t.doc_id""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT)) AS n_chunks
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx,
+        |       array_to_string(toks[CAST(i*56+1 AS BIGINT) : CAST(least(i*56+64, n) AS BIGINT)], ' ') AS chunk_text,
+        |       least(64, n - i*56) AS n_chunk_tokens
+        |FROM u""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (

@@ -102,6 +102,30 @@ object Corpus {
       .toDF("doc_id", "n_tokens", "bin_id")
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * `maxTokens`-token chunks (stride = maxTokens − overlap) — the step
+    * between "deduped documents" and "model-ready sequences" when docs
+    * exceed the training context. Pure per-row expression work (split,
+    * slice, join) exploded to one output row per chunk: a scan at any
+    * corpus size, no shuffle at all.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      maxTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap < maxTokens, "overlap must be smaller than maxTokens")
+    val stride = maxTokens - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil((col("n") - lit(overlap)).cast("double") / lit(stride)).cast("long")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)), " ").as("chunk_text"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk_idx") * stride).as("n_chunk_tokens"))
+  }
+
   /** Stratified sample: equal fractions per level so rare event types
     * survive sampling (seeded → deterministic). The distinct-types collect
     * is a dimension-sized driver read, same as broadcasting a dim table. */

@@ -66,6 +66,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(bins == pairs)
   }
 
+  test("chunk_documents covers every token with the declared overlap") {
+    val chunks = Corpus.chunkDocuments(spark, Sf, maxTokens = 64, overlap = 8)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        graft.functions.TextFns.wsTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == docs.keySet, "every doc must be chunked")
+    chunks.foreach { case (docId, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      val n = docs(docId)
+      // chunk starts advance by stride; the union covers [1, n]
+      byIdx.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_idx") == i.toLong)
+        assert(r.getAs[Long]("n_chunk_tokens") == math.min(64L, n - i * 56L))
+      }
+      val covered = byIdx.map(_.getAs[Long]("n_chunk_tokens")).zipWithIndex
+        .map { case (len, i) => i * 56L + len }.max
+      assert(covered == n, s"doc $docId: last chunk must reach token $n")
+      // consecutive chunks share exactly `overlap` tokens of text
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          val aToks = a.getAs[String]("chunk_text").split(" ")
+          val bToks = b.getAs[String]("chunk_text").split(" ")
+          assert(aToks.takeRight(8).sameElements(bToks.take(8)),
+            s"doc $docId chunks ${a.get(1)}/${b.get(1)} must overlap by 8 tokens")
+        case _ =>
+      }
+    }
+  }
+
   test("stratified sample is deterministic and covers all strata") {
     val s1 = Corpus.stratifiedSample(spark, Sf)
     val s2 = Corpus.stratifiedSample(spark, Sf)
