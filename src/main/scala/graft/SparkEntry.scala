@@ -91,7 +91,8 @@ object SparkEntry {
     "train_test_split"      -> ((s: SparkSession, d: String) => Corpus.trainTestSplit(s, d)),
     "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
-    "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d))
+    "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
+    "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
@@ -397,6 +398,26 @@ object SparkEntry {
         |       array_to_string(toks[CAST(i*56+1 AS BIGINT) : CAST(least(i*56+64, n) AS BIGINT)], ' ') AS chunk_text,
         |       least(64, n - i*56) AS n_chunk_tokens
         |FROM u""".stripMargin,
+
+    "decontaminate" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(t[CAST(i+1 AS BIGINT) : CAST(least(i+8, n) AS BIGINT)], ' ') AS g
+        |  FROM (
+        |    SELECT doc_id, t, len(t) AS n,
+        |           unnest(range(0, greatest(1, len(t) - 7))) AS i
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |          FROM documents))),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT g.doc_id, count(*) AS n_shared
+        |  FROM g JOIN ev USING (g)
+        |  WHERE g.doc_id % 10 != 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sh.n_shared, 0) AS n_shared_ngrams,
+        |       coalesce(sh.n_shared, 0) > 0 AS is_contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 10 != 0""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (

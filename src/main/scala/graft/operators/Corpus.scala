@@ -126,6 +126,33 @@ object Corpus {
         least(lit(maxTokens.toLong), col("n") - col("chunk_idx") * stride).as("n_chunk_tokens"))
   }
 
+  /** Train/eval contamination check (decontamination): flags training
+    * documents sharing any word 8-gram with the held-out eval set (here:
+    * every 10th doc) — the n-gram-overlap hygiene step run before
+    * training so eval examples aren't memorized verbatim.
+    *
+    * Shape at scale: per-doc distinct shingles are a native one-pass
+    * kernel; the eval side collapses to a distinct gram set (a fraction
+    * of eval size) and broadcasts; the train side is explode → broadcast
+    * equi-join → per-doc count. The corpus never shuffles.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), NearDup.wordShingles(col("text"), n).as("grams"))
+    val isEval = pmod(col("doc_id"), lit(10)) === 0
+    val train = grams.where(!isEval)
+    val evalGrams = grams.where(isEval)
+      .select(explode(col("grams")).as("g")).distinct()
+    val shared = train.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count("*").as("n_shared"))
+    train.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   /** Stratified sample: equal fractions per level so rare event types
     * survive sampling (seeded → deterministic). The distinct-types collect
     * is a dimension-sized driver read, same as broadcasting a dim table. */

@@ -97,6 +97,30 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate flags exactly the docs overlapping the eval set") {
+    val out = Corpus.decontaminate(spark, Sf).collect()
+    // only train docs appear
+    assert(out.forall(_.getAs[Long]("doc_id") % 10 != 0))
+    // flag agrees with the count, and both classes occur in the fixture
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_contaminated") ==
+        (r.getAs[Long]("n_shared_ngrams") > 0))
+    }
+    // cross-check one flagged doc against a direct shingle intersection
+    val flagged = out.filter(_.getAs[Boolean]("is_contaminated"))
+    flagged.headOption.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val grams = graft.sources.Tables.documents(spark, Sf)
+        .select(col("doc_id"),
+          graft.operators.NearDup.wordShingles(col("text"), 8).as("g"))
+      val mine = grams.where(col("doc_id") === docId)
+        .select(explode(col("g"))).collect().map(_.getString(0)).toSet
+      val evalG = grams.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(explode(col("g"))).collect().map(_.getString(0)).toSet
+      assert((mine & evalG).size.toLong == r.getAs[Long]("n_shared_ngrams"))
+    }
+  }
+
   test("stratified sample is deterministic and covers all strata") {
     val s1 = Corpus.stratifiedSample(spark, Sf)
     val s2 = Corpus.stratifiedSample(spark, Sf)
