@@ -92,7 +92,8 @@ object SparkEntry {
     "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
-    "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d))
+    "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
+    "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
@@ -436,6 +437,16 @@ object SparkEntry {
         |       ELSE 'de' END AS pred_lang,
         |  lang AS labeled_lang
         |FROM s""".stripMargin,
+
+    "sample_exact_stratified" ->
+      """SELECT event_id, ts_us, user_id, event_type, value, rk FROM (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+        |         user_id, event_type, value,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) AS rk
+        |  FROM events) t
+        |WHERE rk <= 100""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,

@@ -153,6 +153,35 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
   }
 
+  /** Exact-N deterministic sample per stratum: the eval-set construction
+    * primitive — every event_type contributes exactly `nPer` rows (fewer
+    * if the stratum is smaller), chosen by md5(event_id) order so the
+    * "random" sample is engine-stable and reproducible forever.
+    *
+    * Strata are FEW and HUGE (5 event types × 20 TB), so a single
+    * per-stratum rank window would sort a whole stratum on one reducer.
+    * Two-phase instead: a salted local top-N bounds each reducer to
+    * stratum/32, then the global rank runs on ≤ 32·nPer rows per stratum.
+    */
+  def sampleExactStratified(spark: SparkSession, dir: String,
+      nPer: Int = 100, salts: Int = 32): DataFrame = {
+    val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("__key", md5(col("event_id").cast("string")))
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(salts)))
+    val wLocal = Window.partitionBy("event_type", "__salt")
+      .orderBy(col("__key"), col("event_id"))
+    val wGlobal = Window.partitionBy("event_type")
+      .orderBy(col("__key"), col("event_id"))
+    ev.withColumn("__lrk", row_number().over(wLocal))
+      .where(col("__lrk") <= nPer)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .where(col("rk") <= nPer)
+      .select(col("event_id"), date_format(col("ts"), tsUs).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("rk"))
+  }
+
   /** Stratified sample: equal fractions per level so rare event types
     * survive sampling (seeded → deterministic). The distinct-types collect
     * is a dimension-sized driver read, same as broadcasting a dim table. */
