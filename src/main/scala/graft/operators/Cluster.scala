@@ -49,8 +49,11 @@ object Cluster {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           col("cluster").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint()   // eager: materialized before the old round is freed
       changed = next.where(col("cluster") =!= col("prev")).count()
+      // the new checkpoint no longer depends on the old one's lineage —
+      // free it now, or O(diameter) label copies pile up in executor storage
+      labels.unpersist()
       labels = next.drop("prev")
       it += 1
     }

@@ -124,8 +124,11 @@ object Embeddings {
   }
 
   private[operators] def ivfAssign(spark: SparkSession, dir: String, k: Int = 0)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) = {
+    // evict entries of stopped sessions (see NearDup.memoBase)
+    ivfMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     ivfMemo.getOrElseUpdate((spark, dir, k), ivfAssignFrom(corpus(spark, dir), k))
+  }
 
   private[graft] def ivfAssignFrom(c: DataFrame, k: Int = 0)
       : (DataFrame, DataFrame) = {
@@ -149,11 +152,14 @@ object Embeddings {
     (assigned, centDf)
   }
 
-  /** Deterministic per-bucket candidate cap — one partition-local window
-    * on the bucket key (the same shuffle the candidate equi-join needs
-    * anyway, so AQE coalesces them into one exchange). */
-  private def capBucket(df: DataFrame, idCol: String): DataFrame = {
-    val byBucket = Window.partitionBy("bucket").orderBy(col(idCol))
+  /** Deterministic per-bucket candidate cap (keep-first-N by id) — one
+    * partition-local window on the bucket key (the same shuffle the
+    * candidate equi-join needs anyway, so AQE coalesces them into one
+    * exchange). Keep-first, not drop-bucket: a query whose only collisions
+    * land in a hot bucket must still get candidates. */
+  private def capBucket(df: DataFrame, idCol: String,
+      bucketCol: String = "bucket"): DataFrame = {
+    val byBucket = Window.partitionBy(bucketCol).orderBy(col(idCol))
     df.withColumn("__bn", row_number().over(byBucket))
       .where(col("__bn") <= MaxIvfBucket)
       .drop("__bn")
@@ -205,6 +211,7 @@ object Embeddings {
     // the signature projection feeds three plan references (queries,
     // candidates, hot-bucket counts) — persist it once per session, like
     // the other shared bases
+    lshMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     val sigs = lshMemo.getOrElseUpdate((spark, s"$dir:$nBits:$bands"),
       lshSigs(corpus(spark, dir), nBits, bands).persist())
     lshSearch(sigs, topK)
@@ -244,12 +251,11 @@ object Embeddings {
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         explode(col("keys")).as("key"))
     val cand = sigs.select(col("vec_id"), col("emb"), explode(col("keys")).as("key"))
-    // hot-bucket cap (mirror of the minhash path): a degenerate band key —
-    // e.g. a mass of near-zero vectors landing on one signature — would
-    // otherwise make one bucket's candidate join quadratic
-    val keyCounts = cand.groupBy("key").agg(count("*").as("kn"))
-    val capped = cand.join(keyCounts.where(col("kn") <= MaxIvfBucket), "key")
-      .select(col("vec_id"), col("emb"), col("key"))
+    // hot-bucket cap: a degenerate band key — e.g. a mass of near-zero
+    // vectors landing on one signature — would otherwise make one bucket's
+    // candidate join quadratic; keep the first MaxIvfBucket by vec_id so
+    // hot buckets still contribute candidates
+    val capped = capBucket(cand, "vec_id", bucketCol = "key")
     val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     capped.join(broadcast(queries), "key")
       .where(col("vec_id") =!= col("qid"))

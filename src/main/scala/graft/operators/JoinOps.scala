@@ -56,11 +56,16 @@ object JoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadName: String,
       strict: Boolean = false): DataFrame = {
-    require(!left.columns.contains(payloadName),
-      s"left already has a column named $payloadName")
+    Seq(payloadName, "__t", "__o").foreach { c =>
+      require(!left.columns.contains(c), s"left already has a column named $c")
+    }
     val payload = struct(right.columns.filterNot(_ == key).map(col): _*)
-    val r = right.select(col(key), col(rightTime).as("__t"),
-      payload.as(payloadName)).withColumn("__o", lit(if (strict) 1 else 0))
+    // NULL keys never match in a SQL equi/ASOF join — drop NULL-key right
+    // rows so NULL-key left rows see an empty partition and get a NULL
+    // payload, not each other's
+    val r = right.where(col(key).isNotNull)
+      .select(col(key), col(rightTime).as("__t"),
+        payload.as(payloadName)).withColumn("__o", lit(if (strict) 1 else 0))
     val l = left.withColumn("__t", col(leftTime))
       .withColumn("__o", lit(if (strict) 0 else 1))
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__o"))

@@ -176,9 +176,11 @@ object LogOps {
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_id"),
         date_format(col("ts"), TsUs).as("ts_us"),
-        format_string("- %s | user_%d | %s | %s",
-          date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
-          col("props")).as("line"))
+        // NULL fields null the line (SQL printf semantics) — see slackMessage
+        when(col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull,
+          format_string("- %s | user_%d | %s | %s",
+            date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
+            col("props"))).as("line"))
       .groupBy(col("day"))
       .agg(count("*").as("n_incidents"),
         array_join(
@@ -199,9 +201,13 @@ object LogOps {
       .orderBy(col("ts"), col("event_id"))
       .limit(5)
       .select(col("event_id"),
-        format_string("- %s | user_%d | %s | %s",
-          date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
-          graft.functions.TextFns.redactSecrets(col("props"))).as("line"))
+        // NULL in any field nulls the LINE (SQL printf propagates NULL and
+        // string_agg then skips it) — Spark's format_string would render
+        // the literal text "null" and diverge from the oracle digest
+        when(col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull,
+          format_string("- %s | user_%d | %s | %s",
+            date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
+            graft.functions.TextFns.redactSecrets(col("props")))).as("line"))
     batch
       .agg(count("*").as("n_logs"),
         array_join(

@@ -81,8 +81,12 @@ object NearDup {
   private val baseMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
-  private def memoBase(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  private def memoBase(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // evict entries of stopped sessions — otherwise a long-lived JVM that
+    // cycles sessions (test suites, notebooks) pins them forever
+    baseMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     baseMemo.getOrElseUpdate((spark, key), build.persist())
+  }
 
   /** Unpersist and drop every signature base cached for `spark`. */
   def releaseCache(spark: SparkSession): Unit =

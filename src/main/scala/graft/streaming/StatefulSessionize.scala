@@ -6,15 +6,16 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** `value` is Option: the events table's value column is nullable, and a
-  * non-nullable Double here fails the encoder's NOT_NULL assert at runtime
-  * on the first NULL row. */
-case class SessEvent(user_id: Long, ts: Timestamp, value: Option[Double])
+/** `user_id` and `value` are Option: both columns are nullable in the
+  * events table, and a non-nullable field here fails the encoder's
+  * NOT_NULL assert at runtime on the first NULL row. NULL user_ids form
+  * one session group, matching SQL window PARTITION BY semantics. */
+case class SessEvent(user_id: Option[Long], ts: Timestamp, value: Option[Double])
 
 case class SessBuf(startUs: Long, lastUs: Long, n: Int, sum: Double,
     hasVal: Boolean)
 
-case class SessionOut(user_id: Long, session_start: Timestamp,
+case class SessionOut(user_id: Option[Long], session_start: Timestamp,
     session_end: Timestamp, n_events: Int, session_value: Option[Double])
 
 /** Continuous gap-based sessionization via `flatMapGroupsWithState` —
@@ -48,7 +49,7 @@ object StatefulSessionize {
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessBuf, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessBuf]) =>
+        (uid: Option[Long], it: Iterator[SessEvent], state: GroupState[SessBuf]) =>
           // SQL-sum semantics: NULLs are skipped; an all-NULL session sums
           // to NULL (not 0.0), matching the oracle's round(sum(value), 2)
           def close(s: SessBuf): SessionOut =

@@ -33,9 +33,9 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     def ts(s: String) = Timestamp.valueOf(s)
     try {
       mem.addData(
-        SessEvent(1, ts("2024-01-01 10:00:00"), Some(1.0)),
-        SessEvent(1, ts("2024-01-01 10:10:00"), Some(2.0)),
-        SessEvent(1, ts("2024-01-01 13:00:00"), Some(5.0)))
+        SessEvent(Some(1L), ts("2024-01-01 10:00:00"), Some(1.0)),
+        SessEvent(Some(1L), ts("2024-01-01 10:10:00"), Some(2.0)),
+        SessEvent(Some(1L), ts("2024-01-01 13:00:00"), Some(5.0)))
       q.processAllAvailable()
       // gap between 10:10 and 13:00 closes the first session inline
       val afterB1 = spark.table("sess_test").collect()
@@ -43,9 +43,9 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       assert(afterB1(0).getAs[Int]("n_events") == 2)
       assert(afterB1(0).getAs[Double]("session_value") == 3.0)
       // advance the watermark well past 13:00+gap → timeout fires
-      mem.addData(SessEvent(2, ts("2024-01-01 20:00:00"), Some(1.0)))
+      mem.addData(SessEvent(Some(2L), ts("2024-01-01 20:00:00"), Some(1.0)))
       q.processAllAvailable()
-      mem.addData(SessEvent(2, ts("2024-01-01 23:00:00"), Some(1.0)))
+      mem.addData(SessEvent(Some(2L), ts("2024-01-01 23:00:00"), Some(1.0)))
       q.processAllAvailable()
       val out = spark.table("sess_test").collect()
       assert(out.exists(r => r.getAs[Long]("user_id") == 1 &&
@@ -143,6 +143,22 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     // strict: the 10:00 event no longer matches the 10:00 right row
     assert(run(strict = true) == Map(
       1L -> None, 2L -> Some("a"), 3L -> None, 4L -> None))
+  }
+
+  test("asofJoin: NULL keys never match, per SQL equi-join semantics") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), None: Option[Long]),
+        (2L, ts("2024-01-01 12:00:00"), Some(1L)))
+      .toDF("id", "ts", "k")
+    val right = Seq((ts("2024-01-01 11:00:00"), None: Option[Long], "nullkey"),
+        (ts("2024-01-01 11:00:00"), Some(1L), "real"))
+      .toDF("rts", "k", "v")
+    val out = JoinOps.asofJoin(left, right, "k", "ts", "rts", "p")
+      .select(col("id"), col("p.v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("real")),
+      s"NULL-key rows must not match each other: $out")
   }
 
   test("salted join equals plain join on skewed data") {
