@@ -36,8 +36,20 @@ object Cluster {
     // join unchanged — at corpus scale the propagation loop then costs
     // O(dup docs × diameter), not O(corpus × diameter). Singletons are
     // united back in one final anti-join.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // localCheckpoint persists at the RDD level, which Dataset.unpersist
+    // does NOT reach (it only clears CacheManager entries) — so track the
+    // RDD ids each checkpoint adds and free the previous round's directly,
+    // or O(diameter) label copies pile up in executor storage.
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()   // eager: materialized on return
+      (out, (sc.getPersistentRDDs.keySet -- before).iterator.map(_.toInt).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (labels, labelRddIds) = checkpointTracked(
+      sym.select(col("src").as("id")).distinct().withColumn("cluster", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -45,15 +57,14 @@ object Cluster {
         .join(labels.select(col("id").as("dst"), col("cluster").as("dst_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_cluster").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          col("cluster").as("prev"))
-        .localCheckpoint()   // eager: materialized before the old round is freed
+      val (next, nextIds) = checkpointTracked(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+            col("cluster").as("prev")))
       changed = next.where(col("cluster") =!= col("prev")).count()
-      // the new checkpoint no longer depends on the old one's lineage —
-      // free it now, or O(diameter) label copies pile up in executor storage
-      labels.unpersist()
+      free(labelRddIds)   // the new checkpoint does not depend on the old
+      labelRddIds = nextIds
       labels = next.drop("prev")
       it += 1
     }

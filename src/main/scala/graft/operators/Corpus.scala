@@ -132,9 +132,13 @@ object Corpus {
     * training so eval examples aren't memorized verbatim.
     *
     * Shape at scale: per-doc distinct shingles are a native one-pass
-    * kernel; the eval side collapses to a distinct gram set (a fraction
-    * of eval size) and broadcasts; the train side is explode → broadcast
-    * equi-join → per-doc count. The corpus never shuffles.
+    * kernel; the candidate step is an equi-join between exploded train
+    * grams and the distinct eval gram set. Distinct 8-grams are ~one per
+    * token, so the eval side scales with eval token volume — no broadcast
+    * hint: Catalyst/AQE broadcasts a genuinely small eval set and falls
+    * back to a hash-partitioned shuffle join (grams are near-uniform
+    * hash keys) when it isn't. A bloom filter on eval gram hashes is the
+    * next refinement if the shuffle dominates.
     */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val grams = Tables.documents(spark, dir)
@@ -144,7 +148,7 @@ object Corpus {
     val evalGrams = grams.where(isEval)
       .select(explode(col("grams")).as("g")).distinct()
     val shared = train.select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(evalGrams, Seq("g"))
       .groupBy(col("doc_id")).agg(count("*").as("n_shared"))
     train.select(col("doc_id"))
       .join(shared, Seq("doc_id"), "left")

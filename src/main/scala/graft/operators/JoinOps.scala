@@ -62,8 +62,10 @@ object JoinOps {
     val payload = struct(right.columns.filterNot(_ == key).map(col): _*)
     // NULL keys never match in a SQL equi/ASOF join — drop NULL-key right
     // rows so NULL-key left rows see an empty partition and get a NULL
-    // payload, not each other's
-    val r = right.where(col(key).isNotNull)
+    // payload, not each other's. NULL right times would sort NULLS FIRST
+    // and masquerade as an infinitely-old match — SQL's ts >= rt is never
+    // true for NULL, so drop those too.
+    val r = right.where(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key), col(rightTime).as("__t"),
         payload.as(payloadName)).withColumn("__o", lit(if (strict) 1 else 0))
     val l = left.withColumn("__t", col(leftTime))

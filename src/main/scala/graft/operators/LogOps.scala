@@ -183,10 +183,13 @@ object LogOps {
             col("props"))).as("line"))
       .groupBy(col("day"))
       .agg(count("*").as("n_incidents"),
-        array_join(
-          transform(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("line")))),
-            x => x.getField("line")),
-          "\n").as("report"))
+        // string_agg over zero non-null lines is NULL, not "" — guard the
+        // all-NULL-lines group or the hashes diverge
+        when(count(col("line")) > 0,
+          array_join(
+            transform(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("line")))),
+              x => x.getField("line")),
+            "\n")).as("report"))
 
   /** Slack RCA share message (_format_slack_message, llm_processor.py:97-105
     * and app.py:138-143): `*AI RCA & Fix Suggestion:*` header, the redacted
@@ -210,10 +213,13 @@ object LogOps {
             graft.functions.TextFns.redactSecrets(col("props")))).as("line"))
     batch
       .agg(count("*").as("n_logs"),
-        array_join(
-          transform(sort_array(collect_list(struct(col("event_id"), col("line")))),
-            x => x.getField("line")),
-          "\n").as("logs_txt"))
+        // NULL (not "") when every line is NULL — string_agg semantics;
+        // concat then propagates the NULL into the whole message
+        when(count(col("line")) > 0,
+          array_join(
+            transform(sort_array(collect_list(struct(col("event_id"), col("line")))),
+              x => x.getField("line")),
+            "\n")).as("logs_txt"))
       .select(
         // NULL on an empty batch, matching SQL semantics (string_agg over
         // zero rows is NULL, and || propagates it)

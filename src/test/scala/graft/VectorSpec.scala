@@ -204,9 +204,16 @@ class VectorSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       graft.operators.Cluster.connectedComponents(chain, nodes, maxIter = 20).collect()
     }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val cc = graft.operators.Cluster.connectedComponents(chain, nodes, maxIter = 35)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet == Set(0L), s"one component labeled 0, got $cc")
+    // 29 propagation rounds must not leave 29 checkpointed label copies:
+    // each round frees the previous (only the final labels checkpoint and
+    // at most a couple of stragglers may remain)
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(rddsAfter - rddsBefore <= 3,
+      s"checkpoint storage leaked across rounds: $rddsBefore -> $rddsAfter")
   }
 
   test("dedup_clusters covers every doc exactly once and sizes add up") {
