@@ -93,7 +93,8 @@ object SparkEntry {
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
-    "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d))
+    "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d)),
+    "quality_perplexity"    -> (Corpus.perplexityScore _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
@@ -419,6 +420,33 @@ object SparkEntry {
         |       coalesce(sh.n_shared, 0) > 0 AS is_contaminated
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
         |WHERE d.doc_id % 10 != 0""".stripMargin,
+
+    "quality_perplexity" ->
+      """WITH vocab AS (
+        |  SELECT token, freq FROM (
+        |    SELECT token, freq,
+        |           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+        |    FROM (
+        |      SELECT token, count(*) AS freq FROM (
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |        FROM documents) t
+        |      WHERE length(token) > 0
+        |      GROUP BY token HAVING count(*) >= 2) c) r
+        |  WHERE token_id <= 1000),
+        |stats AS (SELECT sum(freq) + count(*) + 1 AS denom FROM vocab),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         ln((coalesce(v.freq, 0) + 1) / (SELECT denom FROM stats)) AS logp,
+        |         CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v USING (token)
+        |  WHERE length(t.token) > 0)
+        |SELECT doc_id, round(exp(-avg(logp)), 4) AS perplexity,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (

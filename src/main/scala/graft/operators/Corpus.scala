@@ -102,6 +102,36 @@ object Corpus {
       .toDF("doc_id", "n_tokens", "bin_id")
   }
 
+  /** Unigram-LM perplexity per document — the LM-based quality filter of
+    * large-corpus pipelines: documents whose token distribution diverges
+    * from the corpus distribution (boilerplate, gibberish, wrong-language)
+    * score high and get dropped/downweighted.
+    *
+    * Model = the [[buildVocab]] top-1000 unigram distribution, add-one
+    * smoothed over (total + |V| + 1) with OOV at the floor; scoring is a
+    * broadcast join of the dimension-sized vocab onto exploded tokens +
+    * one per-doc aggregate: a scan plus one shuffle at any corpus size.
+    * perplexity = exp(−mean log p(token)), rounded — per-doc means are
+    * few-addend sums, safe to round (SURVEY §5).
+    */
+  def perplexityScore(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = buildVocab(spark, dir).select(col("token"), col("freq"))
+    // dimension-sized driver scalars (vocab is ≤ maxVocab rows)
+    val stats = vocab.agg(sum("freq").as("total"), count("*").as("v")).head()
+    val denom = (stats.getLong(0) + stats.getLong(1) + 1).toDouble
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.wsTokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("logp",
+        log((coalesce(col("freq"), lit(0L)) + 1).cast("double") / lit(denom)))
+      .groupBy(col("doc_id"))
+      .agg(round(exp(-avg(col("logp"))), 4).as("perplexity"),
+        count("*").as("n_tokens"),
+        sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Context-window chunking: split each document into overlapping
     * `maxTokens`-token chunks (stride = maxTokens − overlap) — the step
     * between "deduped documents" and "model-ready sequences" when docs

@@ -97,6 +97,25 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexity ranks out-of-distribution docs above common-token docs") {
+    val out = Corpus.perplexityScore(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("perplexity"), r.getAs[Long]("n_oov"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(out.size == graft.sources.Tables.documents(spark, Sf).count())
+    // all-OOV docs must sit at the smoothed-floor perplexity, strictly
+    // above the corpus-wide best (common tokens are modeled, OOV is not)
+    val (allOov, partial) = out.values.partition { case (_, oov, n) => oov == n }
+    if (allOov.nonEmpty && partial.nonEmpty) {
+      val worstModeled = partial.map(_._1).max
+      val floorPpl = allOov.map(_._1).min
+      assert(floorPpl >= worstModeled * 0.999,
+        s"all-OOV docs ($floorPpl) must not beat modeled docs ($worstModeled)")
+    }
+    // perplexity is positive and finite everywhere
+    out.values.foreach { case (p, _, _) => assert(p > 0 && !p.isInfinite) }
+  }
+
   test("decontaminate flags exactly the docs overlapping the eval set") {
     val out = Corpus.decontaminate(spark, Sf).collect()
     // only train docs appear
