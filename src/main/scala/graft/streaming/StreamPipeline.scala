@@ -54,6 +54,18 @@ object StreamPipeline {
       }
       .start()
 
+  /** Continuous twin of the batch (message, ts) dedup
+    * (LogOps.preprocessDedup): keep the first occurrence of each key seen
+    * within the watermark horizon, drop later duplicates. State per key is
+    * bounded by the watermark — `dropDuplicatesWithinWatermark` evicts a
+    * key once the watermark passes its event time + delay, so state tracks
+    * the in-flight horizon, not history (the unbounded-state trap of plain
+    * `dropDuplicates` on a stream).
+    */
+  def streamDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("props", "ts")
+
   /** File-source deployment shape: stream new parquet drops under `dir`,
     * aggregate, append to a sink. Used for wiring checks, not the oracle. */
   def fileStream(spark: SparkSession, dir: String, checkpoint: String,

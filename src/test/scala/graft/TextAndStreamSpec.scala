@@ -136,6 +136,30 @@ class TextAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates, keeps distinct keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamPipeline.streamDedup(mem.toDF().toDF("ts", "props"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), "m1"), (ts("2024-01-01 10:00:00"), "m1"))
+      q.processAllAvailable()
+      // same key again in a later micro-batch, still inside the watermark
+      mem.addData((ts("2024-01-01 10:00:00"), "m1"), (ts("2024-01-01 10:05:00"), "m2"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1))).toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00.0", "m1"),
+        ("2024-01-01 10:05:00.0", "m2")),
+        s"duplicates within the watermark must be dropped once: $out")
+    } finally q.stop()
+  }
+
   test("IO: partitioned parquet sink enables partition pruning") {
     import graft.sources.{IO, Tables}
     val out = "/tmp/graft_io_test/events_parted"
