@@ -37,19 +37,18 @@ object Cluster {
     // O(dup docs × diameter), not O(corpus × diameter). Singletons are
     // united back in one final anti-join.
     // localCheckpoint persists at the RDD level, which Dataset.unpersist
-    // does NOT reach (it only clears CacheManager entries) — so track the
-    // RDD ids each checkpoint adds and free the previous round's directly,
-    // or O(diameter) label copies pile up in executor storage.
+    // does NOT reach (it only clears CacheManager entries) — so read each
+    // checkpoint's own RDD id from its plan (Bridge.checkpointRddId) and
+    // free the previous round's directly, or O(diameter) label copies pile
+    // up in executor storage. (A getPersistentRDDs before/after diff would
+    // over-capture caches co-materialized by the same job — e.g. `sym` or
+    // session-memoized bases — and free them out from under their owners.)
     val sc = edges.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()   // eager: materialized on return
-      (out, (sc.getPersistentRDDs.keySet -- before).iterator.map(_.toInt).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var (labels, labelRddIds) = checkpointTracked(
-      sym.select(col("src").as("id")).distinct().withColumn("cluster", col("id")))
+    def free(id: Option[Int]): Unit =
+      id.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var labelRddId = org.apache.spark.sql.graft.Bridge.checkpointRddId(labels)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -57,14 +56,14 @@ object Cluster {
         .join(labels.select(col("id").as("dst"), col("cluster").as("dst_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_cluster").as("nbr_min"))
-      val (next, nextIds) = checkpointTracked(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-            col("cluster").as("prev")))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
+        .localCheckpoint()   // eager: materialized on return
       changed = next.where(col("cluster") =!= col("prev")).count()
-      free(labelRddIds)   // the new checkpoint does not depend on the old
-      labelRddIds = nextIds
+      free(labelRddId)   // the new checkpoint does not depend on the old
+      labelRddId = org.apache.spark.sql.graft.Bridge.checkpointRddId(next)
       labels = next.drop("prev")
       it += 1
     }
@@ -73,7 +72,8 @@ object Cluster {
       .withColumn("cluster", col("id"))
     val all = labels.unionAll(singletons)
     sym.unpersist()
-    if (changed > 0)
+    if (changed > 0) {
+      free(labelRddId)   // don't leak the last checkpoint on the error path
       // Surface loudly: callers (train_test_split) build leakage-safety on
       // these labels; silently-wrong canonical ids would leak near-dups
       // across the split with no signal.
@@ -81,6 +81,7 @@ object Cluster {
         s"connectedComponents did not converge in $maxIter iterations " +
           s"($changed labels still changing) — component diameter exceeds " +
           "maxIter; raise maxIter or pre-contract the graph")
+    }
     all
   }
 }

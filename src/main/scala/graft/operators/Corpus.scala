@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -115,17 +115,25 @@ object Corpus {
     * few-addend sums, safe to round (SURVEY §5).
     */
   def perplexityScore(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = buildVocab(spark, dir).select(col("token"), col("freq"))
-    // dimension-sized driver scalars (vocab is ≤ maxVocab rows)
-    val stats = vocab.agg(sum("freq").as("total"), count("*").as("v")).head()
-    val denom = (stats.getLong(0) + stats.getLong(1) + 1).toDouble
+    import spark.implicits._
+    // collect the dimension-sized vocab ONCE (≤ maxVocab rows) — deriving
+    // denom and the broadcast side from the same collected rows avoids
+    // paying the full-corpus vocab aggregation twice
+    val vocabRows = buildVocab(spark, dir).select(col("token"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // empty vocab → NULL denom → NULL perplexity, matching the oracle's
+    // NULL propagation (sum over zero rows is NULL in SQL)
+    val denom: Column =
+      if (vocabRows.isEmpty) lit(null).cast("double")
+      else lit((vocabRows.map(_._2).sum + vocabRows.length + 1).toDouble)
+    val vocab = vocabRows.toSeq.toDF("token", "freq")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextFns.wsTokens(lower(col("text")))).as("token"))
       .where(length(col("token")) > 0)
       .join(broadcast(vocab), Seq("token"), "left")
       .withColumn("logp",
-        log((coalesce(col("freq"), lit(0L)) + 1).cast("double") / lit(denom)))
+        log((coalesce(col("freq"), lit(0L)) + 1).cast("double") / denom))
       .groupBy(col("doc_id"))
       .agg(round(exp(-avg(col("logp"))), 4).as("perplexity"),
         count("*").as("n_tokens"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
@@ -169,6 +169,24 @@ object LogOps {
     * ordered report string per day. Distributed string assembly: collect
     * sorted structs per group, join — one shuffle, no driver loop.
     */
+  /** The `- ts | container | level | message` log line, with SQL printf
+    * NULL-parity: NULL ts/user_id/props null the whole LINE (the oracle's
+    * printf propagates NULL, and string_agg then skips it — Spark's
+    * format_string would otherwise render the literal text "null"). */
+  private def logLine(msg: Column): Column =
+    when(col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull,
+      format_string("- %s | user_%d | %s | %s",
+        date_format(col("ts"), TsUs), col("user_id"), col("event_type"), msg))
+
+  /** string_agg-parity ordered join of a group's `line` column: sorted by
+    * `sortKeys`, NULL lines skipped, NULL (not "") when all are NULL. */
+  private def joinedLines(sortKeys: Column*): Column =
+    when(count(col("line")) > 0,
+      array_join(
+        transform(sort_array(collect_list(struct(sortKeys :+ col("line"): _*))),
+          x => x.getField("line")),
+        "\n"))
+
   def incidentReport(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .where(col("event_type") === "error")
@@ -176,20 +194,10 @@ object LogOps {
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_id"),
         date_format(col("ts"), TsUs).as("ts_us"),
-        // NULL fields null the line (SQL printf semantics) — see slackMessage
-        when(col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull,
-          format_string("- %s | user_%d | %s | %s",
-            date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
-            col("props"))).as("line"))
+        logLine(col("props")).as("line"))
       .groupBy(col("day"))
       .agg(count("*").as("n_incidents"),
-        // string_agg over zero non-null lines is NULL, not "" — guard the
-        // all-NULL-lines group or the hashes diverge
-        when(count(col("line")) > 0,
-          array_join(
-            transform(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("line")))),
-              x => x.getField("line")),
-            "\n")).as("report"))
+        joinedLines(col("ts_us"), col("event_id")).as("report"))
 
   /** Slack RCA share message (_format_slack_message, llm_processor.py:97-105
     * and app.py:138-143): `*AI RCA & Fix Suggestion:*` header, the redacted
@@ -204,22 +212,10 @@ object LogOps {
       .orderBy(col("ts"), col("event_id"))
       .limit(5)
       .select(col("event_id"),
-        // NULL in any field nulls the LINE (SQL printf propagates NULL and
-        // string_agg then skips it) — Spark's format_string would render
-        // the literal text "null" and diverge from the oracle digest
-        when(col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull,
-          format_string("- %s | user_%d | %s | %s",
-            date_format(col("ts"), TsUs), col("user_id"), col("event_type"),
-            graft.functions.TextFns.redactSecrets(col("props")))).as("line"))
+        logLine(graft.functions.TextFns.redactSecrets(col("props"))).as("line"))
     batch
       .agg(count("*").as("n_logs"),
-        // NULL (not "") when every line is NULL — string_agg semantics;
-        // concat then propagates the NULL into the whole message
-        when(count(col("line")) > 0,
-          array_join(
-            transform(sort_array(collect_list(struct(col("event_id"), col("line")))),
-              x => x.getField("line")),
-            "\n")).as("logs_txt"))
+        joinedLines(col("event_id")).as("logs_txt"))
       .select(
         // NULL on an empty batch, matching SQL semantics (string_agg over
         // zero rows is NULL, and || propagates it)

@@ -63,8 +63,14 @@ object StreamPipeline {
     * `dropDuplicates` on a stream).
     */
   def streamDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("props", "ts")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("props", "ts")
+    else
+      // batch twin (dropDuplicatesWithinWatermark rejects batch inputs):
+      // a full dedup, which is what the watermark variant converges to
+      // when all data is present at once
+      events.dropDuplicates("props", "ts")
 
   /** File-source deployment shape: stream new parquet drops under `dir`,
     * aggregate, append to a sink. Used for wiring checks, not the oracle. */

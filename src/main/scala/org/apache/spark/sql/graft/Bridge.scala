@@ -13,6 +13,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The RDD id a `localCheckpoint()`ed Dataset's data lives under
+    * (LogicalRDD is `private[sql]`). Lets iterative algorithms free a
+    * round's checkpoint storage deterministically — `Dataset.unpersist`
+    * only clears CacheManager entries, never RDD-level persistence. */
+  def checkpointRddId(df: org.apache.spark.sql.Dataset[_]): Option[Int] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
   /** Register a custom expression as a SQL function on a live session
     * (FunctionRegistry is `private[sql]`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
