@@ -81,6 +81,27 @@ object ScaleProbe {
         edges, spark.range(n + 1).toDF("id"))
     }
 
+    // deliberately hostile key distribution: half of all rows on one key,
+    // the rest uniform over 1000 — times the plain shuffle join against
+    // JoinOps.saltedJoin at the same scale
+    def skewLeft(n: Long): DataFrame = spark.range(n).select(
+      when(pmod(col("id"), lit(2)) === 0, lit(1L))
+        .otherwise(pmod(col("id"), lit(1000))).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(1000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val skewN = 1000000L * factor
+    // saltedJoin targets the right side too big to BROADCAST — simulate by
+    // disabling auto-broadcast so the plain join is a shuffle join with
+    // one melting reducer (AQE skew split still allowed: the comparison is
+    // against Spark's own best mitigation)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tPlain = time(s"skew_plain ${factor}M")(skewLeft(skewN).join(dim, "k"))
+    val tSalted = time(s"skew_salted ${factor}M")(
+      graft.operators.JoinOps.saltedJoin(skewLeft(skewN), dim, "k", 32))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(f"SKEW  salted/plain ${tSalted / tPlain}%5.2fx at ${skewN / 1000000}M rows, 50%% on one key")
+
     val r = Seq(
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
