@@ -25,11 +25,30 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Median of 3 whole-suite passes per query: a single-shot number is one
+    // GC pause or host-contention hiccup away from a 10× outlier becoming
+    // the official round record (it happened — r3's driver run recorded
+    // 131 s for a 49 s workload). Whole-suite passes, not 3 back-to-back
+    // runs per query: session memos (LSH signature bases, IVF assignments)
+    // would make runs 2-3 of a memo-building query artificially cheap.
+    // Releasing the caches between passes keeps each pass's cost model
+    // identical to a production run: the builder pays once, sharers reuse.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes = (1 to runs).map { _ =>
+      graft.operators.NearDup.releaseCache(spark)
+      graft.operators.Embeddings.releaseCache(spark)
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = names.map { name =>
+      val times = passes.map(_(name)).sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -62,14 +62,17 @@ object Corpus {
   /** Leakage-safe train/test split: near-duplicate documents must land in
     * the same split or evaluation leaks training data. Split is hashed
     * from the dedup *cluster* id, so every member of a dup cluster moves
-    * together. */
+    * together. The labels come from the session-memoized
+    * [[NearDup.clusterLabels]] relation — the LSH→connected-components
+    * pipeline runs once per (session, corpus); the split itself is a
+    * hash + projection over the persisted 2-long-per-doc labels. */
   def trainTestSplit(spark: SparkSession, dir: String,
       trainPct: Int = 80): DataFrame =
-    NearDup.dedupClusters(spark, dir)
+    NearDup.clusterLabels(spark, dir)
       .withColumn("split",
-        when(pmod(xxhash64(col("cluster_id")), lit(100)) < trainPct, "train")
+        when(pmod(xxhash64(col("cluster")), lit(100)) < trainPct, "train")
           .otherwise("test"))
-      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("split"))
 
   /** Sequence packing: greedy first-fit of documents into token-budget
     * bins (training-batch construction). Packing is per-partition after a

@@ -257,10 +257,17 @@ object Embeddings {
     // hot buckets still contribute candidates
     val capped = capBucket(cand, "vec_id", bucketCol = "key")
     val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    // A pair colliding in several bands appears once per shared band; the
+    // dedup happens AFTER scoring, as a map-side-combined groupBy on
+    // (qid, vec_id) — so the exchange moves 24 bytes per candidate, never
+    // the two 64-dim vectors (a `.distinct()` over the embedding payloads
+    // shuffles ~1 KB/candidate to decide what the id pair already decides;
+    // the repeated dot products it avoids are codegen'd scan-side work,
+    // which is the cheap currency). max(sim) == every copy's sim.
     capped.join(broadcast(queries), "key")
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qemb"), col("vec_id"), col("emb")).distinct()
       .withColumn("sim", round(VecFns.dot(col("emb"), col("qemb")), 6))
+      .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("sim"))
       .withColumn("rk", row_number().over(byQ).cast("long"))
       .where(col("rk") <= topK)
       .select(col("qid"), col("rk"), col("vec_id"), col("sim"))

@@ -179,15 +179,27 @@ object NearDup {
       (a, b) => lit(1.0) - hamming(a, b).cast("double") / lit(64.0), thr)
   }
 
+  /** Connected-component labels of the word-3 MinHash dup graph — the
+    * expensive iterative piece behind [[dedupClusters]] and
+    * `Corpus.trainTestSplit`, memoized + persisted per (session, corpus,
+    * threshold) like the signature bases: the LSH candidate join and the
+    * multi-round CC loop (driver-synchronized jobs) run ONCE per session,
+    * and every consumer is a join/projection over the 2-long-per-doc
+    * labels relation. Released via [[releaseCache]]. */
+  def clusterLabels(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame =
+    memoBase(spark, s"cc:$dir:$thr") {
+      val base = word3Base(spark, dir)
+      val dupEdges = scoredPairs(base, minhashJaccard).where(col("sim") >= thr)
+        .select(col("id_a"), col("id_b"))
+      Cluster.connectedComponents(dupEdges, base.select(col("id")))
+    }
+
   /** Near-dup clustering: MinHash-LSH pairs above `thr` → connected
     * components → one row per doc with its canonical cluster id (min doc_id
     * of the component) and cluster size. Downstream dedup = `keep rows
     * where doc_id == cluster_id`. */
   def dedupClusters(spark: SparkSession, dir: String, thr: Double = 0.8): DataFrame = {
-    val base = word3Base(spark, dir)
-    val dupEdges = scoredPairs(base, minhashJaccard).where(col("sim") >= thr)
-      .select(col("id_a"), col("id_b"))
-    val labels = Cluster.connectedComponents(dupEdges, base.select(col("id")))
+    val labels = clusterLabels(spark, dir, thr)
     val sizes = labels.groupBy(col("cluster")).agg(count("*").as("cluster_size"))
     labels.join(sizes, "cluster")
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),

@@ -137,16 +137,32 @@ object Relational {
     * matching DuckDB's quantile_cont — and Spark's own `percentile`:
     * v_lo + (v_hi - v_lo) * frac at rank (n-1)*p).
     *
-    * Sort-based two-pass, NOT the `percentile` aggregate: that aggregate
-    * buffers every group value in an in-memory (non-spilling) aggregation
-    * buffer, which is unbounded at 100 TB. Here the heavy path is a
-    * per-key window sort + row_number, both backed by disk-spillable
-    * buffers (UnsafeExternalSorter / ExternalAppendOnlyUnsafeRowBuffer);
-    * group sizes are pre-counted in a dimension-sized pass that
-    * broadcasts. The groupBy after the window reuses the window's hash
-    * partitioning — no extra shuffle.
+    * Distributed two-phase rank, NOT `Window.partitionBy(event_type)`:
+    * strata are FEW and HUGE (~5 event types over the whole fact table),
+    * so a per-stratum window sends 1/5 of 100 TB through one reducer's
+    * sort. (And not the `percentile` aggregate either — it buffers every
+    * group value in a non-spilling aggregation buffer.) Instead:
+    *
+    *  1. range-partition the non-null values on (event_type, value) — each
+    *     of the N partitions holds a contiguous slice of one-or-more
+    *     strata's sorted order, sized data/N, sort-spillable;
+    *  2. partition-local ranks from a streaming mapPartitions (the one
+    *     genuinely non-expression step: rank-within-sorted-run);
+    *  3. global rank = local rank + stratum offset, where offsets come
+    *     from per-(partition, stratum) counts — a dimension-sized (N ×
+    *     |types|) relation that is windowed and broadcast;
+    *  4. the interpolation picks are max(when(rn = target)) aggregates —
+    *     map-side combined to ≤|types| rows per task before the exchange.
+    *
+    * The partition count is pinned explicitly: the range exchange is read
+    * twice (counts + ranks), and an AQE re-coalesce between the reads
+    * would silently misalign the offsets. With the count pinned, the
+    * RangePartitioner's sampled boundaries are deterministic for a given
+    * input, so both reads see identical (pid → slice) mappings even if
+    * Catalyst doesn't reuse the exchange.
     */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
     // count(*) (incl. NULL values — the oracle's n_events/avg divisor) and
     // count(value) (non-null — the quantile_cont rank base) both in one pass
@@ -155,11 +171,39 @@ object Relational {
         count(col("value")).as("n_nn"),
         // decimal sum, unrounded: see q1PricingSummary for why
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_v"))
-    val w = Window.partitionBy("event_type").orderBy(col("value"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // quantile_cont ignores NULLs: rank non-null values only
-    val ranked = ev.where(col("value").isNotNull)
+    val parted = ev.where(col("value").isNotNull)
+      .repartitionByRange(nPart, col("event_type"), col("value"))
+    val partCounts = parted
+      .groupBy(spark_partition_id().as("pid"), col("event_type"))
+      .agg(count("*").as("cnt"))
+    val wOff = Window.partitionBy("event_type").orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offset of each partition's slice within its stratum's global order
+    // (windowed over N × |types| rows — dimension-sized by construction)
+    val offsets = partCounts
+      .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select(col("pid"), col("event_type"), col("offset"))
+    val localRanked = parted
+      .sortWithinPartitions(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var started = false
+        var rk = 0L
+        it.map { case (t, v) =>
+          if (!started || t != cur) { cur = t; started = true; rk = 0L }
+          rk += 1
+          (pid, t, v, rk)
+        }
+      }
+      .toDF("pid", "event_type", "value", "lrk")
+    val ranked = localRanked
+      .join(broadcast(offsets), Seq("pid", "event_type"))
       .join(broadcast(counts.select(col("event_type"), col("n_nn"))), "event_type")
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rn", col("offset") + col("lrk"))
     val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
     def pos(p: Double): Column = (col("n_nn") - 1).cast("double") * lit(p)
     def vAt(idx: Column): Column = max(when(col("rn") === idx, col("value")))
@@ -171,7 +215,7 @@ object Relational {
       round(col(s"lo_$nm") +
         (col(s"hi_$nm") - col(s"lo_$nm")) * (pos(p) - floor(pos(p))), 4).as(nm)
     }
-    // groupBy keys ⊇ the window's partition key → reuses its partitioning
+    // partial agg reduces each task to ≤|types| pick rows pre-exchange
     val quant = ranked.groupBy(col("event_type"), col("n_nn"))
       .agg(picks.head, picks.tail: _*)
       .select(col("event_type") +: qs: _*)
