@@ -30,6 +30,7 @@ object SparkEntry {
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
     "search_entries"        -> (LogOps.searchEntries _),
+    "search_all"            -> ((s: SparkSession, d: String) => LogOps.searchAll(s, d)),
     "feedback_upsert"       -> (Upsert.feedbackUpsert _),
     "incident_report"       -> (LogOps.incidentReport _),
     "slack_message"         -> (LogOps.slackMessage _),
@@ -122,6 +123,27 @@ object SparkEntry {
         |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
         |ORDER BY ts DESC, event_id
         |LIMIT 200""".stripMargin,
+
+    "search_all" ->
+      """WITH r AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents,
+        |         string_agg(
+        |           printf('- %s | user_%d | %s | %s',
+        |                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type, props),
+        |           chr(10)
+        |           ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id) AS report
+        |  FROM events
+        |  WHERE event_type = 'error'
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT day, n_incidents, report,
+        |         CASE WHEN report IS NOT NULL THEN
+        |           printf('RCA pending for %d incidents (batch digest %s)',
+        |                  n_incidents, md5(report)) END AS rca
+        |  FROM r)
+        |SELECT day, n_incidents, report, rca
+        |FROM e
+        |WHERE contains(lower(concat_ws(' ', day, report, rca)), '7b')""".stripMargin,
 
     "feedback_upsert" ->
       """WITH history AS (

@@ -178,17 +178,42 @@ object Corpus {
     * token, so the eval side scales with eval token volume — no broadcast
     * hint: Catalyst/AQE broadcasts a genuinely small eval set and falls
     * back to a hash-partitioned shuffle join (grams are near-uniform
-    * hash keys) when it isn't. A bloom filter on eval gram hashes is the
-    * next refinement if the shuffle dominates.
+    * hash keys) when it isn't.
+    *
+    * The train side is bloom-pre-filtered before that join: eval gram
+    * hashes aggregate into one bloom sketch (bounded bytes regardless of
+    * eval volume, collected driver-side like a broadcast dim), and train
+    * grams that can't be in the eval set — the overwhelming majority of
+    * a 100 TB corpus — are dropped at the scan, never shuffled. False
+    * positives only cost join input; the exact equi-join still decides
+    * membership, so results are bit-identical with or without the sketch.
     */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+      bloomItems: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), NearDup.wordShingles(col("text"), n).as("grams"))
     val isEval = pmod(col("doc_id"), lit(10)) === 0
     val train = grams.where(!isEval)
     val evalGrams = grams.where(isEval)
       .select(explode(col("grams")).as("g")).distinct()
-    val shared = train.select(col("doc_id"), explode(col("grams")).as("g"))
+    // one extra pass over the (small) eval side to build the sketch; the
+    // payoff is on the (large) train side. NULL on an empty eval set.
+    val bloomBytes = evalGrams
+      .agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("g"))), bloomItems)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainGrams = train.select(col("doc_id"), explode(col("grams")).as("g"))
+    val candGrams =
+      if (bloomBytes == null) trainGrams.where(lit(false)) // no eval grams → nothing shared
+      else trainGrams.where(Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        Bridge.expression(xxhash64(col("g"))))))
+    val shared = candGrams
       .join(evalGrams, Seq("g"))
       .groupBy(col("doc_id")).agg(count("*").as("n_shared"))
     train.select(col("doc_id"))

@@ -129,6 +129,33 @@ object LogOps {
         date_format(col("ts"), TsUs).as("ts_us"),
         col("user_id"), col("event_type"), col("props"))
 
+  /** Entry-wide dashboard search (app.py:76-79): the reference matches the
+    * keyword against the WHOLE serialized history entry — `keyword not in
+    * json.dumps(entry).lower()` — so a hit can live in the RCA body, not
+    * just the log messages, and a message-only filter ([[searchEntries]])
+    * would miss it. The engine twin: an entry is a day's incident report
+    * ([[incidentReport]]'s ordered log lines) plus the deterministic RCA
+    * stand-in line ([[slackMessage]]'s digest format); the keyword filters
+    * the lowercased concatenation of every entry field. The default
+    * keyword deliberately matches inside the RCA digest only — the case
+    * the message-only search cannot find.
+    *
+    * Scale shape: one groupBy over the error scan (map-side combined)
+    * builds the entries; the filter is a per-row predicate on the
+    * dimension-sized day relation. No extra shuffle over [[incidentReport]].
+    */
+  def searchAll(spark: SparkSession, dir: String,
+      keyword: String = "7b"): DataFrame =
+    incidentReport(spark, dir)
+      .withColumn("rca",
+        // NULL report (all lines NULL) → NULL rca, matching SQL printf
+        when(col("report").isNotNull,
+          format_string("RCA pending for %d incidents (batch digest %s)",
+            col("n_incidents"), md5(col("report")))))
+      .where(lower(concat_ws(" ", col("day"), col("report"), col("rca")))
+        .contains(keyword.toLowerCase(java.util.Locale.ROOT)))
+      .select(col("day"), col("n_incidents"), col("report"), col("rca"))
+
   /** Semi-structured props parsing: extract typed fields from the JSON
     * message payload at scan time (codegen'd JSON path, no UDF), then
     * aggregate. The reference receives logs as JSON dicts

@@ -29,6 +29,15 @@ case class SessionOut(user_id: Option[Long], session_start: Timestamp,
   * identical function (timeouts never fire; open sessions close at
   * end-of-group), which is how the oracle cross-checks it against the
   * window-function sessionizer (Relational.sessionize).
+  *
+  * Batch-mode caveat: the per-trigger local sort (`it.toSeq.sortBy`
+  * below) buffers one group in memory. In streaming that group is one
+  * trigger's slice of one user — bounded by the trigger. In batch it is
+  * the user's ENTIRE history, so a pathological single key can exceed
+  * executor memory. `Relational.sessionize` (window lag + running sum,
+  * spillable sort) is therefore the batch path of record; run this
+  * operator over batch data only to cross-check the streaming semantics
+  * at test scale.
   */
 object StatefulSessionize {
   val DefaultGapUs: Long = 30L * 60 * 1000 * 1000

@@ -72,6 +72,45 @@ object StreamPipeline {
       // when all data is present at once
       events.dropDuplicates("props", "ts")
 
+  /** Kafka-source deployment shape: the log-bus twin of the reference's
+    * continuous poll-ingest loop (new_relic_fetcher.py:43-90, main.py:14-45)
+    * — a production deployment of this engine reads the log bus, not a
+    * REST poll. Wires the standard Kafka source options and hands the raw
+    * (key, value, timestamp) records to [[parseKafkaJson]]; the result
+    * feeds the same ingestRedact → windowedCounts / streamDedup transforms
+    * as every other source. Requires the spark-sql-kafka connector on the
+    * deployment classpath (it is resolved by source name at runtime, so
+    * this module has no compile-time Kafka dependency).
+    */
+  def readKafka(spark: SparkSession, servers: String, topic: String,
+      schema: org.apache.spark.sql.types.StructType,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Long = 1000000L): DataFrame =
+    parseKafkaJson(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        // bound per-micro-batch work so one backlogged topic can't produce
+        // an unbounded first batch after downtime
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+        .load(), schema)
+
+  /** Kafka's (binary key/value) contract → the typed events relation:
+    * JSON-decode `value` against an explicit schema (schema-first, like
+    * IO.readJson — inference is an extra full pass and nondeterministic on
+    * a stream). Malformed records surface as NULL columns (PERMISSIVE)
+    * rather than killing the continuous query; the broker ingestion
+    * timestamp rides along as `ingest_ts` for end-to-end lag monitoring.
+    * Split from [[readKafka]] so the parse contract is spec-testable with
+    * a MemoryStream shaped like the Kafka source's output — no broker. */
+  def parseKafkaJson(raw: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    raw.select(
+      col("timestamp").as("ingest_ts"),
+      from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("ingest_ts"), col("r.*"))
+
   /** File-source deployment shape: stream new parquet drops under `dir`,
     * aggregate, append to a sink. Used for wiring checks, not the oracle. */
   def fileStream(spark: SparkSession, dir: String, checkpoint: String,

@@ -216,6 +216,52 @@ class TextAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kafka value parsing feeds the windowed pipeline end to end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // rows shaped like the kafka source's output: binary key/value + broker timestamp
+    val mem = MemoryStream[(Array[Byte], Array[Byte], java.sql.Timestamp)]
+    val raw = mem.toDF().toDF("key", "value", "timestamp")
+    val parsed = StreamPipeline.parseKafkaJson(raw, schema)
+    val agg = StreamPipeline.windowedCounts(StreamPipeline.ingestRedact(parsed))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("kafka_test")
+      .outputMode("complete").start()
+    try {
+      def rec(json: String) =
+        (Array.emptyByteArray, json.getBytes("UTF-8"),
+          java.sql.Timestamp.valueOf("2024-01-01 10:16:00"))
+      mem.addData(
+        rec("""{"ts":"2024-01-01T10:15:00Z","event_type":"error","value":1.5,"props":"mail a@b.io"}"""),
+        rec("""{"ts":"2024-01-01T10:45:00Z","event_type":"error","value":2.0,"props":"ok"}"""),
+        rec("""not json at all"""))
+      q.processAllAvailable()
+      val out = spark.table("kafka_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      // malformed record → NULL event_type → dropped by ingestRedact's filter
+      assert(out == Set(("2024-01-01 10:00:00.0", "error", 2L)),
+        s"expected one window with the two parsed records: $out")
+    } finally q.stop()
+  }
+
+  test("search_all finds keywords that live only in the RCA body") {
+    import graft.operators.LogOps
+    val hits = LogOps.searchAll(spark, SparkTest.Sf)
+    // the default keyword is two hex chars: present in some days' md5
+    // digest (the RCA stand-in), never in the log lines themselves
+    assert(hits.count() > 0, "digest keyword must match some day")
+    val inReport = hits.where(lower(col("report")).contains("7b")).count()
+    assert(inReport == 0, "keyword must only occur in the rca field here")
+    // and the message-only search over the same corpus misses them all:
+    // every returned day matches via rca, not via its log lines
+    assert(hits.where(!lower(col("rca")).contains("7b")).count() == 0)
+  }
+
   test("stream ingestRedact applies PII redaction") {
     import spark.implicits._
     val df = Seq(("error", "mail bob@corp.io now")).toDF("event_type", "props")
