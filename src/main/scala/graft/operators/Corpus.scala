@@ -201,8 +201,12 @@ object Corpus {
     val evalGrams = grams.where(isEval)
       .select(explode(col("grams")).as("g")).distinct()
     // one extra pass over the (small) eval side to build the sketch; the
-    // payoff is on the (large) train side. NULL on an empty eval set.
-    val bloomBytes = evalGrams
+    // payoff is on the (large) train side. Built from the RAW exploded
+    // grams, not `evalGrams`: bloom insertion is idempotent, so paying the
+    // distinct's shuffle before sketching would buy nothing — this way the
+    // sketch job is a pure scan + sketch-merge. NULL on an empty eval set.
+    val bloomBytes = grams.where(isEval)
+      .select(explode(col("grams")).as("g"))
       .agg(Bridge.column(new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("g"))), bloomItems)
         .toAggregateExpression()).as("bf"))

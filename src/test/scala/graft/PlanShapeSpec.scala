@@ -74,6 +74,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("value_percentiles ranks via range partitioning, not per-stratum windows") {
+    val p = plan("value_percentiles")
+    // the rank phase must distribute each stratum's sorted order over N
+    // range partitions — a Window.partitionBy(event_type) would sort 1/5
+    // of the fact table on one reducer at 100 TB (VERDICT r3 finding #1)
+    assert(p.contains("rangepartitioning(event_type"),
+      s"rank phase must range-partition on (event_type, value):\n$p")
+    // the only Window left runs over the dimension-sized per-partition
+    // counts (N × |types| rows), never over the raw fact scan
+    val windowLines = p.split("\n").count(l =>
+      l.contains("Window ") || l.contains("Window("))
+    assert(windowLines <= 1,
+      s"expected at most the offsets window, found $windowLines:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
