@@ -1,0 +1,50 @@
+package graft.pipeline
+
+/** Query-string-facing ingest-window config — the reference's callers
+  * don't rebuild the NRQL from parts when given an explicit window; they
+  * rewrite the SINCE/UNTIL/LIMIT clauses inside the query string itself
+  * (/root/reference/main.py:19-27). This is that surface for deployments
+  * carrying a raw query template, plus the inverse ([[parse]]) that lifts
+  * a window out of such a string onto [[GraftConfig]] — which remains the
+  * primary engine-side API (the string form exists for compatibility with
+  * reference-style callers, not as the preferred configuration path).
+  */
+object QueryWindow {
+  // main.py:21-23's strip set: any SINCE ... (UNTIL ...), any LIMIT n,
+  // any "N hours/days ago" remnant, then whitespace collapse. One
+  // deliberate strengthening over the reference regex: a window operand
+  // may be a quoted multi-word timestamp ('2024-01-02 00:00:00') — the
+  // form [[rewrite]] itself emits — and `[^ ]+` alone would strip only up
+  // to the first space, leaving timestamp debris when a caller rewrites
+  // an already-explicit query. (The reference never re-rewrites its own
+  // output, so it never hits this.)
+  private val SinceUntil =
+    "(?i)SINCE ('[^']*'|[^ ]+)( UNTIL ('[^']*'|[^ ]+))?".r
+  private val LimitN = "(?i)LIMIT \\d+".r
+  private val Ago = "(?i)(\\d+\\s*)?(hours|days) ago".r
+  private val Ws = "\\s+".r
+
+  /** Rewrite a query template to an explicit window: strip any existing
+    * window clauses, collapse whitespace, append `SINCE '<from>' UNTIL
+    * '<to>' LIMIT n` (main.py:19-27 semantics). */
+  def rewrite(query: String, fromTime: String, toTime: String,
+      limit: Int = 1000): String = {
+    val stripped = Ws.replaceAllIn(
+      Ago.replaceAllIn(LimitN.replaceAllIn(
+        SinceUntil.replaceAllIn(query, ""), ""), ""), " ").trim
+    s"$stripped SINCE '$fromTime' UNTIL '$toTime' LIMIT $limit"
+  }
+
+  /** Lift SINCE '<ts>' UNTIL '<ts>' LIMIT n out of a query string onto the
+    * engine config; fields absent from the string keep `base`'s values. */
+  def parse(query: String, base: GraftConfig = GraftConfig()): GraftConfig = {
+    val sinceR = "(?i)SINCE\\s+'([^']+)'".r
+    val untilR = "(?i)UNTIL\\s+'([^']+)'".r
+    val limitR = "(?i)LIMIT\\s+(\\d+)".r
+    base.copy(
+      sinceTs = sinceR.findFirstMatchIn(query).map(_.group(1)).getOrElse(base.sinceTs),
+      untilTs = untilR.findFirstMatchIn(query).map(_.group(1)).getOrElse(base.untilTs),
+      limitCount = limitR.findFirstMatchIn(query).map(_.group(1).toInt)
+        .getOrElse(base.limitCount))
+  }
+}

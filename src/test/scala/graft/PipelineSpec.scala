@@ -19,6 +19,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.levelFilter == "error" && cfg.batchSize == 5)
   }
 
+  test("query window rewrite strips old clauses and appends the explicit window") {
+    import graft.pipeline.QueryWindow
+    val tpl = "SELECT level, message FROM Log WHERE message LIKE '%error%' " +
+      "SINCE 24 hours ago LIMIT 500"
+    val q = QueryWindow.rewrite(tpl, "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    assert(q == "SELECT level, message FROM Log WHERE message LIKE '%error%' " +
+      "SINCE '2024-01-02 00:00:00' UNTIL '2024-01-03 00:00:00' LIMIT 1000", q)
+    // idempotent: rewriting an already-explicit window replaces it
+    // cleanly — no leftover fragment of the old quoted timestamps
+    val q2 = QueryWindow.rewrite(q, "2024-02-01 00:00:00", "2024-02-02 00:00:00", 50)
+    assert(q2 == "SELECT level, message FROM Log WHERE message LIKE '%error%' " +
+      "SINCE '2024-02-01 00:00:00' UNTIL '2024-02-02 00:00:00' LIMIT 50", q2)
+  }
+
+  test("query window parse lifts the string window onto the engine config") {
+    import graft.pipeline.QueryWindow
+    val cfg = QueryWindow.parse(
+      "SELECT x FROM Log SINCE '2024-03-01 06:00:00' UNTIL '2024-03-02 06:00:00' LIMIT 42")
+    assert(cfg.sinceTs == "2024-03-01 06:00:00")
+    assert(cfg.untilTs == "2024-03-02 06:00:00")
+    assert(cfg.limitCount == 42)
+    // absent clauses keep the base config's values
+    val part = QueryWindow.parse("SELECT x FROM Log LIMIT 7")
+    assert(part.limitCount == 7 && part.sinceTs == GraftConfig().sinceTs)
+  }
+
   test("end-to-end pipeline: fetch → preprocess → embed → index → rag → history") {
     val out = "/tmp/graft_pipeline_test"
     val (historyRows, prompt) = IncidentPipeline.run(spark, Sf, out)
