@@ -189,12 +189,16 @@ object Corpus {
     * membership, so results are bit-identical with or without the sketch.
     */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+      bloomItems: Long = 4000000L): DataFrame =
+    decontaminateFrom(Tables.documents(spark, dir), n, bloomItems)
+
+  private[graft] def decontaminateFrom(docs: DataFrame, n: Int = 8,
       bloomItems: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.types.BinaryType
-    val grams = Tables.documents(spark, dir)
+    val grams = docs
       .select(col("doc_id"), NearDup.wordShingles(col("text"), n).as("grams"))
     val isEval = pmod(col("doc_id"), lit(10)) === 0
     val train = grams.where(!isEval)

@@ -161,9 +161,13 @@ object Relational {
     * input, so both reads see identical (pid → slice) mappings even if
     * Catalyst doesn't reuse the exchange.
     */
-  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    valuePercentilesFrom(
+      Tables.events(spark, dir).select(col("event_type"), col("value")))
+
+  private[graft] def valuePercentilesFrom(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
     // count(*) (incl. NULL values — the oracle's n_events/avg divisor) and
     // count(value) (non-null — the quantile_cont rank base) both in one pass
     val counts = ev.groupBy("event_type")
