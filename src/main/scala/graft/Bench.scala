@@ -33,7 +33,7 @@ object Bench {
     // would make runs 2-3 of a memo-building query artificially cheap.
     // Releasing the caches between passes keeps each pass's cost model
     // identical to a production run: the builder pays once, sharers reuse.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val passes = (1 to runs).map { _ =>
       graft.operators.NearDup.releaseCache(spark)
@@ -47,6 +47,7 @@ object Bench {
       }.toMap
     }
     val results = names.map { name =>
+      // upper-median for even run counts — biased against flattering noise
       val times = passes.map(_(name)).sorted
       name -> times(times.size / 2)
     }

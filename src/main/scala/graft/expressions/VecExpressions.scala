@@ -146,3 +146,46 @@ case class VecL2Normalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): VecL2Normalize =
     copy(child = newChild)
 }
+
+/** Upper-bound binary search of a double against a sorted bounds array:
+  * returns the count of bounds <= value, i.e. the index of the value's
+  * bucket among len(bounds)+1 quantile buckets. NaN routes to the LAST
+  * bucket, matching Spark's sort order (NaN is greatest), so bucket
+  * assignment is always consistent with an `ORDER BY value` within the
+  * bucket — the invariant the distributed rank in
+  * `Relational.valuePercentiles` is built on. O(log B) per row, inside
+  * whole-stage codegen.
+  */
+case class BucketIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, array<double>), got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any, b: Any): Any =
+    BucketIndex.upperBound(b.asInstanceOf[ArrayData], v.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b) =>
+      s"${ev.value} = graft.expressions.BucketIndex.upperBound($b, $v);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BucketIndex =
+    copy(left = newLeft, right = newRight)
+}
+
+object BucketIndex {
+  def upperBound(bounds: ArrayData, v: Double): Int = {
+    if (v != v) return bounds.numElements() // NaN: greatest in Spark ordering
+    var lo = 0
+    var hi = bounds.numElements()
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (bounds.getDouble(m) <= v) lo = m + 1 else hi = m
+    }
+    lo
+  }
+}

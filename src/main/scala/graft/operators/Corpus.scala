@@ -194,33 +194,34 @@ object Corpus {
 
   private[graft] def decontaminateFrom(docs: DataFrame, n: Int = 8,
       bloomItems: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
     val grams = docs
       .select(col("doc_id"), NearDup.wordShingles(col("text"), n).as("grams"))
     val isEval = pmod(col("doc_id"), lit(10)) === 0
     val train = grams.where(!isEval)
     val evalGrams = grams.where(isEval)
       .select(explode(col("grams")).as("g")).distinct()
-    // one extra pass over the (small) eval side to build the sketch; the
-    // payoff is on the (large) train side. Built from the RAW exploded
-    // grams, not `evalGrams`: bloom insertion is idempotent, so paying the
-    // distinct's shuffle before sketching would buy nothing — this way the
-    // sketch job is a pure scan + sketch-merge. NULL on an empty eval set.
-    val bloomBytes = grams.where(isEval)
+    // The sketch rides in as an uncorrelated SCALAR SUBQUERY (the same
+    // shape Spark's own runtime row-group filtering injects): building
+    // this DataFrame stays a pure plan — no job at construction, no
+    // multi-MB sketch literal in the plan string — and the one-row
+    // subquery executes with the query. Built from the RAW exploded
+    // grams, not `evalGrams`: bloom insertion is idempotent, so paying
+    // the distinct's shuffle before sketching would buy nothing. On an
+    // empty eval set the subquery yields NULL and might_contain returns
+    // NULL → the filter drops every train gram, which is correct (nothing
+    // to be contaminated by).
+    val bloomDf = grams.where(isEval)
       .select(explode(col("grams")).as("g"))
       .agg(Bridge.column(new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("g"))), bloomItems)
         .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
     val trainGrams = train.select(col("doc_id"), explode(col("grams")).as("g"))
-    val candGrams =
-      if (bloomBytes == null) trainGrams.where(lit(false)) // no eval grams → nothing shared
-      else trainGrams.where(Bridge.column(BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType),
-        Bridge.expression(xxhash64(col("g"))))))
+    val candGrams = trainGrams.where(Bridge.column(BloomFilterMightContain(
+      Bridge.scalarSubquery(bloomDf),
+      Bridge.expression(xxhash64(col("g"))))))
     val shared = candGrams
       .join(evalGrams, Seq("g"))
       .groupBy(col("doc_id")).agg(count("*").as("n_shared"))

@@ -143,31 +143,41 @@ object Relational {
     * sort. (And not the `percentile` aggregate either — it buffers every
     * group value in a non-spilling aggregation buffer.) Instead:
     *
-    *  1. range-partition the non-null values on (event_type, value) — each
-    *     of the N partitions holds a contiguous slice of one-or-more
-    *     strata's sorted order, sized data/N, sort-spillable;
-    *  2. partition-local ranks from a streaming mapPartitions (the one
-    *     genuinely non-expression step: rank-within-sorted-run);
-    *  3. global rank = local rank + stratum offset, where offsets come
-    *     from per-(partition, stratum) counts — a dimension-sized (N ×
-    *     |types|) relation that is windowed and broadcast;
-    *  4. the interpolation picks are max(when(rn = target)) aggregates —
+    *  1. sample per-stratum quantile boundaries (approx_percentile,
+    *     constant memory) and FREEZE them as a map literal — one
+    *     driver-side action over a dimension-sized result (|types| rows ×
+    *     B-1 doubles), the same pattern as the k-means centroid fit and
+    *     the perplexity vocab;
+    *  2. bucket every value by binary search against its stratum's frozen
+    *     bounds ([[graft.expressions.BucketIndex]], codegen'd O(log B));
+    *  3. rank within (event_type, bucket) — types×B window partitions of
+    *     ~1/B of a stratum each, hash-distributed, sort-spillable;
+    *  4. global rank = local rank + bucket offset, where offsets come
+    *     from per-(stratum, bucket) counts — a dimension-sized relation
+    *     windowed and broadcast back;
+    *  5. the interpolation picks are max(when(rn = target)) aggregates —
     *     map-side combined to ≤|types| rows per task before the exchange.
     *
-    * The partition count is pinned explicitly: the range exchange is read
-    * twice (counts + ranks), and an AQE re-coalesce between the reads
-    * would silently misalign the offsets. With the count pinned, the
-    * RangePartitioner's sampled boundaries are deterministic for a given
-    * input, so both reads see identical (pid → slice) mappings even if
-    * Catalyst doesn't reuse the exchange.
+    * Why frozen literal bounds and not repartitionByRange /a lazy
+    * boundary subtree: the bucketed relation is read twice (ranks +
+    * counts), and both RangePartitioner (samples seeded by rdd.id) and
+    * approx_percentile (merge-order-sensitive) can yield DIFFERENT
+    * boundaries on independent materializations — correctness would
+    * silently hinge on exchange reuse collapsing the two reads. A literal
+    * is the same on every read by construction; any boundary set is
+    * correct (offsets come from actual counts), boundaries only steer
+    * balance. Ties/skew: values equal to a boundary share one bucket, so
+    * a pathological single-value stratum degrades to one sorted spillable
+    * bucket — the exact-rank floor, with `valuePercentilesApprox` as the
+    * sanctioned constant-memory path.
     */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
     valuePercentilesFrom(
       Tables.events(spark, dir).select(col("event_type"), col("value")))
 
-  private[graft] def valuePercentilesFrom(ev: DataFrame): DataFrame = {
-    val spark = ev.sparkSession
-    import spark.implicits._
+  private[graft] def valuePercentilesFrom(ev: DataFrame,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     // count(*) (incl. NULL values — the oracle's n_events/avg divisor) and
     // count(value) (non-null — the quantile_cont rank base) both in one pass
     val counts = ev.groupBy("event_type")
@@ -175,37 +185,32 @@ object Relational {
         count(col("value")).as("n_nn"),
         // decimal sum, unrounded: see q1PricingSummary for why
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_v"))
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // quantile_cont ignores NULLs: rank non-null values only
-    val parted = ev.where(col("value").isNotNull)
-      .repartitionByRange(nPart, col("event_type"), col("value"))
-    val partCounts = parted
-      .groupBy(spark_partition_id().as("pid"), col("event_type"))
-      .agg(count("*").as("cnt"))
-    val wOff = Window.partitionBy("event_type").orderBy(col("pid"))
+    val nn = ev.where(col("value").isNotNull)
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val boundRows = nn.groupBy("event_type")
+      .agg(approx_percentile(col("value"), typedLit(fracs), lit(1000)).as("bs"))
+      .collect()
+    val boundsMap: Map[String, Seq[Double]] = boundRows.iterator
+      .filter(!_.isNullAt(0))   // NULL-type rows never reach the rank join
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val bucketCol = Bridge.column(graft.expressions.BucketIndex(
+      Bridge.expression(col("value")),
+      Bridge.expression(element_at(typedLit(boundsMap), col("event_type")))))
+    val bucketed = nn.withColumn("bucket", bucketCol)
+    val wB = Window.partitionBy("event_type", "bucket").orderBy(col("value"))
+    val localRanked = bucketed
+      .withColumn("lrk", row_number().over(wB).cast("long"))
+    val wOff = Window.partitionBy("event_type").orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // offset of each partition's slice within its stratum's global order
-    // (windowed over N × |types| rows — dimension-sized by construction)
-    val offsets = partCounts
+    // offset of each bucket within its stratum's global order (windowed
+    // over |types| × B rows — dimension-sized by construction)
+    val offsets = bucketed.groupBy(col("event_type"), col("bucket"))
+      .agg(count("*").as("cnt"))
       .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
-      .select(col("pid"), col("event_type"), col("offset"))
-    val localRanked = parted
-      .sortWithinPartitions(col("event_type"), col("value"))
-      .as[(String, Double)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var cur: String = null
-        var started = false
-        var rk = 0L
-        it.map { case (t, v) =>
-          if (!started || t != cur) { cur = t; started = true; rk = 0L }
-          rk += 1
-          (pid, t, v, rk)
-        }
-      }
-      .toDF("pid", "event_type", "value", "lrk")
+      .select(col("event_type"), col("bucket"), col("offset"))
     val ranked = localRanked
-      .join(broadcast(offsets), Seq("pid", "event_type"))
+      .join(broadcast(offsets), Seq("event_type", "bucket"))
       .join(broadcast(counts.select(col("event_type"), col("n_nn"))), "event_type")
       .withColumn("rn", col("offset") + col("lrk"))
     val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")

@@ -11,17 +11,18 @@ package graft.pipeline
   */
 object QueryWindow {
   // main.py:21-23's strip set: any SINCE ... (UNTIL ...), any LIMIT n,
-  // any "N hours/days ago" remnant, then whitespace collapse. One
-  // deliberate strengthening over the reference regex: a window operand
-  // may be a quoted multi-word timestamp ('2024-01-02 00:00:00') — the
-  // form [[rewrite]] itself emits — and `[^ ]+` alone would strip only up
-  // to the first space, leaving timestamp debris when a caller rewrites
-  // an already-explicit query. (The reference never re-rewrites its own
-  // output, so it never hits this.)
-  private val SinceUntil =
-    "(?i)SINCE ('[^']*'|[^ ]+)( UNTIL ('[^']*'|[^ ]+))?".r
+  // any relative-time remnant, then whitespace collapse. Deliberate
+  // strengthenings over the reference regexes (which corrupt realistic
+  // templates): a window operand may be a quoted multi-word timestamp
+  // ('2024-01-02 00:00:00' — the form [[rewrite]] itself emits) or a
+  // relative "N unit[s] ago" phrase — `[^ ]+` alone strips only to the
+  // first space, orphaning the rest of the clause; and the remnant
+  // sweeper accepts singular units and minutes/weeks, not just
+  // "hours|days".
+  private val Operand = "(?:'[^']*'|\\d+\\s*(?:minute|hour|day|week)s?\\s+ago|[^ ]+)"
+  private val SinceUntil = s"(?i)SINCE $Operand( UNTIL $Operand)?".r
   private val LimitN = "(?i)LIMIT \\d+".r
-  private val Ago = "(?i)(\\d+\\s*)?(hours|days) ago".r
+  private val Ago = "(?i)(\\d+\\s*)?(minute|hour|day|week)s? ago".r
   private val Ws = "\\s+".r
 
   /** Rewrite a query template to an explicit window: strip any existing

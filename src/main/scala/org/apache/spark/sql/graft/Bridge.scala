@@ -22,6 +22,16 @@ object Bridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
 
+  /** An uncorrelated scalar subquery over `df`'s single-row result
+    * (`Dataset.logicalPlan` is `private[sql]`). Lets an operator feed a
+    * computed scalar — e.g. a bloom sketch aggregated from another
+    * relation — into an expression LAZILY: the subquery executes as part
+    * of the consuming query, so building the plan triggers no job and the
+    * (possibly multi-MB) value never appears as a literal in the plan. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan)
+
   /** Register a custom expression as a SQL function on a live session
     * (FunctionRegistry is `private[sql]`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

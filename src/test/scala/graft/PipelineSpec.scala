@@ -31,6 +31,18 @@ class PipelineSpec extends AnyFunSuite {
     val q2 = QueryWindow.rewrite(q, "2024-02-01 00:00:00", "2024-02-02 00:00:00", 50)
     assert(q2 == "SELECT level, message FROM Log WHERE message LIKE '%error%' " +
       "SINCE '2024-02-01 00:00:00' UNTIL '2024-02-02 00:00:00' LIMIT 50", q2)
+    // relative windows in every unit/plurality, with and without UNTIL,
+    // must strip without leaving clause debris ("day ago", bare "UNTIL")
+    val rel = Seq(
+      "SELECT x FROM Log SINCE 1 day ago",
+      "SELECT x FROM Log SINCE 2 hours ago UNTIL 30 minutes ago",
+      "SELECT x FROM Log SINCE 3 weeks ago LIMIT 9")
+    rel.foreach { tpl =>
+      val r = QueryWindow.rewrite(tpl, "2024-05-01 00:00:00", "2024-05-02 00:00:00")
+      assert(r == "SELECT x FROM Log " +
+        "SINCE '2024-05-01 00:00:00' UNTIL '2024-05-02 00:00:00' LIMIT 1000",
+        s"template <$tpl> left debris: <$r>")
+    }
   }
 
   test("query window parse lifts the string window onto the engine config") {
