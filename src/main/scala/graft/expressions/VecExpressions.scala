@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
-/** Native Catalyst kernels for dense-vector scoring.
+/** Native Catalyst kernels over array<double> columns: dense-vector
+  * scoring, plus sorted-array search ([[BucketIndex]], the quantile
+  * bucketing primitive behind the distributed percentile rank).
   *
   * Higher-order-function lambdas (`aggregate(zip_with(...))`) are evaluated
   * interpreted, one closure call per element — that made similarity search

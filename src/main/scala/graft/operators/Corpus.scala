@@ -212,7 +212,10 @@ object Corpus {
     // the distinct's shuffle before sketching would buy nothing. On an
     // empty eval set the subquery yields NULL and might_contain returns
     // NULL → the filter drops every train gram, which is correct (nothing
-    // to be contaminated by).
+    // to be contaminated by) — the train scan still runs in that case;
+    // laziness is deliberately priced above the empty-eval fast path a
+    // driver-side sketch collect would enable (an empty eval set is a
+    // misconfiguration at any real scale).
     val bloomDf = grams.where(isEval)
       .select(explode(col("grams")).as("g"))
       .agg(Bridge.column(new BloomFilterAggregate(

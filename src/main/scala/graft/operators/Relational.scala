@@ -192,11 +192,18 @@ object Relational {
       .agg(approx_percentile(col("value"), typedLit(fracs), lit(1000)).as("bs"))
       .collect()
     val boundsMap: Map[String, Seq[Double]] = boundRows.iterator
-      .filter(!_.isNullAt(0))   // NULL-type rows never reach the rank join
+      .filter(!_.isNullAt(0))   // the NULL stratum gets the empty-bounds fallback
       .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // try_element_at + empty-array fallback, not element_at: a stratum
+    // absent from the frozen map (NULL type, or one that appeared after
+    // plan construction) must not fail ANSI map access — it degrades to a
+    // single bucket (0) for that stratum, which ranks correctly through
+    // the same offset math, just without the balance the boundaries buy.
     val bucketCol = Bridge.column(graft.expressions.BucketIndex(
       Bridge.expression(col("value")),
-      Bridge.expression(element_at(typedLit(boundsMap), col("event_type")))))
+      Bridge.expression(coalesce(
+        try_element_at(typedLit(boundsMap), col("event_type")),
+        typedLit(Seq.empty[Double])))))
     val bucketed = nn.withColumn("bucket", bucketCol)
     val wB = Window.partitionBy("event_type", "bucket").orderBy(col("value"))
     val localRanked = bucketed
@@ -208,10 +215,18 @@ object Relational {
     val offsets = bucketed.groupBy(col("event_type"), col("bucket"))
       .agg(count("*").as("cnt"))
       .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
-      .select(col("event_type"), col("bucket"), col("offset"))
+      .select(col("event_type").as("o_type"), col("bucket").as("o_bucket"),
+        col("offset"))
+    // null-SAFE joins (<=>): groupBy and window treat the NULL stratum as
+    // a real group — the SQL GROUP BY does too, so its rows must reach the
+    // rank math, not fall out of an equi-join (plain = never matches NULL)
     val ranked = localRanked
-      .join(broadcast(offsets), Seq("event_type", "bucket"))
-      .join(broadcast(counts.select(col("event_type"), col("n_nn"))), "event_type")
+      .join(broadcast(offsets),
+        col("event_type") <=> col("o_type") && col("bucket") === col("o_bucket"))
+      .drop("o_type", "o_bucket")
+      .join(broadcast(counts.select(col("event_type").as("c_type"), col("n_nn"))),
+        col("event_type") <=> col("c_type"))
+      .drop("c_type")
       .withColumn("rn", col("offset") + col("lrk"))
     val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
     def pos(p: Double): Column = (col("n_nn") - 1).cast("double") * lit(p)
@@ -227,10 +242,11 @@ object Relational {
     // partial agg reduces each task to ≤|types| pick rows pre-exchange
     val quant = ranked.groupBy(col("event_type"), col("n_nn"))
       .agg(picks.head, picks.tail: _*)
-      .select(col("event_type") +: qs: _*)
-    // left join so all-NULL groups still surface (with NULL percentiles),
-    // matching the SQL GROUP BY; both sides are dimension-sized here
-    counts.join(quant, Seq("event_type"), "left")
+      .select(col("event_type").as("q_type") +: qs: _*)
+    // null-safe left join so every group surfaces: all-NULL-value groups
+    // with NULL percentiles, and the NULL-type group with its REAL
+    // percentiles (the SQL GROUP BY computes quantile_cont for it)
+    counts.join(quant, col("event_type") <=> col("q_type"), "left")
       .select(col("event_type"), col("p50"), col("p90"), col("p99"),
         (col("sum_v") / col("n_events")).as("avg_value"), col("n_events"))
   }

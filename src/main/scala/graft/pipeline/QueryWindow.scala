@@ -19,10 +19,20 @@ object QueryWindow {
   // first space, orphaning the rest of the clause; and the remnant
   // sweeper accepts singular units and minutes/weeks, not just
   // "hours|days".
+  // Every strip pattern carries a quote-parity lookahead: a match must be
+  // followed by an EVEN number of single quotes, i.e. it sits outside any
+  // string literal — otherwise the sweepers would edit inside a WHERE
+  // literal like `note = 'seen 1 minute ago'` and silently change the
+  // predicate. (Matches that legitimately contain a whole quoted operand
+  // keep parity, so they still strip.)
+  private val OutsideQuotes = "(?=(?:[^']*'[^']*')*[^']*$)"
   private val Operand = "(?:'[^']*'|\\d+\\s*(?:minute|hour|day|week)s?\\s+ago|[^ ]+)"
-  private val SinceUntil = s"(?i)SINCE $Operand( UNTIL $Operand)?".r
-  private val LimitN = "(?i)LIMIT \\d+".r
-  private val Ago = "(?i)(\\d+\\s*)?(minute|hour|day|week)s? ago".r
+  private val SinceUntil = s"(?i)SINCE $Operand( UNTIL $Operand)?$OutsideQuotes".r
+  // a standalone UNTIL (valid NRQL without SINCE) must strip too, or the
+  // rewrite would orphan the bare keyword
+  private val UntilOnly = s"(?i)UNTIL $Operand$OutsideQuotes".r
+  private val LimitN = s"(?i)LIMIT \\d+$OutsideQuotes".r
+  private val Ago = s"(?i)(\\d+\\s*)?(minute|hour|day|week)s? ago$OutsideQuotes".r
   private val Ws = "\\s+".r
 
   /** Rewrite a query template to an explicit window: strip any existing
@@ -31,8 +41,8 @@ object QueryWindow {
   def rewrite(query: String, fromTime: String, toTime: String,
       limit: Int = 1000): String = {
     val stripped = Ws.replaceAllIn(
-      Ago.replaceAllIn(LimitN.replaceAllIn(
-        SinceUntil.replaceAllIn(query, ""), ""), ""), " ").trim
+      Ago.replaceAllIn(LimitN.replaceAllIn(UntilOnly.replaceAllIn(
+        SinceUntil.replaceAllIn(query, ""), ""), ""), ""), " ").trim
     s"$stripped SINCE '$fromTime' UNTIL '$toTime' LIMIT $limit"
   }
 

@@ -43,6 +43,17 @@ class PipelineSpec extends AnyFunSuite {
         "SINCE '2024-05-01 00:00:00' UNTIL '2024-05-02 00:00:00' LIMIT 1000",
         s"template <$tpl> left debris: <$r>")
     }
+    // a standalone UNTIL (no SINCE) must strip, not orphan the keyword
+    val u = QueryWindow.rewrite("SELECT x FROM Log UNTIL 1 hour ago",
+      "2024-05-01 00:00:00", "2024-05-02 00:00:00")
+    assert(u == "SELECT x FROM Log " +
+      "SINCE '2024-05-01 00:00:00' UNTIL '2024-05-02 00:00:00' LIMIT 1000", u)
+    // window phrases INSIDE string literals are data, not clauses
+    val lit = QueryWindow.rewrite(
+      "SELECT x FROM Log WHERE note = 'seen 1 minute ago' SINCE 2 hours ago",
+      "2024-05-01 00:00:00", "2024-05-02 00:00:00")
+    assert(lit == "SELECT x FROM Log WHERE note = 'seen 1 minute ago' " +
+      "SINCE '2024-05-01 00:00:00' UNTIL '2024-05-02 00:00:00' LIMIT 1000", lit)
   }
 
   test("query window parse lifts the string window onto the engine config") {
