@@ -74,6 +74,8 @@ object SparkEntry {
     "ann_cosine_topk"       -> (Embeddings.annCosineTopK _),
     "ann_ivf"               -> ((s: SparkSession, d: String) => Embeddings.annIvf(s, d)),
     "ann_lsh"               -> ((s: SparkSession, d: String) => Embeddings.annLsh(s, d)),
+    "ann_lsh_multiprobe"    -> ((s: SparkSession, d: String) =>
+                                  Embeddings.annLsh(s, d, hammingProbes = 8)),
     "knn_label_vote"        -> (Embeddings.knnLabelVote _),
     "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
     // — near-duplicate detection (rows-only) —

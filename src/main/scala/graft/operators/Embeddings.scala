@@ -207,22 +207,22 @@ object Embeddings {
     * IVF when every query must get k results regardless of distance.
     */
   def annLsh(spark: SparkSession, dir: String, nBits: Int = 32,
-      bands: Int = 4, topK: Int = 10): DataFrame = {
+      bands: Int = 4, topK: Int = 10, hammingProbes: Int = 0): DataFrame = {
     // the signature projection feeds three plan references (queries,
     // candidates, hot-bucket counts) — persist it once per session, like
     // the other shared bases
     lshMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     val sigs = lshMemo.getOrElseUpdate((spark, s"$dir:$nBits:$bands"),
       lshSigs(corpus(spark, dir), nBits, bands).persist())
-    lshSearch(sigs, topK)
+    lshSearch(sigs, topK, nBits / bands, hammingProbes)
   }
 
   private val lshMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
   private[graft] def annLshFrom(corpusDf: DataFrame, nBits: Int = 32,
-      bands: Int = 4, topK: Int = 10): DataFrame =
-    lshSearch(lshSigs(corpusDf, nBits, bands), topK)
+      bands: Int = 4, topK: Int = 10, hammingProbes: Int = 0): DataFrame =
+    lshSearch(lshSigs(corpusDf, nBits, bands), topK, nBits / bands, hammingProbes)
 
   private def lshSigs(corpusDf: DataFrame, nBits: Int, bands: Int): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
@@ -237,20 +237,39 @@ object Embeddings {
         h.toDouble / Int.MaxValue
       })
     }
-    def bandKeys(v: Column): Column = array((0 until bands).map { k =>
-      val bits = (0 until rowsPerBand).map { r =>
+    // per-band RAW bit words, not hashed keys: the search derives keys
+    // from the words, and multi-probe needs the words to flip bits in
+    def bandBits(v: Column): Column = array((0 until bands).map { k =>
+      (0 until rowsPerBand).map { r =>
         (VecFns.dot(v, planes(k * rowsPerBand + r)) > 0).cast("long") * lit(1L << r)
       }.reduce(_ + _)
-      xxhash64(lit(k), bits)
     }: _*)
-    c.withColumn("keys", bandKeys(col("emb")))
+    c.withColumn("bits", bandBits(col("emb")))
   }
 
-  private def lshSearch(sigs: DataFrame, topK: Int): DataFrame = {
-    val queries = sigs.where(col("vec_id") < 100)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        explode(col("keys")).as("key"))
-    val cand = sigs.select(col("vec_id"), col("emb"), explode(col("keys")).as("key"))
+  /** `hammingProbes` = how many single-bit flips of each band word the
+    * QUERY side additionally probes (0 = exact banding, rowsPerBand = full
+    * Hamming-1 multi-probe). For a pair at bit-agreement probability p,
+    * a band matches with p⁸; Hamming-1 probing adds the 8 one-bit-off
+    * words, lifting per-band match probability to p⁸ + 8p⁷(1−p) — e.g.
+    * at p = 0.85 from 0.27 to 0.66 — without growing bands or the corpus
+    * side at all: only the broadcast query relation fans out ×(1+probes).
+    * The trade is more random collisions per isolated query, so exact
+    * banding stays the default near-dup contract. */
+  private def lshSearch(sigs: DataFrame, topK: Int, rowsPerBand: Int,
+      hammingProbes: Int): DataFrame = {
+    require(hammingProbes >= 0 && hammingProbes <= rowsPerBand,
+      "hammingProbes must be in [0, rowsPerBand]")
+    def keyOf(band: Column, word: Column): Column = xxhash64(band, word)
+    val flipMasks = typedLit(0L +: (0 until hammingProbes).map(r => 1L << r))
+    val exploded = sigs.select(col("vec_id"), col("emb"),
+      posexplode(col("bits")).as(Seq("band", "word")))
+    val queries = exploded.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("band"),
+        explode(transform(flipMasks, m => col("word").bitwiseXOR(m))).as("word"))
+      .select(col("qid"), col("qemb"), keyOf(col("band"), col("word")).as("key"))
+    val cand = exploded
+      .select(col("vec_id"), col("emb"), keyOf(col("band"), col("word")).as("key"))
     // hot-bucket cap: a degenerate band key — e.g. a mass of near-zero
     // vectors landing on one signature — would otherwise make one bucket's
     // candidate join quadratic; keep the first MaxIvfBucket by vec_id so

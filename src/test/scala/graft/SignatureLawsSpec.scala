@@ -92,4 +92,30 @@ class SignatureLawsSpec extends AnyFunSuite {
     assert(abShared > 0.5, s"docs sharing a long substring must share fingerprints: $abShared")
     assert(acShared < 0.1, s"unrelated docs must not: $acShared")
   }
+
+  test("bucket index is the exact upper-bound count, monotone, NaN-last") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val r = rng(11)
+    val bounds = Array.fill(63)(r.nextDouble() * 100).sorted
+    def idx(v: Double): Int =
+      graft.expressions.BucketIndex.upperBound(
+        ArrayData.toArrayData(bounds), v)
+    // law: result == |{b : b <= v}| for arbitrary probes incl. the bounds
+    val probes = Array.fill(200)(r.nextDouble() * 120 - 10) ++ bounds
+    probes.foreach { v =>
+      assert(idx(v) == bounds.count(_ <= v), s"upper bound wrong at $v")
+    }
+    // monotone in v; NaN routes to the last bucket (Spark sorts NaN greatest)
+    val sortedProbes = probes.sorted
+    sortedProbes.sliding(2).foreach { case Array(a, b) =>
+      assert(idx(a) <= idx(b))
+    }
+    assert(idx(Double.NaN) == bounds.length)
+    assert(idx(Double.NegativeInfinity) == 0)
+    assert(idx(Double.PositiveInfinity) == bounds.length)
+    // duplicate boundaries collapse their buckets consistently
+    val dup = ArrayData.toArrayData(Array(1.0, 5.0, 5.0, 9.0))
+    assert(graft.expressions.BucketIndex.upperBound(dup, 5.0) == 3)
+    assert(graft.expressions.BucketIndex.upperBound(dup, 4.9) == 1)
+  }
 }

@@ -144,6 +144,36 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming-1 multi-probe recovers twins exact banding misses") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Double] = Array.tabulate(64) { d =>
+      scala.util.hashing.MurmurHash3.productHash((seed, d)).toDouble / Int.MaxValue
+    }
+    // stronger perturbation (cosine ≈ 0.9): per-band match prob p⁸ drops
+    // to ~0.3, so exact 4-band LSH misses a fair share of the planted
+    // twins — the regime multi-probe exists for
+    val base = (1000 until 1400).map(i => (i.toLong, vec(i).toSeq, "c"))
+    val queries = (0 until 20).map { q =>
+      val twin = vec(1000 + q)
+      val perturbed = twin.zipWithIndex.map { case (v, d) => v + 0.5 * vec(q + 5000)(d) }
+      (q.toLong, perturbed.toSeq, "q")
+    }
+    val corpus = (base ++ queries).toDF("vec_id", "emb", "label")
+    def twinHits(probes: Int): Set[Long] =
+      Embeddings.annLshFrom(corpus, hammingProbes = probes).collect()
+        .filter(r => r.getAs[Long]("vec_id") == 1000 + r.getAs[Long]("qid"))
+        .map(_.getAs[Long]("qid")).toSet
+    val exactHits = twinHits(0)
+    val multiHits = twinHits(8)
+    assert(exactHits.subsetOf(multiHits),
+      s"probing only ADDS candidates: $exactHits vs $multiHits")
+    assert(multiHits.size > exactHits.size,
+      s"multi-probe must recover twins exact banding missed " +
+        s"(exact ${exactHits.size}/20, multi ${multiHits.size}/20)")
+    assert(multiHits.size >= 15,
+      s"hamming-1 probing should catch most cosine≈0.9 twins: ${multiHits.size}/20")
+  }
+
   test("knn_label_vote predicts one label per query") {
     val v = Embeddings.knnLabelVote(spark, Sf)
     assert(v.groupBy("qid").count().where(col("count") =!= 1).count() == 0)
