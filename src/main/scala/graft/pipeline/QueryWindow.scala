@@ -26,13 +26,19 @@ object QueryWindow {
   // predicate. (Matches that legitimately contain a whole quoted operand
   // keep parity, so they still strip.)
   private val OutsideQuotes = "(?=(?:[^']*'[^']*')*[^']*$)"
-  private val Operand = "(?:'[^']*'|\\d+\\s*(?:minute|hour|day|week)s?\\s+ago|[^ ]+)"
-  private val SinceUntil = s"(?i)SINCE $Operand( UNTIL $Operand)?$OutsideQuotes".r
+  private val Unit = "(?:second|minute|hour|day|week|month|year)s?"
+  private val Operand = s"(?:'[^']*'|\\d+\\s*$Unit\\s+ago|[^ ]+)"
+  // \s+ after the keywords, not a single literal space: a double space or
+  // tab would otherwise strand the keyword while the sweepers eat its
+  // operand, colliding with the appended clause ("SINCE SINCE '...'")
+  private val SinceUntil =
+    s"(?i)SINCE\\s+$Operand(\\s+UNTIL\\s+$Operand)?$OutsideQuotes".r
   // a standalone UNTIL (valid NRQL without SINCE) must strip too, or the
   // rewrite would orphan the bare keyword
-  private val UntilOnly = s"(?i)UNTIL $Operand$OutsideQuotes".r
-  private val LimitN = s"(?i)LIMIT \\d+$OutsideQuotes".r
-  private val Ago = s"(?i)(\\d+\\s*)?(minute|hour|day|week)s? ago$OutsideQuotes".r
+  private val UntilOnly = s"(?i)UNTIL\\s+$Operand$OutsideQuotes".r
+  // LIMIT MAX is valid NRQL alongside numeric limits
+  private val LimitN = s"(?i)LIMIT\\s+(?:\\d+|MAX)$OutsideQuotes".r
+  private val Ago = s"(?i)(\\d+\\s*)?$Unit\\s+ago$OutsideQuotes".r
   private val Ws = "\\s+".r
 
   /** Rewrite a query template to an explicit window: strip any existing

@@ -36,6 +36,9 @@ class PipelineSpec extends AnyFunSuite {
     val rel = Seq(
       "SELECT x FROM Log SINCE 1 day ago",
       "SELECT x FROM Log SINCE 2 hours ago UNTIL 30 minutes ago",
+      "SELECT x FROM Log SINCE 30 seconds ago",
+      "SELECT x FROM Log SINCE 3 months ago LIMIT MAX",
+      "SELECT x FROM Log SINCE  2 hours ago",
       "SELECT x FROM Log SINCE 3 weeks ago LIMIT 9")
     rel.foreach { tpl =>
       val r = QueryWindow.rewrite(tpl, "2024-05-01 00:00:00", "2024-05-02 00:00:00")

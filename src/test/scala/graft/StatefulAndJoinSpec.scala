@@ -96,6 +96,26 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("exact percentiles treat the NULL stratum as a real group") {
+    import spark.implicits._
+    // the r4 bug: plain equi-joins dropped NULL-type rows from the rank
+    // path, yielding NULL percentiles where SQL GROUP BY computes real
+    // ones — this pins the null-safe (<=>) joins and the try_element_at
+    // bounds fallback in-repo (the NULL probe recipe is out-of-repo)
+    val ev = ((1 to 101).map(i => (Some("a"), Some(i.toDouble))) ++
+      (1 to 101).map(i => (Option.empty[String], Some(i * 2.0))) ++
+      Seq((Some("b"), Option.empty[Double])))
+      .toDF("event_type", "value")
+    val out = Relational.valuePercentilesFrom(ev).collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    assert(out(None).getDouble(1) == 102.0,
+      s"NULL stratum must get its real p50: ${out(None)}")   // median of 2,4,..,202
+    assert(out(Some("a")).getDouble(1) == 51.0, s"${out(Some("a"))}")
+    assert(out(Some("b")).isNullAt(1),
+      s"all-NULL-value stratum keeps NULL percentiles: ${out(Some("b"))}")
+    assert(out(Some("b")).getLong(5) == 1L)
+  }
+
   test("approx percentiles are rank-bounded against the data") {
     // t-digest @ accuracy 10⁴ promises ≤1e-4 rank error; allow that plus
     // one discrete rank step at the test's small n
