@@ -41,8 +41,12 @@ object Bench {
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
+        // a failed query must not SILENTLY record its (near-zero) elapsed
+        // time as if it were fast — flag it on stderr for the harness log
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.toString.take(200)}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

@@ -474,7 +474,7 @@ object SparkEntry {
 
     "lang_id" ->
       """WITH s AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, text,
         |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) / length(text) AS cjk,
         |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|you|that|for)\b')) AS s_en,
         |    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|est|pour|que)\b')) AS s_fr,
@@ -482,7 +482,8 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|zu|mit|ein|nicht)\b')) AS s_de
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN cjk > 0.3 THEN 'zh'
         |       WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
         |       WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
         |       WHEN s_es >= s_de THEN 'es'

@@ -84,7 +84,10 @@ object Corpus {
       maxTokens: Int = 512): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFns.wsTokenCount(col("text")).as("n_tokens"))
+      // NULL text = zero tokens: the doc still gets a bin slot (encoder
+      // would otherwise throw NOT_NULL on the bare Long field)
+      .select(col("doc_id"),
+        coalesce(TextFns.wsTokenCount(col("text")), lit(0L)).as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]

@@ -32,6 +32,10 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
+      // a NULL payload has nothing to decode: drop it at the scan, the
+      // batch-pipeline analog of a corrupt-object skip list — without
+      // this, the typed decode NPEs on the first missing blob
+      .where(col("payload").isNotNull)
 
   /** STUB decode — replace with a real JNI/native decoder in production.
     * Deterministic: all outputs derive from the payload bytes alone. */

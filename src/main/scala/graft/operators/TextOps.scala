@@ -88,7 +88,10 @@ object TextOps {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), langIdCol(col("text")).as("pred_lang"),
+      // NULL text → NULL prediction (the oracle's NULL comparisons would
+      // otherwise fall through its CASE to an arbitrary language)
+      .select(col("doc_id"),
+        when(col("text").isNotNull, langIdCol(col("text"))).as("pred_lang"),
         col("lang").as("labeled_lang"))
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
