@@ -262,6 +262,41 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(hits.where(!lower(col("rca")).contains("7b")).count() == 0)
   }
 
+  test("entry-wide search works over the streaming upsert history sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the reference dashboard searches its continuously-rewritten history
+    // file (app.py:66-88 over app.py:91-95); the engine twin: stream →
+    // windowed agg → idempotent partitioned upsert → whole-entry keyword
+    // filter over the latest state
+    val root = "/tmp/graft_search_hist"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root)).deleteRecursively()
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamPipeline.windowedCounts(mem.toDF().toDF("ts", "event_type", "value"))
+    val q = StreamPipeline.foreachBatchUpsert(agg, s"$root/out", s"$root/ckpt")
+    try {
+      val t = java.sql.Timestamp.valueOf(_: String)
+      mem.addData((t("2024-01-01 10:05:00"), "error", 1.0),
+        (t("2024-01-01 11:10:00"), "timeout_error", 4.0))
+      q.processAllAvailable()
+      val hist = spark.read.parquet(s"$root/out")
+      // whole-entry semantics: the keyword can match ANY field of the
+      // serialized entry — here the window-start partition value
+      val hits = hist.where(lower(concat_ws(" ",
+        col("window_start"), col("event_type"),
+        col("n_events").cast("string"), col("total_value").cast("string")))
+        .contains("10:00"))
+      assert(hits.count() == 1, s"expected the 10:00 window entry")
+      assert(hits.head().getAs[String]("event_type") == "error")
+      // and a field-content keyword ("timeout") finds the other entry
+      val hits2 = hist.where(lower(concat_ws(" ",
+        col("window_start"), col("event_type"))).contains("timeout"))
+      assert(hits2.count() == 1)
+    } finally q.stop()
+  }
+
   test("stream ingestRedact applies PII redaction") {
     import spark.implicits._
     val df = Seq(("error", "mail bob@corp.io now")).toDF("event_type", "props")
