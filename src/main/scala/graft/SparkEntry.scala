@@ -93,6 +93,7 @@ object SparkEntry {
     "encode_tokens"         -> (Corpus.encodeTokens _),
     "train_test_split"      -> ((s: SparkSession, d: String) => Corpus.trainTestSplit(s, d)),
     "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
+    "sample_mixture"        -> ((s: SparkSession, d: String) => Corpus.sampleMixture(s, d)),
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
@@ -490,6 +491,18 @@ object SparkEntry {
         |       ELSE 'de' END AS pred_lang,
         |  lang AS labeled_lang
         |FROM s""".stripMargin,
+
+    "sample_mixture" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')) t
+        |WHERE rk <= CASE source WHEN 'src0' THEN 20
+        |                        WHEN 'src1' THEN 12
+        |                        WHEN 'src2' THEN 8 END""".stripMargin,
 
     "sample_exact_stratified" ->
       """SELECT event_id, ts_us, user_id, event_type, value, rk FROM (

@@ -267,6 +267,42 @@ object Corpus {
         col("user_id"), col("event_type"), col("value"), col("rk"))
   }
 
+  /** Mixture sampling: build a training mix with target per-source
+    * proportions — the "50% web / 30% books / 20% code" data-mixing step
+    * of large-corpus training runs. Each listed source contributes
+    * `round(weight/Σweights × total)` documents (fewer if the stratum is
+    * smaller), chosen by md5(doc_id) order so the mix is engine-stable
+    * and reproducible forever.
+    *
+    * Same scale shape as [[sampleExactStratified]]: sources are FEW and
+    * HUGE, so the rank is salted two-phase — a local top-N bounds every
+    * reducer to stratum/`salts`, the global rank then runs on
+    * ≤ salts×target rows per source. Targets ride as a map literal;
+    * unlisted sources are filtered at the scan (predicate pushdown).
+    */
+  def sampleMixture(spark: SparkSession, dir: String,
+      weights: Map[String, Double] =
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+      total: Int = 40, salts: Int = 32): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "positive weights")
+    val wSum = weights.values.sum
+    val targets: Map[String, Long] =
+      weights.map { case (s, w) => s -> math.max(1L, math.round(w / wSum * total)) }
+    val docs = Tables.documents(spark, dir)
+      .where(col("source").isin(weights.keys.toSeq: _*))
+      .withColumn("__key", md5(col("doc_id").cast("string")))
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+    val wLocal = Window.partitionBy("source", "__salt")
+      .orderBy(col("__key"), col("doc_id"))
+    val wGlobal = Window.partitionBy("source")
+      .orderBy(col("__key"), col("doc_id"))
+    docs.withColumn("__lrk", row_number().over(wLocal))
+      .where(col("__lrk") <= targets.values.max)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .where(col("rk") <= try_element_at(typedLit(targets), col("source")))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** Stratified sample: equal fractions per level so rare event types
     * survive sampling (seeded → deterministic). The distinct-types collect
     * is a dimension-sized driver read, same as broadcasting a dim table. */

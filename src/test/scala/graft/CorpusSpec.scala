@@ -140,6 +140,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample respects per-source targets, deterministic") {
+    import graft.operators.Corpus
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val m = Corpus.sampleMixture(spark, Sf, weights, total = 10).collect()
+    val bySrc = m.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // targets: 5 / 3 / 2 (fewer only if a stratum is smaller)
+    val targets = Map("src0" -> 5, "src1" -> 3, "src2" -> 2)
+    bySrc.foreach { case (s, n) =>
+      assert(targets.contains(s), s"unlisted source $s sampled")
+      assert(n <= targets(s), s"$s over target: $n > ${targets(s)}")
+    }
+    // ranks are contiguous 1..n per source
+    m.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length))
+    }
+    // engine-stable: a second run picks the identical documents
+    val m2 = Corpus.sampleMixture(spark, Sf, weights, total = 10).collect()
+    assert(m.map(_.getLong(0)).sorted.sameElements(m2.map(_.getLong(0)).sorted))
+  }
+
   test("stratified sample is deterministic and covers all strata") {
     val s1 = Corpus.stratifiedSample(spark, Sf)
     val s2 = Corpus.stratifiedSample(spark, Sf)
