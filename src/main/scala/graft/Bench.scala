@@ -35,30 +35,35 @@ object Bench {
     // identical to a production run: the builder pays once, sharers reuse.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a failed query must not record its (near-zero) elapsed time — that
+    // would report a BROKEN operator as the fastest one and silently
+    // improve the official total. Failures are excluded from the medians
+    // and surfaced in a "failed" field instead.
+    val failed = scala.collection.mutable.SortedSet[String]()
     val passes = (1 to runs).map { _ =>
       graft.operators.NearDup.releaseCache(spark)
       graft.operators.Embeddings.releaseCache(spark)
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        // a failed query must not SILENTLY record its (near-zero) elapsed
-        // time as if it were fast — flag it on stderr for the harness log
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.toString.take(200)}")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    val results = names.map { name =>
+    val results = names.filterNot(failed).map { name =>
       // upper-median for even run counts — biased against flattering noise
       val times = passes.map(_(name)).sorted
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -238,31 +238,43 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
   }
 
+  /** Salted two-phase top-N per stratum — the shared engine of
+    * [[sampleExactStratified]] and [[sampleMixture]]. Strata are FEW and
+    * HUGE, so a single per-stratum rank window would sort a whole stratum
+    * on one reducer; instead a salted local top-N bounds every reducer to
+    * stratum/`salts`, then the global rank runs on ≤ salts×limit rows per
+    * stratum. `limit` may be per-row (e.g. a per-stratum map lookup) —
+    * the local phase caps at each row's OWN stratum limit, so minor
+    * strata never ride a larger stratum's cap through the global window.
+    * `uniqueId` must be a unique row id (deterministic total order);
+    * emits `rk` = 1..limit within each stratum.
+    */
+  private def saltedTopNPerStratum(df: DataFrame, stratum: Column,
+      orderKey: Column, limit: Column, salts: Int,
+      uniqueId: Column): DataFrame = {
+    val wLocal = Window.partitionBy(stratum, col("__salt"))
+      .orderBy(orderKey, uniqueId)
+    val wGlobal = Window.partitionBy(stratum).orderBy(orderKey, uniqueId)
+    df.withColumn("__salt", pmod(xxhash64(uniqueId), lit(salts)))
+      .withColumn("__lrk", row_number().over(wLocal))
+      .where(col("__lrk") <= limit)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .where(col("rk") <= limit)
+      .drop("__salt", "__lrk")
+  }
+
   /** Exact-N deterministic sample per stratum: the eval-set construction
     * primitive — every event_type contributes exactly `nPer` rows (fewer
     * if the stratum is smaller), chosen by md5(event_id) order so the
     * "random" sample is engine-stable and reproducible forever.
-    *
-    * Strata are FEW and HUGE (5 event types × 20 TB), so a single
-    * per-stratum rank window would sort a whole stratum on one reducer.
-    * Two-phase instead: a salted local top-N bounds each reducer to
-    * stratum/32, then the global rank runs on ≤ 32·nPer rows per stratum.
     */
   def sampleExactStratified(spark: SparkSession, dir: String,
       nPer: Int = 100, salts: Int = 32): DataFrame = {
     val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .withColumn("__key", md5(col("event_id").cast("string")))
-      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(salts)))
-    val wLocal = Window.partitionBy("event_type", "__salt")
-      .orderBy(col("__key"), col("event_id"))
-    val wGlobal = Window.partitionBy("event_type")
-      .orderBy(col("__key"), col("event_id"))
-    ev.withColumn("__lrk", row_number().over(wLocal))
-      .where(col("__lrk") <= nPer)
-      .withColumn("rk", row_number().over(wGlobal).cast("long"))
-      .where(col("rk") <= nPer)
+    saltedTopNPerStratum(ev, col("event_type"),
+      md5(col("event_id").cast("string")), lit(nPer), salts, col("event_id"))
       .select(col("event_id"), date_format(col("ts"), tsUs).as("ts_us"),
         col("user_id"), col("event_type"), col("value"), col("rk"))
   }
@@ -274,11 +286,12 @@ object Corpus {
     * smaller), chosen by md5(doc_id) order so the mix is engine-stable
     * and reproducible forever.
     *
-    * Same scale shape as [[sampleExactStratified]]: sources are FEW and
-    * HUGE, so the rank is salted two-phase — a local top-N bounds every
-    * reducer to stratum/`salts`, the global rank then runs on
-    * ≤ salts×target rows per source. Targets ride as a map literal;
-    * unlisted sources are filtered at the scan (predicate pushdown).
+    * Same scale shape as [[sampleExactStratified]] (shared
+    * [[saltedTopNPerStratum]] engine), with the per-source target as the
+    * limit expression — each source's local phase caps at its OWN target,
+    * so a 1%-weight source never shuffles the 98%-source's cap worth of
+    * rows into the global rank. Targets ride as a map literal; unlisted
+    * sources are filtered at the scan (predicate pushdown).
     */
   def sampleMixture(spark: SparkSession, dir: String,
       weights: Map[String, Double] =
@@ -290,16 +303,9 @@ object Corpus {
       weights.map { case (s, w) => s -> math.max(1L, math.round(w / wSum * total)) }
     val docs = Tables.documents(spark, dir)
       .where(col("source").isin(weights.keys.toSeq: _*))
-      .withColumn("__key", md5(col("doc_id").cast("string")))
-      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(salts)))
-    val wLocal = Window.partitionBy("source", "__salt")
-      .orderBy(col("__key"), col("doc_id"))
-    val wGlobal = Window.partitionBy("source")
-      .orderBy(col("__key"), col("doc_id"))
-    docs.withColumn("__lrk", row_number().over(wLocal))
-      .where(col("__lrk") <= targets.values.max)
-      .withColumn("rk", row_number().over(wGlobal).cast("long"))
-      .where(col("rk") <= try_element_at(typedLit(targets), col("source")))
+    saltedTopNPerStratum(docs, col("source"),
+      md5(col("doc_id").cast("string")),
+      try_element_at(typedLit(targets), col("source")), salts, col("doc_id"))
       .select(col("doc_id"), col("source"), col("rk"))
   }
 

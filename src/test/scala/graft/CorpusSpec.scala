@@ -145,12 +145,11 @@ class CorpusSpec extends AnyFunSuite {
     val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
     val m = Corpus.sampleMixture(spark, Sf, weights, total = 10).collect()
     val bySrc = m.groupBy(_.getString(1)).view.mapValues(_.length).toMap
-    // targets: 5 / 3 / 2 (fewer only if a stratum is smaller)
+    // every stratum holds 25 docs at this sf — comfortably above the
+    // targets — so the sample must hit them EXACTLY (an under-sampling
+    // regression would pass a mere <= bound)
     val targets = Map("src0" -> 5, "src1" -> 3, "src2" -> 2)
-    bySrc.foreach { case (s, n) =>
-      assert(targets.contains(s), s"unlisted source $s sampled")
-      assert(n <= targets(s), s"$s over target: $n > ${targets(s)}")
-    }
+    assert(bySrc == targets, s"per-source counts $bySrc != targets $targets")
     // ranks are contiguous 1..n per source
     m.groupBy(_.getString(1)).foreach { case (_, rows) =>
       assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length))
