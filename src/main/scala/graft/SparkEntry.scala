@@ -66,6 +66,7 @@ object SparkEntry {
     "text_tokens"           -> (TextOps.textTokens _),
     "text_quality"          -> (TextOps.textQuality _),
     "lang_id"               -> (TextOps.langId _),
+    "text_repetition"       -> (TextOps.textRepetition _),
     "doc_fingerprint"       -> ((s: SparkSession, d: String) => TextOps.docFingerprint(s, d)),
     // — embedding / similarity search (rows-only: not SQL-expressible) —
     "embed_text"            -> (Embeddings.embedText _),
@@ -524,6 +525,15 @@ object SparkEntry {
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
         |       length(text) AS n_chars_m
+        |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """SELECT doc_id,
+        |       CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |       round(1.0 - len(list_distinct(str_split(text, chr(10))))
+        |             / len(str_split(text, chr(10))), 4) AS dup_line_ratio,
+        |       round(1.0 - len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |             / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS dup_token_ratio
         |FROM documents""".stripMargin,
 
     "text_quality" ->

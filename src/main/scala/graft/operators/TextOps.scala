@@ -94,6 +94,27 @@ object TextOps {
         when(col("text").isNotNull, langIdCol(col("text"))).as("pred_lang"),
         col("lang").as("labeled_lang"))
 
+  /** Repetition quality filter (the Gopher-rules family): fraction of
+    * duplicate lines and duplicate tokens within each document —
+    * boilerplate, scraped templates, and degenerate generations score
+    * high and get dropped before training. Pure per-row expression work
+    * (split, distinct, ratio): a scan at any corpus size, no shuffle.
+    * NULL text propagates to NULL ratios in both engines. Per-row ratios
+    * are run-order independent, so rounding is safe (SURVEY §5).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val toks = TextFns.wsTokens(lower(col("text")))
+    def dupRatio(arr: Column): Column =
+      round(lit(1.0) -
+        size(array_distinct(arr)).cast("double") / size(arr).cast("double"), 4)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      dupRatio(lines).as("dup_line_ratio"),
+      dupRatio(toks).as("dup_token_ratio"))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
     * k-gram hashes, per-window minima, the distinct minima set is the
     * fingerprint ([[graft.expressions.WinnowFingerprints]], a one-pass

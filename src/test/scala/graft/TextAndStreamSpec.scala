@@ -24,6 +24,29 @@ class TextAndStreamSpec extends AnyFunSuite {
       assert(r.getString(1) == r.getString(0), s"expected ${r.getString(0)}"))
   }
 
+  test("text_repetition scores repeated lines and tokens") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val df = Seq(
+      ("boiler\nboiler\nboiler\nboiler", "all-dup-lines"),
+      ("a b c d", "no-dups"),
+      ("spam spam spam spam", "all-dup-tokens")
+    ).toDF("text", "case")
+      .select(col("case"),
+        round(lit(1.0) - size(array_distinct(split(col("text"), "\n"))).cast("double") /
+          size(split(col("text"), "\n")).cast("double"), 4).as("dl"),
+        round(lit(1.0) - size(array_distinct(TextFns.wsTokens(lower(col("text"))))).cast("double") /
+          size(TextFns.wsTokens(lower(col("text")))).cast("double"), 4).as("dt"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(df("all-dup-lines") == (0.75, 0.75))
+    assert(df("no-dups") == (0.0, 0.0))
+    assert(df("all-dup-tokens")._2 == 0.75)
+    // and over the corpus: every ratio is in [0, 1]
+    val rep = graft.operators.TextOps.textRepetition(spark, SparkTest.Sf)
+    assert(rep.where(col("dup_line_ratio") < 0 || col("dup_line_ratio") > 1 ||
+      col("dup_token_ratio") < 0 || col("dup_token_ratio") > 1).count() == 0)
+  }
+
   test("doc_fingerprint: identical texts share fingerprints, distinct differ") {
     val fp = TextOps.docFingerprint(spark, Sf)
     assert(fp.count() == graft.sources.Tables.documents(spark, Sf).count())
