@@ -44,14 +44,19 @@ object Bench {
       graft.operators.NearDup.releaseCache(spark)
       graft.operators.Embeddings.releaseCache(spark)
       names.map { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.toString.take(200)}")
+        // once failed, a query's timings can never enter the medians —
+        // don't burn wall-clock re-running it in later passes
+        if (failed(name)) name -> 0.0
+        else {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(200)}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
     val results = names.filterNot(failed).map { name =>
@@ -63,7 +68,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // n_queries makes totals honestly comparable across runs: a run that
+    // dropped a failed query must not read as a wall-clock improvement
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,13 +102,16 @@ object TextOps {
     * NULL text propagates to NULL ratios in both engines. Per-row ratios
     * are run-order independent, so rounding is safe (SURVEY §5).
     */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionFrom(Tables.documents(spark, dir))
+
+  private[graft] def textRepetitionFrom(docs: DataFrame): DataFrame = {
     val lines = split(col("text"), "\n")
     val toks = TextFns.wsTokens(lower(col("text")))
     def dupRatio(arr: Column): Column =
       round(lit(1.0) -
         size(array_distinct(arr)).cast("double") / size(arr).cast("double"), 4)
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       size(lines).cast("long").as("n_lines"),
       dupRatio(lines).as("dup_line_ratio"),

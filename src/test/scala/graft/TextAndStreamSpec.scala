@@ -26,21 +26,20 @@ class TextAndStreamSpec extends AnyFunSuite {
 
   test("text_repetition scores repeated lines and tokens") {
     import spark.implicits._
-    import graft.functions.TextFns
-    val df = Seq(
-      ("boiler\nboiler\nboiler\nboiler", "all-dup-lines"),
-      ("a b c d", "no-dups"),
-      ("spam spam spam spam", "all-dup-tokens")
-    ).toDF("text", "case")
-      .select(col("case"),
-        round(lit(1.0) - size(array_distinct(split(col("text"), "\n"))).cast("double") /
-          size(split(col("text"), "\n")).cast("double"), 4).as("dl"),
-        round(lit(1.0) - size(array_distinct(TextFns.wsTokens(lower(col("text"))))).cast("double") /
-          size(TextFns.wsTokens(lower(col("text")))).cast("double"), 4).as("dt"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(df("all-dup-lines") == (0.75, 0.75))
-    assert(df("no-dups") == (0.0, 0.0))
-    assert(df("all-dup-tokens")._2 == 0.75)
+    // crafted rows drive the REAL operator (the From-variant), not a
+    // re-derivation of its expressions — a column swap or delimiter bug
+    // inside textRepetition must fail here
+    val crafted = Seq(
+      (1L, "boiler\nboiler\nboiler\nboiler"),
+      (2L, "a b c d"),
+      (3L, "spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val df = TextOps.textRepetitionFrom(crafted).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(1))).toMap
+    assert(df(1L) == (0.75, 0.75, 4L), s"all-dup-lines: ${df(1L)}")
+    assert(df(2L) == (0.0, 0.0, 1L), s"no-dups: ${df(2L)}")
+    assert(df(3L)._2 == 0.75, s"all-dup-tokens: ${df(3L)}")
     // and over the corpus: every ratio is in [0, 1]
     val rep = graft.operators.TextOps.textRepetition(spark, SparkTest.Sf)
     assert(rep.where(col("dup_line_ratio") < 0 || col("dup_line_ratio") > 1 ||
