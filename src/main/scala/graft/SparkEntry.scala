@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_clusters"        -> ((s: SparkSession, d: String) => NearDup.dedupClusters(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
+    "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
     // — multimodal plumbing (rows-only) —
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),

@@ -206,6 +206,60 @@ object NearDup {
         col("cluster_size"), (col("id") === col("cluster")).as("is_canonical"))
   }
 
+  /** Containment detection: flags documents whose content is (near-)
+    * embedded inside another document — quotes, mirrored articles,
+    * re-posts with added boilerplate. Symmetric near-dup (Jaccard) misses
+    * these: a short doc fully contained in a long one has low Jaccard but
+    * containment ≈ 1. Asymmetric by construction:
+    * containment(A→B) = |fp(A) ∩ fp(B)| / |fp(A)|, over winnowing
+    * fingerprints (Schleimer '03 guarantees matches of ≥ noiseThreshold
+    * chars share a fingerprint).
+    *
+    * Scale shape: per-doc fingerprints are a native one-pass kernel;
+    * candidate pairs come from an equi-join on fingerprint values with
+    * the same hot-bucket cap as the LSH paths (a boilerplate fingerprint
+    * shared by half the corpus must not go quadratic); the pair
+    * aggregation is count-only (8 bytes through the shuffle per shared
+    * fingerprint). One summary row per doc.
+    */
+  def dedupContainment(spark: SparkSession, dir: String, thr: Double = 0.8,
+      k: Int = 5, w: Int = 4): DataFrame =
+    dedupContainmentFrom(Tables.documents(spark, dir), thr, k, w)
+
+  private[graft] def dedupContainmentFrom(docs: DataFrame, thr: Double = 0.8,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val fpsCol = Bridge.column(graft.expressions.WinnowFingerprints(
+      Bridge.expression(lower(col("text"))), k, w))
+    val base = docs.select(col("doc_id").as("id"), fpsCol.as("fps"))
+      .withColumn("n_fps", size(col("fps")).cast("long"))
+    val ex = base.select(col("id"), col("n_fps"), explode(col("fps")).as("fp"))
+    val fpCounts = ex.groupBy("fp").agg(count("*").as("fn"))
+    val capped = ex.join(fpCounts.where(col("fn") <= MaxBucket), "fp")
+      .select(col("id"), col("n_fps"), col("fp"))
+    // directed pairs: (a contained-in b) and (b contained-in a) are
+    // different questions — both directions fall out of the same join
+    val shared = capped.as("l")
+      .join(capped.select(col("id").as("rid"), col("fp")).as("r"),
+        col("l.fp") === col("r.fp") && col("l.id") =!= col("r.rid"))
+      .groupBy(col("l.id").as("id"), col("l.n_fps").as("n_fps"),
+        col("r.rid").as("container_id"))
+      .agg(count("*").as("n_shared"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_fps").cast("double"), 6))
+    val best = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("containment").desc, col("container_id"))
+    val top = shared.withColumn("rk", row_number().over(best))
+      .where(col("rk") === 1)
+      .select(col("id"), col("container_id").as("best_container_id"),
+        col("containment"))
+    base.select(col("id"), col("n_fps"))
+      .join(top, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_fps"),
+        col("best_container_id"), col("containment"),
+        coalesce(col("containment") >= thr, lit(false)).as("is_contained"))
+  }
+
   /** Character 5-gram Jaccard near-dup, MinHash-blocked. 8 bands × 8 rows:
     * char n-grams of same-domain corpora overlap heavily, so 4-row bands
     * would pass most of the corpus as candidates (O(n²) verify); 8-row

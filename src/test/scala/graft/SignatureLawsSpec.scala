@@ -93,6 +93,24 @@ class SignatureLawsSpec extends AnyFunSuite {
     assert(acShared < 0.1, s"unrelated docs must not: $acShared")
   }
 
+  test("containment flags embedded docs asymmetrically, not their containers") {
+    import spark.implicits._
+    val inner = (1 to 40).map(i => s"inner$i").mkString(" ")
+    val container = s"header text before $inner trailing boilerplate after"
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, inner), (2L, container), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = graft.operators.NearDup.dedupContainmentFrom(docs, thr = 0.8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the embedded doc is flagged, pointing at its container
+    assert(out(1L).getBoolean(4), s"inner doc must be contained: ${out(1L)}")
+    assert(out(1L).getLong(2) == 2L)
+    // the container shares the same fingerprints but relative to its OWN
+    // (larger) fingerprint set — below threshold: asymmetry is the point
+    assert(!out(2L).getBoolean(4), s"container must not be flagged: ${out(2L)}")
+    assert(!out(3L).getBoolean(4), s"unrelated doc must not be flagged: ${out(3L)}")
+  }
+
   test("bucket index is the exact upper-bound count, monotone, NaN-last") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val r = rng(11)
