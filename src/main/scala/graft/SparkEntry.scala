@@ -20,7 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference surface (log-analytics core) —
-    "ingest_errors"         -> (LogOps.ingestErrors _),
+    "ingest_errors"         -> ((s: SparkSession, d: String) => LogOps.ingestErrors(s, d)),
+    // a second NRQL window/filter point: narrower SINCE..UNTIL, different
+    // container LIKE, and a LIMIT that actually truncates (149 matching
+    // rows at sf0.01 → the ordered LIMIT 100 is exercised, not vacuous)
+    "ingest_errors_window"  -> ((s: SparkSession, d: String) =>
+      LogOps.ingestErrors(s, d, sinceTs = "2024-01-10 00:00:00",
+        untilTs = "2024-01-20 00:00:00", userLike = "%3%", limit = 100)),
     "preprocess_redact"     -> (LogOps.preprocessRedact _),
     "preprocess_dedup"      -> (LogOps.preprocessDedup _),
     "redact_secrets"        -> (LogOps.redactSecrets _),
@@ -29,10 +35,29 @@ object SparkEntry {
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
-    "search_entries"        -> (LogOps.searchEntries _),
+    "search_entries"        -> ((s: SparkSession, d: String) => LogOps.searchEntries(s, d)),
+    // parameter sweep: the dashboard takes arbitrary level/keyword/window
+    // combinations per request (app.py:66-84) — each variant pins a
+    // different point: a non-error level, and a no-hit keyword (empty
+    // result), all oracle-verified like the default point
+    "search_entries_purchase" -> ((s: SparkSession, d: String) =>
+      LogOps.searchEntries(s, d, level = "purchase", userLike = "%3%",
+        keyword = "3", sinceTs = "2024-01-05 00:00:00", limit = 100)),
+    "search_entries_none"   -> ((s: SparkSession, d: String) =>
+      LogOps.searchEntries(s, d, keyword = "graftnope")),
     "search_all"            -> ((s: SparkSession, d: String) => LogOps.searchAll(s, d)),
+    // keyword landing in the report BODY only (log-line props — a hex
+    // digest can't contain '"'), and one matching nothing at all
+    "search_all_msg"        -> ((s: SparkSession, d: String) =>
+      LogOps.searchAll(s, d, keyword = "\"k\": 12")),
+    "search_all_none"       -> ((s: SparkSession, d: String) =>
+      LogOps.searchAll(s, d, keyword = "graftnope")),
     "feedback_upsert"       -> (Upsert.feedbackUpsert _),
-    "incident_report"       -> (LogOps.incidentReport _),
+    "incident_report"       -> ((s: SparkSession, d: String) => LogOps.incidentReport(s, d)),
+    // cap small enough to BITE at sf0.01 (~67 error lines/day): verifies
+    // the truncation semantics itself, not just the uncapped fixpoint
+    "incident_report_cap"   -> ((s: SparkSession, d: String) =>
+      LogOps.incidentReport(s, d, maxLines = 25)),
     "slack_message"         -> (LogOps.slackMessage _),
     "rag_prompt"            -> (Embeddings.ragPrompt _),
     "props_parse"           -> (LogOps.propsParse _),
@@ -103,52 +128,96 @@ object SparkEntry {
     "quality_perplexity"    -> (Corpus.perplexityScore _)
   )
 
+  /** The NRQL-ingest oracle at a parameter point (mirror of
+    * [[graft.operators.LogOps.ingestErrors]]'s window/filter/limit). */
+  private def ingestErrorsSql(sinceTs: String, untilTs: String,
+      userLike: String, limit: Int): String =
+    s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+       |       user_id, event_type, value, props
+       |FROM events
+       |WHERE event_type = 'error'
+       |  AND props NOT LIKE '%"k": 0}%'
+       |  AND props LIKE '%k%'
+       |  AND CAST(user_id AS VARCHAR) LIKE '$userLike'
+       |  AND ts >= TIMESTAMP '$sinceTs'
+       |  AND ts <  TIMESTAMP '$untilTs'
+       |ORDER BY ts, event_id
+       |LIMIT $limit""".stripMargin
+
+  /** The dashboard-search oracle at a parameter point (mirror of
+    * [[graft.operators.LogOps.searchEntries]]). */
+  private def searchEntriesSql(level: String, userLike: String,
+      keyword: String, sinceTs: String, limit: Int): String =
+    s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+       |       user_id, event_type, props
+       |FROM events
+       |WHERE event_type = '$level'
+       |  AND CAST(user_id AS VARCHAR) LIKE '$userLike'
+       |  AND contains(lower(props), '${keyword.toLowerCase(java.util.Locale.ROOT)}')
+       |  AND ts >= TIMESTAMP '$sinceTs'
+       |ORDER BY ts DESC, event_id
+       |LIMIT $limit""".stripMargin
+
+  /** Capped per-day report CTEs — the SQL mirror of
+    * [[graft.operators.LogOps.incidentReport]]'s bounded assembly: `c` is
+    * the UNCAPPED day count, `r` the report over the first `maxLines`
+    * non-NULL lines per day in (ts_us, event_id) order. NULLS FIRST pins
+    * the rank order to Spark's default asc-nulls-first. */
+  private def reportCtes(maxLines: Int): String =
+    s"""WITH e AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_id,
+       |         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+       |         printf('- %s | user_%d | %s | %s',
+       |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type, props) AS line
+       |  FROM events
+       |  WHERE event_type = 'error'),
+       |c AS (SELECT day, count(*) AS n_incidents FROM e GROUP BY 1),
+       |k AS (
+       |  SELECT day, ts_us, event_id, line,
+       |         row_number() OVER (PARTITION BY day
+       |           ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS rn
+       |  FROM e WHERE line IS NOT NULL),
+       |r AS (
+       |  SELECT day, string_agg(line, chr(10)
+       |           ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS report
+       |  FROM k WHERE rn <= $maxLines GROUP BY 1)""".stripMargin
+
+  private def incidentReportSql(maxLines: Int): String =
+    reportCtes(maxLines) +
+    """
+      |SELECT c.day, c.n_incidents, r.report
+      |FROM c LEFT JOIN r USING (day)""".stripMargin
+
+  private def searchAllSql(keyword: String, maxLines: Int = 1000): String =
+    reportCtes(maxLines) +
+    s""",
+       |e2 AS (
+       |  SELECT c.day, c.n_incidents, r.report,
+       |         CASE WHEN r.report IS NOT NULL THEN
+       |           printf('RCA pending for %d incidents (batch digest %s)',
+       |                  c.n_incidents, md5(r.report)) END AS rca
+       |  FROM c LEFT JOIN r USING (day))
+       |SELECT day, n_incidents, report, rca
+       |FROM e2
+       |WHERE contains(lower(concat_ws(' ', day, report, rca)), '${keyword.toLowerCase(java.util.Locale.ROOT)}')""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
-    "ingest_errors" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
-        |       user_id, event_type, value, props
-        |FROM events
-        |WHERE event_type = 'error'
-        |  AND props NOT LIKE '%"k": 0}%'
-        |  AND props LIKE '%k%'
-        |  AND CAST(user_id AS VARCHAR) LIKE '%1%'
-        |  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
-        |  AND ts <  TIMESTAMP '2024-01-29 00:00:00'
-        |ORDER BY ts, event_id
-        |LIMIT 500""".stripMargin,
+    "ingest_errors" -> ingestErrorsSql(
+      "2024-01-02 00:00:00", "2024-01-29 00:00:00", "%1%", 500),
+    "ingest_errors_window" -> ingestErrorsSql(
+      "2024-01-10 00:00:00", "2024-01-20 00:00:00", "%3%", 100),
 
-    "search_entries" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
-        |       user_id, event_type, props
-        |FROM events
-        |WHERE event_type = 'error'
-        |  AND CAST(user_id AS VARCHAR) LIKE '%2%'
-        |  AND contains(lower(props), '7')
-        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-        |ORDER BY ts DESC, event_id
-        |LIMIT 200""".stripMargin,
+    "search_entries" -> searchEntriesSql(
+      "error", "%2%", "7", "2024-01-01 00:00:00", 200),
+    "search_entries_purchase" -> searchEntriesSql(
+      "purchase", "%3%", "3", "2024-01-05 00:00:00", 100),
+    "search_entries_none" -> searchEntriesSql(
+      "error", "%2%", "graftnope", "2024-01-01 00:00:00", 200),
 
-    "search_all" ->
-      """WITH r AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents,
-        |         string_agg(
-        |           printf('- %s | user_%d | %s | %s',
-        |                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type, props),
-        |           chr(10)
-        |           ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id) AS report
-        |  FROM events
-        |  WHERE event_type = 'error'
-        |  GROUP BY 1),
-        |e AS (
-        |  SELECT day, n_incidents, report,
-        |         CASE WHEN report IS NOT NULL THEN
-        |           printf('RCA pending for %d incidents (batch digest %s)',
-        |                  n_incidents, md5(report)) END AS rca
-        |  FROM r)
-        |SELECT day, n_incidents, report, rca
-        |FROM e
-        |WHERE contains(lower(concat_ws(' ', day, report, rca)), '7b')""".stripMargin,
+    "search_all" -> searchAllSql("7b"),
+    "search_all_msg" -> searchAllSql("\"k\": 12"),
+    "search_all_none" -> searchAllSql("graftnope"),
 
     "feedback_upsert" ->
       """WITH history AS (
@@ -244,16 +313,8 @@ object SparkEntry {
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
-    "incident_report" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents,
-        |       string_agg(
-        |         printf('- %s | user_%d | %s | %s',
-        |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type, props),
-        |         chr(10)
-        |         ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id) AS report
-        |FROM events
-        |WHERE event_type = 'error'
-        |GROUP BY 1""".stripMargin,
+    "incident_report" -> incidentReportSql(1000),
+    "incident_report_cap" -> incidentReportSql(25),
 
     "slack_message" ->
       """WITH b AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
@@ -28,16 +29,20 @@ object LogOps {
     * window, deterministic ordered LIMIT (NRQL's LIMIT is arbitrary;
     * ordering by (ts, event_id) makes it reproducible).
     */
-  def ingestErrors(spark: SparkSession, dir: String): DataFrame =
+  def ingestErrors(spark: SparkSession, dir: String,
+      sinceTs: String = "2024-01-02 00:00:00",
+      untilTs: String = "2024-01-29 00:00:00",
+      userLike: String = "%1%",
+      limit: Int = 500): DataFrame =
     Tables.events(spark, dir)
       .where(col("event_type") === "error" &&
         !col("props").like("""%"k": 0}%""") &&
         col("props").like("%k%") &&
-        col("user_id").cast("string").like("%1%") &&
-        col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
-        col("ts") <  lit("2024-01-29 00:00:00").cast("timestamp"))
+        col("user_id").cast("string").like(userLike) &&
+        col("ts") >= lit(sinceTs).cast("timestamp") &&
+        col("ts") <  lit(untilTs).cast("timestamp"))
       .orderBy(col("ts"), col("event_id"))
-      .limit(500)
+      .limit(limit)
       .select(
         col("event_id"),
         date_format(col("ts"), TsUs).as("ts_us"),
@@ -117,14 +122,19 @@ object LogOps {
     * columns, so they push down; the ordered LIMIT plans as a distributed
     * TakeOrdered.
     */
-  def searchEntries(spark: SparkSession, dir: String): DataFrame =
+  def searchEntries(spark: SparkSession, dir: String,
+      level: String = "error",
+      userLike: String = "%2%",
+      keyword: String = "7",
+      sinceTs: String = "2024-01-01 00:00:00",
+      limit: Int = 200): DataFrame =
     Tables.events(spark, dir)
-      .where(col("event_type") === "error" &&
-        col("user_id").cast("string").like("%2%") &&
-        lower(col("props")).contains("7") &&
-        col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+      .where(col("event_type") === level &&
+        col("user_id").cast("string").like(userLike) &&
+        lower(col("props")).contains(keyword.toLowerCase(java.util.Locale.ROOT)) &&
+        col("ts") >= lit(sinceTs).cast("timestamp"))
       .orderBy(col("ts").desc, col("event_id"))
-      .limit(200)
+      .limit(limit)
       .select(col("event_id"),
         date_format(col("ts"), TsUs).as("ts_us"),
         col("user_id"), col("event_type"), col("props"))
@@ -145,8 +155,8 @@ object LogOps {
     * dimension-sized day relation. No extra shuffle over [[incidentReport]].
     */
   def searchAll(spark: SparkSession, dir: String,
-      keyword: String = "7b"): DataFrame =
-    incidentReport(spark, dir)
+      keyword: String = "7b", maxLines: Int = 1000): DataFrame =
+    incidentReport(spark, dir, maxLines)
       .withColumn("rca",
         // NULL report (all lines NULL) → NULL rca, matching SQL printf
         when(col("report").isNotNull,
@@ -191,11 +201,6 @@ object LogOps {
         approx_count_distinct(col("props"), 0.02).as("n_props_approx"),
         count("*").as("n_events"))
 
-  /** Per-day incident report: the `- ts | container | level | message` log
-    * lines of build_prompt (llm_processor.py:30-42), aggregated into one
-    * ordered report string per day. Distributed string assembly: collect
-    * sorted structs per group, join — one shuffle, no driver loop.
-    */
   /** The `- ts | container | level | message` log line, with SQL printf
     * NULL-parity: NULL ts/user_id/props null the whole LINE (the oracle's
     * printf propagates NULL, and string_agg then skips it — Spark's
@@ -214,17 +219,50 @@ object LogOps {
           x => x.getField("line")),
         "\n"))
 
-  def incidentReport(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  /** Per-day incident report: the `- ts | container | level | message` log
+    * lines of build_prompt (llm_processor.py:30-42), aggregated into one
+    * ordered report string per day. Distributed string assembly: collect
+    * sorted structs per group, join — one shuffle, no driver loop.
+    *
+    * The report is BOUNDED: only the first `maxLines` lines of a day (by
+    * (ts_us, event_id), the deterministic report order) enter the string.
+    * An uncapped day would materialize every error line of the day into
+    * ONE aggregation buffer and ONE output cell — unbounded group state,
+    * multi-GB cells at 100×. The reference itself only ever reports on a
+    * LIMIT-bounded fetch (main.py:25, LIMIT 1000 — the default cap here).
+    * The row_number ≤ N filter plans as WindowGroupLimit (per-partition
+    * top-N BEFORE the exchange, so the shuffle moves ≤ N lines per day per
+    * map task, and the sort is a bounded heap, not a full per-day sort).
+    * `n_incidents` stays the UNCAPPED day count — a count-only branch that
+    * shuffles 16 bytes per (task, day).
+    */
+  def incidentReport(spark: SparkSession, dir: String,
+      maxLines: Int = 1000): DataFrame = {
+    val lines = Tables.events(spark, dir)
       .where(col("event_type") === "error")
       .select(
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_id"),
         date_format(col("ts"), TsUs).as("ts_us"),
         logLine(col("props")).as("line"))
+    val counts = lines.groupBy(col("day"))
+      .agg(count("*").as("n_incidents"))
+    // NULL lines are filtered BEFORE the rank (they can never appear in
+    // the report, so they must not consume cap slots — and the oracle's
+    // `WHERE line IS NOT NULL` mirror keeps both rank universes identical)
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val reports = lines
+      .where(col("line").isNotNull)
+      .withColumn("__rn", row_number().over(wDay))
+      .where(col("__rn") <= maxLines)
       .groupBy(col("day"))
-      .agg(count("*").as("n_incidents"),
-        joinedLines(col("ts_us"), col("event_id")).as("report"))
+      .agg(joinedLines(col("ts_us"), col("event_id")).as("report"))
+    // left join: a day whose lines are ALL NULL still surfaces, with a
+    // NULL report — the same row the old single-agg shape produced
+    counts.join(reports, Seq("day"), "left")
+      .select(col("day"), col("n_incidents"), col("report"))
+  }
 
   /** Slack RCA share message (_format_slack_message, llm_processor.py:97-105
     * and app.py:138-143): `*AI RCA & Fix Suggestion:*` header, the redacted

@@ -24,10 +24,16 @@ class CoreSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   import SparkTest.Sf
 
+  // the *_none search points verify the EMPTY result set against the
+  // oracle (a keyword matching nothing is a dashboard request like any
+  // other) — zero rows is their correct answer, not a broken operator
+  private val deliberatelyEmpty = Set("search_entries_none", "search_all_none")
+
   test("every query runs on sf0.001 and returns rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf).count()
-      assert(n > 0, s"query $name returned no rows")
+      if (deliberatelyEmpty(name)) assert(n == 0, s"query $name should be empty")
+      else assert(n > 0, s"query $name returned no rows")
     }
   }
 

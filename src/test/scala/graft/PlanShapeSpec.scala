@@ -46,6 +46,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("vector_knn").contains("WindowGroupLimit"))
   }
 
+  test("incident_report caps each day's lines via WindowGroupLimit") {
+    // the per-day line cap must plan as a rank-limit (partial top-N per
+    // map task BEFORE the exchange) — a plain Window + Filter would sort
+    // every line of a day on one reducer and only then drop the excess,
+    // i.e. the unbounded-group-state shape the cap exists to remove
+    Seq("incident_report", "search_all").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q's line cap must plan as WindowGroupLimit:\n$p")
+    }
+  }
+
   test("native kernel projections stay inside whole-stage codegen") {
     val p = plan("embed_text")
     assert(p.contains("*("), s"embed projection must be codegen'd:\n$p")
