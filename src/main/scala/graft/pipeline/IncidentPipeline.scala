@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{TextFns, VecFns}
-import graft.operators.Embeddings
+import graft.operators.{Embeddings, Upsert}
 
 /** Pipeline configuration — the engine-side twin of the reference's
   * env-driven config surface (/root/reference/src/config.py,
@@ -83,6 +83,33 @@ object IncidentPipeline {
     * embeddings + metadata as parquet, queryable by any later session. */
   def writeIndex(embedded: DataFrame, indexPath: String): Unit =
     embedded.write.mode("overwrite").parquet(indexPath)
+
+  /** Stage 4, append mode — the FAISS accumulating-index contract: the
+    * reference's `add_logs` LOADS the saved index and appends each run's
+    * vectors to it (faiss_db.py:19-21,37-47), so the index grows across
+    * runs. The parquet twin merges the new batch onto the existing index
+    * by event_id — [[graft.operators.Upsert.mergeByKey]], one
+    * key-partitioned equi-join — so a re-embedded event REPLACES its row
+    * instead of duplicating it (FAISS's raw `add` would double-count;
+    * merge is the upsert an accumulating store actually wants). Write is
+    * to a temp dir then swapped in: the merged plan READS `indexPath`, so
+    * an in-place overwrite would truncate its own input mid-job. At scale
+    * the store would be date-partitioned so a merge only rewrites touched
+    * partitions; the swap here is the single-store local twin. */
+  def appendIndex(spark: SparkSession, embedded: DataFrame,
+      indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { writeIndex(embedded, indexPath); return }
+    val existing = spark.read.parquet(indexPath)
+    val merged = Upsert.mergeByKey(existing,
+      embedded.select(existing.columns.map(col).toIndexedSeq: _*),
+      Seq("event_id"))
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__merge_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
 
   /** Stage 5 — RAG: top-k index entries per batch incident (cosine = dot
     * on unit vectors), deduped; plus the assembled RCA prompt. */

@@ -53,15 +53,20 @@ object QueryWindow {
   }
 
   /** Lift SINCE '<ts>' UNTIL '<ts>' LIMIT n out of a query string onto the
-    * engine config; fields absent from the string keep `base`'s values. */
+    * engine config; fields absent from the string keep `base`'s values.
+    * The same quote-parity guard the [[rewrite]] sweepers carry: a
+    * SINCE/UNTIL/LIMIT phrase INSIDE a string literal (`note = 'set
+    * LIMIT 5 ago'`) is data, not a window clause, and must not be lifted.
+    * A numeric limit beyond Int range keeps `base.limitCount` (toIntOption,
+    * not toInt — an unparseable limit must not throw). */
   def parse(query: String, base: GraftConfig = GraftConfig()): GraftConfig = {
-    val sinceR = "(?i)SINCE\\s+'([^']+)'".r
-    val untilR = "(?i)UNTIL\\s+'([^']+)'".r
-    val limitR = "(?i)LIMIT\\s+(\\d+)".r
+    val sinceR = s"(?i)SINCE\\s+'([^']+)'$OutsideQuotes".r
+    val untilR = s"(?i)UNTIL\\s+'([^']+)'$OutsideQuotes".r
+    val limitR = s"(?i)LIMIT\\s+(\\d+)$OutsideQuotes".r
     base.copy(
       sinceTs = sinceR.findFirstMatchIn(query).map(_.group(1)).getOrElse(base.sinceTs),
       untilTs = untilR.findFirstMatchIn(query).map(_.group(1)).getOrElse(base.untilTs),
-      limitCount = limitR.findFirstMatchIn(query).map(_.group(1).toInt)
+      limitCount = limitR.findFirstMatchIn(query).flatMap(_.group(1).toIntOption)
         .getOrElse(base.limitCount))
   }
 }

@@ -159,6 +159,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(m.map(_.getLong(0)).sorted.sameElements(m2.map(_.getLong(0)).sorted))
   }
 
+  test("mixture targets always sum to total (largest-remainder apportionment)") {
+    import graft.operators.Corpus
+    // three equal weights with total=10: independent round() would yield
+    // 3+3+3 = 9; largest-remainder hands the leftover slot to the first
+    // source by the deterministic name tie-break → 4/3/3
+    val m = Corpus.sampleMixture(spark, Sf,
+      Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0), total = 10).collect()
+    val bySrc = m.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(m.length == 10, s"mix must hold exactly `total` docs: $bySrc")
+    assert(bySrc == Map("src0" -> 4, "src1" -> 3, "src2" -> 3), bySrc.toString)
+  }
+
   test("stratified sample is deterministic and covers all strata") {
     val s1 = Corpus.stratifiedSample(spark, Sf)
     val s2 = Corpus.stratifiedSample(spark, Sf)

@@ -69,6 +69,16 @@ class PipelineSpec extends AnyFunSuite {
     // absent clauses keep the base config's values
     val part = QueryWindow.parse("SELECT x FROM Log LIMIT 7")
     assert(part.limitCount == 7 && part.sinceTs == GraftConfig().sinceTs)
+    // a window phrase INSIDE a string literal is data, not config — the
+    // same quote-parity guard the rewrite sweepers carry
+    val quoted = QueryWindow.parse(
+      "SELECT x FROM Log WHERE note = 'retry SINCE ''boot'' LIMIT 5' LIMIT 9")
+    assert(quoted.limitCount == 9, quoted.toString)
+    val inLit = QueryWindow.parse("SELECT x FROM Log WHERE note = 'use LIMIT 5 here'")
+    assert(inLit.limitCount == GraftConfig().limitCount, inLit.toString)
+    // a limit beyond Int range keeps the base value instead of throwing
+    val huge = QueryWindow.parse("SELECT x FROM Log LIMIT 99999999999999999999")
+    assert(huge.limitCount == GraftConfig().limitCount, huge.toString)
   }
 
   test("end-to-end pipeline: fetch → preprocess → embed → index → rag → history") {
@@ -88,6 +98,32 @@ class PipelineSpec extends AnyFunSuite {
     // history carries similarity context
     val hist = spark.read.parquet(s"$out/history")
     assert(hist.columns.contains("best_sim") && hist.columns.contains("n_hits"))
+  }
+
+  test("append-mode index write grows the index without duplicating ids") {
+    import IncidentPipeline._
+    val idxPath = "/tmp/graft_append_idx/index"
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft_append_idx")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // first run: 40 earliest errors; second run: 80 — the first 40 are
+    // the SAME events (same ordered fetch), so a raw append would
+    // double-count them (120 rows); the merge must yield exactly 80
+    val cfg1 = GraftConfig(limitCount = 40)
+    val run1 = embed(preprocess(fetch(spark, Sf, cfg1)), cfg1)
+    appendIndex(spark, run1, idxPath)
+    val n1 = spark.read.parquet(idxPath).count()
+    val cfg2 = GraftConfig(limitCount = 80)
+    val run2 = embed(preprocess(fetch(spark, Sf, cfg2)), cfg2)
+    appendIndex(spark, run2, idxPath)
+    val idx = spark.read.parquet(idxPath)
+    val n2 = idx.count()
+    assert(n2 > n1, s"second run must grow the index ($n1 -> $n2)")
+    assert(idx.select("event_id").distinct().count() == n2,
+      "append must not duplicate event ids")
+    // every first-run id is still present after the second append
+    val run1Ids = run1.select("event_id")
+    assert(run1Ids.exceptAll(idx.select("event_id")).count() == 0)
   }
 
   test("pipeline stages are individually lazy plans (no action before sink)") {
