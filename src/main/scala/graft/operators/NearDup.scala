@@ -101,7 +101,14 @@ object NearDup {
       simExpr: (Column, Column) => Column): DataFrame = {
     val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
     val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
-    val exploded = allKeys.join(keyCounts.where(col("kn") <= MaxBucket), "key")
+    // kn >= 2, not just <= MaxBucket: a band key held by ONE doc (the vast
+    // majority of keys in a mostly-unique corpus) can never produce a
+    // pair, so it must not ride the self-join's sort/probe. This is the
+    // self-join twin of the decontaminate bloom pre-filter — a membership
+    // sketch is useless here (every key is in its own corpus's set), but
+    // the count filter drops the same can't-match rows exactly.
+    val exploded = allKeys.join(
+        keyCounts.where(col("kn") >= 2 && col("kn") <= MaxBucket), "key")
       .select(col("id"), col("key"))
     val pairs = exploded.as("l")
       .join(exploded.as("r"), col("l.key") === col("r.key") && col("l.id") < col("r.id"))
@@ -249,10 +256,17 @@ object NearDup {
     // "re-post with added boilerplate" case this operator targets.
     // Numerator and denominator must see the same fingerprint universe.
     val cappedN = capped.groupBy(col("id")).agg(count("*").as("n_fps_capped"))
+    // the PAIR join additionally drops singleton fingerprints (fn = 1
+    // can never match another doc) — but only after cappedN: singletons
+    // DO belong in the containment denominator, they're real content the
+    // candidate container fails to share
+    val pairable = ex.join(
+        fpCounts.where(col("fn") >= 2 && col("fn") <= MaxBucket), "fp")
+      .select(col("id"), col("fp"))
     // directed pairs: (a contained-in b) and (b contained-in a) are
     // different questions — both directions fall out of the same join
-    val shared = capped.as("l")
-      .join(capped.select(col("id").as("rid"), col("fp")).as("r"),
+    val shared = pairable.as("l")
+      .join(pairable.select(col("id").as("rid"), col("fp")).as("r"),
         col("l.fp") === col("r.fp") && col("l.id") =!= col("r.rid"))
       .groupBy(col("l.id").as("id"), col("r.rid").as("container_id"))
       .agg(count("*").as("n_shared"))
