@@ -117,6 +117,13 @@ object ScaleProbe {
     // candidate equi-join — train-side shuffle tracks matches, not corpus
     def decon(df: DataFrame): DataFrame =
       graft.operators.Corpus.decontaminateFrom(df)
+    // capped per-day report assembly: at N× the lines per day the
+    // WindowGroupLimit rank saturates at maxLines, so the string branch's
+    // shuffle/aggregation stays CONSTANT and growth tracks the count
+    // branch's linear scan — the bound that replaced the unbounded
+    // one-row-per-day string aggregation
+    def report(df: DataFrame): DataFrame =
+      graft.operators.LogOps.incidentReportFrom(df)
 
     val r = Seq(
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
@@ -126,6 +133,7 @@ object ScaleProbe {
       ("ivf_dedup", time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))),
       ("exact_pctl", time("exact_pctl 1x")(pctl(ev1)), time(s"exact_pctl ${factor}x")(pctl(evN))),
       ("decontaminate", time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
+      ("capped_report", time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
       ("connected_comp", time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor))))
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")

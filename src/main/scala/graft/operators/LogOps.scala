@@ -237,8 +237,12 @@ object LogOps {
     * shuffles 16 bytes per (task, day).
     */
   def incidentReport(spark: SparkSession, dir: String,
+      maxLines: Int = 1000): DataFrame =
+    incidentReportFrom(Tables.events(spark, dir), maxLines)
+
+  private[graft] def incidentReportFrom(events: DataFrame,
       maxLines: Int = 1000): DataFrame = {
-    val lines = Tables.events(spark, dir)
+    val lines = events
       .where(col("event_type") === "error")
       .select(
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
