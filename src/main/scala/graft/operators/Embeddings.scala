@@ -169,6 +169,15 @@ object Embeddings {
     * only within those buckets — an equi-join on bucket id instead of a
     * corpus-wide cross join. At √N centroids this reads ~nprobe/√N of the
     * corpus per query.
+    *
+    * No residual re-rank stage, deliberately: this index stores FULL
+    * vectors and already ranks candidates by exact cosine, so a re-rank
+    * would recompute identical scores (residual re-rank buys recall only
+    * under PQ/SQ compression, where the first-pass scores are lossy).
+    * Recall loss here comes solely from probe misses; with the corpus
+    * unit-norm (embedCol L2-normalizes), L2-nearest centroids ARE the
+    * cosine-nearest directions, so the probe geometry is already aligned
+    * with the ranking metric. The recall lever that remains is `nprobe`.
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 0, nprobe: Int = 4): DataFrame = {
     val (assigned, centDf) = ivfAssign(spark, dir, k)
