@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked JVM's stdout RAW instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any
+// line-oriented JSON consumer of Bench/Verify output (the driver's
+// bench-record parser has returned null for five straight rounds).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

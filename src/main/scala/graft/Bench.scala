@@ -66,8 +66,6 @@ object Bench {
       val times = passes.map(_(name)).sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // per-pass totals + max/min spread make a contention-polluted record
@@ -76,14 +74,26 @@ object Bench {
     // 131 s→48.9 s in r3, 78 s→37.4 s in r4), but a pass spread ≫ 1 says
     // "re-run me" without needing a judge re-measure
     val passTotals = passes.map(p => names.filterNot(failed).map(p).sum)
-    val pt = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val pt = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
     val spread =
       if (passTotals.isEmpty || passTotals.min == 0.0) 1.0
       else passTotals.max / passTotals.min
     val contended = spread > 2.0
+    // The harness that records the official round number keeps only the LAST
+    // ~2KB of stdout, and the full-precision per-query map alone is ~3KB —
+    // five rounds of records lost their headline total to that truncation.
+    // So: one "detail:"-prefixed full-precision line for humans (the prefix
+    // keeps line-oriented JSON parsers off it), then the official record as
+    // the FINAL line, compact (2-decimal per-query seconds, ~1.8KB for 69
+    // queries) so the whole line survives a tail capture.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""detail: {"pass_totals":$pt,"queries":$qsFull}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     // n_queries makes totals honestly comparable across runs: a run that
     // dropped a failed query must not read as a wall-clock improvement
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"pass_totals":$pt,"pass_spread":${f"$spread%.3f"},"contended":$contended,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"pass_totals":$pt,"pass_spread":${f"$spread%.3f"},"contended":$contended,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
+    "dedup_incremental"     -> ((s: SparkSession, d: String) => NearDup.dedupIncremental(s, d)),
     // — multimodal plumbing (rows-only) —
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),

@@ -286,6 +286,69 @@ object NearDup {
         coalesce(col("containment") >= thr, lit(false)).as("is_contained"))
   }
 
+  /** Incremental near-dup: flag documents of a NEW batch that near-
+    * duplicate an already-indexed corpus — the daily-increment shape of a
+    * production pipeline. Re-running a full self-join dedup re-pays the
+    * whole corpus on every increment; here the corpus pays signature work
+    * ONCE (the persisted word-3 signature base doubles as the index — the
+    * signature twin of `IncidentPipeline.appendIndex`'s accumulating
+    * vector store) and each increment pays work proportional to ITS OWN
+    * size:
+    *   - batch signatures/band keys: one kernel pass over the batch only;
+    *   - the corpus side is pre-filtered by the batch's band-key set
+    *     BEFORE any corpus-side shuffle (broadcast left-semi on the
+    *     |batch|×bands distinct keys — kilobytes for a daily increment),
+    *     so indexed rows that can't possibly match never leave the scan;
+    *   - the hot-bucket cap is measured on the MATCHED corpus side: a
+    *     batch key landing in a boilerplate bucket (> MaxBucket indexed
+    *     docs) is dropped, bounding per-key fan-out exactly like the
+    *     self-join paths. No kn≥2 floor here — a key held once on EACH
+    *     side still pairs (the floor is self-join-only logic).
+    * Output: one row per batch doc — `is_dup` means "already represented
+    * in the index; drop before appending". If an increment is ever
+    * corpus-sized, the broadcast pre-filter should be skipped (it buys
+    * nothing) and the plain capped equi-join remains the fallback shape.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String, thr: Double = 0.8,
+      batchMod: Int = 10): DataFrame = {
+    val base = word3Base(spark, dir)
+    // deterministic batch membership (~1/batchMod of the corpus), so the
+    // query is reproducible and the "index" is the same rows every run
+    val isBatch = pmod(xxhash64(col("id")), lit(batchMod)) === 0
+    dedupIncrementalFrom(base.where(isBatch), base.where(!isBatch), thr)
+  }
+
+  /** Both inputs are (id, sig, keys) signature relations; `corpus` is the
+    * persisted index side, `batch` the increment. */
+  private[graft] def dedupIncrementalFrom(batch: DataFrame, corpus: DataFrame,
+      thr: Double = 0.8): DataFrame = {
+    val bKeys = batch.select(col("id"), explode(col("keys")).as("key"))
+    val cKeys = corpus.select(col("id"), explode(col("keys")).as("key"))
+    val keySet = bKeys.select(col("key")).distinct()
+    val matched = cKeys.join(broadcast(keySet), Seq("key"), "left_semi")
+    val hot = matched.groupBy("key").agg(count("*").as("kn"))
+    val cOk = matched.join(hot.where(col("kn") <= MaxBucket), "key")
+      .select(col("key"), col("id").as("corpus_id"))
+    val pairs = bKeys.join(cOk, "key")
+      .select(col("id"), col("corpus_id")).distinct()
+    val scored = pairs
+      .join(batch.select(col("id"), col("sig")), "id")
+      .join(corpus.select(col("id").as("corpus_id"), col("sig").as("csig")),
+        "corpus_id")
+      .withColumn("sim", round(minhashJaccard(col("sig"), col("csig")), 6))
+    val perDoc = scored.groupBy("id")
+      .agg(count("*").as("n_candidates"),
+        max(struct(col("sim"), col("corpus_id"))).as("best"))
+      .select(col("id"), col("n_candidates"),
+        col("best.corpus_id").as("best_match_id"), col("best.sim").as("best_sim"))
+    batch.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match_id"), col("best_sim"),
+        coalesce(col("best_sim") >= thr, lit(false)).as("is_dup"))
+  }
+
   /** Character 5-gram Jaccard near-dup, MinHash-blocked. 8 bands × 8 rows:
     * char n-grams of same-domain corpora overlap heavily, so 4-row bands
     * would pass most of the corpus as candidates (O(n²) verify); 8-row

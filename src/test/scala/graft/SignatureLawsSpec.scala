@@ -111,6 +111,30 @@ class SignatureLawsSpec extends AnyFunSuite {
     assert(!out(3L).getBoolean(4), s"unrelated doc must not be flagged: ${out(3L)}")
   }
 
+  test("incremental dedup flags batch docs already indexed; only batch rows surface") {
+    import spark.implicits._
+    def sigBase(docs: Seq[(Long, String)]) = {
+      val sh = NearDup.wordShingles(col("text"), 3)
+      docs.toDF("doc_id", "text").select(
+        col("doc_id").as("id"),
+        NearDup.minhashSig(sh, 128).as("sig"),
+        NearDup.minhashBandKeys(sh, 32, 4).as("keys"))
+    }
+    val body = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val corpus = sigBase(Seq(
+      (100L, body),
+      (101L, (1 to 50).map(i => s"ref$i").mkString(" "))))
+    val batch = sigBase(Seq(
+      (1L, body + " tail1 tail2"),                       // near-copy of 100
+      (2L, (1 to 50).map(i => s"new$i").mkString(" ")))) // genuinely new
+    val out = graft.operators.NearDup.dedupIncrementalFrom(batch, corpus, thr = 0.8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), s"one summary row per BATCH doc only: ${out.keySet}")
+    assert(out(1L).getBoolean(4) && out(1L).getLong(2) == 100L,
+      s"near-copy must be flagged against its indexed twin: ${out(1L)}")
+    assert(!out(2L).getBoolean(4), s"new content must pass: ${out(2L)}")
+  }
+
   test("bucket index is the exact upper-bound count, monotone, NaN-last") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val r = rng(11)
