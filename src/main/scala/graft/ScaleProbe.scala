@@ -117,6 +117,19 @@ object ScaleProbe {
     // candidate equi-join — train-side shuffle tracks matches, not corpus
     def decon(df: DataFrame): DataFrame =
       graft.operators.Corpus.decontaminateFrom(df)
+    // incremental dedup against a PRE-BUILT signature index (built outside
+    // the timer — that's the contract: the index is persisted, increments
+    // don't re-pay it). Fixed batch, corpus 1× vs N×: everything that
+    // SHUFFLES is increment-sized (broadcast semi-join output, pairs,
+    // scored candidates); the corpus contributes only a cache-local
+    // explode+probe scan, so growth should sit well below linear
+    def incrSigs(df: DataFrame): DataFrame = {
+      import graft.operators.NearDup
+      val sh = NearDup.wordShingles(col("text"), 3)
+      df.select(col("doc_id").as("id"),
+        NearDup.minhashSig(sh, 128).as("sig"),
+        NearDup.minhashBandKeys(sh, 32, 4).as("keys"))
+    }
     // capped per-day report assembly: at N× the lines per day the
     // WindowGroupLimit rank saturates at maxLines, so the string branch's
     // shuffle/aggregation stays CONSTANT and growth tracks the count
@@ -125,7 +138,15 @@ object ScaleProbe {
     def report(df: DataFrame): DataFrame =
       graft.operators.LogOps.incidentReportFrom(df)
 
+    val corpus1 = incrSigs(doc1).persist()
+    val corpusN = incrSigs(docN).persist()
+    val batch = incrSigs(doc1.where(pmod(xxhash64(col("doc_id")), lit(10)) === 0)).persist()
+    Seq(corpus1, corpusN, batch).foreach(_.count()) // index built off-timer
+    def incr(corpus: DataFrame): DataFrame =
+      graft.operators.NearDup.dedupIncrementalFrom(batch, corpus)
+
     val r = Seq(
+      ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
       ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
@@ -138,6 +159,7 @@ object ScaleProbe {
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }
+    Seq(corpus1, corpusN, batch).foreach(_.unpersist())
     spark.stop()
   }
 }

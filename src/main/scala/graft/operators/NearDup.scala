@@ -308,6 +308,13 @@ object NearDup {
     * in the index; drop before appending". If an increment is ever
     * corpus-sized, the broadcast pre-filter should be skipped (it buys
     * nothing) and the plain capped equi-join remains the fallback shape.
+    *
+    * Precisely: everything that SHUFFLES is increment-sized (semi-join
+    * survivors, candidate pairs, scored rows). The corpus still
+    * contributes one shuffle-free explode+probe scan of the persisted key
+    * index per increment; a production deployment would bucket the index
+    * by band key so that scan prunes to the buckets the batch actually
+    * touches.
     */
   def dedupIncremental(spark: SparkSession, dir: String, thr: Double = 0.8,
       batchMod: Int = 10): DataFrame = {
@@ -329,7 +336,13 @@ object NearDup {
     val hot = matched.groupBy("key").agg(count("*").as("kn"))
     val cOk = matched.join(hot.where(col("kn") <= MaxBucket), "key")
       .select(col("key"), col("id").as("corpus_id"))
+    // id ≠ corpus_id: inert when batch and corpus are disjoint (the
+    // normal increment case), but it makes the same code correct for
+    // INTRA-batch dedup (batch checked against itself — the streaming
+    // sink does this), where a doc must not match itself at sim 1.0 and
+    // mask its real candidates
     val pairs = bKeys.join(cOk, "key")
+      .where(col("id") =!= col("corpus_id"))
       .select(col("id"), col("corpus_id")).distinct()
     val scored = pairs
       .join(batch.select(col("id"), col("sig")), "id")

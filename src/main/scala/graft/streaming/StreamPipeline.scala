@@ -111,6 +111,67 @@ object StreamPipeline {
       from_json(col("value").cast("string"), schema).as("r"))
       .select(col("ingest_ts"), col("r.*"))
 
+  /** Streaming incremental dedup sink: each micro-batch of documents is
+    * near-dup-checked against the PERSISTED signature index
+    * ([[graft.operators.NearDup.dedupIncrementalFrom]]) and only fresh
+    * docs (no near-duplicate already indexed, and not duplicating another
+    * doc of the same batch) are appended to the index — the continuous
+    * "ingest → dedup → index grows" loop a training-data pipeline runs,
+    * and the signature twin of `IncidentPipeline.appendIndex`.
+    *
+    * Per micro-batch: one kernel pass over the batch builds (id, sig,
+    * keys); the index side is never re-signed, only read. Within-batch
+    * dups are resolved first (keep the smallest id of each intra-batch
+    * candidate group — the batch is micro, so this self-join is tiny);
+    * survivors are checked against the index, then appended via the same
+    * write-to-tmp-and-swap the vector index uses (the merged plan reads
+    * `indexPath`, so an in-place overwrite would truncate its own input).
+    * Exactly-once: re-running a batch after a crash re-flags its docs as
+    * dups of the rows it already appended — the id-keyed merge makes the
+    * append idempotent.
+    */
+  def dedupingIndexSink(docs: DataFrame, indexPath: String,
+      checkpoint: String, thr: Double = 0.8): StreamingQuery = {
+    import graft.operators.NearDup
+    val sh = NearDup.wordShingles(col("text"), 3)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sigs = batch
+          .where(col("text").isNotNull)
+          .select(col("doc_id").as("id"),
+            NearDup.minhashSig(sh, 128).as("sig"),
+            NearDup.minhashBandKeys(sh, 32, 4).as("keys"))
+          .persist()
+        try {
+          // intra-batch dedup: keep each candidate group's smallest id
+          val intra = NearDup.dedupIncrementalFrom(sigs, sigs, thr)
+            .where(col("is_dup") && col("best_match_id") < col("doc_id"))
+            .select(col("doc_id").as("id"))
+          val fresh = sigs.join(intra, Seq("id"), "left_anti")
+          val p = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val toAppend = if (!fs.exists(p)) fresh else {
+            val index = spark.read.parquet(indexPath)
+            val verdict = NearDup.dedupIncrementalFrom(fresh, index, thr)
+              .where(!col("is_dup")).select(col("doc_id").as("id"))
+            fresh.join(verdict, Seq("id"), "left_semi").unionByName(index)
+          }
+          val tmp = new org.apache.hadoop.fs.Path(indexPath + "__merge_tmp")
+          // dropDuplicates on id: replayed batches re-append rows the
+          // crashed run already wrote; id-dedup keeps the merge idempotent
+          toAppend.dropDuplicates("id")
+            .write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(p)) fs.delete(p, true)
+          fs.rename(tmp, p)
+          ()
+        } finally sigs.unpersist()
+      }
+      .start()
+  }
+
   /** File-source deployment shape: stream new parquet drops under `dir`,
     * aggregate, append to a sink. Used for wiring checks, not the oracle. */
   def fileStream(spark: SparkSession, dir: String, checkpoint: String,

@@ -238,6 +238,35 @@ class TextAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming deduping index sink appends only fresh docs across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = "/tmp/graft_stream_dedup_idx/index"
+    val ckpt = "/tmp/graft_stream_dedup_idx/ckpt"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/tmp/graft_stream_dedup_idx")).deleteRecursively()
+    val body = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (1 to 50).map(i => s"x$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPipeline.dedupingIndexSink(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      // batch 1: two distinct docs, plus an intra-batch near-copy of doc 1
+      mem.addData((1L, body), (2L, other), (3L, body + " tail1 tail2"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(idx).select("id").as[Long].collect().sorted
+      assert(after1.toSeq == Seq(1L, 2L),
+        s"intra-batch near-copy must not be indexed: ${after1.toSeq}")
+      // batch 2: a near-copy of an INDEXED doc, and genuinely new content
+      mem.addData((4L, body + " tail3"), (5L, (1 to 50).map(i => s"y$i").mkString(" ")))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(idx).select("id").as[Long].collect().sorted
+      assert(after2.toSeq == Seq(1L, 2L, 5L),
+        s"only the fresh doc may join the index: ${after2.toSeq}")
+    } finally q.stop()
+  }
+
   test("kafka value parsing feeds the windowed pipeline end to end") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
