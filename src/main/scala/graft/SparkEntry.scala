@@ -93,7 +93,10 @@ object SparkEntry {
     "lang_id"               -> (TextOps.langId _),
     "text_repetition"       -> (TextOps.textRepetition _),
     "doc_fingerprint"       -> ((s: SparkSession, d: String) => TextOps.docFingerprint(s, d)),
-    // — embedding / similarity search (rows-only: not SQL-expressible) —
+    // — embedding / similarity search (exact scans oracle-verified via
+    //   DuckDB list_dot_product — all-double sequential sums on both
+    //   engines are bit-identical; the approximate/kernel-dependent ops
+    //   stay rows-only) —
     "embed_text"            -> (Embeddings.embedText _),
     "vector_knn"            -> (Embeddings.vectorKnn _),
     "rag_context"           -> (Embeddings.ragContext _),
@@ -582,6 +585,66 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,
         |       count(*) AS n_copies, min(n_chars) AS n_chars
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // The exact vector scans ARE SQL-expressible: both engines cast the
+    // float embeddings to double and run the same sequential per-element
+    // sums (VecDot/VecL2Normalize here, list_dot_product/list_transform
+    // there), so the doubles are bit-identical and round(·,6) hashes
+    // match. vector_knn's squared-L2 mirrors the kernel's (a−b)² op order
+    // exactly (zip−subtract−dot), NOT the expanded a·a − 2a·b + b·b form,
+    // to keep the same floating-point evaluation order.
+    "ann_cosine_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+        |  FROM c),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM n WHERE vec_id < 100),
+        |s AS (
+        |  SELECT q.qid, n.vec_id, round(list_dot_product(n.e, q.qe), 6) AS sim
+        |  FROM n, q WHERE n.vec_id >= 100),
+        |r AS (
+        |  SELECT qid, vec_id, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |  FROM s)
+        |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin,
+
+    "vector_knn" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 32),
+        |s AS (
+        |  SELECT q.qid, c.vec_id, c.label,
+        |         round(list_dot_product(
+        |             list_transform(list_zip(c.e, q.qe), x -> x[1] - x[2]),
+        |             list_transform(list_zip(c.e, q.qe), x -> x[1] - x[2])), 6) AS distance
+        |  FROM c, q),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rk
+        |  FROM s)
+        |SELECT qid, rk, vec_id, distance, label FROM r WHERE rk <= 5""".stripMargin,
+
+    "knn_label_vote" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e, label
+        |  FROM c0),
+        |q AS (SELECT vec_id AS qid, e AS qe, label AS true_label FROM n WHERE vec_id % 10 = 0),
+        |s AS (
+        |  SELECT q.qid, q.true_label, n.vec_id, n.label,
+        |         list_dot_product(n.e, q.qe) AS sim
+        |  FROM n, q WHERE n.vec_id % 10 <> 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |  FROM s),
+        |v AS (
+        |  SELECT qid, true_label, label, count(*) AS n_votes
+        |  FROM r WHERE rk <= 10 GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vrk
+        |  FROM v)
+        |SELECT qid, true_label, label AS predicted_label, n_votes FROM w WHERE vrk = 1""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
