@@ -32,6 +32,7 @@ object SparkEntry {
     "redact_secrets"        -> (LogOps.redactSecrets _),
     "metrics_timeline"      -> (LogOps.metricsTimeline _),
     "metrics_by_service"    -> (LogOps.metricsByService _),
+    "metrics_timeline_filled" -> (LogOps.metricsTimelineFilled _),
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "sessionize"            -> (Relational.sessionize _),
     "top_events_per_user"   -> (Relational.topEventsPerUser _),
     "heavy_hitters"         -> (Relational.heavyHitters _),
+    "skew_profile"          -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)),
     "value_percentiles"     -> (Relational.valuePercentiles _),
     "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "asof_prev_error"       -> (Relational.asofPrevError _),
@@ -264,6 +266,20 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
         |FROM events GROUP BY 1""".stripMargin,
 
+    "metrics_timeline_filled" ->
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |d AS (
+        |  SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+        |                  '%Y-%m-%d') AS day
+        |  FROM b WHERE d0 IS NOT NULL)
+        |SELECT d.day, coalesce(c.n_incidents, 0) AS n_incidents
+        |FROM d LEFT JOIN c USING (day)""".stripMargin,
+
     "metrics_by_service" ->
       """SELECT user_id AS service_id, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
@@ -428,6 +444,19 @@ object SparkEntry {
       """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
         |SELECT user_id, n_events FROM c
         |WHERE n_events > (SELECT avg(n_events) * 1.15 FROM c)""".stripMargin,
+
+    // NULLS FIRST on the key tie-break pins DuckDB's default (NULLS LAST
+    // for ASC) to Spark's (nulls first) — a NULL key CAN reach the top-N
+    "skew_profile" ->
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n_keys, sum(n_rows) AS total_rows FROM k)
+        |SELECT key, n_rows, n_keys, total_rows,
+        |       round(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 4) AS skew
+        |FROM k, g
+        |ORDER BY n_rows DESC, key ASC NULLS FIRST
+        |LIMIT 5""".stripMargin,
 
     "value_percentiles" ->
       """SELECT event_type,

@@ -74,6 +74,35 @@ object LogOps {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count("*").as("n_incidents"))
 
+  /** Gap-filled incident timeline: [[metricsTimeline]] with every day of
+    * the observed range present — a day with ZERO events surfaces as 0
+    * instead of vanishing (the dashboard plots a continuous day axis,
+    * app.py:20-27; a gap and a zero look identical in the raw counts but
+    * not on the chart). Spark-first gap-fill: the day domain comes from
+    * one 2-value min/max aggregate exploded through `sequence()` — a
+    * generator producing one row per day of the range, no driver loop, no
+    * second scan of the fact table — left-joined to the per-day counts
+    * and zero-filled. Both join sides are day-cardinality (tiny at any
+    * data scale), so the join broadcasts; rows with NULL ts have no day
+    * and stay out of the domain (mirrored by the oracle's join
+    * direction). */
+  def metricsTimelineFilled(spark: SparkSession, dir: String): DataFrame =
+    metricsTimelineFilledFrom(Tables.events(spark, dir))
+
+  private[graft] def metricsTimelineFilledFrom(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count("*").as("n_incidents"))
+    val domain = events
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .where(col("d0").isNotNull)
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    domain.join(counts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_incidents"), lit(0L)).as("n_incidents"))
+  }
+
   /** Counts by service (app.py:28-29; user_id stands in for container).
     * value is summed as DECIMAL (double summation is shuffle-order
     * dependent) and the outputs deliberately unrounded — engines disagree

@@ -133,6 +133,34 @@ object Relational {
       .select(col("user_id"), col("n_events"))
   }
 
+  /** Key-skew profile: the pre-flight a 100 TB join/groupBy runs before
+    * choosing mitigation (salt via [[JoinOps.saltedJoin]], broadcast, AQE
+    * skew hints). Emits the top-N heaviest keys with global context:
+    * `skew` = key_rows / mean_rows_per_key — once skew approaches the
+    * shuffle partition count, one reducer holds a partition-sized key and
+    * melts. Cost shape: one map-side-combined per-key count, a 1-row
+    * global aggregate riding in as a broadcast cross join, and a
+    * distributed TakeOrdered over the per-key relation — nothing here
+    * touches the fact table twice. The skew arithmetic is double from the
+    * start (n_rows × n_keys overflows BIGINT at petabyte scale). */
+  def skewProfile(spark: SparkSession, dir: String, topN: Int = 5): DataFrame =
+    skewProfileFrom(Tables.events(spark, dir), col("user_id"), topN)
+
+  private[graft] def skewProfileFrom(df: DataFrame, keyExpr: Column,
+      topN: Int): DataFrame = {
+    val perKey = df
+      .groupBy(keyExpr.cast("string").as("key"))
+      .agg(count("*").as("n_rows"))
+    val totals = perKey.agg(count("*").as("n_keys"),
+      sum(col("n_rows")).as("total_rows"))
+    perKey.crossJoin(broadcast(totals))
+      .withColumn("skew",
+        round(col("n_rows").cast("double") * col("n_keys") / col("total_rows"), 4))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topN)
+      .select(col("key"), col("n_rows"), col("n_keys"), col("total_rows"), col("skew"))
+  }
+
   /** Exact percentiles of event value per level (type-7 interpolation,
     * matching DuckDB's quantile_cont — and Spark's own `percentile`:
     * v_lo + (v_hi - v_lo) * frac at rank (n-1)*p).

@@ -92,4 +92,30 @@ class CoreSpec extends AnyFunSuite {
       .groupBy("user_id").count().agg(avg("count")).head().getDouble(0)
     assert(minN > avgN * 1.15)
   }
+
+  test("gap-filled timeline surfaces zero-incident days") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // day 2 of the 3-day range has no events at all
+    val ev = Seq(
+      (1L, t("2024-03-01 10:00:00")), (2L, t("2024-03-01 11:00:00")),
+      (3L, t("2024-03-03 09:00:00"))).toDF("event_id", "ts")
+    val out = graft.operators.LogOps.metricsTimelineFilledFrom(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("2024-03-01" -> 2L, "2024-03-02" -> 0L, "2024-03-03" -> 1L),
+      s"gap day must surface as zero: $out")
+  }
+
+  test("skew_profile ranks the heaviest key first with the right skew factor") {
+    import spark.implicits._
+    // key "hot" holds 6 of 10 rows over 5 distinct keys: skew = 6*5/10 = 3
+    val rows = Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("event_id", "k")
+    val out = graft.operators.Relational
+      .skewProfileFrom(df, col("k"), topN = 2).collect()
+    assert(out.length == 2 && out(0).getString(0) == "hot", out.mkString(";"))
+    assert(out(0).getLong(1) == 6L && out(0).getLong(2) == 5L &&
+      out(0).getLong(3) == 10L && out(0).getDouble(4) == 3.0, out(0).toString)
+  }
 }

@@ -111,4 +111,13 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"band join must be an equi-join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("incremental dedup pre-filters the index side with a broadcast semi-join") {
+    val p = plan("dedup_incremental")
+    // the corpus/index side must be pruned by the batch's band-key set
+    // BEFORE any exchange — a broadcast LeftSemi against the batch keys
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"index side must be semi-filtered by the broadcast batch keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
