@@ -84,6 +84,7 @@ object SparkEntry {
     "top_events_per_user"   -> (Relational.topEventsPerUser _),
     "heavy_hitters"         -> (Relational.heavyHitters _),
     "skew_profile"          -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)),
+    "heavy_hitters_approx"  -> ((s: SparkSession, d: String) => Relational.heavyHittersApprox(s, d)),
     "value_percentiles"     -> (Relational.valuePercentiles _),
     "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "asof_prev_error"       -> (Relational.asofPrevError _),

@@ -133,6 +133,44 @@ object Relational {
       .select(col("user_id"), col("n_events"))
   }
 
+  /** Approximate heavy hitters: the constant-memory twin of
+    * [[heavyHitters]], completing the sketch family (approx_distinct =
+    * HLL, value_percentiles_approx = t-digest, this = lossy counting +
+    * count-min). Two single-pass, partition-mergeable sketches and ZERO
+    * shuffles: `freqItems` (lossy counting — every key with frequency
+    * above the support threshold is guaranteed present) proposes the
+    * bounded candidate set, a count-min sketch estimates their counts
+    * (CMS alone cannot enumerate keys; freqItems alone carries no
+    * counts). Candidates are re-thresholded on the CMS estimate; CMS
+    * only ever OVER-estimates, so every true heavy hitter survives —
+    * recall 1 vs the exact operator, precision traded for memory.
+    * Driver-side work is bounded by 1/support items. NULL keys are
+    * excluded (the sketches don't track them); the exact operator
+    * remains the NULL-accounting path.
+    */
+  def heavyHittersApprox(spark: SparkSession, dir: String,
+      eps: Double = 1e-4, seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id")).where(col("user_id").isNotNull)
+    val s = ev.agg(count("*").as("n"),
+      approx_count_distinct("user_id", 0.02).as("k")).head()
+    val (total, keys) = (s.getLong(0), math.max(1L, s.getLong(1)))
+    val thr = 1.15 * total.toDouble / keys
+    // support strictly below thr/total so lossy counting cannot evict a
+    // true heavy hitter; floored at freqItems' 1e-4 minimum
+    val support = math.max(1e-4, thr / total / 2)
+    val cand = ev.stat.freqItems(Seq("user_id"), support)
+      .head().getSeq[Any](0).map {
+        case l: Long => l
+        case i: Int  => i.toLong
+      }
+    val cms = ev.stat.countMinSketch(col("user_id"), eps, 0.99, seed)
+    cand.map(id => (id, cms.estimateCount(id)))
+      .filter(_._2 > thr)
+      .toDF("user_id", "n_events_est")
+  }
+
   /** Key-skew profile: the pre-flight a 100 TB join/groupBy runs before
     * choosing mitigation (salt via [[JoinOps.saltedJoin]], broadcast, AQE
     * skew hints). Emits the top-N heaviest keys with global context:

@@ -46,4 +46,40 @@ object IO {
       numBuckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
+
+  /** Small-files compaction for a parquet store. Streaming sinks write one
+    * file set per micro-batch (the upsert/index sinks here do), and a
+    * store of 10⁵ kilobyte files costs more in scan-task launch and
+    * footer reads than in data — the classic operational decay of a
+    * long-running pipeline. Rewrites the store into
+    * ceil(bytes / targetBytes) files via a round-robin repartition (no
+    * key skew: compaction balances FILE SIZES, a hash repartition would
+    * inherit the data's skew), through a tmp dir + swap because the plan
+    * reads the store it replaces. Returns (filesBefore, filesAfter).
+    *
+    * Partitioned stores should compact per partition (pass the partition
+    * dir) so untouched partitions keep their files — at 100 TB compaction
+    * is an incremental maintenance job over recent partitions, never a
+    * full-store rewrite. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    val after = fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (dataFiles.length, after)
+  }
 }

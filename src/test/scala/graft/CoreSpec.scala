@@ -93,6 +93,19 @@ class CoreSpec extends AnyFunSuite {
     assert(minN > avgN * 1.15)
   }
 
+  test("approx heavy hitters find every exact heavy hitter, never undercount") {
+    val exact = Relational.heavyHitters(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Relational.heavyHittersApprox(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lossy-counting candidates + CMS over-estimation => recall 1
+    val missed = exact.keySet -- approx.keySet
+    assert(missed.isEmpty, s"approx must contain every exact heavy hitter; missed $missed")
+    exact.foreach { case (id, n) =>
+      assert(approx(id) >= n, s"CMS must never under-estimate: user $id $n -> ${approx(id)}")
+    }
+  }
+
   test("gap-filled timeline surfaces zero-incident days") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf(_: String)

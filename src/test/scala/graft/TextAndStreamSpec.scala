@@ -194,6 +194,22 @@ class TextAndStreamSpec extends AnyFunSuite {
       "filter on the partition column must prune partitions")
   }
 
+  test("IO: compaction collapses a fragmented store without losing rows") {
+    import spark.implicits._
+    val path = "/tmp/graft_compact_store"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+      .repartition(20).write.parquet(path)
+    val (before, after) = graft.sources.IO.compact(spark, path)
+    assert(before == 20, s"fragmented store must start at 20 files, got $before")
+    assert(after == 1, s"compaction must collapse to 1 file, got $after")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000 &&
+      back.agg(sum("id")).head().getLong(0) == 500500L,
+      "compaction must preserve every row")
+  }
+
   test("IO: json round-trip preserves rows with explicit schema") {
     import graft.sources.{IO, Tables}
     val out = "/tmp/graft_io_test/docs_json"
