@@ -47,6 +47,23 @@ object IO {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
 
+  /** Range-partitioned, sorted parquet layout for range-predicate scans:
+    * `repartitionByRange(col)` + `sortWithinPartitions(col)` gives every
+    * output file a TIGHT, pairwise-disjoint min/max on `col`, so a
+    * range-filtered read ("yesterday's errors") skips whole files and row
+    * groups on parquet footer statistics alone — the layout behind
+    * time-window queries over a 100 TB history store. Directory
+    * partitioning (writePartitioned) prunes at day granularity; this
+    * prunes WITHIN a partition too, and keeps file count decoupled from
+    * key cardinality (a day with 10⁹ rows still gets size-appropriate
+    * files, not one directory entry). Equal key values land in one file
+    * (range partitioner), so skipped files provably hold no matches. */
+  def writeRangeSorted(df: DataFrame, path: String, colName: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, df(colName))
+      .sortWithinPartitions(colName)
+      .write.mode("overwrite").parquet(path)
+
   /** Small-files compaction for a parquet store. Streaming sinks write one
     * file set per micro-batch (the upsert/index sinks here do), and a
     * store of 10⁵ kilobyte files costs more in scan-task launch and

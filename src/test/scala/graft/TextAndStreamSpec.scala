@@ -194,6 +194,31 @@ class TextAndStreamSpec extends AnyFunSuite {
       "filter on the partition column must prune partitions")
   }
 
+  test("IO: range-sorted layout writes files with disjoint key ranges") {
+    val path = "/tmp/graft_range_sorted"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    val ev = graft.sources.Tables.events(spark, SparkTest.Sf)
+      .where(col("ts").isNotNull)
+    graft.sources.IO.writeRangeSorted(ev, path, "ts", numFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    // per-FILE min/max must be pairwise disjoint — that's what lets a
+    // time-window scan skip whole files on footer stats alone
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("ts").cast("long"), max("ts").cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(bMin >= aMax, s"file ranges overlap: ${ranges.mkString(";")}")
+      case _ =>
+    }
+    assert(spark.read.parquet(path).count() == ev.count())
+  }
+
   test("IO: compaction collapses a fragmented store without losing rows") {
     import spark.implicits._
     val path = "/tmp/graft_compact_store"
