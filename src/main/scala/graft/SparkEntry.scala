@@ -33,6 +33,7 @@ object SparkEntry {
     "metrics_timeline"      -> (LogOps.metricsTimeline _),
     "metrics_by_service"    -> (LogOps.metricsByService _),
     "metrics_timeline_filled" -> (LogOps.metricsTimelineFilled _),
+    "anomaly_spikes"        -> ((s: SparkSession, d: String) => LogOps.anomalySpikes(s, d)),
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
@@ -266,6 +267,27 @@ object SparkEntry {
     "metrics_timeline" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
         |FROM events GROUP BY 1""".stripMargin,
+
+    // NULLS FIRST pins DuckDB's window order to Spark's asc-nulls-first;
+    // the ROWS frame makes "trailing 7 observed days" identical on both
+    "anomaly_spikes" ->
+      """WITH d AS (
+        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT level, day, n_events,
+        |         avg(n_events) OVER win AS base_avg,
+        |         stddev_samp(n_events) OVER win AS base_std,
+        |         count(n_events) OVER win AS base_n
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY level ORDER BY day NULLS FIRST
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT level, day, n_events, round(base_avg, 4) AS base_avg,
+        |       round(base_std, 4) AS base_std, base_n,
+        |       coalesce(base_n >= 3 AND n_events > base_avg + 3.0 * base_std,
+        |                false) AS is_spike
+        |FROM w""".stripMargin,
 
     "metrics_timeline_filled" ->
       """WITH c AS (

@@ -103,6 +103,45 @@ object LogOps {
         coalesce(col("n_incidents"), lit(0L)).as("n_incidents"))
   }
 
+  /** Incident-rate spike detection — the trigger side of an incident
+    * analyst: a day whose event count for a level jumps past
+    * mean + `sigma`·stddev of that level's trailing baseline is the day
+    * the RCA pipeline should be looking at. Baseline = the 7 OBSERVED
+    * (level, day) cells strictly before the tested day (ROWS frame;
+    * preceding only, so a spike never contaminates its own baseline; at
+    * least 3 baseline days required — σ of fewer is noise). Scale shape:
+    * one map-side-combined day-grain pre-aggregation shrinks the fact
+    * table to |levels|×|days| rows, and the window runs over that tiny
+    * relation — the fact table is scanned once, nothing level-sized ever
+    * sits on one reducer. Baseline stats are rounded to 4 decimals in
+    * the output; the spike predicate compares unrounded doubles.
+    */
+  def anomalySpikes(spark: SparkSession, dir: String,
+      sigma: Double = 3.0): DataFrame =
+    anomalySpikesFrom(Tables.events(spark, dir), sigma)
+
+  private[graft] def anomalySpikesFrom(events: DataFrame,
+      sigma: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type").as("level"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count("*").as("n_events"))
+    val w = Window.partitionBy(col("level")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("base_avg", avg(col("n_events")).over(w))
+      .withColumn("base_std", stddev_samp(col("n_events")).over(w))
+      .withColumn("base_n", count(col("n_events")).over(w))
+      .withColumn("is_spike",
+        coalesce(col("base_n") >= 3 &&
+          col("n_events") > col("base_avg") + lit(sigma) * col("base_std"),
+          lit(false)))
+      .select(col("level"), col("day"), col("n_events"),
+        round(col("base_avg"), 4).as("base_avg"),
+        round(col("base_std"), 4).as("base_std"),
+        col("base_n"), col("is_spike"))
+  }
+
   /** Counts by service (app.py:28-29; user_id stands in for container).
     * value is summed as DECIMAL (double summation is shuffle-order
     * dependent) and the outputs deliberately unrounded — engines disagree

@@ -106,6 +106,26 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly_spikes flags a planted rate spike, not its steady baseline") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // 9 steady days (~10 events) then a 60-event day 10 for "error";
+    // a steady "signup" stream rides along as the control group
+    val steady = (1 to 9).flatMap { d =>
+      val n = 10 + (d % 3) // 10..12: nonzero variance, no spike
+      (1 to n).map(i => (s"error", t(f"2024-04-$d%02d 0${i % 9}:00:00")))
+    }
+    val spike = (1 to 60).map(i => ("error", t(f"2024-04-10 0${i % 9}:10:00")))
+    val ctrl = (1 to 10).flatMap(d =>
+      (1 to 5).map(i => ("signup", t(f"2024-04-$d%02d 0${i % 9}:20:00"))))
+    val ev = (steady ++ spike ++ ctrl).toDF("event_type", "ts")
+    val out = graft.operators.LogOps.anomalySpikesFrom(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(6)).toMap
+    assert(out(("error", "2024-04-10")), "the planted spike day must be flagged")
+    assert(out.count(_._2) == 1,
+      s"only the spike day may be flagged: ${out.filter(_._2).keys}")
+  }
+
   test("gap-filled timeline surfaces zero-incident days") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf(_: String)
