@@ -34,6 +34,10 @@ object SparkEntry {
     "metrics_by_service"    -> (LogOps.metricsByService _),
     "metrics_timeline_filled" -> (LogOps.metricsTimelineFilled _),
     "anomaly_spikes"        -> ((s: SparkSession, d: String) => LogOps.anomalySpikes(s, d)),
+    "anomaly_spikes_stateful" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StatefulSpikes(
+        graft.streaming.StatefulSpikes.fromEvents(
+          graft.sources.Tables.events(s, d))).toDF()),
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
@@ -138,6 +142,27 @@ object SparkEntry {
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
     * [[graft.operators.LogOps.ingestErrors]]'s window/filter/limit). */
+  /** Shared by `anomaly_spikes` and its stateful streaming twin — both
+    * reproduce the same trailing-7-observed-days ROWS frame. */
+  private def anomalySpikesOracle: String =
+    """WITH d AS (
+      |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT level, day, n_events,
+      |         avg(n_events) OVER win AS base_avg,
+      |         stddev_samp(n_events) OVER win AS base_std,
+      |         count(n_events) OVER win AS base_n
+      |  FROM d
+      |  WINDOW win AS (PARTITION BY level ORDER BY day NULLS FIRST
+      |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT level, day, n_events, round(base_avg, 4) AS base_avg,
+      |       round(base_std, 4) AS base_std, base_n,
+      |       coalesce(base_n >= 3 AND n_events > base_avg + 3.0 * base_std,
+      |                false) AS is_spike
+      |FROM w""".stripMargin
+
   private def ingestErrorsSql(sinceTs: String, untilTs: String,
       userLike: String, limit: Int): String =
     s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
@@ -269,25 +294,11 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     // NULLS FIRST pins DuckDB's window order to Spark's asc-nulls-first;
-    // the ROWS frame makes "trailing 7 observed days" identical on both
-    "anomaly_spikes" ->
-      """WITH d AS (
-        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
-        |         count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT level, day, n_events,
-        |         avg(n_events) OVER win AS base_avg,
-        |         stddev_samp(n_events) OVER win AS base_std,
-        |         count(n_events) OVER win AS base_n
-        |  FROM d
-        |  WINDOW win AS (PARTITION BY level ORDER BY day NULLS FIRST
-        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT level, day, n_events, round(base_avg, 4) AS base_avg,
-        |       round(base_std, 4) AS base_std, base_n,
-        |       coalesce(base_n >= 3 AND n_events > base_avg + 3.0 * base_std,
-        |                false) AS is_spike
-        |FROM w""".stripMargin,
+    // the ROWS frame makes "trailing 7 observed days" identical on both.
+    // The stateful twin reproduces the same frame from per-level state,
+    // so it checks against the SAME oracle (the sessionize pairing).
+    "anomaly_spikes" -> anomalySpikesOracle,
+    "anomaly_spikes_stateful" -> anomalySpikesOracle,
 
     "metrics_timeline_filled" ->
       """WITH c AS (

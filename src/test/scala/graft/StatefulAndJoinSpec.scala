@@ -54,6 +54,45 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch stateful spike detector matches the window-function operator") {
+    import graft.streaming.StatefulSpikes
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val stateful = StatefulSpikes(StatefulSpikes.fromEvents(ev)).toDF()
+    val windowed = graft.operators.LogOps.anomalySpikesFrom(ev)
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    val a = stateful.collect().map(key).sorted
+    val b = windowed.collect().map(key).sorted
+    assert(a.toSeq == b.toSeq,
+      s"stateful and windowed detectors must agree row-for-row:\n${a.diff(b).take(3)}\n${b.diff(a).take(3)}")
+  }
+
+  test("streaming spike detector emits a verdict once the watermark closes a day") {
+    import spark.implicits._
+    import graft.streaming.{SpikeEvent, StatefulSpikes}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SpikeEvent]
+    val q = StatefulSpikes(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("spike_test")
+      .outputMode("append").start()
+    def e(s: String) = SpikeEvent(Some("error"), Some(Timestamp.valueOf(s)))
+    try {
+      mem.addData((1 to 5).map(i => e(s"2024-05-01 0$i:00:00")): _*)
+      q.processAllAvailable()
+      assert(spark.table("spike_test").count() == 0,
+        "an open day must not emit before the watermark closes it")
+      // events two days later push the watermark (1 day delay) past day 1
+      mem.addData(e("2024-05-03 12:00:00"))
+      q.processAllAvailable()
+      mem.addData(e("2024-05-03 13:00:00"))
+      q.processAllAvailable()
+      val out = spark.table("spike_test").collect()
+      assert(out.exists(r => r.getAs[String]("day") == "2024-05-01" &&
+        r.getAs[Long]("n_events") == 5L && !r.getAs[Boolean]("is_spike")),
+        s"closed day must emit its verdict: ${out.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("graft kernels are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val dot = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
