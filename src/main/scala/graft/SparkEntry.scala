@@ -86,6 +86,7 @@ object SparkEntry {
     "q3_top_orders"         -> (Relational.q3TopOrders _),
     "q5_region_revenue"     -> (Relational.q5RegionRevenue _),
     "sessionize"            -> (Relational.sessionize _),
+    "sessionize_native"     -> (Relational.sessionizeNative _),
     "top_events_per_user"   -> (Relational.topEventsPerUser _),
     "heavy_hitters"         -> (Relational.heavyHitters _),
     "skew_profile"          -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)),
@@ -142,6 +143,26 @@ object SparkEntry {
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
     * [[graft.operators.LogOps.ingestErrors]]'s window/filter/limit). */
+  /** Shared by `sessionize` and `sessionize_native` — the window-function
+    * and built-in session_window plans must agree session-for-session. */
+  private def sessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |                       THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       round(sum(value), 2) AS session_value,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   /** Shared by `anomaly_spikes` and its stateful streaming twin — both
     * reproduce the same trailing-7-observed-days ROWS frame. */
   private def anomalySpikesOracle: String =
@@ -437,23 +458,12 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
 
-    "sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |         CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-        |                       THEN 1 ELSE 0 END)
-        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |       round(sum(value), 2) AS session_value,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // one oracle, two engines-side plans: the window-function sessionizer
+    // and the native session_window aggregation must produce identical
+    // sessions (the stateful twin checks the same sessions minus the
+    // ordinal id — its own entry below)
+    "sessionize" -> sessionizeOracle,
+    "sessionize_native" -> sessionizeOracle,
 
     "asof_prev_error" ->
       """WITH errs AS (

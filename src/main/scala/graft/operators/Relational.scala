@@ -111,6 +111,35 @@ object Relational {
         date_format(max("ts"), TsUs).as("session_end"))
   }
 
+  /** The SAME sessions from Spark's native `session_window` aggregation —
+    * the third sessionizer (window-function [[sessionize]], custom-state
+    * `StatefulSessionize`, built-in this), all checked against one SQL
+    * oracle. Where the built-in exists, prefer it: session_window is a
+    * single streaming-capable aggregation (no lag window, no running
+    * sum), with state merging handled by the engine.
+    *
+    * Boundary alignment: session_window merges on STRICT window overlap
+    * (t₂ < t₁ + gap), while the oracle's rule keeps t₂ − t₁ ≤ gap in one
+    * session — so the gap here is 30 minutes + 1 µs, making the two
+    * rules agree at every microsecond timestamp. The ordinal session_id
+    * the oracle emits is a per-user rank over SESSION starts — a window
+    * over the session-grain relation (~|events|/session_size rows), not
+    * the fact table. */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microseconds").as("sw"))
+      .agg(count("*").as("n_events"),
+        round(sum("value"), 2).as("session_value"),
+        date_format(min("ts"), TsUs).as("session_start"),
+        date_format(max("ts"), TsUs).as("session_end"))
+    val byStart = Window.partitionBy("user_id").orderBy(col("sw.start"))
+    sess
+      .withColumn("session_id", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_value"), col("session_start"), col("session_end"))
+  }
+
   /** Per-key top-k via window rank (top 3 events per user by value). */
   def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
