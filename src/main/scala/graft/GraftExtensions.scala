@@ -47,7 +47,9 @@ object GraftFunctions {
     "minhash_jaccard" -> (es => MinHashJaccard(es(0), es(1))),
     "simhash_sig" -> (es => SimHashSig(es(0))),
     "winnow_fingerprints" -> (es =>
-      WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))))
+      WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
+    "bucket_index" -> (es => BucketIndex(es(0), es(1))),
+    "bit_interleave" -> (es => BitInterleave(es(0), es(1))))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

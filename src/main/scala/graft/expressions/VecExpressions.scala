@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst kernels over array<double> columns: dense-vector
   * scoring, plus sorted-array search ([[BucketIndex]], the quantile
@@ -190,4 +190,45 @@ object BucketIndex {
     }
     lo
   }
+}
+
+/** 2-D Morton (Z-order) key: interleaves the low 16 bits of two bucket
+  * indexes — `left` on even bit positions, `right` on odd — into one
+  * long sort key. Sorting by the interleaved key clusters rows that are
+  * close in BOTH dimensions into the same files, so a 2-D range query
+  * prunes files on footer min/max stats in both dimensions; a linear
+  * sort clusters only its leading column (see `IO.writeZOrdered`). */
+case class BitInterleave(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int), got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitInterleave.morton(a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.BitInterleave.morton($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BitInterleave =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitInterleave {
+  /** Spread the low 16 bits of x to the even bit positions (the standard
+    * Morton spread via parallel-prefix masks). */
+  def spread(x0: Int): Long = {
+    var x = x0.toLong & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+  def morton(a: Int, b: Int): Long = spread(a) | (spread(b) << 1)
 }

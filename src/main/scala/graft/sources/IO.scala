@@ -64,6 +64,44 @@ object IO {
       .sortWithinPartitions(colName)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ordered (Morton) parquet layout: 2-D clustering for stores queried
+    * by ranges on TWO columns at once (user × time, service × day).
+    * [[writeRangeSorted]] makes one dimension prunable; a Z-order sort
+    * makes both: each column is bucketed by its own approx-percentile
+    * boundaries (equi-depth — skew-robust where a raw bit-slice would
+    * drop most rows into a few buckets), the two bucket ids are
+    * bit-interleaved by the native
+    * [[graft.expressions.BitInterleave]] kernel into one Morton key, and
+    * the store is range-partitioned + sorted on that key. Files then
+    * carry tight footer min/max on BOTH columns, so a 2-D box query
+    * skips every file outside the box in either dimension.
+    *
+    * NOTE: construction runs one boundary-sampling scan (eager, same
+    * contract as the frozen percentile bounds). NULLs in either column
+    * yield a NULL key and group at the front of the layout. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int, buckets: Int = 256): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import graft.expressions.{BitInterleave, BucketIndex}
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val b = df.agg(
+      approx_percentile(col(c1).cast("double"), typedLit(fracs), lit(10000)),
+      approx_percentile(col(c2).cast("double"), typedLit(fracs), lit(10000))).head()
+    def bucketOf(c: String, bounds: Seq[Double]) =
+      Bridge.column(BucketIndex(
+        Bridge.expression(col(c).cast("double")),
+        Bridge.expression(typedLit(bounds))))
+    val zkey = Bridge.column(BitInterleave(
+      Bridge.expression(bucketOf(c1, b.getSeq[Double](0))),
+      Bridge.expression(bucketOf(c2, b.getSeq[Double](1)))))
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction for a parquet store. Streaming sinks write one
     * file set per micro-batch (the upsert/index sinks here do), and a
     * store of 10⁵ kilobyte files costs more in scan-task launch and

@@ -219,6 +219,31 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == ev.count())
   }
 
+  test("IO: z-order layout prunes a 2-D box query better than a linear sort") {
+    import spark.implicits._
+    import scala.reflect.io.Directory
+    val zPath = "/tmp/graft_zorder/z"
+    val linPath = "/tmp/graft_zorder/linear"
+    new Directory(new java.io.File("/tmp/graft_zorder")).deleteRecursively()
+    // 64x64 uniform grid
+    val pts = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64)).toDF("x", "y")
+    graft.sources.IO.writeZOrdered(pts, zPath, "x", "y", numFiles = 16)
+    graft.sources.IO.writeRangeSorted(pts, linPath, "x", numFiles = 16)
+    // box query: ALL x, y in the bottom 1/8 — the worst case for a layout
+    // sorted linearly on x (every file spans the full y range)
+    def touched(path: String): Int =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min("y"), max("y")).head()
+          r.getLong(0) <= 7 // file's y-range intersects [0, 7]
+        }
+    val (zT, linT) = (touched(zPath), touched(linPath))
+    assert(linT == 16, s"the linear-x layout cannot prune on y: $linT")
+    assert(zT <= 8, s"z-order must confine the y-slice to few files: $zT")
+    assert(spark.read.parquet(zPath).count() == 4096)
+  }
+
   test("IO: compaction collapses a fragmented store without losing rows") {
     import spark.implicits._
     val path = "/tmp/graft_compact_store"
