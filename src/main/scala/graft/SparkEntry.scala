@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_exact"           -> (TextOps.dedupExact _),
     "text_tokens"           -> (TextOps.textTokens _),
     "text_quality"          -> (TextOps.textQuality _),
+    "clean_c4"              -> ((s: SparkSession, d: String) => TextOps.cleanC4(s, d)),
     "lang_id"               -> (TextOps.langId _),
     "text_repetition"       -> (TextOps.textRepetition _),
     "doc_fingerprint"       -> ((s: SparkSession, d: String) => TextOps.docFingerprint(s, d)),
@@ -748,6 +749,25 @@ object SparkEntry {
         |           + 0.3 * least(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0)
         |           + 0.3 * (len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))
         |                    / len(regexp_split_to_array(trim(text), '\s+'))), 4) AS quality_score
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // DuckDB's array_to_string([]) is NULL where Spark's array_join is ''
+    // — the CASE + coalesce pins both to: NULL text -> NULL, zero kept
+    // lines -> empty string
+    "clean_c4" ->
+      """WITH k AS (
+        |  SELECT doc_id, text,
+        |         list_filter(str_split(text, chr(10)), l ->
+        |           len(regexp_split_to_array(trim(l), '\s+')) >= 40) AS kept
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(str_split(text, chr(10))) AS n_lines_raw,
+        |       len(kept) AS n_lines_kept,
+        |       CASE WHEN text IS NOT NULL
+        |            THEN coalesce(array_to_string(kept, chr(10)), '') END AS clean_text,
+        |       coalesce(len(kept) >= 1
+        |                AND NOT contains(lower(text), 'lorem ipsum')
+        |                AND NOT contains(text, '{'), false) AS is_kept
+        |FROM k""".stripMargin
   )
 }

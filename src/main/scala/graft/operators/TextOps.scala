@@ -24,6 +24,39 @@ object TextOps {
         count("*").as("n_copies"),
         min("n_chars").as("n_chars"))
 
+  /** C4-style line-level cleaning (the public-corpus hygiene pass of
+    * Raffel et al. '20 §2.2): keep lines with ≥ `minWords` words (and,
+    * when `requirePunct`, a terminal-punctuation ending); the document
+    * verdict additionally drops lorem-ipsum and brace-bearing docs
+    * (template/code leakage). Emits the cleaned text plus raw/kept line
+    * counts and an `is_kept` flag — dropping is a downstream predicate,
+    * never destructive here. Pure per-row expression work (split →
+    * filter → rejoin), zero shuffles; scan-bound at any scale.
+    *
+    * `requirePunct` defaults off for the registered query: the synthetic
+    * corpus is single-line and unpunctuated, so the punctuation rule
+    * would be vacuous there (a spec exercises it on planted multi-line
+    * docs); the word-count rule splits the corpus ~35/65. */
+  def cleanC4(spark: SparkSession, dir: String, minWords: Int = 40,
+      requirePunct: Boolean = false): DataFrame =
+    cleanC4From(Tables.documents(spark, dir), minWords, requirePunct)
+
+  private[graft] def cleanC4From(docs: DataFrame, minWords: Int = 40,
+      requirePunct: Boolean = false): DataFrame = {
+    def lineOk(l: Column): Column = {
+      val words = size(split(trim(l), "\\s+")) >= minWords
+      if (requirePunct) words && trim(l).rlike("[.!?\"']$") else words
+    }
+    val kept = filter(split(col("text"), "\n"), lineOk _)
+    docs.select(col("doc_id"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines_raw"),
+      size(kept).cast("long").as("n_lines_kept"),
+      array_join(kept, "\n").as("clean_text"),
+      coalesce(size(kept) >= 1 &&
+        !lower(col("text")).contains("lorem ipsum") &&
+        !col("text").contains("{"), lit(false)).as("is_kept"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish pre-tokens + chars. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -106,6 +106,27 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("clean_c4 keeps punctuated prose lines, drops fragments and template docs") {
+    import spark.implicits._
+    val prose = (1 to 10).map(i => s"word$i").mkString(" ") + "."
+    val fragment = "too short"
+    val unpunctuated = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$prose\n$fragment\n$unpunctuated\n$prose"),
+      (2L, s"$fragment\n$unpunctuated"),
+      (3L, s"$prose\nsee the {template} block")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps
+      .cleanC4From(docs, minWords = 5, requirePunct = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 2L && out(1L).getBoolean(4),
+      s"doc 1 keeps its two prose lines: ${out(1L)}")
+    assert(out(1L).getString(3) == s"$prose\n$prose")
+    assert(out(2L).getLong(2) == 0L && !out(2L).getBoolean(4),
+      "all-fragment doc is dropped with empty kept set")
+    assert(out(2L).getString(3) == "", "zero kept lines -> empty string, not NULL")
+    assert(!out(3L).getBoolean(4), "brace-bearing template doc is dropped")
+  }
+
   test("anomaly_spikes flags a planted rate spike, not its steady baseline") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf(_: String)
