@@ -38,6 +38,10 @@ object SparkEntry {
       graft.streaming.StatefulSpikes(
         graft.streaming.StatefulSpikes.fromEvents(
           graft.sources.Tables.events(s, d))).toDF()),
+    // a second sensitivity point: σ=1.5 flags ~16 of 150 cells at sf0.01
+    // (σ=3 flags 2), so the oracle exercises the spike branch broadly
+    "anomaly_spikes_s15"    -> ((s: SparkSession, d: String) =>
+      LogOps.anomalySpikes(s, d, sigma = 1.5)),
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
@@ -166,7 +170,9 @@ object SparkEntry {
 
   /** Shared by `anomaly_spikes` and its stateful streaming twin — both
     * reproduce the same trailing-7-observed-days ROWS frame. */
-  private def anomalySpikesOracle: String =
+  private def anomalySpikesOracle: String = anomalySpikesSql(3.0)
+
+  private def anomalySpikesSql(sigma: Double): String =
     """WITH d AS (
       |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
       |         count(*) AS n_events
@@ -181,9 +187,9 @@ object SparkEntry {
       |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |SELECT level, day, n_events, round(base_avg, 4) AS base_avg,
       |       round(base_std, 4) AS base_std, base_n,
-      |       coalesce(base_n >= 3 AND n_events > base_avg + 3.0 * base_std,
+      |       coalesce(base_n >= 3 AND n_events > base_avg + SIGMA_LIT * base_std,
       |                false) AS is_spike
-      |FROM w""".stripMargin
+      |FROM w""".stripMargin.replace("SIGMA_LIT", sigma.toString)
 
   private def ingestErrorsSql(sinceTs: String, untilTs: String,
       userLike: String, limit: Int): String =
@@ -321,6 +327,7 @@ object SparkEntry {
     // so it checks against the SAME oracle (the sessionize pairing).
     "anomaly_spikes" -> anomalySpikesOracle,
     "anomaly_spikes_stateful" -> anomalySpikesOracle,
+    "anomaly_spikes_s15" -> anomalySpikesSql(1.5),
 
     "metrics_timeline_filled" ->
       """WITH c AS (
