@@ -185,6 +185,9 @@ object Relational {
     val s = ev.agg(count("*").as("n"),
       approx_count_distinct("user_id", 0.02).as("k")).head()
     val (total, keys) = (s.getLong(0), math.max(1L, s.getLong(1)))
+    // empty input: thr/total is 0/0 = NaN, which would poison the
+    // freqItems support — there are no heavy hitters in nothing
+    if (total == 0L) return Seq.empty[(Long, Long)].toDF("user_id", "n_events_est")
     val thr = 1.15 * total.toDouble / keys
     // support strictly below thr/total so lossy counting cannot evict a
     // true heavy hitter; floored at freqItems' 1e-4 minimum

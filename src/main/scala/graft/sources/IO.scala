@@ -88,13 +88,17 @@ object IO {
     val b = df.agg(
       approx_percentile(col(c1).cast("double"), typedLit(fracs), lit(10000)),
       approx_percentile(col(c2).cast("double"), typedLit(fracs), lit(10000))).head()
-    def bucketOf(c: String, bounds: Seq[Double]) =
+    def bucketOf(c: String, i: Int) = {
+      // an all-NULL (or empty) column yields NULL bounds — degrade that
+      // dimension to a single bucket instead of failing the write
+      val bounds = Option(b.getSeq[Double](i)).filter(_.nonEmpty).getOrElse(Seq(0.0))
       Bridge.column(BucketIndex(
         Bridge.expression(col(c).cast("double")),
         Bridge.expression(typedLit(bounds))))
+    }
     val zkey = Bridge.column(BitInterleave(
-      Bridge.expression(bucketOf(c1, b.getSeq[Double](0))),
-      Bridge.expression(bucketOf(c2, b.getSeq[Double](1)))))
+      Bridge.expression(bucketOf(c1, 0)),
+      Bridge.expression(bucketOf(c2, 1))))
     df.withColumn("__zkey", zkey)
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
@@ -120,6 +124,7 @@ object IO {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, 0) // nothing to compact
     val dataFiles = fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
