@@ -14,9 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a non-Option field NOT_NULL-asserts on the first NULL row). */
 case class SpikeEvent(level: Option[String], ts: Option[Timestamp])
 
-/** Per-level state: counts of days not yet closed by the watermark, plus
-  * the trailing ≤7 closed (day, count) cells — the baseline window. */
-case class SpikeState(open: Map[String, Long], baseline: List[Long])
+/** Per-level state: counts of days not yet closed by the watermark, the
+  * trailing ≤7 closed-day counts (the baseline window), and the most
+  * recent closed day — flatMapGroupsWithState does NOT auto-drop
+  * late rows, so an event for an already-closed day must be discarded
+  * here or it would re-open the day and emit a duplicate verdict with a
+  * partial count. */
+case class SpikeState(open: Map[String, Long], baseline: List[Long],
+    lastClosed: String)
 
 case class SpikeOut(level: Option[String], day: Option[String],
     n_events: Long, base_avg: Option[Double], base_std: Option[Double],
@@ -95,11 +100,13 @@ object StatefulSpikes {
             }
             val out = ArrayBuffer.empty[SpikeOut]
             var base = s.baseline
+            var last = s.lastClosed
             toClose.toSeq.sortBy(_._1).foreach { case (d, n) =>
               out += verdict(level, Some(d), n, base, sigma)
               base = (base :+ n).takeRight(7)
+              last = if (d > last) d else last
             }
-            (SpikeState(stillOpen, base), out.toSeq)
+            (SpikeState(stillOpen, base, last), out.toSeq)
           }
 
           if (state.hasTimedOut) {
@@ -125,14 +132,18 @@ object StatefulSpikes {
             }
             out.iterator
           } else {
-            val s0 = state.getOption.getOrElse(SpikeState(Map.empty, Nil))
+            val s0 = state.getOption.getOrElse(SpikeState(Map.empty, Nil, ""))
             val newOpen = it.foldLeft(s0.open) { (m, e) =>
               e.ts.map(dayOf) match {
-                case Some(d) => m.updated(d, m.getOrElse(d, 0L) + 1L)
-                case None    => m // no event time — watermark-governed ops drop it
+                // a row for an already-closed day is LATE beyond the
+                // watermark contract: drop it (re-opening would emit the
+                // day twice, the second time with a partial count)
+                case Some(d) if d > s0.lastClosed =>
+                  m.updated(d, m.getOrElse(d, 0L) + 1L)
+                case _ => m // late day, or no event time at all
               }
             }
-            val s1 = SpikeState(newOpen, s0.baseline)
+            val s1 = SpikeState(newOpen, s0.baseline, s0.lastClosed)
             // close what the watermark already passed, then arm the next
             // timeout one day past the watermark
             val wm = state.getCurrentWatermarkMs()

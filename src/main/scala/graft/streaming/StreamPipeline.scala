@@ -121,9 +121,12 @@ object StreamPipeline {
     *
     * Per micro-batch: one kernel pass over the batch builds (id, sig,
     * keys); the index side is never re-signed, only read. Within-batch
-    * dups are resolved first (keep the smallest id of each intra-batch
-    * candidate group — the batch is micro, so this self-join is tiny);
-    * survivors are checked against the index, then appended via the same
+    * dups are resolved first — a doc is dropped when its BEST match has
+    * a smaller id (greedy: on a transitive A~B~C chain with A≁C this can
+    * retain more than one representative; `NearDup.dedupClusters` is the
+    * principled batch-mode path when exact cluster canonicalization
+    * matters). Survivors are checked against the index, then appended
+    * via the same
     * write-to-tmp-and-swap the vector index uses (the merged plan reads
     * `indexPath`, so an in-place overwrite would truncate its own input).
     * Exactly-once: re-running a batch after a crash re-flags its docs as

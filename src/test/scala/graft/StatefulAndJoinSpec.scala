@@ -90,6 +90,15 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       assert(out.exists(r => r.getAs[String]("day") == "2024-05-01" &&
         r.getAs[Long]("n_events") == 5L && !r.getAs[Boolean]("is_spike")),
         s"closed day must emit its verdict: ${out.mkString(";")}")
+      // a LATE event for the closed day must be dropped, not re-open it
+      mem.addData(e("2024-05-01 23:00:00"))
+      q.processAllAvailable()
+      mem.addData(e("2024-05-06 12:00:00"))
+      q.processAllAvailable()
+      val days = spark.table("spike_test").collect()
+        .map(_.getAs[String]("day")).filter(_ == "2024-05-01")
+      assert(days.length == 1,
+        s"a closed day must emit exactly once despite late data: ${days.length}")
     } finally q.stop()
   }
 
