@@ -53,6 +53,25 @@ class RobustnessSpec extends AnyFunSuite {
     assert(n.head().isNullAt(0))
   }
 
+  test("morton key is bijective on 16-bit pairs and preserves quadrant order") {
+    import graft.expressions.BitInterleave.{morton, spread}
+    val r = new scala.util.Random(13)
+    val pairs = Seq.fill(2000)((r.nextInt(1 << 16), r.nextInt(1 << 16)))
+    // injective: distinct pairs -> distinct keys (spread is invertible)
+    assert(pairs.distinct.map { case (a, b) => morton(a, b) }.distinct.size ==
+      pairs.distinct.size)
+    // the two operands occupy disjoint bit positions
+    pairs.foreach { case (a, b) =>
+      assert((spread(a) & (spread(b) << 1)) == 0L)
+      assert(morton(a, b) == (spread(a) | (spread(b) << 1)))
+    }
+    // quadrant locality: every key of the low-low quadrant sorts before
+    // any key of the high-high quadrant (the property file pruning uses)
+    val lo = for (a <- 0 until 8; b <- 0 until 8) yield morton(a, b)
+    val hi = for (a <- 8 until 16; b <- 8 until 16) yield morton(a, b)
+    assert(lo.max < hi.min, s"${lo.max} !< ${hi.min}")
+  }
+
   test("lang_id tolerates empty and whitespace-only text") {
     val r = one(TextOps.langIdCol(col("text")), "   ")
     assert(r.getString(0) != null) // some deterministic label, no crash
