@@ -106,6 +106,28 @@ object IO {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Store health snapshot — the trigger side of [[compact]]: a
+    * maintenance job polls this and compacts when `smallFiles` crosses a
+    * threshold, instead of rewriting stores on a blind schedule. Pure
+    * filesystem metadata (one listStatus), no data read. */
+  case class StoreStats(files: Int, bytes: Long, minFileBytes: Long,
+      maxFileBytes: Long, smallFiles: Int)
+
+  /** @param targetBytes a file below half this counts as "small" */
+  def describeStore(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): StoreStats = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return StoreStats(0, 0L, 0L, 0L, 0)
+    val sizes = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen)
+    if (sizes.isEmpty) StoreStats(0, 0L, 0L, 0L, 0)
+    else StoreStats(sizes.length, sizes.sum, sizes.min, sizes.max,
+      sizes.count(_ < targetBytes / 2))
+  }
+
   /** Small-files compaction for a parquet store. Streaming sinks write one
     * file set per micro-batch (the upsert/index sinks here do), and a
     * store of 10⁵ kilobyte files costs more in scan-task launch and

@@ -251,9 +251,14 @@ class TextAndStreamSpec extends AnyFunSuite {
     new Directory(new java.io.File(path)).deleteRecursively()
     (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
       .repartition(20).write.parquet(path)
+    val statsBefore = graft.sources.IO.describeStore(spark, path)
+    assert(statsBefore.files == 20 && statsBefore.smallFiles == 20,
+      s"the fragmented store must read as 20 small files: $statsBefore")
     val (before, after) = graft.sources.IO.compact(spark, path)
     assert(before == 20, s"fragmented store must start at 20 files, got $before")
     assert(after == 1, s"compaction must collapse to 1 file, got $after")
+    val statsAfter = graft.sources.IO.describeStore(spark, path)
+    assert(statsAfter.files == 1 && statsAfter.bytes > 0, statsAfter.toString)
     val back = spark.read.parquet(path)
     assert(back.count() == 1000 &&
       back.agg(sum("id")).head().getLong(0) == 500500L,
