@@ -29,6 +29,14 @@ object IO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC twin of the parquet paths — for deployments standardized on ORC
+    * (same pushdown/pruning contract via the native vectorized reader). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Partitioned parquet sink — the default for anything re-queried.
     * Partition columns become directories, so filters on them never touch
     * excluded files. */

@@ -265,6 +265,21 @@ class TextAndStreamSpec extends AnyFunSuite {
       "compaction must preserve every row")
   }
 
+  test("IO: orc round-trip preserves rows and pushes filters") {
+    import spark.implicits._
+    val path = "/tmp/graft_orc_store"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    val df = (1 to 500).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    graft.sources.IO.writeOrc(df, path)
+    val back = graft.sources.IO.readOrc(spark, path)
+    assert(back.count() == 500)
+    val plan = back.where(col("id") > 400)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,400)]"),
+      s"orc scan must push the filter:\n$plan")
+  }
+
   test("IO: json round-trip preserves rows with explicit schema") {
     import graft.sources.{IO, Tables}
     val out = "/tmp/graft_io_test/docs_json"
