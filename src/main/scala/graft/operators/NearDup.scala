@@ -325,6 +325,29 @@ object NearDup {
     dedupIncrementalFrom(base.where(isBatch), base.where(!isBatch), thr)
   }
 
+  /** Persist the corpus word-3 signature base as an on-disk parquet index
+    * — the durable form of the session memo, so increments in LATER jobs
+    * (or on other clusters) never re-sign the corpus. ~1 KB/doc. */
+  def writeSignatureIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit =
+    word3Base(spark, dir).write.mode("overwrite").parquet(indexPath)
+
+  /** Incremental near-dup of arbitrary new documents (doc_id, text)
+    * against a [[writeSignatureIndex]] store: the batch pays one kernel
+    * pass, the index is only read. The production entry point of the
+    * incremental contract ([[dedupIncremental]] is its self-contained
+    * single-corpus twin for the driver harness). */
+  def dedupIncrementalAgainst(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, thr: Double = 0.8): DataFrame = {
+    val sh = wordShingles(col("text"), 3)
+    val batch = newDocs
+      .where(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        minhashSig(sh, 128).as("sig"),
+        minhashBandKeys(sh, 32, 4).as("keys"))
+    dedupIncrementalFrom(batch, spark.read.parquet(indexPath), thr)
+  }
+
   /** Both inputs are (id, sig, keys) signature relations; `corpus` is the
     * persisted index side, `batch` the increment. */
   private[graft] def dedupIncrementalFrom(batch: DataFrame, corpus: DataFrame,

@@ -135,6 +135,33 @@ class SignatureLawsSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(4), s"new content must pass: ${out(2L)}")
   }
 
+  test("on-disk signature index serves later-job increments without re-signing") {
+    import spark.implicits._
+    val idx = "/tmp/graft_sig_index"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(idx)).deleteRecursively()
+    graft.operators.NearDup.writeSignatureIndex(spark, SparkTest.Sf, idx)
+    assert(spark.read.parquet(idx).count() ==
+      graft.sources.Tables.documents(spark, SparkTest.Sf).count())
+    // a "later job": fresh docs checked against the store — one indexed
+    // doc's near-copy and one new doc
+    val indexed = graft.sources.Tables.documents(spark, SparkTest.Sf)
+      .where(col("text").isNotNull)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).head()
+    val batch = Seq(
+      (900001L, indexed.getString(1) + " tail tail"),
+      (900002L, (1 to 50).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.NearDup
+      .dedupIncrementalAgainst(spark, idx, batch, thr = 0.7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(900001L).getBoolean(4) &&
+      out(900001L).getLong(2) == indexed.getLong(0),
+      s"near-copy of an indexed doc must be flagged: ${out(900001L)}")
+    assert(!out(900002L).getBoolean(4), s"new content passes: ${out(900002L)}")
+  }
+
   test("bucket index is the exact upper-bound count, monotone, NaN-last") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val r = rng(11)
