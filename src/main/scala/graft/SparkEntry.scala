@@ -45,6 +45,7 @@ object SparkEntry {
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
+    "log_templates"         -> (LogOps.logTemplates _),
     "search_entries"        -> ((s: SparkSession, d: String) => LogOps.searchEntries(s, d)),
     // parameter sweep: the dashboard takes arbitrary level/keyword/window
     // combinations per request (app.py:66-84) — each variant pins a
@@ -320,6 +321,15 @@ object SparkEntry {
     "metrics_timeline" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
         |FROM events GROUP BY 1""".stripMargin,
+
+    // hex BEFORE num (hex runs contain digits); 'g' = replace-all, which
+    // is Spark regexp_replace's default
+    "log_templates" ->
+      """SELECT event_type AS level,
+        |       regexp_replace(regexp_replace(props, '[0-9a-f]{8,}', '<hex>', 'g'),
+        |                      '[0-9]+', '<num>', 'g') AS template,
+        |       count(*) AS n_events, min(event_id) AS first_event_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // NULLS FIRST pins DuckDB's window order to Spark's asc-nulls-first;
     // the ROWS frame makes "trailing 7 observed days" identical on both.

@@ -103,6 +103,29 @@ object LogOps {
         coalesce(col("n_incidents"), lit(0L)).as("n_incidents"))
   }
 
+  /** Log template mining — the classic first step of automated incident
+    * analysis: collapse messages into TEMPLATES by masking the variable
+    * parts (hex runs/ids first — they contain digits — then numbers), and
+    * count occurrences per (level, template). A million "user 4711 gave
+    * error c0ffee12" lines become one template row with n_events = 10⁶,
+    * which is what an analyst (or the RCA prompt builder) actually reads.
+    * Scale shape: per-row regex work at the scan + one map-side-combined
+    * groupBy on the (short) template string; the heavy raw messages never
+    * shuffle. first_event_id gives a deterministic exemplar to join back
+    * for a full sample line.
+    */
+  def logTemplates(spark: SparkSession, dir: String): DataFrame =
+    logTemplatesFrom(Tables.events(spark, dir))
+
+  private[graft] def logTemplatesFrom(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type").as("level"), col("event_id"),
+        regexp_replace(
+          regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
+          "[0-9]+", "<num>").as("template"))
+      .groupBy(col("level"), col("template"))
+      .agg(count("*").as("n_events"), min(col("event_id")).as("first_event_id"))
+
   /** Incident-rate spike detection — the trigger side of an incident
     * analyst: a day whose event count for a level jumps past
     * mean + `sigma`·stddev of that level's trailing baseline is the day

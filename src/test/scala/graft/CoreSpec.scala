@@ -106,6 +106,22 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("log_templates collapses variable parts into one template per shape") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "error", "user 4711 failed with code deadbeef99"),
+      (2L, "error", "user 42 failed with code c0ffee1234"),
+      (3L, "error", "disk full on /dev/sda1"),
+      (4L, "signup", "user 9 failed with code abcdef0123")).toDF("event_id", "event_type", "props")
+    val out = graft.operators.LogOps.logTemplatesFrom(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("error", "user <num> failed with code <hex>")) == (2L, 1L),
+      s"both error lines must collapse to one template: $out")
+    assert(out(("signup", "user <num> failed with code <hex>")) == (1L, 4L),
+      "templates are per level")
+    assert(out.contains(("error", "disk full on /dev/sda<num>")))
+  }
+
   test("clean_c4 keeps punctuated prose lines, drops fragments and template docs") {
     import spark.implicits._
     val prose = (1 to 10).map(i => s"word$i").mkString(" ") + "."
