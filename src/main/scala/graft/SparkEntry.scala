@@ -46,6 +46,10 @@ object SparkEntry {
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
     "search_keyword"        -> (LogOps.searchKeyword _),
     "log_templates"         -> (LogOps.logTemplates _),
+    // empty on the synthetic corpus by design (every template shape spans
+    // both periods) — the EMPTY result is hash-compared, like the _none
+    // search points; the spec plants real novelty
+    "template_novelty"      -> ((s: SparkSession, d: String) => LogOps.templateNovelty(s, d)),
     "search_entries"        -> ((s: SparkSession, d: String) => LogOps.searchEntries(s, d)),
     // parameter sweep: the dashboard takes arbitrary level/keyword/window
     // combinations per request (app.py:66-84) — each variant pins a
@@ -321,6 +325,25 @@ object SparkEntry {
     "metrics_timeline" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
         |FROM events GROUP BY 1""".stripMargin,
+
+    "template_novelty" ->
+      """WITH t AS (
+        |  SELECT event_type AS level, event_id, ts,
+        |         regexp_replace(regexp_replace(props, '[0-9a-f]{8,}', '<hex>', 'g'),
+        |                        '[0-9]+', '<num>', 'g') AS template
+        |  FROM events),
+        |r AS (
+        |  SELECT level, template, count(*) AS n_events,
+        |         min(event_id) AS first_event_id
+        |  FROM t WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT DISTINCT level, template FROM t
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT r.* FROM r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b
+        |  WHERE b.level IS NOT DISTINCT FROM r.level
+        |    AND b.template IS NOT DISTINCT FROM r.template)""".stripMargin,
 
     // hex BEFORE num (hex runs contain digits); 'g' = replace-all, which
     // is Spark regexp_replace's default

@@ -126,6 +126,44 @@ object LogOps {
       .groupBy(col("level"), col("template"))
       .agg(count("*").as("n_events"), min(col("event_id")).as("first_event_id"))
 
+  /** Template novelty — the "new error shape" trigger: templates occurring
+    * at or after `splitTs` that NEVER occurred before it. A rate spike
+    * says "more of the same"; a novel template says "something new broke"
+    * — the two complementary alarms an incident analyst runs on every
+    * window. Scale shape: both sides reduce to (level, template) count
+    * relations at the scan (map-side combined); the baseline side then
+    * carries one row per DISTINCT template — orders of magnitude smaller
+    * than the event stream — into a left-anti join keyed on the template,
+    * and AQE broadcasts it when it fits. */
+  def templateNovelty(spark: SparkSession, dir: String,
+      splitTs: String = "2024-01-20 00:00:00"): DataFrame =
+    templateNoveltyFrom(Tables.events(spark, dir), splitTs)
+
+  private[graft] def templateNoveltyFrom(events: DataFrame,
+      splitTs: String): DataFrame = {
+    val templated = events.select(
+      col("event_type").as("level"), col("event_id"), col("ts"),
+      regexp_replace(
+        regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
+        "[0-9]+", "<num>").as("template"))
+    val split = lit(splitTs).cast("timestamp")
+    val recent = templated.where(col("ts") >= split)
+      .groupBy(col("level"), col("template"))
+      .agg(count("*").as("n_events"), min(col("event_id")).as("first_event_id"))
+    val baseline = templated.where(col("ts") < split)
+      .select(col("level"), col("template")).distinct()
+    // null-safe keys: a NULL-template (NULL-props) group present in both
+    // periods is NOT novel — a plain equi-anti-join would let it through
+    // every window forever
+    recent.as("r").join(baseline.as("b"),
+        col("r.level") <=> col("b.level") &&
+          col("r.template") <=> col("b.template"),
+        "left_anti")
+      .select(col("r.level").as("level"), col("r.template").as("template"),
+        col("r.n_events").as("n_events"),
+        col("r.first_event_id").as("first_event_id"))
+  }
+
   /** Incident-rate spike detection — the trigger side of an incident
     * analyst: a day whose event count for a level jumps past
     * mean + `sigma`·stddev of that level's trailing baseline is the day

@@ -27,7 +27,8 @@ class CoreSpec extends AnyFunSuite {
   // the *_none search points verify the EMPTY result set against the
   // oracle (a keyword matching nothing is a dashboard request like any
   // other) — zero rows is their correct answer, not a broken operator
-  private val deliberatelyEmpty = Set("search_entries_none", "search_all_none")
+  private val deliberatelyEmpty =
+    Set("search_entries_none", "search_all_none", "template_novelty")
 
   test("every query runs on sf0.001 and returns rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -120,6 +121,25 @@ class CoreSpec extends AnyFunSuite {
     assert(out(("signup", "user <num> failed with code <hex>")) == (1L, 4L),
       "templates are per level")
     assert(out.contains(("error", "disk full on /dev/sda<num>")))
+  }
+
+  test("template_novelty flags only shapes absent from the baseline period") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      // shape A exists in both periods; shape B only after the split
+      (1L, "error", "user 1 timeout", t("2024-01-10 10:00:00")),
+      (2L, "error", "user 2 timeout", t("2024-01-25 10:00:00")),
+      (3L, "error", "oom in pod 77", t("2024-01-25 11:00:00")),
+      (4L, "error", "oom in pod 9", t("2024-01-26 11:00:00")),
+      // NULL props in both periods: NOT novel (null-safe anti-join)
+      (5L, "error", null, t("2024-01-11 10:00:00")),
+      (6L, "error", null, t("2024-01-25 12:00:00"))).toDF("event_id", "event_type", "props", "ts")
+    val out = graft.operators.LogOps
+      .templateNoveltyFrom(ev, "2024-01-20 00:00:00")
+      .collect().map(r => Option(r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(Some("oom in pod <num>") -> ((2L, 3L))),
+      s"only the post-split-only shape is novel: $out")
   }
 
   test("clean_c4 keeps punctuated prose lines, drops fragments and template docs") {
