@@ -50,6 +50,7 @@ object SparkEntry {
     // both periods) — the EMPTY result is hash-compared, like the _none
     // search points; the spec plants real novelty
     "template_novelty"      -> ((s: SparkSession, d: String) => LogOps.templateNovelty(s, d)),
+    "template_trending"     -> ((s: SparkSession, d: String) => LogOps.templateTrending(s, d)),
     "search_entries"        -> ((s: SparkSession, d: String) => LogOps.searchEntries(s, d)),
     // parameter sweep: the dashboard takes arbitrary level/keyword/window
     // combinations per request (app.py:66-84) — each variant pins a
@@ -325,6 +326,32 @@ object SparkEntry {
     "metrics_timeline" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
         |FROM events GROUP BY 1""".stripMargin,
+
+    "template_trending" ->
+      """WITH t AS (
+        |  SELECT event_type AS level, ts,
+        |         regexp_replace(regexp_replace(props, '[0-9a-f]{8,}', '<hex>', 'g'),
+        |                        '[0-9]+', '<num>', 'g') AS template
+        |  FROM events),
+        |r AS (
+        |  SELECT level, template, count(*) AS n_recent FROM t
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT level, template, count(*) AS n_baseline FROM t
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(r.level, b.level) AS level,
+        |         coalesce(r.template, b.template) AS template,
+        |         coalesce(r.n_recent, 0) AS n_recent,
+        |         coalesce(b.n_baseline, 0) AS n_baseline
+        |  FROM r FULL JOIN b
+        |    ON r.level IS NOT DISTINCT FROM b.level
+        |   AND r.template IS NOT DISTINCT FROM b.template)
+        |SELECT level, template, n_recent, n_baseline,
+        |       round((n_recent + 1.0) / (n_baseline + 1.0), 6) AS trend
+        |FROM j
+        |ORDER BY trend DESC, level ASC NULLS FIRST, template ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "template_novelty" ->
       """WITH t AS (

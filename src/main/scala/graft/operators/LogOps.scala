@@ -164,6 +164,46 @@ object LogOps {
         col("r.first_event_id").as("first_event_id"))
   }
 
+  /** Template trending — the third incident trigger beside volume spikes
+    * ([[anomalySpikes]]) and new shapes ([[templateNovelty]]): which
+    * EXISTING templates' rates grew most versus the baseline period.
+    * Add-one smoothing keeps the ratio defined for templates absent from
+    * one side (a baseline-only template trends toward 0, a recent-only
+    * one toward n+1 — novelty flags the latter precisely; this ranks the
+    * whole mix shift). Same scan-reduced template relations as the
+    * siblings, one null-safe full-outer join, distributed TakeOrdered
+    * for the top-N. */
+  def templateTrending(spark: SparkSession, dir: String,
+      splitTs: String = "2024-01-20 00:00:00", topN: Int = 20): DataFrame =
+    templateTrendingFrom(Tables.events(spark, dir), splitTs, topN)
+
+  private[graft] def templateTrendingFrom(events: DataFrame,
+      splitTs: String, topN: Int): DataFrame = {
+    val templated = events.select(
+      col("event_type").as("level"), col("ts"),
+      regexp_replace(
+        regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
+        "[0-9]+", "<num>").as("template"))
+    val split = lit(splitTs).cast("timestamp")
+    val recent = templated.where(col("ts") >= split)
+      .groupBy(col("level"), col("template")).agg(count("*").as("n_recent"))
+    val baseline = templated.where(col("ts") < split)
+      .groupBy(col("level"), col("template")).agg(count("*").as("n_baseline"))
+    recent.as("r").join(baseline.as("b"),
+        col("r.level") <=> col("b.level") &&
+          col("r.template") <=> col("b.template"),
+        "full_outer")
+      .select(
+        coalesce(col("r.level"), col("b.level")).as("level"),
+        coalesce(col("r.template"), col("b.template")).as("template"),
+        coalesce(col("r.n_recent"), lit(0L)).as("n_recent"),
+        coalesce(col("b.n_baseline"), lit(0L)).as("n_baseline"))
+      .withColumn("trend",
+        round((col("n_recent") + lit(1.0)) / (col("n_baseline") + lit(1.0)), 6))
+      .orderBy(col("trend").desc, col("level"), col("template"))
+      .limit(topN)
+  }
+
   /** Incident-rate spike detection — the trigger side of an incident
     * analyst: a day whose event count for a level jumps past
     * mean + `sigma`·stddev of that level's trailing baseline is the day

@@ -142,6 +142,24 @@ class CoreSpec extends AnyFunSuite {
       s"only the post-split-only shape is novel: $out")
   }
 
+  test("template_trending ranks the shape whose rate grew most") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // "timeout" 4->1, "oom" 1->4: oom trends up (5/2), timeout down (2/5)
+    val ev = (
+      (1 to 4).map(i => (i.toLong, "error", s"timeout $i", t("2024-01-10 10:00:00"))) ++
+      Seq((5L, "error", "oom 1", t("2024-01-11 10:00:00"))) ++
+      Seq((6L, "error", "timeout 9", t("2024-01-25 10:00:00"))) ++
+      (7 to 10).map(i => (i.toLong, "error", s"oom $i", t("2024-01-25 11:00:00")))
+    ).toDF("event_id", "event_type", "props", "ts")
+    val rows = graft.operators.LogOps
+      .templateTrendingFrom(ev, "2024-01-20 00:00:00", topN = 10).collect()
+    assert(rows.head.getString(1) == "oom <num>" &&
+      rows.head.getDouble(4) == 2.5, s"oom must rank first: ${rows.head}")
+    val tmo = rows.find(_.getString(1) == "timeout <num>").get
+    assert(tmo.getDouble(4) == 0.4, s"timeout must trend down: $tmo")
+  }
+
   test("clean_c4 keeps punctuated prose lines, drops fragments and template docs") {
     import spark.implicits._
     val prose = (1 to 10).map(i => s"word$i").mkString(" ") + "."
