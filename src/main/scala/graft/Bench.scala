@@ -97,14 +97,21 @@ object Bench {
     // degrades per-query precision to 1 decimal rather than losing the
     // whole record to truncation again.
     val sfName = sfDir.split('/').last
-    def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + String.format(s"%.${decimals}f", Double.box(v))
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"pass_spread":${f"$spread%.3f"},"queries":$qs,"failed":$fs,"sf":"$sfName"}"""
-    }
-    val l2 = line(2)
-    println(if (l2.length <= 1900) l2 else line(1))
+    // an EMPTY failed list is dead weight in a byte-budgeted line; a
+    // non-empty one is a signal that must survive
+    val failedField = if (failed.isEmpty) "" else s""","failed":$fs"""
+    def line(qsField: String): String =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"spread":${f"$spread%.3f"},"queries":$qsField$failedField,"sf":"$sfName"}"""
+    def qmap(decimals: Int): String = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(s"%.${decimals}f", Double.box(v))
+    }.mkString("{", ",", "}")
+    // degradation ladder: full 2-decimal map → 1-decimal map → headline
+    // with an empty map. A parsed headline beats a truncated everything.
+    // Budget: the capture keeps ~2000 chars and sbt's epilogue line costs
+    // ~80 of them.
+    val out = Seq(line(qmap(2)), line(qmap(1)), line("{}"))
+      .find(_.length <= 1915).getOrElse(line("{}"))
+    println(out)
     spark.stop()
   }
 }
