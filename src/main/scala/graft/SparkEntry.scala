@@ -563,7 +563,7 @@ object SparkEntry {
       """WITH k AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
         |  FROM events GROUP BY 1),
-        |g AS (SELECT count(*) AS n_keys, sum(n_rows) AS total_rows FROM k)
+        |g AS (SELECT count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS total_rows FROM k)
         |SELECT key, n_rows, n_keys, total_rows,
         |       round(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 4) AS skew
         |FROM k, g

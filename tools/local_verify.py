@@ -8,8 +8,11 @@ For each query parquet in outDir, runs the matching oracle_sql.json entry in
 DuckDB against the raw testdata parquet, then compares: column-name sets,
 row counts, and a hash of all values with columns sorted by name and rows
 sorted by all columns. Floats are rounded to 9 significant digits before
-hashing to absorb representation noise (the driver is assumed at least this
-strict, so passing here is necessary, not sufficient).
+hashing to absorb representation noise, but stay TYPE-STRICT: a float cell
+always renders with a fractional marker (10000.0 -> "10000.0", never
+"10000"), so an integer-typed Spark column vs a float-typed oracle column
+(e.g. DuckDB HUGEINT -> pandas float) hash-differs exactly as it does in
+the driver's hasher (the r6 skew_profile failure class).
 """
 import sys, os, json, hashlib
 import duckdb
@@ -25,7 +28,11 @@ def canon(df: pd.DataFrame) -> str:
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.9g}"
+            s = f"{v:.9g}"
+            # keep the float-ness visible: "10000" would collide with int 10000
+            if "." not in s and "e" not in s and "n" not in s:  # n: nan/inf
+                s += ".0"
+            return s
         return str(v)
     rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     h = hashlib.sha256()
