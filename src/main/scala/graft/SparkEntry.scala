@@ -61,6 +61,10 @@ object SparkEntry {
         keyword = "3", sinceTs = "2024-01-05 00:00:00", limit = 100)),
     "search_entries_none"   -> ((s: SparkSession, d: String) =>
       LogOps.searchEntries(s, d, keyword = "graftnope")),
+    // namespace as its own substring attribute (app.py:70-72) — a biting
+    // filter point: only entries whose props.k contains '1' survive
+    "search_entries_ns"     -> ((s: SparkSession, d: String) =>
+      LogOps.searchEntries(s, d, namespace = "1")),
     "search_all"            -> ((s: SparkSession, d: String) => LogOps.searchAll(s, d)),
     // keyword landing in the report BODY only (log-line props — a hex
     // digest can't contain '"'), and one matching nothing at all
@@ -75,6 +79,7 @@ object SparkEntry {
     "incident_report_cap"   -> ((s: SparkSession, d: String) =>
       LogOps.incidentReport(s, d, maxLines = 25)),
     "slack_message"         -> (LogOps.slackMessage _),
+    "slack_message_ns"      -> (LogOps.slackMessageApp _),
     "rag_prompt"            -> (Embeddings.ragPrompt _),
     "props_parse"           -> (LogOps.propsParse _),
     "distinct_users"        -> (LogOps.distinctUsers _),
@@ -117,7 +122,7 @@ object SparkEntry {
     //   DuckDB list_dot_product — all-double sequential sums on both
     //   engines are bit-identical; the approximate/kernel-dependent ops
     //   stay rows-only) —
-    "embed_text"            -> (Embeddings.embedText _),
+    "embed_text"            -> ((s: SparkSession, d: String) => Embeddings.embedText(s, d)),
     "vector_knn"            -> (Embeddings.vectorKnn _),
     "rag_context"           -> (Embeddings.ragContext _),
     "ann_cosine_topk"       -> (Embeddings.annCosineTopK _),
@@ -214,16 +219,22 @@ object SparkEntry {
   /** The dashboard-search oracle at a parameter point (mirror of
     * [[graft.operators.LogOps.searchEntries]]). */
   private def searchEntriesSql(level: String, userLike: String,
-      keyword: String, sinceTs: String, limit: Int): String =
+      keyword: String, sinceTs: String, limit: Int,
+      namespace: String = ""): String = {
+    val nsPred =
+      if (namespace.isEmpty) ""
+      else "\n  AND contains(lower(json_extract_string(props, '$.k')), '" +
+        namespace.toLowerCase(java.util.Locale.ROOT) + "')"
     s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
        |       user_id, event_type, props
        |FROM events
        |WHERE event_type = '$level'
        |  AND CAST(user_id AS VARCHAR) LIKE '$userLike'
        |  AND contains(lower(props), '${keyword.toLowerCase(java.util.Locale.ROOT)}')
-       |  AND ts >= TIMESTAMP '$sinceTs'
+       |  AND ts >= TIMESTAMP '$sinceTs'$nsPred
        |ORDER BY ts DESC, event_id
        |LIMIT $limit""".stripMargin
+  }
 
   /** Capped per-day report CTEs — the SQL mirror of
     * [[graft.operators.LogOps.incidentReport]]'s bounded assembly: `c` is
@@ -281,6 +292,8 @@ object SparkEntry {
       "purchase", "%3%", "3", "2024-01-05 00:00:00", 100),
     "search_entries_none" -> searchEntriesSql(
       "error", "%2%", "graftnope", "2024-01-01 00:00:00", 200),
+    "search_entries_ns" -> searchEntriesSql(
+      "error", "%2%", "7", "2024-01-01 00:00:00", 200, namespace = "1"),
 
     "search_all" -> searchAllSql("7b"),
     "search_all_msg" -> searchAllSql("\"k\": 12"),
@@ -469,6 +482,38 @@ object SparkEntry {
         |                    regexp_replace(props, '[\w.-]+@[\w.-]+', '[REDACTED_EMAIL]', 'g'),
         |                    '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
         |                  '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g')) AS line
+        |  FROM events
+        |  WHERE event_type = 'error'
+        |  ORDER BY ts, event_id
+        |  LIMIT 5),
+        |a AS (
+        |  SELECT count(*) AS n_logs,
+        |         string_agg(line, chr(10) ORDER BY event_id) AS logs_txt
+        |  FROM b)
+        |SELECT '*AI RCA & Fix Suggestion:*' || chr(10) || '*Logs:*' || chr(10) ||
+        |       logs_txt || chr(10) || '*RCA & Fix:*' || chr(10) ||
+        |       printf('RCA pending for %d incidents (batch digest %s)', n_logs, md5(logs_txt))
+        |         AS message
+        |FROM a""".stripMargin,
+
+    // the app.py share variant: namespace segment between level and message
+    // when the entry has one (app.py:139-141); CASE gives '' for a missing
+    // field, and the trailing `|| redacted` NULL-propagates a NULL props
+    // exactly like the Spark when-guard
+    "slack_message_ns" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |         printf('- %s | user_%d | %s',
+        |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type) ||
+        |         CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |                   AND json_extract_string(props, '$.k') != ''
+        |              THEN ' | ' || json_extract_string(props, '$.k') ELSE '' END ||
+        |         ' | ' ||
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(props, '[\w.-]+@[\w.-]+', '[REDACTED_EMAIL]', 'g'),
+        |             '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
+        |           '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g') AS line
         |  FROM events
         |  WHERE event_type = 'error'
         |  ORDER BY ts, event_id

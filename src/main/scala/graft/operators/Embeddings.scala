@@ -35,22 +35,31 @@ object Embeddings {
         org.apache.spark.sql.graft.Bridge.expression(toks), dim))
   }
 
-  /** embedder.embed_logs: encode the configured fields (message + event →
-    * text + source here), keep the id for metadata join-back.
+  /** embedder.embed_logs: encode the configured fields, keep the id for
+    * metadata join-back. The field list comes from config exactly like the
+    * reference's `EMBEDDING_FIELDS` comma-list (embedder.py:14,20-21) —
+    * default "text,source" on the documents corpus — and `concat_ws`
+    * mirrors `_get_text`'s skip-missing-fields join (a NULL field
+    * contributes nothing, it doesn't NULL the row).
     *
     * Output is driver-hashable scalars — dim, rounded L1 mass, and a
     * stable digest of the rounded vector — not the raw array (the driver's
     * row-sort can't order array cells). The raw embedding column is
     * [[embedCol]], which every downstream ANN operator consumes directly.
     */
-  def embedText(spark: SparkSession, dir: String): DataFrame =
+  def embedText(spark: SparkSession, dir: String,
+      cfg: graft.pipeline.GraftConfig = graft.pipeline.GraftConfig()): DataFrame = {
+    val fields = cfg.embedFields.split(",").map(_.trim).filter(_.nonEmpty)
+    require(fields.nonEmpty, s"embedFields must name at least one column: '${cfg.embedFields}'")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), embedCol(concat_ws(" ", col("text"), col("source"))).as("embedding"))
+      .select(col("doc_id"),
+        embedCol(concat_ws(" ", fields.map(col).toIndexedSeq: _*), cfg.embedDim).as("embedding"))
       .select(col("doc_id"),
         size(col("embedding")).as("dim"),
         round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_mass"),
         xxhash64(array_join(
           transform(col("embedding"), x => round(x, 6).cast("string")), ",")).as("emb_sig"))
+  }
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

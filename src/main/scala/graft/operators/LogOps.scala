@@ -296,12 +296,20 @@ object LogOps {
       userLike: String = "%2%",
       keyword: String = "7",
       sinceTs: String = "2024-01-01 00:00:00",
-      limit: Int = 200): DataFrame =
+      limit: Int = 200,
+      namespace: String = ""): DataFrame =
     Tables.events(spark, dir)
       .where(col("event_type") === level &&
         col("user_id").cast("string").like(userLike) &&
         lower(col("props")).contains(keyword.toLowerCase(java.util.Locale.ROOT)) &&
-        col("ts") >= lit(sinceTs).cast("timestamp"))
+        col("ts") >= lit(sinceTs).cast("timestamp") &&
+        // namespace is its OWN substring attribute (app.py:70-72), distinct
+        // from the entry-wide keyword: it matches only the extracted
+        // namespace field (props.k stands in per SURVEY §3), not the raw
+        // payload. Empty = filter off, like the dashboard's blank form box.
+        (if (namespace.isEmpty) lit(true)
+         else lower(get_json_object(col("props"), "$.k"))
+           .contains(namespace.toLowerCase(java.util.Locale.ROOT))))
       .orderBy(col("ts").desc, col("event_id"))
       .limit(limit)
       .select(col("event_id"),
@@ -457,6 +465,46 @@ object LogOps {
       .select(
         // NULL on an empty batch, matching SQL semantics (string_agg over
         // zero rows is NULL, and || propagates it)
+        when(col("n_logs") > 0, concat(
+          lit("*AI RCA & Fix Suggestion:*\n*Logs:*\n"),
+          col("logs_txt"),
+          lit("\n*RCA & Fix:*\n"),
+          format_string("RCA pending for %d incidents (batch digest %s)",
+            col("n_logs"), md5(col("logs_txt"))))).as("message"))
+  }
+
+  /** Dashboard share-to-Slack message (share_to_slack, app.py:136-144) —
+    * the variant users actually share from. Unlike the llm_processor
+    * format ([[slackMessage]], llm_processor.py:97-105), each log line
+    * carries a namespace segment when the entry HAS a namespace
+    * (app.py:139-141: `namespace_text = f" | {namespace}" if namespace
+    * else ""`), giving `- ts | container | level | namespace | message`.
+    * The props `k` field stands in for namespace_name (SURVEY §3); a
+    * missing/empty field omits the segment exactly like the reference's
+    * `log.get('namespace_name', '')`. Same distributed assembly as
+    * [[slackMessage]]: ordered 5-line batch, redaction at the scan, one
+    * string_agg-parity shuffle.
+    */
+  def slackMessageApp(spark: SparkSession, dir: String): DataFrame = {
+    val ns = get_json_object(col("props"), "$.k")
+    val nsSeg = when(ns.isNotNull && ns =!= "", concat(lit(" | "), ns))
+      .otherwise(lit(""))
+    val line = when(
+      col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull,
+      concat(
+        format_string("- %s | user_%d | %s",
+          date_format(col("ts"), TsUs), col("user_id"), col("event_type")),
+        nsSeg, lit(" | "),
+        graft.functions.TextFns.redactSecrets(col("props"))))
+    val batch = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(5)
+      .select(col("event_id"), line.as("line"))
+    batch
+      .agg(count("*").as("n_logs"),
+        joinedLines(col("event_id")).as("logs_txt"))
+      .select(
         when(col("n_logs") > 0, concat(
           lit("*AI RCA & Fix Suggestion:*\n*Logs:*\n"),
           col("logs_txt"),

@@ -19,6 +19,7 @@ case class GraftConfig(
     untilTs: String = "2100-01-01 00:00:00",
     limitCount: Int = 1000,                   // NR_LIMIT_COUNT
     embedDim: Int = Embeddings.Dim,           // EMBEDDING_MODEL dim analog
+    embedFields: String = "text,source",      // EMBEDDING_FIELDS (embedder.py:14)
     ragTopK: Int = 5,                         // RAG_TOP_K
     batchSize: Int = 5)                       // main.py --batch-size
 
@@ -34,6 +35,7 @@ object GraftConfig {
       untilTs = get("GRAFT_UNTIL").getOrElse(d.untilTs),
       limitCount = get("GRAFT_LIMIT").map(_.toInt).getOrElse(d.limitCount),
       embedDim = get("GRAFT_EMBED_DIM").map(_.toInt).getOrElse(d.embedDim),
+      embedFields = get("GRAFT_EMBED_FIELDS").getOrElse(d.embedFields),
       ragTopK = get("GRAFT_RAG_TOP_K").map(_.toInt).getOrElse(d.ragTopK),
       batchSize = get("GRAFT_BATCH_SIZE").map(_.toInt).getOrElse(d.batchSize))
   }

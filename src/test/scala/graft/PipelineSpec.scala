@@ -19,6 +19,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.levelFilter == "error" && cfg.batchSize == 5)
   }
 
+  test("embed fields are config-driven: non-default list changes the signature") {
+    import graft.operators.Embeddings
+    // EMBEDDING_FIELDS semantics (embedder.py:14,20-21): the embedded text
+    // is the concatenation of the CONFIGURED fields, so narrowing the list
+    // must change the vector wherever the dropped field had content —
+    // while the default stays byte-identical to the historical operator.
+    val cfgEnv = GraftConfig.from {
+      case "GRAFT_EMBED_FIELDS" => Some("text")
+      case _ => None
+    }
+    assert(cfgEnv.embedFields == "text")
+    assert(GraftConfig().embedFields == "text,source")
+    val dflt = Embeddings.embedText(spark, Sf).select("doc_id", "emb_sig")
+    val textOnly = Embeddings.embedText(spark, Sf, cfgEnv)
+      .select(col("doc_id"), col("emb_sig").as("sig2"))
+    val joined = dflt.join(textOnly, "doc_id")
+    assert(joined.count() == 500)
+    // every doc has a non-empty source at sf0.001, so every signature moves
+    val changed = joined.where(col("emb_sig") =!= col("sig2")).count()
+    assert(changed == 500, s"only $changed/500 signatures changed")
+  }
+
   test("query window rewrite strips old clauses and appends the explicit window") {
     import graft.pipeline.QueryWindow
     val tpl = "SELECT level, message FROM Log WHERE message LIKE '%error%' " +

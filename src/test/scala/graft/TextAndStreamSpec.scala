@@ -386,6 +386,34 @@ class TextAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slack share app-variant omits the namespace segment when absent") {
+    import graft.operators.LogOps
+    // app.py:139-141: namespace_text = f" | {ns}" if ns else "" — a log
+    // without a namespace gets the 4-segment llm_processor line, one with
+    // it gets 5 segments. The clean testdata always carries props.k, so
+    // plant k-less payloads and check both branches in ONE message.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ns_probe").toString
+    // rewrite the RAW table (ts stays the nanos long that Tables.events
+    // expects), touching only the payload
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("props",
+        when(col("event_id") % 2 === 0, lit("""{"x": 1}"""))
+          .otherwise(col("props")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val msg = LogOps.slackMessageApp(spark, dir).collect()(0).getString(0)
+    val lines = msg.split("\n").filter(_.startsWith("- "))
+    assert(lines.length == 5)
+    val (without, withNs) = lines.partition(_.contains("{\"x\": 1}"))
+    assert(without.nonEmpty && withNs.nonEmpty, msg)
+    without.foreach(l => assert(l.split(" \\| ").length == 4, l))
+    withNs.foreach { l =>
+      val parts = l.split(" \\| ")
+      assert(parts.length == 5, l)
+      assert(parts(3).forall(_.isDigit), l) // the props.k namespace stand-in
+    }
+  }
+
   test("search_all finds keywords that live only in the RCA body") {
     import graft.operators.LogOps
     val hits = LogOps.searchAll(spark, SparkTest.Sf)
