@@ -62,9 +62,10 @@ object SparkEntry {
     "search_entries_none"   -> ((s: SparkSession, d: String) =>
       LogOps.searchEntries(s, d, keyword = "graftnope")),
     // namespace as its own substring attribute (app.py:70-72) — a biting
-    // filter point: only entries whose props.k contains '1' survive
+    // filter point: only entries whose props.k contains '9' survive
+    // (chosen to keep the point non-empty at sf0.001 for the smoke gate)
     "search_entries_ns"     -> ((s: SparkSession, d: String) =>
-      LogOps.searchEntries(s, d, namespace = "1")),
+      LogOps.searchEntries(s, d, namespace = "9")),
     "search_all"            -> ((s: SparkSession, d: String) => LogOps.searchAll(s, d)),
     // keyword landing in the report BODY only (log-line props — a hex
     // digest can't contain '"'), and one matching nothing at all
@@ -293,7 +294,7 @@ object SparkEntry {
     "search_entries_none" -> searchEntriesSql(
       "error", "%2%", "graftnope", "2024-01-01 00:00:00", 200),
     "search_entries_ns" -> searchEntriesSql(
-      "error", "%2%", "7", "2024-01-01 00:00:00", 200, namespace = "1"),
+      "error", "%2%", "7", "2024-01-01 00:00:00", 200, namespace = "9"),
 
     "search_all" -> searchAllSql("7b"),
     "search_all_msg" -> searchAllSql("\"k\": 12"),

@@ -310,11 +310,11 @@ object NearDup {
     * nothing) and the plain capped equi-join remains the fallback shape.
     *
     * Precisely: everything that SHUFFLES is increment-sized (semi-join
-    * survivors, candidate pairs, scored rows). The corpus still
-    * contributes one shuffle-free explode+probe scan of the persisted key
-    * index per increment; a production deployment would bucket the index
-    * by band key so that scan prunes to the buckets the batch actually
-    * touches.
+    * survivors, candidate pairs, scored rows). The corpus contributes one
+    * shuffle-free probe scan of the persisted key index per increment —
+    * and the durable form of that index ([[writeSignatureIndex]]) is
+    * band-key-bucketed, so the scan partition-prunes to the buckets the
+    * batch actually touches instead of reading the whole key relation.
     */
   def dedupIncremental(spark: SparkSession, dir: String, thr: Double = 0.8,
       batchMod: Int = 10): DataFrame = {
@@ -325,18 +325,54 @@ object NearDup {
     dedupIncrementalFrom(base.where(isBatch), base.where(!isBatch), thr)
   }
 
-  /** Persist the corpus word-3 signature base as an on-disk parquet index
-    * — the durable form of the session memo, so increments in LATER jobs
-    * (or on other clusters) never re-sign the corpus. ~1 KB/doc. */
+  /** Bucket fan of the durable key index: band keys hash-partition into
+    * this many directories, so an increment's read prunes to the buckets
+    * its own keys land in. Band keys are uniform hashes, so pruning bites
+    * exactly when it should — the interactive / small-increment case
+    * (|batch keys| ≪ buckets); a corpus-sized batch touches every bucket
+    * and correctly degrades to the full scan. */
+  val IndexBuckets = 256
+
+  /** Persist the corpus word-3 signature base as an on-disk index — the
+    * durable form of the session memo, so increments in LATER jobs (or on
+    * other clusters) never re-sign the corpus. ~1 KB/doc. Two relations:
+    * `docs` (id, sig) for verification, and `keys` (id, key) directory-
+    * partitioned by `kb = pmod(key, IndexBuckets)` — the probe side of an
+    * increment is a PARTITION-PRUNED scan (the batch's touched buckets
+    * are a literal predicate), not a full corpus key scan. One file per
+    * non-empty bucket (repartition on kb before the partitioned write). */
   def writeSignatureIndex(spark: SparkSession, dir: String,
-      indexPath: String): Unit =
-    word3Base(spark, dir).write.mode("overwrite").parquet(indexPath)
+      indexPath: String): Unit = {
+    val base = word3Base(spark, dir)
+    base.select(col("id"), col("sig"))
+      .write.mode("overwrite").parquet(s"$indexPath/docs")
+    base.select(col("id"), explode(col("keys")).as("key"))
+      .withColumn("kb", pmod(col("key"), lit(IndexBuckets.toLong)))
+      .repartition(col("kb"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$indexPath/keys")
+  }
+
+  /** The increment's key-index scan: partition-pruned to the buckets the
+    * batch's own band keys touch. `touched` is ≤ IndexBuckets values — a
+    * dimension-sized driver list, the partition-pruning analog of a
+    * predicate the user typed. Exposed for the pruning spec. */
+  private[graft] def prunedKeyIndex(spark: SparkSession, indexPath: String,
+      batch: DataFrame): DataFrame = {
+    val touched = batch
+      .select(explode(col("keys")).as("key"))
+      .select(pmod(col("key"), lit(IndexBuckets.toLong)).as("kb"))
+      .distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$indexPath/keys")
+      .where(col("kb").isin(touched: _*))
+      .select(col("id"), col("key"))
+  }
 
   /** Incremental near-dup of arbitrary new documents (doc_id, text)
     * against a [[writeSignatureIndex]] store: the batch pays one kernel
-    * pass, the index is only read. The production entry point of the
-    * incremental contract ([[dedupIncremental]] is its self-contained
-    * single-corpus twin for the driver harness). */
+    * pass, the index is only read — and only the band-key buckets the
+    * batch touches are read at all ([[prunedKeyIndex]]). The production
+    * entry point of the incremental contract ([[dedupIncremental]] is its
+    * self-contained single-corpus twin for the driver harness). */
   def dedupIncrementalAgainst(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, thr: Double = 0.8): DataFrame = {
     val sh = wordShingles(col("text"), 3)
@@ -345,15 +381,25 @@ object NearDup {
       .select(col("doc_id").as("id"),
         minhashSig(sh, 128).as("sig"),
         minhashBandKeys(sh, 32, 4).as("keys"))
-    dedupIncrementalFrom(batch, spark.read.parquet(indexPath), thr)
+    dedupIncrementalKeyed(batch,
+      prunedKeyIndex(spark, indexPath, batch),
+      spark.read.parquet(s"$indexPath/docs"), thr)
   }
 
   /** Both inputs are (id, sig, keys) signature relations; `corpus` is the
     * persisted index side, `batch` the increment. */
   private[graft] def dedupIncrementalFrom(batch: DataFrame, corpus: DataFrame,
-      thr: Double = 0.8): DataFrame = {
+      thr: Double = 0.8): DataFrame =
+    dedupIncrementalKeyed(batch,
+      corpus.select(col("id"), explode(col("keys")).as("key")),
+      corpus.select(col("id"), col("sig")), thr)
+
+  /** Core of the incremental flow over an already-exploded corpus key
+    * relation (id, key) plus the signature relation (id, sig) — the shape
+    * the bucketed durable index serves directly. */
+  private[graft] def dedupIncrementalKeyed(batch: DataFrame, cKeys: DataFrame,
+      cSigs: DataFrame, thr: Double = 0.8): DataFrame = {
     val bKeys = batch.select(col("id"), explode(col("keys")).as("key"))
-    val cKeys = corpus.select(col("id"), explode(col("keys")).as("key"))
     val keySet = bKeys.select(col("key")).distinct()
     val matched = cKeys.join(broadcast(keySet), Seq("key"), "left_semi")
     val hot = matched.groupBy("key").agg(count("*").as("kn"))
@@ -369,20 +415,28 @@ object NearDup {
       .select(col("id"), col("corpus_id")).distinct()
     val scored = pairs
       .join(batch.select(col("id"), col("sig")), "id")
-      .join(corpus.select(col("id").as("corpus_id"), col("sig").as("csig")),
+      .join(cSigs.select(col("id").as("corpus_id"), col("sig").as("csig")),
         "corpus_id")
       .withColumn("sim", round(minhashJaccard(col("sig"), col("csig")), 6))
     val perDoc = scored.groupBy("id")
       .agg(count("*").as("n_candidates"),
-        max(struct(col("sim"), col("corpus_id"))).as("best"))
+        max(struct(col("sim"), col("corpus_id"))).as("best"),
+        // the smallest corpus id among ALL matches over the threshold —
+        // not just the best-sim one. Intra-batch (batch==corpus) keep/drop
+        // decisions need it: a doc whose best match is a LARGER id may
+        // still near-dup a smaller one, and keeping it would index a
+        // direct near-dup pair
+        min(when(col("sim") >= thr, col("corpus_id"))).as("min_dup_id"))
       .select(col("id"), col("n_candidates"),
-        col("best.corpus_id").as("best_match_id"), col("best.sim").as("best_sim"))
+        col("best.corpus_id").as("best_match_id"), col("best.sim").as("best_sim"),
+        col("min_dup_id"))
     batch.select(col("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("best_match_id"), col("best_sim"),
-        coalesce(col("best_sim") >= thr, lit(false)).as("is_dup"))
+        coalesce(col("best_sim") >= thr, lit(false)).as("is_dup"),
+        col("min_dup_id"))
   }
 
   /** Character 5-gram Jaccard near-dup, MinHash-blocked. 8 bands × 8 rows:

@@ -141,7 +141,7 @@ class SignatureLawsSpec extends AnyFunSuite {
     import scala.reflect.io.Directory
     new Directory(new java.io.File(idx)).deleteRecursively()
     graft.operators.NearDup.writeSignatureIndex(spark, SparkTest.Sf, idx)
-    assert(spark.read.parquet(idx).count() ==
+    assert(spark.read.parquet(s"$idx/docs").count() ==
       graft.sources.Tables.documents(spark, SparkTest.Sf).count())
     // a "later job": fresh docs checked against the store — one indexed
     // doc's near-copy and one new doc
@@ -160,6 +160,40 @@ class SignatureLawsSpec extends AnyFunSuite {
       out(900001L).getLong(2) == indexed.getLong(0),
       s"near-copy of an indexed doc must be flagged: ${out(900001L)}")
     assert(!out(900002L).getBoolean(4), s"new content passes: ${out(900002L)}")
+  }
+
+  test("bucketed key index partition-prunes a small increment's scan") {
+    import spark.implicits._
+    // reuses the index written by the previous test (rebuild if absent —
+    // ScalaTest runs suites' tests in order, but don't depend on it)
+    val idx = "/tmp/graft_sig_index"
+    if (!new java.io.File(s"$idx/keys").exists())
+      graft.operators.NearDup.writeSignatureIndex(spark, SparkTest.Sf, idx)
+    val batch = Seq(
+      (910001L, (1 to 40).map(i => s"pp$i").mkString(" ")),
+      (910002L, (1 to 40).map(i => s"qq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("id"),
+        graft.operators.NearDup.minhashBandKeys(
+          graft.operators.NearDup.wordShingles(col("text"), 3), 32, 4).as("keys"))
+    val pruned = graft.operators.NearDup.prunedKeyIndex(spark, idx, batch)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    def countFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(countFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val totalFiles = countFiles(new java.io.File(s"$idx/keys"))
+    // 2 docs × 32 band keys touch ≤ 64 of the 256 buckets; the corpus's
+    // 16k keys populate (nearly) all of them — the flat layout would read
+    // every file, the bucketed one must read under half
+    assert(totalFiles > 100, s"corpus should populate most buckets: $totalFiles")
+    assert(filesRead > 0 && filesRead <= 64,
+      s"increment scan must prune to its own buckets: $filesRead of $totalFiles")
+    assert(filesRead < totalFiles / 2,
+      s"pruned read ($filesRead) must beat the flat layout ($totalFiles)")
   }
 
   test("bucket index is the exact upper-bound count, monotone, NaN-last") {
