@@ -188,7 +188,12 @@ object Relational {
     // empty input: thr/total is 0/0 = NaN, which would poison the
     // freqItems support — there are no heavy hitters in nothing
     if (total == 0L) return Seq.empty[(Long, Long)].toDF("user_id", "n_events_est")
-    val thr = 1.15 * total.toDouble / keys
+    // pad the key estimate UP by the HLL error (rsd 0.02 → 5% ≈ 2.5σ)
+    // before it enters the threshold denominator: an HLL UNDER-estimate
+    // of n_keys would otherwise push thr above the exact operator's
+    // avg*1.15 bar and filter out a borderline true heavy hitter —
+    // breaking the recall-1 contract for a little precision
+    val thr = 1.15 * total.toDouble / (keys * 1.05)
     // support strictly below thr/total so lossy counting cannot evict a
     // true heavy hitter; floored at freqItems' 1e-4 minimum
     val support = math.max(1e-4, thr / total / 2)
@@ -196,6 +201,13 @@ object Relational {
       .head().getSeq[Any](0).map {
         case l: Long => l
         case i: Int  => i.toLong
+        // integral-key restriction is part of the operator's contract
+        // (the output schema is (bigint, bigint)); fail with the contract
+        // spelled out instead of a bare MatchError
+        case other => throw new IllegalArgumentException(
+          s"heavyHittersApprox requires an integral key column; got " +
+          s"${if (other == null) "null" else other.getClass.getName} — " +
+          "use heavyHitters (exact) for non-integral keys")
       }
     val cms = ev.stat.countMinSketch(col("user_id"), eps, 0.99, seed)
     cand.map(id => (id, cms.estimateCount(id)))

@@ -102,15 +102,18 @@ object IncidentPipeline {
       indexPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__merge_tmp")
+    // heal a previous run's crashed swap before deciding on exists(p) — a
+    // delete+rename swap here could otherwise lose the whole accumulated
+    // index to a crash between the two calls
+    graft.sources.IO.recoverStore(fs, p, tmp)
     if (!fs.exists(p)) { writeIndex(embedded, indexPath); return }
     val existing = spark.read.parquet(indexPath)
     val merged = Upsert.mergeByKey(existing,
       embedded.select(existing.columns.map(col).toIndexedSeq: _*),
       Seq("event_id"))
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__merge_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    graft.sources.IO.swapInto(fs, tmp, p)
   }
 
   /** Stage 5 — RAG: top-k index entries per batch incident (cosine = dot

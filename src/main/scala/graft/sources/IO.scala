@@ -17,6 +17,51 @@ import org.apache.spark.sql.types.StructType
   *  - json for interchange, parquet for anything queried again.
   */
 object IO {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def oldPath(p: Path) = new Path(p.toString + "__swap_old")
+
+  /** Crash-safe replacement of a store directory with a freshly written
+    * tmp dir. A delete(p)+rename(tmp,p) swap has a window where NO store
+    * exists — a crash there silently loses all previously merged state
+    * (the data sits only in tmp, which nothing reads). Rename-aside
+    * instead: p → p__swap_old, tmp → p, delete p__swap_old. Every
+    * intermediate state keeps a complete copy on disk, recoverable by
+    * [[recoverStore]]; directory renames are atomic on HDFS-like
+    * filesystems and on local posix. */
+  def swapInto(fs: FileSystem, tmp: Path, p: Path): Unit = {
+    val old = oldPath(p)
+    if (fs.exists(old)) fs.delete(old, true) // debris from a healed crash
+    if (fs.exists(p) && !fs.rename(p, old))
+      sys.error(s"swap: cannot set aside $p")
+    if (!fs.rename(tmp, p))
+      sys.error(s"swap: cannot promote $tmp to $p")
+    fs.delete(old, true)
+  }
+
+  /** Startup/entry recovery for a store maintained via [[swapInto]]:
+    * decide which of (p, p__swap_old, tmp) is authoritative after a
+    * crash, BEFORE any `fs.exists(p)` decision.
+    *  - p exists → it is complete (renames are atomic); drop leftovers.
+    *  - tmp complete (its _SUCCESS marker exists) → crash happened
+    *    between the two renames; tmp holds the newest full state —
+    *    promote it.
+    *  - else old exists → restore the pre-swap store; the interrupted
+    *    batch replays idempotently.
+    *  - else → tmp (if present) is a partial first write; drop it. */
+  def recoverStore(fs: FileSystem, p: Path, tmp: Path): Unit = {
+    val old = oldPath(p)
+    if (fs.exists(p)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+      fs.rename(tmp, p)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      fs.rename(old, p)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
 
   /** NDJSON log batches (the shape the reference's API returns). */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -154,18 +199,21 @@ object IO {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    recoverStore(fs, p, tmp) // heal a crashed previous compaction first
     if (!fs.exists(p)) return (0, 0) // nothing to compact
     val dataFiles = fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
+    // a marker-only or empty dir (e.g. the debris of a failed write) has
+    // nothing to read — schema inference on it would throw, not no-op
+    if (dataFiles.isEmpty) return (0, 0)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    swapInto(fs, tmp, p)
     val after = fs.listStatus(p).count { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")

@@ -121,14 +121,16 @@ object StreamPipeline {
     *
     * Per micro-batch: one kernel pass over the batch builds (id, sig,
     * keys); the index side is never re-signed, only read. Within-batch
-    * dups are resolved first — a doc is dropped when its BEST match has
-    * a smaller id (greedy: on a transitive A~B~C chain with A≁C this can
-    * retain more than one representative; `NearDup.dedupClusters` is the
-    * principled batch-mode path when exact cluster canonicalization
-    * matters). Survivors are checked against the index, then appended
-    * via the same
-    * write-to-tmp-and-swap the vector index uses (the merged plan reads
-    * `indexPath`, so an in-place overwrite would truncate its own input).
+    * dups are resolved first — a doc is dropped when ANY match over the
+    * threshold has a smaller id (greedy by id, so no directly-matching
+    * pair can both survive; on a transitive A~B~C chain with A≁C, C is
+    * still dropped through the already-dropped B — `NearDup.dedupClusters`
+    * is the principled batch-mode path when exact cluster
+    * canonicalization matters). Survivors are checked against the index,
+    * then appended via a write-to-tmp + RENAME-ASIDE swap
+    * ([[graft.sources.IO.swapInto]]): at every instant a complete index
+    * exists on disk, and [[graft.sources.IO.recoverStore]] runs at batch
+    * entry so a crash mid-swap heals before the next decision.
     * Exactly-once: re-running a batch after a crash re-flags its docs as
     * dups of the rows it already appended — the id-keyed merge makes the
     * append idempotent.
@@ -149,26 +151,30 @@ object StreamPipeline {
             NearDup.minhashBandKeys(sh, 32, 4).as("keys"))
           .persist()
         try {
-          // intra-batch dedup: keep each candidate group's smallest id
+          // intra-batch dedup: a doc is dropped when ANY over-threshold
+          // match has a smaller id (min_dup_id), not only its best-sim
+          // match — best-only would let B (best match: larger-id C)
+          // survive alongside its smaller-id near-dup A
           val intra = NearDup.dedupIncrementalFrom(sigs, sigs, thr)
-            .where(col("is_dup") && col("best_match_id") < col("doc_id"))
+            .where(col("is_dup") && col("min_dup_id") < col("doc_id"))
             .select(col("doc_id").as("id"))
           val fresh = sigs.join(intra, Seq("id"), "left_anti")
           val p = new org.apache.hadoop.fs.Path(indexPath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(indexPath + "__merge_tmp")
+          // heal any crash from a previous run BEFORE deciding on exists(p)
+          graft.sources.IO.recoverStore(fs, p, tmp)
           val toAppend = if (!fs.exists(p)) fresh else {
             val index = spark.read.parquet(indexPath)
             val verdict = NearDup.dedupIncrementalFrom(fresh, index, thr)
               .where(!col("is_dup")).select(col("doc_id").as("id"))
             fresh.join(verdict, Seq("id"), "left_semi").unionByName(index)
           }
-          val tmp = new org.apache.hadoop.fs.Path(indexPath + "__merge_tmp")
           // dropDuplicates on id: replayed batches re-append rows the
           // crashed run already wrote; id-dedup keeps the merge idempotent
           toAppend.dropDuplicates("id")
             .write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(p)) fs.delete(p, true)
-          fs.rename(tmp, p)
+          graft.sources.IO.swapInto(fs, tmp, p)
           ()
         } finally sigs.unpersist()
       }
