@@ -135,12 +135,25 @@ object Bench {
     def qmap(decimals: Int): String = results.map { case (k, v) =>
       "\"" + k + "\":" + r2(v, decimals)
     }.mkString("{", ",", "}")
-    // degradation ladder: full 2-decimal map → 1-decimal map → headline
-    // with an empty map. A parsed headline beats a truncated everything.
-    // Budget: the capture keeps ~2000 chars and sbt's epilogue line costs
-    // ~80 of them.
-    val out = Seq(line(qmap(2)), line(qmap(1)), line("{}"))
-      .find(_.length <= 1915).getOrElse(line("{}"))
+    // top-K-by-cost map with the omitted remainder folded into "_others":
+    // when the full map can't fit the capture budget, the expensive
+    // queries (the ones a perf read actually needs) survive and the total
+    // stays reconstructible
+    def topMap(k: Int): String = {
+      val sorted = results.sortBy(-_._2)
+      val entries = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + r2(v, 1) }
+      val others = "\"_others\":" + r2(sorted.drop(k).map(_._2).sum, 1)
+      (entries :+ others).mkString("{", ",", "}")
+    }
+    // degradation ladder: full 2-decimal map → 1-decimal map → shrinking
+    // top-K-by-cost maps → headline with an empty map. A parsed headline
+    // beats a truncated everything. Budget: the capture keeps ~2000 chars
+    // and sbt's epilogue line costs ~80 of them. (83 queries pushed the
+    // full 1-decimal map past the budget in r7 — the driver record lost
+    // its whole per-query map to the last ladder rung.)
+    val candidates = Seq(line(qmap(2)), line(qmap(1))) ++
+      Seq(60, 50, 40, 30, 20, 10).map(k => line(topMap(k))) :+ line("{}")
+    val out = candidates.find(_.length <= 1915).getOrElse(line("{}"))
     println(out)
     spark.stop()
   }

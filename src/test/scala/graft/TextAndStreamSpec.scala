@@ -244,6 +244,58 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(zPath).count() == 4096)
   }
 
+  test("IO: rename-aside swap heals every crash state with a complete store") {
+    import spark.implicits._
+    import scala.reflect.io.Directory
+    import org.apache.hadoop.fs.Path
+    val root = "/tmp/graft_swap_probe"
+    val p = new Path(s"$root/store")
+    val tmp = new Path(s"$root/store__merge_tmp")
+    val old = new Path(s"$root/store__swap_old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def reset(): Unit =
+      new Directory(new java.io.File(root)).deleteRecursively()
+    def write(path: Path, v: Long): Unit =
+      Seq(v).toDF("v").write.mode("overwrite").parquet(path.toString)
+    def storeV(): Long =
+      spark.read.parquet(p.toString).head().getLong(0)
+
+    // state: crash BETWEEN the two renames — old holds the pre-swap store,
+    // tmp is the complete merged result, p is missing. The old
+    // delete+rename scheme loses everything here; recovery must surface a
+    // complete store (the newer tmp)
+    reset(); write(old, 1L); write(tmp, 2L)
+    graft.sources.IO.recoverStore(fs, p, tmp)
+    assert(fs.exists(p) && storeV() == 2L, "complete tmp must be promoted")
+    assert(!fs.exists(old) && !fs.exists(tmp))
+
+    // state: crash mid-tmp-write of a merge — tmp partial (no _SUCCESS),
+    // p already set aside. The pre-swap store must come back
+    reset(); write(old, 1L); write(tmp, 2L)
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    graft.sources.IO.recoverStore(fs, p, tmp)
+    assert(storeV() == 1L, "partial tmp must lose to the set-aside store")
+    assert(!fs.exists(old) && !fs.exists(tmp))
+
+    // state: healthy store with crash debris — keep p, drop leftovers
+    reset(); write(p, 3L); write(old, 1L); write(tmp, 2L)
+    graft.sources.IO.recoverStore(fs, p, tmp)
+    assert(storeV() == 3L && !fs.exists(old) && !fs.exists(tmp))
+
+    // state: first write crashed — only a partial tmp exists; nothing to
+    // recover, debris dropped
+    reset(); write(tmp, 2L)
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    graft.sources.IO.recoverStore(fs, p, tmp)
+    assert(!fs.exists(p) && !fs.exists(tmp))
+
+    // the swap itself: promotes tmp, drops the aside copy
+    reset(); write(p, 1L); write(tmp, 2L)
+    graft.sources.IO.swapInto(fs, tmp, p)
+    assert(storeV() == 2L && !fs.exists(old) && !fs.exists(tmp))
+    reset()
+  }
+
   test("IO: compaction collapses a fragmented store without losing rows") {
     import spark.implicits._
     val path = "/tmp/graft_compact_store"
