@@ -144,7 +144,17 @@ object Embeddings {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = c.sparkSession
-    val n = math.max(1L, c.count())
+    val n = c.count()
+    // an empty corpus (an empty increment, a fully-filtered partition) has
+    // nothing to fit — the ML k-means throws from its summarizer; the
+    // coherent IVF of nothing is an empty assignment with no centroids
+    if (n == 0L) {
+      val assigned = c.select(col("vec_id"), col("emb"), col("label"),
+        lit(0).as("bucket")).persist()
+      val centDf = spark.createDataFrame(
+        Seq.empty[(Int, Array[Double])]).toDF("bucket", "cemb")
+      return (assigned, centDf)
+    }
     val kk = if (k > 0) k else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val feat = c.withColumn("features", array_to_vector(col("emb")))
     val trainFrac = MaxKMeansTrain.toDouble / n

@@ -78,6 +78,20 @@ class VectorSpec extends AnyFunSuite {
     assert(ivf.where(col("rk") > 10).count() == 0)
   }
 
+  test("IVF family no-ops on an empty corpus instead of failing the fit") {
+    import spark.implicits._
+    // an empty increment / fully-filtered partition reaches the k-means
+    // fit with zero rows — must yield the empty IVF, not a summarizer
+    // throw from inside the ML fit
+    val empty = Seq.empty[(Long, Seq[Double], Long)].toDF("vec_id", "emb", "label")
+    val (assigned, cents) = Embeddings.ivfAssignFrom(empty)
+    assert(assigned.count() == 0 && cents.count() == 0)
+    assert(assigned.columns.toSeq == Seq("vec_id", "emb", "label", "bucket"))
+    val dd = Embeddings.dedupEmbeddingFrom(empty)
+    assert(dd.count() == 0)
+    assert(dd.columns.contains("is_dup"))
+  }
+
   test("ann_ivf recall vs exact brute force is above the nprobe floor") {
     // exact top-10 cosine per query, computed independently on the driver
     // (500-vector fixture), vs the IVF operator's output
