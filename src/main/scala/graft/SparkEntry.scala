@@ -155,7 +155,9 @@ object SparkEntry {
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
     "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d)),
-    "quality_perplexity"    -> (Corpus.perplexityScore _)
+    "quality_perplexity"    -> (Corpus.perplexityScore _),
+    "corpus_shuffle"        -> ((s: SparkSession, d: String) => Corpus.corpusShuffle(s, d)),
+    "length_buckets"        -> ((s: SparkSession, d: String) => Corpus.lengthBuckets(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -767,6 +769,39 @@ object SparkEntry {
         |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) AS rk
         |  FROM events) t
         |WHERE rk <= 100""".stripMargin,
+
+    // seeded hash order is engine-portable (md5 hex on both sides); pos
+    // is per-shard so the window key has 16^shardChars values, never one
+    "corpus_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key, substr(shuffle_key, 1, 2) AS shard,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY substr(shuffle_key, 1, 2)
+        |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+
+    // sums CAST to BIGINT (DuckDB sum() returns HUGEINT → float in the
+    // driver's hasher — the skew_profile lesson)
+    "length_buckets" ->
+      """WITH d AS (
+        |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(floor(n_tokens / 32) AS BIGINT) AS bucket,
+        |         count(*) AS n_docs,
+        |         CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |         CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |         CAST(sum(n_tokens) AS BIGINT) AS s
+        |  FROM d GROUP BY 1)
+        |SELECT bucket, n_docs, min_tokens, max_tokens,
+        |       CAST(n_docs * max_tokens - s AS BIGINT) AS waste_tokens,
+        |       CASE WHEN n_docs * max_tokens > 0
+        |            THEN round(CAST(n_docs * max_tokens - s AS DOUBLE)
+        |                       / (n_docs * max_tokens), 6)
+        |            ELSE 0.0 END AS waste_frac
+        |FROM b""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,

@@ -355,4 +355,57 @@ object Corpus {
       .collect().map(_.getString(0))
     ev.stat.sampleBy("event_type", types.map(_ -> fraction).toMap, seed)
   }
+
+  /** Deterministic sharded corpus shuffle — the global reorder a training
+    * run needs before sequence packing, so batch order doesn't inherit
+    * source/topic/time correlation from ingestion order. Seeded hash
+    * order (md5 of seed:id), reproducible across runs and engines; the
+    * first `shardChars` hex chars of the key shard the corpus for a
+    * parallel writer (16^shardChars shards), and each doc gets its
+    * position WITHIN its shard.
+    *
+    * Scale shape: the only shuffle is the per-shard position window, and
+    * its partition key has 16^shardChars values — set shardChars so
+    * shards ≈ writer parallelism (3 → 4096). A global position would be
+    * a one-reducer prefix sum; per-shard position is what a sharded
+    * writer consumes anyway. The hash order itself needs no pre-sort:
+    * writers range-read their shard sorted by key.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String, seed: String = "graft",
+      shardChars: Int = 2): DataFrame = {
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("shard", substring(col("shuffle_key"), 1, shardChars))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+  }
+
+  /** Padding-efficiency audit for length-bucketed batching: group docs
+    * into token-length buckets of `width` and report, per bucket, the
+    * tokens a longest-in-bucket dynamic-padding batcher would waste.
+    * The pre-flight that decides bucket width before a training run —
+    * too wide wastes compute on pad tokens, too narrow starves batches.
+    * One map-side-combined groupBy over a scan; the bucket relation is
+    * max_tokens/width rows. */
+  def lengthBuckets(spark: SparkSession, dir: String,
+      width: Int = 32): DataFrame = {
+    val padded = col("n_docs") * col("max_tokens")
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(TextFns.wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / lit(width)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count("*").as("n_docs"),
+        min("n_tokens").cast("long").as("min_tokens"),
+        max("n_tokens").cast("long").as("max_tokens"),
+        sum("n_tokens").cast("long").as("__sum"))
+      .select(col("bucket"), col("n_docs"), col("min_tokens"), col("max_tokens"),
+        (padded - col("__sum")).cast("long").as("waste_tokens"),
+        when(padded > 0,
+          round((padded - col("__sum")).cast("double") / padded.cast("double"), 6))
+          .otherwise(lit(0.0)).as("waste_frac"))
+  }
 }

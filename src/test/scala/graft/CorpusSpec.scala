@@ -183,4 +183,53 @@ class CorpusSpec extends AnyFunSuite {
     val frac = s1.count().toDouble / graft.sources.Tables.events(spark, Sf).count()
     assert(frac > 0.03 && frac < 0.25, s"sampled fraction $frac far from 0.1")
   }
+
+  test("corpus shuffle is a seeded permutation with dense per-shard positions") {
+    val n = graft.sources.Tables.documents(spark, Sf).count()
+    val s1 = Corpus.corpusShuffle(spark, Sf).cache()
+    // a permutation: every doc exactly once
+    assert(s1.count() == n && s1.select("doc_id").distinct().count() == n)
+    // positions are dense 1..k within each shard (a sharded writer can
+    // address them as file offsets)
+    val holes = s1.groupBy("shard")
+      .agg(count("*").as("k"), max("pos").as("mx"), min("pos").as("mn"))
+      .where(col("mx") =!= col("k") || col("mn") =!= 1)
+    assert(holes.count() == 0, "per-shard positions must be 1..k dense")
+    // deterministic under the same seed, reordered under another
+    val again = Corpus.corpusShuffle(spark, Sf)
+      .withColumnRenamed("pos", "pos2").select("doc_id", "pos2", "shard")
+    assert(s1.join(again, Seq("doc_id", "shard"))
+      .where(col("pos") =!= col("pos2")).count() == 0)
+    val other = Corpus.corpusShuffle(spark, Sf, seed = "epoch2")
+      .withColumnRenamed("shard", "shard2").select("doc_id", "shard2")
+    val moved = s1.join(other, "doc_id")
+      .where(col("shard") =!= col("shard2")).count()
+    assert(moved > n / 2, s"a new seed must reshuffle shard assignment: $moved")
+    s1.unpersist()
+  }
+
+  test("length buckets bound their docs and account padding waste exactly") {
+    val w = 32
+    val b = Corpus.lengthBuckets(spark, Sf, width = w).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      val (bucket, nDocs) = (r.getLong(0), r.getLong(1))
+      val (mn, mx) = (r.getLong(2), r.getLong(3))
+      val (waste, frac) = (r.getLong(4), r.getDouble(5))
+      assert(mn >= bucket * w && mx < (bucket + 1) * w,
+        s"bucket $bucket tokens [$mn,$mx] outside its width-$w range")
+      assert(waste >= 0 && waste <= nDocs * mx, s"waste $waste out of bounds")
+      assert(frac >= 0.0 && frac < 1.0, s"waste_frac $frac out of [0,1)")
+    }
+    // the wasted tokens must equal the direct per-doc computation
+    val direct = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+      .select(graft.functions.TextFns.wsTokenCount(col("text")).as("t"))
+      .withColumn("bucket", floor(col("t") / lit(w)).cast("long"))
+    val perBucketMax = direct.groupBy("bucket").agg(max("t").as("mx"))
+    val expected = direct.join(perBucketMax, "bucket")
+      .agg(sum(col("mx") - col("t"))).head().getLong(0)
+    assert(b.map(_.getLong(4)).sum == expected,
+      "summed waste must match the per-doc accounting")
+  }
 }
