@@ -97,6 +97,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank window must partition by (event_type, bucket):\n$p")
   }
 
+  test("corpus_shuffle's position window is sharded, never one reducer") {
+    // the permutation op must not plan a global window: the position
+    // numbering partitions on the shard key (hashpartitioning), not a
+    // SinglePartition exchange that would funnel the corpus through one
+    // task at 100 TB
+    val p = plan("corpus_shuffle")
+    assert(!p.contains("SinglePartition"),
+      s"corpus_shuffle must not exchange to a single partition:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"position window must partition on the shard key:\n$p")
+  }
+
+  test("length_buckets aggregates partially before its one exchange") {
+    val p = plan("length_buckets")
+    assert(p.contains("partial_"),
+      s"bucket stats must map-side combine:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one shuffle (plus AQE read) is the whole cost:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
