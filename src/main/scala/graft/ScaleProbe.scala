@@ -145,8 +145,24 @@ object ScaleProbe {
     def incr(corpus: DataFrame): DataFrame =
       graft.operators.NearDup.dedupIncrementalFrom(batch, corpus)
 
+    // DURABLE bucketed index: same contract on disk — a fixed tiny batch
+    // against 1x and Nx persisted indexes. The key scan partition-prunes
+    // to the batch's touched buckets, so the increment's read cost grows
+    // only with per-bucket volume, and the compute side stays
+    // increment-sized; growth should sit far below the corpus factor
+    val idx1 = "/tmp/graft_probe_idx1"
+    val idxN = "/tmp/graft_probe_idxN"
+    graft.operators.NearDup.writeSignatureIndexFrom(corpus1, idx1) // off-timer
+    graft.operators.NearDup.writeSignatureIndexFrom(corpusN, idxN)
+    val tinyBatch = doc1.where(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+      .select(col("doc_id"), col("text")).persist()
+    tinyBatch.count()
+    def incrDisk(idx: String): DataFrame =
+      graft.operators.NearDup.dedupIncrementalAgainst(spark, idx, tinyBatch)
+
     val r = Seq(
       ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
+      ("incr_durable", time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
       ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),

@@ -342,8 +342,13 @@ object NearDup {
     * are a literal predicate), not a full corpus key scan. One file per
     * non-empty bucket (repartition on kb before the partitioned write). */
   def writeSignatureIndex(spark: SparkSession, dir: String,
-      indexPath: String): Unit = {
-    val base = word3Base(spark, dir)
+      indexPath: String): Unit =
+    writeSignatureIndexFrom(word3Base(spark, dir), indexPath)
+
+  /** Same writer over an arbitrary (id, sig, keys) signature relation —
+    * the entry point when the corpus isn't the standard documents table
+    * (a streaming sink's accumulated state, a replicated scale probe). */
+  def writeSignatureIndexFrom(base: DataFrame, indexPath: String): Unit = {
     base.select(col("id"), col("sig"))
       .write.mode("overwrite").parquet(s"$indexPath/docs")
     base.select(col("id"), explode(col("keys")).as("key"))
