@@ -157,7 +157,9 @@ object SparkEntry {
     "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d)),
     "quality_perplexity"    -> (Corpus.perplexityScore _),
     "corpus_shuffle"        -> ((s: SparkSession, d: String) => Corpus.corpusShuffle(s, d)),
-    "length_buckets"        -> ((s: SparkSession, d: String) => Corpus.lengthBuckets(s, d))
+    "length_buckets"        -> ((s: SparkSession, d: String) => Corpus.lengthBuckets(s, d)),
+    "bigram_counts"         -> ((s: SparkSession, d: String) => Corpus.bigramCounts(s, d)),
+    "corpus_stats"          -> ((s: SparkSession, d: String) => Corpus.corpusStats(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -802,6 +804,41 @@ object SparkEntry {
         |                       / (n_docs * max_tokens), 6)
         |            ELSE 0.0 END AS waste_frac
         |FROM b""".stripMargin,
+
+    // each doc zipped with its own tail; numeric struct index because
+    // list_zip yields an unnamed struct. Deterministic total order under
+    // the LIMIT so boundary ties match Spark's
+    "bigram_counts" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT unnest(list_zip(toks[1:greatest(len(toks)-1, 0)],
+        |                         toks[2:len(toks)])) AS bg
+        |  FROM t)
+        |SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2
+        |LIMIT 500""".stripMargin,
+
+    // avg derived from the exact integer sum (not avg()) so both engines
+    // divide the same integers; sums CAST to BIGINT (HUGEINT lesson)
+    "corpus_stats" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |         length(text) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |         CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM d GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, total_tokens,
+        |       round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS avg_tokens,
+        |       min_chars, max_chars
+        |FROM g""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,

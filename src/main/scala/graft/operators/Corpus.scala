@@ -383,6 +383,46 @@ object Corpus {
       .withColumn("pos", row_number().over(byShard).cast("long"))
   }
 
+  /** Corpus bigram counts — the statistic behind bigram LMs, collocation
+    * mining, and tokenizer-merge candidates (the unigram side is
+    * [[buildVocab]]). One pass: each doc zips its token array with its
+    * own tail (no self-join on positions — that would shuffle the token
+    * stream twice), then a map-side-combined count; the top-N cut is a
+    * deterministic total order so ties at the boundary are stable. */
+  def bigramCounts(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
+    val toks = TextFns.wsTokens(lower(col("text")))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(explode(bgs).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Per-(source, lang) corpus profile — the "what is in my corpus"
+    * report a training-mix decision starts from: doc counts, token
+    * volume, char-length extremes. One map-side-combined groupBy over a
+    * scan; avg is derived from the exact integer sum on both engines so
+    * the doubles agree bit-for-bit. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"), col("lang"),
+        TextFns.wsTokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count("*").as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4).as("avg_tokens"),
+        col("min_chars"), col("max_chars"))
+
   /** Padding-efficiency audit for length-bucketed batching: group docs
     * into token-length buckets of `width` and report, per bucket, the
     * tokens a longest-in-bucket dynamic-padding batcher would waste.

@@ -184,6 +184,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(frac > 0.03 && frac < 0.25, s"sampled fraction $frac far from 0.1")
   }
 
+  test("bigram counts match an independent position-join computation") {
+    import graft.functions.TextFns
+    // cross-validate the zip-with-tail plan against a posexplode
+    // self-join — a different plan computing the same statistic
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.wsTokens(lower(col("text"))).as("toks"))
+    val pos = docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "w")))
+    val expected = pos.as("a").join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count("*").as("n_exp"))
+    val got = Corpus.bigramCounts(spark, Sf, topN = 1000000)
+    assert(got.join(expected, Seq("w1", "w2"), "full_outer")
+      .where(col("n").isNull || col("n_exp").isNull || col("n") =!= col("n_exp"))
+      .count() == 0, "zip-with-tail and position-join must agree exactly")
+    // the top-N cut is a deterministic total order
+    val top = Corpus.bigramCounts(spark, Sf, topN = 10).collect()
+    assert(top.length == 10 && top.map(_.getLong(2)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("corpus stats aggregate the same tokens text_tokens reports") {
+    val stats = Corpus.corpusStats(spark, Sf)
+    val fromTokens = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+      .select(col("source"), col("lang"),
+        graft.functions.TextFns.wsTokenCount(col("text")).as("t"))
+      .groupBy("source", "lang").agg(sum("t").as("t_exp"))
+    assert(stats.join(fromTokens, Seq("source", "lang"))
+      .where(col("total_tokens") =!= col("t_exp")).count() == 0)
+    val bad = stats.where(col("min_chars") > col("max_chars") ||
+      col("avg_tokens") < 0 || col("n_docs") <= 0).count()
+    assert(bad == 0)
+  }
+
   test("corpus shuffle is a seeded permutation with dense per-shard positions") {
     val n = graft.sources.Tables.documents(spark, Sf).count()
     val s1 = Corpus.corpusShuffle(spark, Sf).cache()
