@@ -51,6 +51,12 @@ object SparkEntry {
     // search points; the spec plants real novelty
     "template_novelty"      -> ((s: SparkSession, d: String) => LogOps.templateNovelty(s, d)),
     "template_trending"     -> ((s: SparkSession, d: String) => LogOps.templateTrending(s, d)),
+    // streaming first-seen trigger, applied in batch mode (the
+    // sessionize_stateful pairing): one alert row per distinct shape
+    "template_first_seen"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.StatefulTemplates(
+        graft.streaming.StatefulTemplates.fromEvents(
+          graft.sources.Tables.events(s, d))).toDF()),
     "search_entries"        -> ((s: SparkSession, d: String) => LogOps.searchEntries(s, d)),
     // parameter sweep: the dashboard takes arbitrary level/keyword/window
     // combinations per request (app.py:66-84) — each variant pins a
@@ -398,6 +404,20 @@ object SparkEntry {
         |                      '[0-9]+', '<num>', 'g') AS template,
         |       count(*) AS n_events, min(event_id) AS first_event_id
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // first_day is fetched by joining back on the unique min event id —
+    // NOT arg_min, whose NULL-argument semantics differ from Spark's
+    // min-struct under the NULL probe
+    "template_first_seen" ->
+      """WITH t AS (
+        |  SELECT event_type AS level, event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         regexp_replace(regexp_replace(props, '[0-9a-f]{8,}', '<hex>', 'g'),
+        |                        '[0-9]+', '<num>', 'g') AS template
+        |  FROM events),
+        |g AS (SELECT level, template, min(event_id) AS first_event_id
+        |      FROM t GROUP BY 1, 2)
+        |SELECT g.level, g.template, g.first_event_id, t.day AS first_day
+        |FROM g JOIN t ON t.event_id = g.first_event_id""".stripMargin,
 
     // NULLS FIRST pins DuckDB's window order to Spark's asc-nulls-first;
     // the ROWS frame makes "trailing 7 observed days" identical on both.

@@ -54,6 +54,36 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming first-seen templates alert once per shape, then stay silent") {
+    import spark.implicits._
+    import graft.streaming.{StatefulTemplates, TemplEvent}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TemplEvent]
+    val q = StatefulTemplates(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("templ_test")
+      .outputMode("append").start()
+    def ev(id: Long, lvl: String, tpl: String) =
+      TemplEvent(Some(lvl), Some(tpl), id, Some("2024-01-01"))
+    try {
+      mem.addData(ev(3, "error", "oom in <hex>"), ev(1, "error", "oom in <hex>"),
+        ev(2, "warn", "slow query <num>"))
+      q.processAllAvailable()
+      val b1 = spark.table("templ_test").collect()
+      assert(b1.length == 2, s"two shapes, two alerts: ${b1.mkString(";")}")
+      // the alert pins the batch's earliest exemplar, not arrival order
+      assert(b1.find(_.getAs[String]("level") == "error")
+        .get.getAs[Long]("first_event_id") == 1L)
+      // repeats are silent; a genuinely new shape still alerts
+      mem.addData(ev(9, "error", "oom in <hex>"), ev(10, "error", "disk full <num>"))
+      q.processAllAvailable()
+      val b2 = spark.table("templ_test").collect()
+      assert(b2.length == 3, s"one NEW shape only: ${b2.mkString(";")}")
+      assert(b2.exists(r => r.getAs[String]("template") == "disk full <num>" &&
+        r.getAs[Long]("first_event_id") == 10L))
+    } finally q.stop()
+  }
+
   test("batch stateful spike detector matches the window-function operator") {
     import graft.streaming.StatefulSpikes
     val ev = graft.sources.Tables.events(spark, Sf)
