@@ -70,8 +70,15 @@ object Bench {
     // the contended run — so now a contended attempt (spread > 2) triggers
     // a bounded whole-suite re-run and the CLEANEST attempt becomes the
     // record; contended attempts stay visible on detail: lines.
+    // one definition of "a pass's total" and one Locale.ROOT formatter:
+    // spread, attempt_totals, and the official line must never disagree
+    // on either
+    def passTotals(passes: Seq[Map[String, Double]]): Seq[Double] =
+      passes.map(p => names.filterNot(failed).map(p).sum)
+    def fmt(v: Double, d: Int): String =
+      String.format(Locale.ROOT, s"%.${d}f", Double.box(v))
     def spreadOf(passes: Seq[Map[String, Double]]): Double = {
-      val totals = passes.map(p => names.filterNot(failed).map(p).sum)
+      val totals = passTotals(passes)
       if (totals.isEmpty || totals.min == 0.0) 1.0 else totals.max / totals.min
     }
     val maxAttempts = 1 + math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt)
@@ -93,9 +100,8 @@ object Bench {
     }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    def r1(v: Double) = String.format(Locale.ROOT, "%.1f", Double.box(v))
     def totalsJson(a: Seq[Map[String, Double]]): String =
-      a.map(p => names.filterNot(failed).map(p).sum).map(r1).mkString("[", ",", "]")
+      passTotals(a).map(fmt(_, 1)).mkString("[", ",", "]")
     val pt = totalsJson(passes)
     // every attempt's totals stay on the detail line so a retried record is
     // auditable — the discarded contended attempts don't vanish
@@ -126,14 +132,10 @@ object Bench {
     // a clean record doesn't spend bytes saying so; a still-contended one
     // (after exhausting retries) must carry the flag on the OFFICIAL line
     val contendedField = if (contended) s""","contended":true""" else ""
-    // Locale.ROOT everywhere on the record lines: a comma-decimal default
-    // locale would turn the official line into invalid JSON — the exact
-    // failure mode this line exists to eliminate (convention: Multimodal:130)
-    def r2(v: Double, d: Int) = String.format(Locale.ROOT, s"%.${d}f", Double.box(v))
     def line(qsField: String): String =
-      s"""{"metric":"total","value":${r2(total, 2)},"unit":"sec","n_queries":${results.size},"spread":${r2(spread, 3)}$contendedField,"queries":$qsField$failedField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"spread":${fmt(spread, 3)}$contendedField,"queries":$qsField$failedField,"sf":"$sfName"}"""
     def qmap(decimals: Int): String = results.map { case (k, v) =>
-      "\"" + k + "\":" + r2(v, decimals)
+      "\"" + k + "\":" + fmt(v, decimals)
     }.mkString("{", ",", "}")
     // top-K-by-cost map with the omitted remainder folded into "_others":
     // when the full map can't fit the capture budget, the expensive
@@ -141,8 +143,8 @@ object Bench {
     // stays reconstructible
     def topMap(k: Int): String = {
       val sorted = results.sortBy(-_._2)
-      val entries = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + r2(v, 1) }
-      val others = "\"_others\":" + r2(sorted.drop(k).map(_._2).sum, 1)
+      val entries = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + fmt(v, 1) }
+      val others = "\"_others\":" + fmt(sorted.drop(k).map(_._2).sum, 1)
       (entries :+ others).mkString("{", ",", "}")
     }
     // degradation ladder: full 2-decimal map → 1-decimal map → shrinking

@@ -452,14 +452,21 @@ object LogOps {
     * model call it comes from), so the body is a deterministic stand-in
     * derived from the batch digest — the assembly, ordering, redaction, and
     * formatting are the testable surface. */
-  def slackMessage(spark: SparkSession, dir: String): DataFrame = {
-    val batch = Tables.events(spark, dir)
+  def slackMessage(spark: SparkSession, dir: String): DataFrame =
+    slackAssemble(spark, dir,
+      logLine(graft.functions.TextFns.redactSecrets(col("props"))))
+
+  /** Shared share-message assembly: the ordered 5-line error batch, the
+    * string_agg-parity join, and the header/RCA wrapping — both Slack
+    * formats differ only in the per-line expression, and a format tweak
+    * must not need the same edit twice. */
+  private def slackAssemble(spark: SparkSession, dir: String,
+      line: Column): DataFrame =
+    Tables.events(spark, dir)
       .where(col("event_type") === "error")
       .orderBy(col("ts"), col("event_id"))
       .limit(5)
-      .select(col("event_id"),
-        logLine(graft.functions.TextFns.redactSecrets(col("props"))).as("line"))
-    batch
+      .select(col("event_id"), line.as("line"))
       .agg(count("*").as("n_logs"),
         joinedLines(col("event_id")).as("logs_txt"))
       .select(
@@ -471,7 +478,6 @@ object LogOps {
           lit("\n*RCA & Fix:*\n"),
           format_string("RCA pending for %d incidents (batch digest %s)",
             col("n_logs"), md5(col("logs_txt"))))).as("message"))
-  }
 
   /** Dashboard share-to-Slack message (share_to_slack, app.py:136-144) —
     * the variant users actually share from. Unlike the llm_processor
@@ -496,20 +502,6 @@ object LogOps {
           date_format(col("ts"), TsUs), col("user_id"), col("event_type")),
         nsSeg, lit(" | "),
         graft.functions.TextFns.redactSecrets(col("props"))))
-    val batch = Tables.events(spark, dir)
-      .where(col("event_type") === "error")
-      .orderBy(col("ts"), col("event_id"))
-      .limit(5)
-      .select(col("event_id"), line.as("line"))
-    batch
-      .agg(count("*").as("n_logs"),
-        joinedLines(col("event_id")).as("logs_txt"))
-      .select(
-        when(col("n_logs") > 0, concat(
-          lit("*AI RCA & Fix Suggestion:*\n*Logs:*\n"),
-          col("logs_txt"),
-          lit("\n*RCA & Fix:*\n"),
-          format_string("RCA pending for %d incidents (batch digest %s)",
-            col("n_logs"), md5(col("logs_txt"))))).as("message"))
+    slackAssemble(spark, dir, line)
   }
 }

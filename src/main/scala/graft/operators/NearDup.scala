@@ -381,14 +381,27 @@ object NearDup {
   def dedupIncrementalAgainst(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, thr: Double = 0.8): DataFrame = {
     val sh = wordShingles(col("text"), 3)
+    // eager localCheckpoint: the signature kernels — the batch's dominant
+    // compute — run ONCE here, not once for the touched-bucket collect
+    // and again for the scoring plan ("batch pays one kernel pass" is the
+    // contract). Increment-sized block storage, freed on GC like the
+    // cluster iteration's checkpoints.
     val batch = newDocs
       .where(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         minhashSig(sh, 128).as("sig"),
         minhashBandKeys(sh, 32, 4).as("keys"))
-    dedupIncrementalKeyed(batch,
-      prunedKeyIndex(spark, indexPath, batch),
-      spark.read.parquet(s"$indexPath/docs"), thr)
+      .localCheckpoint(true)
+    val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
+    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(docsPath))
+      dedupIncrementalKeyed(batch,
+        prunedKeyIndex(spark, indexPath, batch),
+        spark.read.parquet(s"$indexPath/docs"), thr)
+    else
+      // pre-bucketing index layout (flat (id, sig, keys) parquet): serve
+      // it unpruned rather than failing a durable store on upgrade
+      dedupIncrementalFrom(batch, spark.read.parquet(indexPath), thr)
   }
 
   /** Both inputs are (id, sig, keys) signature relations; `corpus` is the

@@ -107,11 +107,18 @@ object IncidentPipeline {
     // delete+rename swap here could otherwise lose the whole accumulated
     // index to a crash between the two calls
     graft.sources.IO.recoverStore(fs, p, tmp)
-    if (!fs.exists(p)) { writeIndex(embedded, indexPath); return }
-    val existing = spark.read.parquet(indexPath)
-    val merged = Upsert.mergeByKey(existing,
-      embedded.select(existing.columns.map(col).toIndexedSeq: _*),
-      Seq("event_id"))
+    // the FIRST write also goes through tmp+swap: recoverStore's "p exists
+    // means p is complete" rests on p only ever being produced by an
+    // atomic rename — a direct first write that crashed mid-commit would
+    // leave a partial store recovery then adopts as authoritative
+    val merged =
+      if (!fs.exists(p)) embedded
+      else {
+        val existing = spark.read.parquet(indexPath)
+        Upsert.mergeByKey(existing,
+          embedded.select(existing.columns.map(col).toIndexedSeq: _*),
+          Seq("event_id"))
+      }
     merged.write.mode("overwrite").parquet(tmp.toString)
     graft.sources.IO.swapInto(fs, tmp, p)
   }

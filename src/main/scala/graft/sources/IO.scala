@@ -51,14 +51,20 @@ object IO {
     *  - else → tmp (if present) is a partial first write; drop it. */
   def recoverStore(fs: FileSystem, p: Path, tmp: Path): Unit = {
     val old = oldPath(p)
+    // rename returns false (not an exception) for several HDFS failure
+    // modes; silently proceeding would let the caller first-write over a
+    // missing p and a LATER recovery would then delete the only complete
+    // copy. Fail loud instead — the store is intact where it is.
+    def renameOrDie(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to)) sys.error(s"recover: cannot rename $from to $to")
     if (fs.exists(p)) {
       if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(tmp)) fs.delete(tmp, true)
     } else if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-      fs.rename(tmp, p)
+      renameOrDie(tmp, p)
       if (fs.exists(old)) fs.delete(old, true)
     } else if (fs.exists(old)) {
-      fs.rename(old, p)
+      renameOrDie(old, p)
       if (fs.exists(tmp)) fs.delete(tmp, true)
     } else if (fs.exists(tmp)) fs.delete(tmp, true)
   }

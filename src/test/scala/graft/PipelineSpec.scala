@@ -146,6 +146,12 @@ class PipelineSpec extends AnyFunSuite {
     // every first-run id is still present after the second append
     val run1Ids = run1.select("event_id")
     assert(run1Ids.exceptAll(idx.select("event_id")).count() == 0)
+    // the FIRST write must also have arrived via the tmp+swap route:
+    // recoverStore's "p exists ⇒ p is complete" rests on p only ever
+    // being produced by an atomic rename, and the committed-write marker
+    // is the witness (a crashed direct write would lack it)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/_SUCCESS")),
+      "index store must carry its commit marker")
   }
 
   test("pipeline stages are individually lazy plans (no action before sink)") {
