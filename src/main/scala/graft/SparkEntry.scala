@@ -165,7 +165,11 @@ object SparkEntry {
     "corpus_shuffle"        -> ((s: SparkSession, d: String) => Corpus.corpusShuffle(s, d)),
     "length_buckets"        -> ((s: SparkSession, d: String) => Corpus.lengthBuckets(s, d)),
     "bigram_counts"         -> ((s: SparkSession, d: String) => Corpus.bigramCounts(s, d)),
-    "corpus_stats"          -> ((s: SparkSession, d: String) => Corpus.corpusStats(s, d))
+    "corpus_stats"          -> ((s: SparkSession, d: String) => Corpus.corpusStats(s, d)),
+    "tfidf_keywords"        -> ((s: SparkSession, d: String) => Corpus.tfidfKeywords(s, d)),
+    "bigram_pmi"            -> ((s: SparkSession, d: String) => Corpus.bigramPmi(s, d)),
+    "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
+    "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -973,6 +977,97 @@ object SparkEntry {
         |       coalesce(len(kept) >= 1
         |                AND NOT contains(lower(text), 'lorem ipsum')
         |                AND NOT contains(text, '{'), false) AS is_kept
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // df via a count-over-term window on the SAME tf relation (no
+    // vocab-sized join side); ranking on the ROUNDED score so the tie
+    // order is engine-invariant; score op order mirrors the Spark plan
+    // exactly: tf · ln(1.0 + N/df), division first
+    "tfidf_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id, term, tf,
+        |         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |         (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n_docs
+        |  FROM tf),
+        |s AS (
+        |  SELECT doc_id, term, tf, df,
+        |         round(CAST(tf AS DOUBLE) *
+        |               ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        |  FROM w)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, df, score,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM (
+        |  SELECT doc_id, term, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term) AS rk
+        |  FROM s) r
+        |WHERE rk <= 5""".stripMargin,
+
+    // marginals in bigram space via windows over the distinct-pair
+    // relation (the Spark plan's shape); grand total as a scalar
+    // subquery; PMI op order mirrors the plan: (n12·t)/(n1·n2) then ln;
+    // window sums CAST to BIGINT (HUGEINT lesson)
+    "bigram_pmi" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT unnest(list_zip(toks[1:greatest(len(toks)-1, 0)],
+        |                         toks[2:len(toks)])) AS bg
+        |  FROM t),
+        |c AS (
+        |  SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n12 FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT w1, w2, n12,
+        |         CAST(sum(n12) OVER (PARTITION BY w1) AS BIGINT) AS n1,
+        |         CAST(sum(n12) OVER (PARTITION BY w2) AS BIGINT) AS n2,
+        |         CAST((SELECT sum(n12) FROM c) AS BIGINT) AS t
+        |  FROM c)
+        |SELECT w1, w2, CAST(n12 AS BIGINT) AS n12, n1, n2,
+        |       round(ln((CAST(n12 AS DOUBLE) * CAST(t AS DOUBLE)) /
+        |                (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS pmi
+        |FROM m WHERE n12 >= 5
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 200""".stripMargin,
+
+    // byte-identical RE2 patterns (preprocessor.py:10-11,
+    // llm_processor.py:108-109); zero counts on the synthetic corpus by
+    // design — the zero relation still hash-compares; sums CAST to
+    // BIGINT (HUGEINT lesson)
+    "pii_scan" ->
+      """WITH h AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '[\w.-]+@[\w.-]+')) AS n_email,
+        |         len(regexp_extract_all(text, '\b(?:\d[ -]*?){13,16}\b')) AS n_card,
+        |         len(regexp_extract_all(text, '(?i)api[_-]?key\s*[:=]\s*\w+')) AS n_api_key,
+        |         len(regexp_extract_all(text, '(?i)token\s*[:=]\s*\w+')) AS n_token
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN n_email + n_card + n_api_key + n_token > 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+        |       CAST(sum(n_email) AS BIGINT) AS n_email,
+        |       CAST(sum(n_card) AS BIGINT) AS n_card,
+        |       CAST(sum(n_api_key) AS BIGINT) AS n_api_key,
+        |       CAST(sum(n_token) AS BIGINT) AS n_token
+        |FROM h GROUP BY source""".stripMargin,
+
+    // EMPTY on the synthetic corpus by design (no cross-source exact
+    // dups) — the empty relation is hash-compared (template_novelty
+    // pattern); a spec plants cross-source dups
+    "dedup_cross_source" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,
+        |       count(*) AS n_copies,
+        |       count(DISTINCT source) AS n_sources,
+        |       array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY md5(text)
+        |HAVING count(DISTINCT source) > 1""".stripMargin
   )
 }

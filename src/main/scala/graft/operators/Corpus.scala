@@ -448,4 +448,82 @@ object Corpus {
           round((padded - col("__sum")).cast("double") / padded.cast("double"), 6))
           .otherwise(lit(0.0)).as("waste_frac"))
   }
+
+  /** Per-document TF-IDF keywords — the classic "what is this document
+    * about" signal used for corpus browsing, topic labeling, and
+    * quality-filter features. Smooth IDF (tf · ln(1 + N/df)) so a term
+    * present in every document still scores finitely.
+    *
+    * Scale shape: explode → one map-side-combined groupBy(doc, term) for
+    * TF; the document frequency comes from a `count over (partition by
+    * term)` window on that SAME pair relation — no vocab-sized join side
+    * to broadcast (a 100 TB corpus's distinct-term relation is 10⁸⁺ rows;
+    * broadcasting it would be the classic toy-scale trap). The corpus
+    * size N is a broadcast 1-row aggregate (the skew_profile pattern).
+    * Two pair-relation shuffles total (by term, then by doc for the
+    * top-k window) — linear in corpus size, no driver collect.
+    *
+    * Ranking uses the ROUNDED score so the tie order is engine-invariant
+    * (an unrounded double tie could rank differently than its rounded
+    * oracle twin); (score desc, term) is a total order within a doc. */
+  def tfidfKeywords(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("text").isNotNull)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFns.wsTokens(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf
+      .withColumn("df", count("*").over(byTerm).cast("long"))
+      .crossJoin(broadcast(docs.agg(count("*").as("n_docs"))))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(lit(1.0) +
+            col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rk", row_number().over(byDoc))
+      .where(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** PMI-ranked collocations — pointwise mutual information over the
+    * corpus bigram relation: ln(p(w1,w2) / (p(w1)·p(w2))) with marginals
+    * taken IN bigram space (n1 = w1-as-first-word count, n2 =
+    * w2-as-second), so the statistic is self-consistent with its own
+    * denominator and needs exactly one corpus pass. The `minCount` floor
+    * is the standard guard against the PMI low-frequency pathology (a
+    * hapax pair otherwise maxes the score).
+    *
+    * Scale shape: the corpus is scanned once (zip-with-tail, the
+    * bigram_counts kernel) into one map-side-combined groupBy; both
+    * marginals are windows over that distinct-bigram relation (bounded by
+    * distinct pairs, not corpus tokens) and the grand total is a
+    * broadcast 1-row aggregate. The top-N cut is a distributed
+    * TakeOrdered on a rounded, totally-ordered key. */
+  def bigramPmi(spark: SparkSession, dir: String, minCount: Int = 5,
+      topN: Int = 200): DataFrame = {
+    val toks = TextFns.wsTokens(lower(col("text")))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(explode(bgs).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count("*").as("n12"))
+    val total = pairs.agg(sum("n12").cast("long").as("t"))
+    pairs
+      .withColumn("n1", sum("n12").over(Window.partitionBy(col("w1"))).cast("long"))
+      .withColumn("n2", sum("n12").over(Window.partitionBy(col("w2"))).cast("long"))
+      .crossJoin(broadcast(total))
+      .where(col("n12") >= minCount)
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        round(log((col("n12").cast("double") * col("t").cast("double")) /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

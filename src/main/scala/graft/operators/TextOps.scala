@@ -166,4 +166,60 @@ object TextOps {
         xxhash64(col("fps")).as("fingerprint"),
         size(col("fps")).cast("long").as("n_fingerprints"))
   }
+
+  /** Per-source PII exposure profile — the audit a corpus needs BEFORE
+    * redaction ships ([[graft.functions.TextFns.redactPii]] /
+    * `redactSecrets` are the fix; this is the measurement): per source,
+    * how many documents contain each PII class and how many total
+    * occurrences. The patterns are the reference's own
+    * (preprocessor.py:10-11, llm_processor.py:108-109), RE2-compatible so
+    * the oracle applies byte-identical regexes. Pure codegen'd scan
+    * expressions into one map-side-combined groupBy over |sources| rows —
+    * scan-bound at 100 TB. The synthetic corpus is PII-free by
+    * construction, so the registered query's counts are all zero (the
+    * zero relation is still hash-compared); a spec plants every class
+    * and asserts the counts. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanFrom(Tables.documents(spark, dir), col("source"))
+
+  private[graft] def piiScanFrom(docs: DataFrame, by: Column): DataFrame = {
+    def hits(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    docs
+      .where(col("text").isNotNull)
+      .select(by.as("source"),
+        hits(TextFns.EmailRe).as("n_email"),
+        hits(TextFns.CardRe).as("n_card"),
+        hits(TextFns.ApiKeyRe).as("n_api_key"),
+        hits(TextFns.TokenRe).as("n_token"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"),
+        sum(when(col("n_email") + col("n_card") + col("n_api_key") +
+          col("n_token") > 0, 1L).otherwise(0L)).cast("long").as("n_docs_pii"),
+        sum("n_email").cast("long").as("n_email"),
+        sum("n_card").cast("long").as("n_card"),
+        sum("n_api_key").cast("long").as("n_api_key"),
+        sum("n_token").cast("long").as("n_token"))
+  }
+
+  /** Cross-source contamination: exact-duplicate texts appearing under
+    * MORE THAN ONE source — the overlap a mixture-weight decision must
+    * know about (a doc counted in two sources double-weights its tokens
+    * and breaks held-out-by-source evaluation). Same one-digest-shuffle
+    * shape as [[dedupExact]] (text never shuffles); the sources list is
+    * aggregated sorted+distinct so the output is deterministic. EMPTY on
+    * the synthetic corpus by design (hash-compared empty — the
+    * template_novelty pattern); a spec plants cross-source dups. */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame =
+    dedupCrossSourceFrom(Tables.documents(spark, dir))
+
+  private[graft] def dedupCrossSourceFrom(docs: DataFrame): DataFrame =
+    docs
+      .where(col("text").isNotNull)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("first_doc_id"),
+        count("*").as("n_copies"),
+        countDistinct("source").as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .where(col("n_sources") > 1)
 }

@@ -28,7 +28,11 @@ class CoreSpec extends AnyFunSuite {
   // oracle (a keyword matching nothing is a dashboard request like any
   // other) — zero rows is their correct answer, not a broken operator
   private val deliberatelyEmpty =
-    Set("search_entries_none", "search_all_none", "template_novelty")
+    Set("search_entries_none", "search_all_none", "template_novelty",
+      // the synthetic corpus has no cross-source exact dups by
+      // construction — empty is the correct, hash-compared answer
+      // (planted dups are exercised by their own spec)
+      "dedup_cross_source")
 
   test("every query runs on sf0.001 and returns rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -179,6 +183,43 @@ class CoreSpec extends AnyFunSuite {
       "all-fragment doc is dropped with empty kept set")
     assert(out(2L).getString(3) == "", "zero kept lines -> empty string, not NULL")
     assert(!out(3L).getBoolean(4), "brace-bearing template doc is dropped")
+  }
+
+  test("pii_scan counts planted PII per class; clean docs stay zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob@test.org today", "web"),
+      (2L, "card 4111 1111 1111 1111 on file", "web"),
+      (3L, "api_key=abc123 and TOKEN: deadbeef", "code"),
+      (4L, "perfectly clean prose with no identifiers", "web"),
+      (5L, null.asInstanceOf[String], "web")).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.piiScanFrom(docs, col("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getLong(1) == 3 && web.getLong(2) == 2,
+      s"web: 3 non-null docs, 2 carrying PII: $web")
+    assert(web.getLong(3) == 2, s"two planted emails in web: $web")
+    assert(web.getLong(4) == 1, s"one planted card in web: $web")
+    val code = out("code")
+    assert(code.getLong(5) == 1 && code.getLong(6) == 1,
+      s"code: one api_key and one token (case-insensitive): $code")
+    assert(code.getLong(3) == 0 && code.getLong(4) == 0,
+      s"no emails or cards in code: $code")
+  }
+
+  test("dedup_cross_source surfaces only cross-source exact duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared text", "web"), (2L, "shared text", "books"),
+      (3L, "shared text", "web"), // same-source copy joins the group
+      (4L, "single source dup", "web"), (5L, "single source dup", "web"),
+      (6L, "unique", "books")).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.dedupCrossSourceFrom(docs).collect()
+    assert(out.length == 1, s"only the cross-source group survives: ${out.toSeq}")
+    val g = out.head
+    assert(g.getLong(1) == 1L && g.getLong(2) == 3L && g.getLong(3) == 2L,
+      s"first_doc_id=1, 3 copies, 2 sources: $g")
+    assert(g.getString(4) == "books,web", s"sorted distinct source list: $g")
   }
 
   test("anomaly_spikes flags a planted rate spike, not its steady baseline") {

@@ -267,4 +267,64 @@ class CorpusSpec extends AnyFunSuite {
     assert(b.map(_.getLong(4)).sum == expected,
       "summed waste must match the per-doc accounting")
   }
+
+  test("tfidf keywords: score law, per-doc top-k, df consistency") {
+    import graft.functions.TextFns
+    val k = 5
+    val out = Corpus.tfidfKeywords(spark, Sf, topK = k).cache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+    val n = docs.count().toDouble
+    // df cross-validated against an independent distinct-docs-per-term
+    // computation (explode -> distinct -> count), a different plan shape
+    val dfExp = docs
+      .select(col("doc_id"), explode(TextFns.wsTokens(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+      .groupBy("term").agg(count("*").as("df_exp"))
+    assert(out.join(dfExp, "term")
+      .where(col("df") =!= col("df_exp")).count() == 0,
+      "window-df and distinct-join-df must agree")
+    // the score law holds cell-for-cell
+    val bad = out.collect().filter { r =>
+      val (tf, df, score) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      math.abs(score -
+        BigDecimal(tf * math.log(1.0 + n / df))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) > 1e-9
+    }
+    assert(bad.isEmpty, s"score law violated: ${bad.take(3).mkString(";")}")
+    // exactly k rows per doc (every doc has >= k distinct terms at sf0.001),
+    // ranked descending
+    val perDoc = out.groupBy("doc_id").agg(count("*").as("c"),
+      max("rk").as("mx"), min("rk").as("mn"))
+    assert(perDoc.where(col("c") =!= k || col("mx") =!= k || col("mn") =!= 1)
+      .count() == 0, "each doc carries a dense rank 1..k")
+    val inv = out.as("a").join(out.as("b"),
+      col("a.doc_id") === col("b.doc_id") && col("a.rk") < col("b.rk") &&
+        col("a.score") < col("b.score"))
+    assert(inv.count() == 0, "rank order must follow score order")
+    out.unpersist()
+  }
+
+  test("bigram PMI: marginal consistency and the low-frequency floor") {
+    val pmi = Corpus.bigramPmi(spark, Sf, minCount = 2, topN = 1000000).cache()
+    // marginals cross-validated against groupBy aggregations of the full
+    // (uncut) bigram relation — a join plan, not a window plan
+    val pairs = Corpus.bigramCounts(spark, Sf, topN = 1000000)
+    val m1 = pairs.groupBy("w1").agg(sum("n").as("n1_exp"))
+    val m2 = pairs.groupBy("w2").agg(sum("n").as("n2_exp"))
+    assert(pmi.join(m1, "w1").where(col("n1") =!= col("n1_exp")).count() == 0)
+    assert(pmi.join(m2, "w2").where(col("n2") =!= col("n2_exp")).count() == 0)
+    // every surviving pair respects the count floor
+    assert(pmi.where(col("n12") < 2).count() == 0)
+    // PMI law: recompute from the row's own counts
+    val t = pairs.agg(sum("n")).head().getLong(0).toDouble
+    val bad = pmi.collect().filter { r =>
+      val (n12, n1, n2, p) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      math.abs(p - BigDecimal(math.log(n12 * t / (n1.toDouble * n2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) > 1e-9
+    }
+    assert(bad.isEmpty, s"PMI law violated: ${bad.take(3).mkString(";")}")
+    pmi.unpersist()
+  }
 }
