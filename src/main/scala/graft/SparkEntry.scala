@@ -169,7 +169,11 @@ object SparkEntry {
     "tfidf_keywords"        -> ((s: SparkSession, d: String) => Corpus.tfidfKeywords(s, d)),
     "bigram_pmi"            -> ((s: SparkSession, d: String) => Corpus.bigramPmi(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
-    "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d))
+    "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
+    // — user-journey analytics —
+    "funnel_steps"          -> ((s: SparkSession, d: String) => EventFlows.funnelSteps(s, d)),
+    "retention_cohorts"     -> (EventFlows.retentionCohorts _),
+    "event_transitions"     -> (EventFlows.eventTransitions _)
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -1068,6 +1072,62 @@ object SparkEntry {
         |       array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY md5(text)
-        |HAVING count(DISTINCT source) > 1""".stripMargin
+        |HAVING count(DISTINCT source) > 1""".stripMargin,
+
+    // min-then-filter-then-min CTE chain, the engine-portable form of
+    // "earliest strictly-ordered stage times"; left joins keep partial
+    // funnels
+    "funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // retention divides exact integers, rounded both sides; counts CAST
+    // to BIGINT (HUGEINT lesson)
+    "retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT cohort_day,
+        |         CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |  FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, n_users AS cohort_size FROM a WHERE day_offset = 0)
+        |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       day_offset, n_users, cohort_size,
+        |       round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+        |         AS retention
+        |FROM a JOIN s USING (cohort_day)""".stripMargin,
+
+    // (ts, event_id) is a unique order within a user, so lead() agrees
+    // across engines; the probability denominator is a window over the
+    // |types|² relation, CAST to BIGINT before the double divide
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |                  AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin
   )
 }

@@ -207,6 +207,59 @@ class CoreSpec extends AnyFunSuite {
       s"no emails or cards in code: $code")
   }
 
+  test("funnel stages require strict timestamp order (click before view is no conversion)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full in-order funnel
+      (1L, 1L, "view", t(1)), (2L, 1L, "click", t(2)), (3L, 1L, "purchase", t(3)),
+      // user 2: click BEFORE first view — stage stops at 1
+      (4L, 2L, "click", t(1)), (5L, 2L, "view", t(2)),
+      // user 3: purchase before click — stage stops at 2
+      (6L, 3L, "view", t(1)), (7L, 3L, "purchase", t(2)), (8L, 3L, "click", t(3)),
+      // user 4: never entered the funnel (no view) — absent from output
+      (9L, 4L, "click", t(1)), (10L, 4L, "purchase", t(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.EventFlows.funnelStepsFrom(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L),
+      s"strict-order stages and funnel-entry filter: $out")
+  }
+
+  test("retention cohorts: offset-0 is the full cohort, retention never exceeds 1") {
+    val out = graft.operators.EventFlows.retentionCohorts(spark, Sf).cache()
+    assert(out.where(col("day_offset") === 0 &&
+      (col("n_users") =!= col("cohort_size") || col("retention") =!= 1.0))
+      .count() == 0, "offset 0 must be the cohort itself")
+    assert(out.where(col("n_users") > col("cohort_size") ||
+      col("day_offset") < 0).count() == 0)
+    // cohort sizes partition the user base exactly
+    val users = graft.sources.Tables.events(spark, Sf)
+      .where(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    val sizes = out.select("cohort_day", "cohort_size").distinct()
+      .agg(sum("cohort_size")).head().getLong(0)
+    assert(sizes == users, s"cohorts must partition the $users users, got $sizes")
+    out.unpersist()
+  }
+
+  test("event transitions: per-from probabilities sum to ~1, pair count conserved") {
+    val out = graft.operators.EventFlows.eventTransitions(spark, Sf).cache()
+    val sums = out.groupBy("from_type").agg(sum("p").as("sp"), sum("n").as("sn"))
+      .collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"probabilities for ${r.getString(0)} sum to ${r.getDouble(1)}"))
+    // total consecutive pairs = sum over users of (events - 1)
+    val expected = graft.sources.Tables.events(spark, Sf)
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy("user_id").agg((count("*") - 1).as("pairs"))
+      .agg(sum("pairs")).head().getLong(0)
+    assert(out.agg(sum("n")).head().getLong(0) == expected,
+      "every consecutive pair counted exactly once")
+    out.unpersist()
+  }
+
   test("dedup_cross_source surfaces only cross-source exact duplicates") {
     import spark.implicits._
     val docs = Seq(
