@@ -139,6 +139,7 @@ object SparkEntry {
                                   Embeddings.annLsh(s, d, hammingProbes = 8)),
     "knn_label_vote"        -> (Embeddings.knnLabelVote _),
     "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
+    "embedding_outliers"    -> ((s: SparkSession, d: String) => Embeddings.embeddingOutliers(s, d)),
     // — near-duplicate detection (rows-only) —
     "dedup_minhash"         -> ((s: SparkSession, d: String) => NearDup.dedupMinhash(s, d)),
     "dedup_clusters"        -> ((s: SparkSession, d: String) => NearDup.dedupClusters(s, d)),
@@ -173,7 +174,23 @@ object SparkEntry {
     // — user-journey analytics —
     "funnel_steps"          -> ((s: SparkSession, d: String) => EventFlows.funnelSteps(s, d)),
     "retention_cohorts"     -> (EventFlows.retentionCohorts _),
-    "event_transitions"     -> (EventFlows.eventTransitions _)
+    "event_transitions"     -> (EventFlows.eventTransitions _),
+    // the streaming twin aggregated to the same relation — batch mode
+    // sees each user whole, reproducing lead() exactly, so the SAME
+    // oracle checks both (the sessionize_stateful pairing)
+    "event_transitions_stateful" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[graft.streaming.TransEvent]
+      graft.streaming.StatefulTransitions(ev).toDF()
+        .groupBy("from_type", "to_type").agg(count("*").as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("from_type"))).cast("double"), 6))
+    })
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -1115,19 +1132,24 @@ object SparkEntry {
     // (ts, event_id) is a unique order within a user, so lead() agrees
     // across engines; the probability denominator is a window over the
     // |types|² relation, CAST to BIGINT before the double divide
-    "event_transitions" ->
-      """WITH p AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY ts, event_id) AS to_type
-        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS n FROM p
-        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
-        |       round(CAST(n AS DOUBLE) /
-        |             CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
-        |                  AS DOUBLE), 6) AS p
-        |FROM c""".stripMargin
+    "event_transitions" -> transitionsOracle,
+    // batch mode of the stateful twin reproduces lead() exactly → same
+    // oracle (the sessionize / sessionize_stateful pairing)
+    "event_transitions_stateful" -> transitionsOracle
   )
+
+  private def transitionsOracle: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n AS DOUBLE) /
+      |             CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |                  AS DOUBLE), 6) AS p
+      |FROM c""".stripMargin
 }

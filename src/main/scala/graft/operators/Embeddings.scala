@@ -370,6 +370,54 @@ object Embeddings {
         (col("nn_sim") >= thr).as("is_dup"))
   }
 
+  /** Embedding-space outlier ranking — the curation view that finds
+    * mislabeled, off-distribution, or junk vectors BEFORE they enter a
+    * training mix: each vector's L2 distance to its own k-means centroid,
+    * normalized within its bucket (distance / bucket mean distance) so a
+    * naturally diffuse cluster doesn't drown a genuinely anomalous point
+    * in a tight one. Top-N by that ratio, deterministic tiebreak.
+    *
+    * Reuses the session-memoized IVF fit ([[ivfAssign]]) — no second
+    * k-means; the centroid relation is k rows and broadcasts; the
+    * per-bucket mean is a window on the bucket key (the assignment's own
+    * partitioning). One linear scan + a distributed TakeOrdered. Kernel-
+    * dependent (k-means fit) → rows-only with a planted-outlier spec.
+    *
+    * Known blind spot: a vector the fit isolates into its own singleton
+    * bucket IS its centroid (distance 0) and scores 0 — within-bucket
+    * normalization cannot see between-bucket anomalies. At corpus scale
+    * with √N centroids singleton buckets are rare; the spec places its
+    * planted rogue so the k=2 fit absorbs it instead of isolating it.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val (assigned, cents) = ivfAssign(spark, dir)
+    embeddingOutliersOn(assigned, cents, topN)
+  }
+
+  private[graft] def embeddingOutliersFrom(c: DataFrame, k: Int = 0,
+      topN: Int = 100): DataFrame = {
+    val (assigned, cents) = ivfAssignFrom(c, k)
+    embeddingOutliersOn(assigned, cents, topN)
+  }
+
+  private def embeddingOutliersOn(assigned: DataFrame, cents: DataFrame,
+      topN: Int): DataFrame = {
+    val byBucket = Window.partitionBy(col("bucket"))
+    assigned
+      .join(broadcast(cents), "bucket")
+      .withColumn("dist", sqrt(VecFns.l2sq(col("emb"), col("cemb"))))
+      .withColumn("bucket_mean", avg(col("dist")).over(byBucket))
+      // an all-identical bucket has mean 0: its members are no outliers
+      .withColumn("ratio",
+        when(col("bucket_mean") > 0, col("dist") / col("bucket_mean"))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("bucket"),
+        round(col("dist"), 6).as("dist"),
+        round(col("ratio"), 6).as("outlier_ratio"))
+      .orderBy(col("outlier_ratio").desc, col("vec_id"))
+      .limit(topN)
+  }
+
   /** RAG context assembly (llm_processor.py:44-60): embed the incident
     * batch, top-5 similar docs per incident, union, dedup.
     *

@@ -298,4 +298,51 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("batch stateful transitions match the lead() window operator") {
+    import spark.implicits._
+    import graft.streaming.{StatefulTransitions, TransEvent}
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TransEvent]
+    val stateful = StatefulTransitions(ev).toDF()
+      .groupBy("from_type", "to_type").agg(count("*").as("n"))
+    val windowed = graft.operators.EventFlows.eventTransitions(spark, Sf)
+      .select("from_type", "to_type", "n")
+    assert(stateful.join(windowed, Seq("from_type", "to_type"), "full_outer")
+      .where(!(stateful("n") <=> windowed("n")))
+      .count() == 0, "stateful and windowed pair counts must agree exactly")
+  }
+
+  test("streaming transitions pair across triggers via carried state") {
+    import spark.implicits._
+    import graft.streaming.{StatefulTransitions, TransEvent}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TransEvent]
+    val q = StatefulTransitions(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    try {
+      // trigger 1: out-of-arrival-order within the trigger — the local
+      // (ts, event_id) sort must pair view->click, not click->view
+      mem.addData(
+        TransEvent(1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+        TransEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      val b1 = spark.table("trans_test").collect()
+      assert(b1.length == 1 && b1(0).getString(1) == "view" &&
+        b1(0).getString(2) == "click",
+        s"intra-trigger pairs follow (ts, event_id) order: ${b1.mkString(";")}")
+      // trigger 2: the cross-trigger pair rides the carried state
+      mem.addData(TransEvent(1L, ts("2024-01-01 10:10:00"), 3L, "purchase"))
+      q.processAllAvailable()
+      val b2 = spark.table("trans_test").collect()
+      assert(b2.length == 2 && b2.exists(r =>
+        r.getString(1) == "click" && r.getString(2) == "purchase"),
+        s"carried state pairs the first event of the next trigger: ${b2.mkString(";")}")
+    } finally q.stop()
+  }
 }

@@ -229,6 +229,32 @@ class VectorSpec extends AnyFunSuite {
     assert(NearDup.ngramJaccard(spark, Sf).count() == nDocs)
   }
 
+  test("embedding outliers rank a planted far point first") {
+    import spark.implicits._
+    // two tight clusters around e1/e2 plus one far rogue point: the rogue
+    // must rank first with a ratio well above the in-cluster points
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val e1 = Array.fill(8)(1.0); val e2 = Array.fill(8)(-1.0)
+    // rogue at 3.0/dim: far enough to dominate the ratio, near enough
+    // that the k=2 fit attaches it to the e1 cluster rather than
+    // isolating it in a singleton bucket (the documented blind spot —
+    // splitting e1∪e2 would cost far more WSSQ than absorbing the rogue)
+    val rogue = Array.fill(8)(3.0)
+    val rows =
+      (1L to 20L).map(i => (i, jitter(e1).toSeq, 0L)) ++
+      (21L to 40L).map(i => (i, jitter(e2).toSeq, 1L)) :+ ((99L, rogue.toSeq, 0L))
+    val c = rows.toDF("vec_id", "emb", "label")
+    val out = Embeddings.embeddingOutliersFrom(c, k = 2, topN = 5).collect()
+    assert(out.head.getLong(0) == 99L,
+      s"the planted rogue must rank first: ${out.toSeq}")
+    assert(out.head.getDouble(3) > 2.0 * out(1).getDouble(3),
+      s"rogue ratio must dominate the runner-up: ${out.toSeq}")
+    // ratios are non-negative and the output is rank-ordered
+    assert(out.forall(_.getDouble(3) >= 0.0))
+    assert(out.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("connected components label planted clusters correctly") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
