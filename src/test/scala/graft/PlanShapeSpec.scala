@@ -140,4 +140,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"index side must be semi-filtered by the broadcast batch keys:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("tfidf top-k plans as a rank-limit, df as a window (no vocab join)") {
+    val p = plan("tfidf_keywords")
+    // partial top-5 per map task BEFORE the doc exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc top-k must plan as a rank-limit:\n$p")
+    // df must NOT be a join against a distinct-term relation (a
+    // vocab-sized broadcast is the toy-scale trap): the only join is the
+    // broadcast 1-row corpus count
+    assert(!p.contains("BroadcastHashJoin"),
+      s"df must come from a window over the tf relation, not a join:\n$p")
+  }
+
+  test("multi-reference plans collapse duplicate subtrees via AQE exchange reuse") {
+    // funnel/retention/PMI reference a shared relation more than once in
+    // the logical plan; the runtime must execute it once. This is a
+    // RUNTIME property (AQE reuse happens after stages materialize), so
+    // run the query and inspect the final adaptive plan.
+    Seq("bigram_pmi" -> 1, "retention_cohorts" -> 1, "funnel_steps" -> 2)
+      .foreach { case (name, minReuse) =>
+        val df = SparkEntry.queries(name)(spark, Sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        val n = "ReusedExchange".r.findAllIn(p).length
+        assert(n >= minReuse,
+          s"$name must reuse its duplicate subtree at runtime " +
+            s"(expected >= $minReuse ReusedExchange, got $n):\n${p.take(3000)}")
+      }
+  }
 }
