@@ -173,6 +173,10 @@ object SparkEntry {
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // — user-journey analytics —
     "funnel_steps"          -> ((s: SparkSession, d: String) => EventFlows.funnelSteps(s, d)),
+    // windowed parameter point: each hop must convert within 1 day —
+    // biting at sf0.01 (stage split 90/35/25 vs 0/0/150 unbounded)
+    "funnel_steps_1d"       -> ((s: SparkSession, d: String) =>
+      EventFlows.funnelSteps(s, d, withinDays = 1)),
     "retention_cohorts"     -> (EventFlows.retentionCohorts _),
     "event_transitions"     -> (EventFlows.eventTransitions _),
     // the streaming twin aggregated to the same relation — batch mode
@@ -1105,6 +1109,25 @@ object SparkEntry {
         |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
         |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // the 1-day-per-hop parameter point (stage split 90/35/25 at sf0.01)
+    "funnel_steps_1d" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 1 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 1 DAY GROUP BY 1)
         |SELECT s1.user_id, t1, t2, t3,
         |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
         |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -32,22 +32,32 @@ object EventFlows {
     * same CTE chain runs in DuckDB), unlike a per-user sorted scan.
     */
   def funnelSteps(spark: SparkSession, dir: String,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
-    funnelStepsFrom(Tables.events(spark, dir), stages)
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      withinDays: Int = 0): DataFrame =
+    funnelStepsFrom(Tables.events(spark, dir), stages, withinDays)
 
   private[graft] def funnelStepsFrom(events: DataFrame,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      withinDays: Int = 0): DataFrame = {
     require(stages.length == 3, "funnelSteps models a 3-stage funnel")
+    // `withinDays` > 0 bounds each hop: the next stage must land within
+    // that window of the previous stage's time (the product form of a
+    // funnel — "converted within a day", not "converted ever")
+    def hopOk(prev: Column): Column = {
+      val after = col("ts") > prev
+      if (withinDays <= 0) after
+      else after && col("ts") <= prev + expr(s"INTERVAL $withinDays DAYS")
+    }
     val ev = events
       .where(col("user_id").isNotNull && col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_type"), col("ts"))
     val s1 = ev.where(col("event_type") === stages(0))
       .groupBy("user_id").agg(min("ts").as("t1"))
     val s2 = ev.where(col("event_type") === stages(1))
-      .join(s1, "user_id").where(col("ts") > col("t1"))
+      .join(s1, "user_id").where(hopOk(col("t1")))
       .groupBy("user_id").agg(min("ts").as("t2"))
     val s3 = ev.where(col("event_type") === stages(2))
-      .join(s2, "user_id").where(col("ts") > col("t2"))
+      .join(s2, "user_id").where(hopOk(col("t2")))
       .groupBy("user_id").agg(min("ts").as("t3"))
     s1.join(s2, Seq("user_id"), "left")
       .join(s3, Seq("user_id"), "left")

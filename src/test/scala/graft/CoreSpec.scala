@@ -225,6 +225,18 @@ class CoreSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L),
       s"strict-order stages and funnel-entry filter: $out")
+    // the windowed form: a click 2 days after the view converts in the
+    // unbounded funnel but NOT within a 1-day hop window
+    val late = Seq(
+      (11L, 9L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (12L, 9L, "click", Timestamp.valueOf("2024-01-03 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val unbounded = graft.operators.EventFlows.funnelStepsFrom(late)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val windowed = graft.operators.EventFlows.funnelStepsFrom(late, withinDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(unbounded == Map(9L -> 2L) && windowed == Map(9L -> 1L),
+      s"1-day hop window must reject the late click: $unbounded vs $windowed")
   }
 
   test("retention cohorts: offset-0 is the full cohort, retention never exceeds 1") {
