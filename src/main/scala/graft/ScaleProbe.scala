@@ -160,7 +160,17 @@ object ScaleProbe {
     def incrDisk(idx: String): DataFrame =
       graft.operators.NearDup.dedupIncrementalAgainst(spark, idx, tinyBatch)
 
+    // tf-idf: two linear pair-relation shuffles + rank-limit window; the
+    // df window and top-k must not hide a super-linear stage
+    def tfidf(df: DataFrame): DataFrame =
+      graft.operators.Corpus.tfidfKeywordsFrom(df)
+    // transition pairs: one user-partition window + |types|² groupBy
+    def trans(df: DataFrame): DataFrame =
+      graft.operators.EventFlows.eventTransitionsFrom(df)
+
     val r = Seq(
+      ("tfidf", time("tfidf 1x")(tfidf(doc1)), time(s"tfidf ${factor}x")(tfidf(docN))),
+      ("transitions", time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
       ("incr_durable", time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),

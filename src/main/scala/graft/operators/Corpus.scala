@@ -466,8 +466,11 @@ object Corpus {
     * Ranking uses the ROUNDED score so the tie order is engine-invariant
     * (an unrounded double tie could rank differently than its rounded
     * oracle twin); (score desc, term) is a total order within a doc. */
-  def tfidfKeywords(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
-    val docs = Tables.documents(spark, dir).where(col("text").isNotNull)
+  def tfidfKeywords(spark: SparkSession, dir: String, topK: Int = 5): DataFrame =
+    tfidfKeywordsFrom(Tables.documents(spark, dir), topK)
+
+  private[graft] def tfidfKeywordsFrom(documents: DataFrame, topK: Int = 5): DataFrame = {
+    val docs = documents.where(col("text").isNotNull)
     val tf = docs
       .select(col("doc_id"),
         explode(TextFns.wsTokens(lower(col("text")))).as("term"))

@@ -109,10 +109,13 @@ object EventFlows {
     * relation; the row-probability denominator is a window over that tiny
     * relation. Linear at any corpus size.
     */
-  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsFrom(Tables.events(spark, dir))
+
+  private[graft] def eventTransitionsFrom(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .where(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(col("event_type").as("from_type"),
         lead(col("event_type"), 1).over(byUser).as("to_type"))
