@@ -476,16 +476,18 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
 
+    // missing level/namespace -> the "unknown" bucket, mirroring the
+    // reference's Counter(e.get(attr, "unknown")) (app.py:28-33)
     "metrics_by_level" ->
-      """SELECT event_type AS level, count(*) AS n_events,
-        |       CASE WHEN event_type = 'error' THEN 3
-        |            WHEN event_type = 'purchase' THEN 2
-        |            WHEN event_type = 'signup' THEN 1
+      """SELECT coalesce(event_type, 'unknown') AS level, count(*) AS n_events,
+        |       CASE WHEN coalesce(event_type, 'unknown') = 'error' THEN 3
+        |            WHEN coalesce(event_type, 'unknown') = 'purchase' THEN 2
+        |            WHEN coalesce(event_type, 'unknown') = 'signup' THEN 1
         |            ELSE 0 END AS severity
         |FROM events GROUP BY 1""".stripMargin,
 
     "metrics_by_namespace" ->
-      """SELECT source AS namespace, count(*) AS n_docs,
+      """SELECT coalesce(source, 'unknown') AS namespace, count(*) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
 

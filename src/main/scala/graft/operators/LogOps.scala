@@ -257,10 +257,13 @@ object LogOps {
         (sum(v).cast("double") / count("*")).as("avg_value"))
   }
 
-  /** Counts by level with a severity rank (app.py:32-33). */
+  /** Counts by level with a severity rank (app.py:32-33). A missing
+    * level surfaces as the "unknown" bucket, exactly the reference's
+    * `Counter(e.get("level", "unknown"))` — a NULL group row would be
+    * invisible on the dashboard chart; "unknown" is a bar. */
   def metricsByLevel(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(col("event_type").as("level"))
+      .groupBy(coalesce(col("event_type"), lit("unknown")).as("level"))
       .agg(count("*").as("n_events"))
       .withColumn("severity",
         when(col("level") === "error", 3)
@@ -268,10 +271,11 @@ object LogOps {
           .when(col("level") === "signup", 1)
           .otherwise(0))
 
-  /** Counts by namespace (app.py:30-31; documents.source stands in). */
+  /** Counts by namespace (app.py:30-31; documents.source stands in).
+    * Missing namespace → "unknown", per app.py:30's Counter default. */
   def metricsByNamespace(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("source").as("namespace"))
+      .groupBy(coalesce(col("source"), lit("unknown")).as("namespace"))
       .agg(count("*").as("n_docs"),
         round(avg("n_chars"), 4).as("avg_chars"))
 
