@@ -44,6 +44,12 @@ object SparkEntry {
       LogOps.anomalySpikes(s, d, sigma = 1.5)),
     "metrics_by_level"      -> (LogOps.metricsByLevel _),
     "metrics_by_namespace"  -> (LogOps.metricsByNamespace _),
+    // drill-down totals, pivot matrix, smoothed trend — the three
+    // dashboard relations the per-attribute Counters can't serve
+    "metrics_rollup"        -> (LogOps.metricsRollup _),
+    "events_pivot"          -> (LogOps.eventsPivot _),
+    "metrics_moving_avg"    -> ((s: SparkSession, d: String) =>
+      LogOps.metricsMovingAvg(s, d)),
     "search_keyword"        -> (LogOps.searchKeyword _),
     "log_templates"         -> (LogOps.logTemplates _),
     // empty on the synthetic corpus by design (every template shape spans
@@ -469,6 +475,49 @@ object SparkEntry {
         |  FROM b WHERE d0 IS NOT NULL)
         |SELECT d.day, coalesce(c.n_incidents, 0) AS n_incidents
         |FROM d LEFT JOIN c USING (day)""".stripMargin,
+
+    // grouping inputs pre-coalesced to 'unknown' on both sides, so a
+    // NULL after ROLLUP can only be a subtotal marker -> 'ALL'
+    "metrics_rollup" ->
+      """WITH e AS (
+        |  SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'unknown') AS day,
+        |         coalesce(event_type, 'unknown') AS level
+        |  FROM events)
+        |SELECT coalesce(day, 'ALL') AS day, coalesce(level, 'ALL') AS level,
+        |       count(*) AS n_events
+        |FROM e GROUP BY ROLLUP(day, level)""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE coalesce(event_type, 'unknown') = 'click')    AS n_click,
+        |  count(*) FILTER (WHERE coalesce(event_type, 'unknown') = 'error')    AS n_error,
+        |  count(*) FILTER (WHERE coalesce(event_type, 'unknown') = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE coalesce(event_type, 'unknown') = 'signup')   AS n_signup,
+        |  count(*) FILTER (WHERE coalesce(event_type, 'unknown') = 'view')     AS n_view,
+        |  count(*) FILTER (WHERE coalesce(event_type, 'unknown') = 'unknown')  AS n_unknown
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // the filled-timeline CTE chain (metrics_timeline_filled) + one
+    // trailing-7-row window; avg of BIGINT is DOUBLE in both engines
+    "metrics_moving_avg" ->
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |d AS (
+        |  SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+        |                  '%Y-%m-%d') AS day
+        |  FROM b WHERE d0 IS NOT NULL),
+        |f AS (
+        |  SELECT d.day, coalesce(c.n_incidents, 0) AS n_incidents
+        |  FROM d LEFT JOIN c USING (day))
+        |SELECT day, n_incidents,
+        |       round(avg(n_incidents) OVER (
+        |         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+        |         AS avg_7d
+        |FROM f""".stripMargin,
 
     "metrics_by_service" ->
       """SELECT user_id AS service_id, count(*) AS n_events,

@@ -508,4 +508,75 @@ object LogOps {
         graft.functions.TextFns.redactSecrets(col("props"))))
     slackAssemble(spark, dir, line)
   }
+
+  /** Drill-down dashboard totals: the (day × level) counts PLUS per-day
+    * subtotals and the grand total in ONE pass — the ROLLUP relation a
+    * drill-down UI pages through without issuing three queries (the
+    * reference dashboard recomputes each level with separate Counters,
+    * app.py:20-33; at 100 TB three passes over the fact table is the
+    * difference that matters). Spark's `rollup` expands to grouping sets
+    * INSIDE a single aggregate: map-side partial combine still applies
+    * and there is exactly one shuffle regardless of grouping depth. The
+    * grouping inputs are pre-coalesced to "unknown", so a post-rollup
+    * NULL can only be a subtotal marker — rendered 'ALL', matching the
+    * SQL ROLLUP oracle cell for cell. */
+  def metricsRollup(spark: SparkSession, dir: String): DataFrame =
+    metricsRollupFrom(Tables.events(spark, dir))
+
+  private[graft] def metricsRollupFrom(events: DataFrame): DataFrame =
+    events
+      .select(
+        coalesce(date_format(col("ts"), "yyyy-MM-dd"), lit("unknown")).as("day"),
+        coalesce(col("event_type"), lit("unknown")).as("level"))
+      .rollup(col("day"), col("level"))
+      .agg(count("*").as("n_events"))
+      .select(
+        coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("level"), lit("ALL")).as("level"),
+        col("n_events"))
+
+  /** Day × event-type pivot matrix — the dashboard's stacked-bar data as
+    * one row per day with one count column per KNOWN level. The pivot
+    * value list is ENUMERATED, which is the scale-defining choice: Spark
+    * then plans a single map-side-combined aggregate (no distinct-scan
+    * to discover columns, no second shuffle), and the output schema is
+    * fixed — a pivot over an unbounded value domain is a schema
+    * explosion waiting for the first weird value. An absent (day, level)
+    * cell is an explicit 0, same as the oracle's FILTERed counts. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    eventsPivotFrom(Tables.events(spark, dir))
+
+  private[graft] val PivotLevels =
+    Seq("click", "error", "purchase", "signup", "view", "unknown")
+
+  private[graft] def eventsPivotFrom(events: DataFrame): DataFrame =
+    events
+      .where(col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        coalesce(col("event_type"), lit("unknown")).as("level"))
+      .groupBy(col("day"))
+      .pivot("level", PivotLevels)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        PivotLevels.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  /** Trailing k-day moving average over the gap-filled timeline
+    * ([[metricsTimelineFilled]]) — the dashboard's smoothed trend line.
+    * Gap-filling FIRST is the semantic point: a day with zero incidents
+    * must pull the average down as a 0, not silently shrink the window.
+    * The window is unpartitioned ORDER BY day, which is safe here and
+    * only here: it runs on the already-aggregated day-cardinality
+    * relation (a few thousand rows for a decade of data), never on raw
+    * events. rowsBetween is exact because the filled timeline carries
+    * every day exactly once. */
+  def metricsMovingAvg(spark: SparkSession, dir: String, days: Int = 7): DataFrame =
+    metricsMovingAvgFrom(Tables.events(spark, dir), days)
+
+  private[graft] def metricsMovingAvgFrom(events: DataFrame, days: Int = 7): DataFrame = {
+    require(days >= 1, s"window must span at least one day: $days")
+    val w = Window.orderBy(col("day")).rowsBetween(-(days - 1), Window.currentRow)
+    metricsTimelineFilledFrom(events)
+      .select(col("day"), col("n_incidents"),
+        round(avg(col("n_incidents")).over(w), 4).as(s"avg_${days}d"))
+  }
 }

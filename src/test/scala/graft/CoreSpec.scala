@@ -320,6 +320,54 @@ class CoreSpec extends AnyFunSuite {
       s"gap day must surface as zero: $out")
   }
 
+  test("rollup emits leaf counts, day subtotals, and a grand total that agree") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (t("2024-03-01 10:00:00"), "error"), (t("2024-03-01 11:00:00"), "error"),
+      (t("2024-03-01 12:00:00"), "click"), (t("2024-03-02 09:00:00"), null))
+      .toDF("ts", "event_type")
+    val out = graft.operators.LogOps.metricsRollupFrom(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-03-01", "error")) == 2L && out(("2024-03-01", "click")) == 1L)
+    assert(out(("2024-03-02", "unknown")) == 1L, "NULL level lands in the unknown bucket")
+    assert(out(("2024-03-01", "ALL")) == 3L && out(("2024-03-02", "ALL")) == 1L,
+      "per-day subtotals must sum their leaves")
+    assert(out(("ALL", "ALL")) == 4L, "grand total row")
+    assert(out.size == 3 + 2 + 1, s"leaves + day subtotals + grand total only: $out")
+  }
+
+  test("pivot matrix zero-fills absent cells and buckets NULL type as unknown") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (t("2024-03-01 10:00:00"), "click"), (t("2024-03-01 11:00:00"), "click"),
+      (t("2024-03-01 12:00:00"), null), (t("2024-03-02 09:00:00"), "error"))
+      .toDF("ts", "event_type")
+    val out = graft.operators.LogOps.eventsPivotFrom(ev)
+      .collect().map(r => r.getString(0) ->
+        graft.operators.LogOps.PivotLevels.zipWithIndex
+          .map { case (l, i) => l -> r.getLong(i + 1) }.toMap).toMap
+    assert(out("2024-03-01") ==
+      Map("click" -> 2L, "error" -> 0L, "purchase" -> 0L, "signup" -> 0L,
+        "view" -> 0L, "unknown" -> 1L), out("2024-03-01").toString)
+    assert(out("2024-03-02")("error") == 1L && out("2024-03-02")("click") == 0L)
+  }
+
+  test("moving average counts a gap day as zero, not a shorter window") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // days: 4, (gap=0), 2 incidents -> 3-day trailing avgs 4.0, 2.0, 2.0
+    val ev = ((1 to 4).map(i => (i.toLong, t(s"2024-03-01 0$i:00:00"))) ++
+      Seq((9L, t("2024-03-03 09:00:00")), (10L, t("2024-03-03 10:00:00"))))
+      .toDF("event_id", "ts")
+    val out = graft.operators.LogOps.metricsMovingAvgFrom(ev, days = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("2024-03-01") == ((4L, 4.0)))
+    assert(out("2024-03-02") == ((0L, 2.0)), "gap day must enter as an explicit 0")
+    assert(out("2024-03-03") == ((2L, 2.0)), s"window spans the zero day: $out")
+  }
+
   test("skew_profile ranks the heaviest key first with the right skew factor") {
     import spark.implicits._
     // key "hot" holds 6 of 10 rows over 5 distinct keys: skew = 6*5/10 = 3
