@@ -11,10 +11,16 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "8")
+      // UTC pin matches the PlanShapeSpec/Bench sessions, so an eyeball
+      // dump never disagrees with a pinned plan over timezone casts
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- args) {
+    // no args → all queries (alphabetical), not a silent empty run
+    val names = if (args.nonEmpty) args.toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
       val df = SparkEntry.queries(q)(spark, sf)
       val initial = df.queryExecution.executedPlan.toString
       df.collect()

@@ -185,7 +185,7 @@ object ScaleProbe {
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }
-    Seq(corpus1, corpusN, batch).foreach(_.unpersist())
+    Seq(corpus1, corpusN, batch, tinyBatch).foreach(_.unpersist())
     spark.stop()
   }
 }

@@ -195,11 +195,8 @@ object SparkEntry {
         .where(col("user_id").isNotNull && col("event_type").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .as[graft.streaming.TransEvent]
-      graft.streaming.StatefulTransitions(ev).toDF()
-        .groupBy("from_type", "to_type").agg(count("*").as("n"))
-        .withColumn("p", round(col("n").cast("double") /
-          sum("n").over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("from_type"))).cast("double"), 6))
+      EventFlows.transitionProbabilities(
+        graft.streaming.StatefulTransitions(ev).toDF())
     })
   )
 
@@ -1216,7 +1213,8 @@ object SparkEntry {
     """WITH p AS (
       |  SELECT event_type AS from_type,
       |         lead(event_type) OVER (PARTITION BY user_id
-      |                                ORDER BY ts, event_id) AS to_type
+      |                                ORDER BY ts NULLS FIRST,
+      |                                         event_id NULLS FIRST) AS to_type
       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
       |c AS (
       |  SELECT from_type, to_type, count(*) AS n FROM p

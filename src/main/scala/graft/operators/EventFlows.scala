@@ -113,15 +113,24 @@ object EventFlows {
     eventTransitionsFrom(Tables.events(spark, dir))
 
   private[graft] def eventTransitionsFrom(events: DataFrame): DataFrame = {
+    // asc_nulls_first is Spark's default; spelled out because the oracle
+    // pins NULLS FIRST and the stateful twin mirrors it with a sentinel
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    events
+      .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+    transitionProbabilities(events
       .where(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(col("event_type").as("from_type"),
         lead(col("event_type"), 1).over(byUser).as("to_type"))
-      .where(col("to_type").isNotNull)
+      .where(col("to_type").isNotNull))
+  }
+
+  /** (from_type, to_type) pairs → counts + conditional probabilities.
+    * Shared by the window plan above and the stateful twin's entry
+    * (SparkEntry `event_transitions_stateful`): both twins answer to ONE
+    * oracle, so the aggregation they share must be one piece of code. */
+  private[graft] def transitionProbabilities(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("from_type", "to_type").agg(count("*").as("n"))
       .withColumn("p", round(col("n").cast("double") /
         sum("n").over(Window.partitionBy(col("from_type"))).cast("double"), 6))
-  }
 }

@@ -117,12 +117,20 @@ object LogOps {
   def logTemplates(spark: SparkSession, dir: String): DataFrame =
     logTemplatesFrom(Tables.events(spark, dir))
 
+  /** Message → template: mask hex runs FIRST (they contain digits), then
+    * number runs. THE template-shape definition — the batch trilogy
+    * (logTemplates / templateNovelty / templateTrending) and the
+    * streaming first-seen trigger all normalize through this one column,
+    * so a tuning here cannot desynchronize the four plans. (The SQL
+    * oracles carry the same two regexes by construction.) */
+  private[graft] def templateCol(msg: Column): Column =
+    regexp_replace(
+      regexp_replace(msg, "[0-9a-f]{8,}", "<hex>"), "[0-9]+", "<num>")
+
   private[graft] def logTemplatesFrom(events: DataFrame): DataFrame =
     events
       .select(col("event_type").as("level"), col("event_id"),
-        regexp_replace(
-          regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
-          "[0-9]+", "<num>").as("template"))
+        templateCol(col("props")).as("template"))
       .groupBy(col("level"), col("template"))
       .agg(count("*").as("n_events"), min(col("event_id")).as("first_event_id"))
 
@@ -143,9 +151,7 @@ object LogOps {
       splitTs: String): DataFrame = {
     val templated = events.select(
       col("event_type").as("level"), col("event_id"), col("ts"),
-      regexp_replace(
-        regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
-        "[0-9]+", "<num>").as("template"))
+      templateCol(col("props")).as("template"))
     val split = lit(splitTs).cast("timestamp")
     val recent = templated.where(col("ts") >= split)
       .groupBy(col("level"), col("template"))
@@ -181,9 +187,7 @@ object LogOps {
       splitTs: String, topN: Int): DataFrame = {
     val templated = events.select(
       col("event_type").as("level"), col("ts"),
-      regexp_replace(
-        regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
-        "[0-9]+", "<num>").as("template"))
+      templateCol(col("props")).as("template"))
     val split = lit(splitTs).cast("timestamp")
     val recent = templated.where(col("ts") >= split)
       .groupBy(col("level"), col("template")).agg(count("*").as("n_recent"))

@@ -347,14 +347,30 @@ object NearDup {
 
   /** Same writer over an arbitrary (id, sig, keys) signature relation —
     * the entry point when the corpus isn't the standard documents table
-    * (a streaming sink's accumulated state, a replicated scale probe). */
+    * (a streaming sink's accumulated state, a replicated scale probe).
+    *
+    * The index is TWO relations that must stay consistent as a pair
+    * (`docs` for verification, `keys` for candidate probing): both are
+    * written into one tmp directory, marked complete with a root-level
+    * _SUCCESS (the sub-stores' own markers only cover themselves), and
+    * promoted with the same rename-aside swap every other durable store
+    * here uses — a crash mid-write leaves either the old complete index
+    * or the new complete index, never new docs over old keys. */
   def writeSignatureIndexFrom(base: DataFrame, indexPath: String): Unit = {
+    val spark = base.sparkSession
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__index_tmp")
+    graft.sources.IO.recoverStore(fs, p, tmp) // heal a crashed write first
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     base.select(col("id"), col("sig"))
-      .write.mode("overwrite").parquet(s"$indexPath/docs")
+      .write.mode("overwrite").parquet(s"$tmp/docs")
     base.select(col("id"), explode(col("keys")).as("key"))
       .withColumn("kb", pmod(col("key"), lit(IndexBuckets.toLong)))
       .repartition(col("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$indexPath/keys")
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$tmp/keys")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    graft.sources.IO.swapInto(fs, tmp, p)
   }
 
   /** The increment's key-index scan: partition-pruned to the buckets the
@@ -381,19 +397,29 @@ object NearDup {
   def dedupIncrementalAgainst(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, thr: Double = 0.8): DataFrame = {
     val sh = wordShingles(col("text"), 3)
-    // eager localCheckpoint: the signature kernels — the batch's dominant
+    // eager persist: the signature kernels — the batch's dominant
     // compute — run ONCE here, not once for the touched-bucket collect
     // and again for the scoring plan ("batch pays one kernel pass" is the
-    // contract). Increment-sized block storage, freed on GC like the
-    // cluster iteration's checkpoints.
+    // contract). persist, NOT localCheckpoint: checkpoint blocks are
+    // unreplicated and lineage-free, so one preempted executor would fail
+    // the whole increment — with persist a lost partition recomputes from
+    // lineage. Increment-sized block storage, freed by the ContextCleaner
+    // on GC like the cluster iteration's checkpoints.
     val batch = newDocs
       .where(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         minhashSig(sh, 128).as("sig"),
         minhashBandKeys(sh, 32, 4).as("keys"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count() // materialize while the plan is this narrow
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed writeSignatureIndex swap BEFORE deciding on layout:
+    // a complete tmp promotes, a set-aside old restores — the docs/keys
+    // pair this read sees is always one consistent index generation
+    graft.sources.IO.recoverStore(fs, root,
+      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
     val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
-    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(docsPath))
       dedupIncrementalKeyed(batch,
         prunedKeyIndex(spark, indexPath, batch),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{col, date_format, regexp_replace}
+import org.apache.spark.sql.functions.{col, date_format}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** All fields Option/primitive per the SessEvent nullability note. */
@@ -36,9 +36,7 @@ object StatefulTemplates {
     import events.sparkSession.implicits._
     events.select(
       col("event_type").as("level"),
-      regexp_replace(
-        regexp_replace(col("props"), "[0-9a-f]{8,}", "<hex>"),
-        "[0-9]+", "<num>").as("template"),
+      graft.operators.LogOps.templateCol(col("props")).as("template"),
       col("event_id"),
       date_format(col("ts"), "yyyy-MM-dd").as("day")).as[TemplEvent]
   }

@@ -8,10 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Caller contract: rows are pre-filtered to non-NULL user_id/event_type
   * (the batch twin [[graft.operators.EventFlows.eventTransitions]] applies
-  * the same predicate), so plain non-Option fields are safe against the
-  * encoder's NOT_NULL assert. */
-case class TransEvent(user_id: Long, ts: Timestamp, event_id: Long,
-    event_type: String)
+  * the same predicate). ts and event_id stay Options: the batch window
+  * ORDERS BY them but does not filter them, so a NULL-ts row must form
+  * pairs here too — it sorts FIRST (the pinned NULLS FIRST order of the
+  * window plan and the oracle), via the Long.MinValue sentinel. */
+case class TransEvent(user_id: Long, ts: Option[Timestamp],
+    event_id: Option[Long], event_type: String)
 
 case class TransState(lastUs: Long, lastId: Long, lastType: String)
 
@@ -27,16 +29,24 @@ case class TransPair(user_id: Long, from_type: String, to_type: String)
   * deliberate (the StatefulTemplates argument): a user returning after
   * any silence still forms a pair with their previous event; expiring the
   * state would silently drop that edge. Within a trigger, events sort
-  * locally by (ts, event_id) — the same total order the batch window
-  * uses — so intra-trigger pairs agree with lead(); cross-trigger pairs
-  * ride the carried state. Late events older than the carried state
-  * cannot be re-ordered retroactively (the stateful-sessionize caveat):
-  * the window plan is the batch path of record, and batch mode here sees
-  * each user whole so it reproduces lead() exactly — which is how the
-  * SAME DuckDB oracle checks both twins value-for-value.
+  * locally by (ts, event_id) with NULLs first — the same total order the
+  * batch window uses — so intra-trigger pairs agree with lead();
+  * cross-trigger pairs ride the carried state. Late events older than the
+  * carried state cannot be re-ordered retroactively (the
+  * stateful-sessionize caveat): the window plan is the batch path of
+  * record, and batch mode here sees each user whole so it reproduces
+  * lead() exactly — which is how the SAME DuckDB oracle checks both
+  * twins value-for-value.
   */
 object StatefulTransitions {
   import StatefulSessionize.tsToUs
+
+  /** NULLS FIRST as a sort key: a NULL ts/event_id sorts before every
+    * real value, exactly like the batch window's default ascending order
+    * (and the oracle's pinned NULLS FIRST). */
+  private def sortKey(e: TransEvent): (Long, Long) =
+    (e.ts.map(tsToUs).getOrElse(Long.MinValue),
+      e.event_id.getOrElse(Long.MinValue))
 
   def apply(events: Dataset[TransEvent]): Dataset[TransPair] = {
     import events.sparkSession.implicits._
@@ -46,9 +56,10 @@ object StatefulTransitions {
         (uid: Long, it: Iterator[TransEvent], state: GroupState[TransState]) =>
           val out = ArrayBuffer.empty[TransPair]
           var cur = state.getOption
-          it.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id)).foreach { e =>
+          it.toSeq.sortBy(sortKey).foreach { e =>
+            val (us, id) = sortKey(e)
             cur.foreach(s => out += TransPair(uid, s.lastType, e.event_type))
-            cur = Some(TransState(tsToUs(e.ts), e.event_id, e.event_type))
+            cur = Some(TransState(us, id, e.event_type))
           }
           cur.foreach(state.update)
           out.iterator

@@ -196,6 +196,48 @@ class SignatureLawsSpec extends AnyFunSuite {
       s"pruned read ($filesRead) must beat the flat layout ($totalFiles)")
   }
 
+  test("signature index write is atomic: a crashed swap never splits the pair") {
+    import spark.implicits._
+    val idx = "/tmp/graft_sig_index_crash"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(idx)).deleteRecursively()
+    def sigs(rows: Seq[(Long, String)]) = {
+      val sh = graft.operators.NearDup.wordShingles(col("text"), 3)
+      rows.toDF("doc_id", "text").select(col("doc_id").as("id"),
+        graft.operators.NearDup.minhashSig(sh, 128).as("sig"),
+        graft.operators.NearDup.minhashBandKeys(sh, 32, 4).as("keys"))
+    }
+    val v1 = sigs(Seq(1L -> (1 to 40).map(i => s"aa$i").mkString(" ")))
+    graft.operators.NearDup.writeSignatureIndexFrom(v1, idx)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state: mid-swap — v2 tmp is COMPLETE (root _SUCCESS), the
+    // live index was already set aside. The next increment must heal to
+    // v2, not probe v1 keys against v2 docs or die on a missing path.
+    val v2 = sigs(Seq(2L -> (1 to 40).map(i => s"bb$i").mkString(" ")))
+    graft.operators.NearDup.writeSignatureIndexFrom(v2, idx + "_stage")
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "__swap_old"))
+    fs.rename(new org.apache.hadoop.fs.Path(idx + "_stage"),
+      new org.apache.hadoop.fs.Path(idx + "__index_tmp"))
+    val batch = Seq((900003L, (1 to 40).map(i => s"bb$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.NearDup
+      .dedupIncrementalAgainst(spark, idx, batch, thr = 0.7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(900003L).getBoolean(4) && out(900003L).getLong(2) == 2L,
+      s"healed index must be the complete v2 pair: ${out(900003L)}")
+    // crash state: mid-tmp-write — partial tmp (no root _SUCCESS) must be
+    // dropped and the live index served untouched
+    val tmp2 = new org.apache.hadoop.fs.Path(idx + "__index_tmp")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp2, "docs"))
+    val out2 = graft.operators.NearDup
+      .dedupIncrementalAgainst(spark, idx, batch, thr = 0.7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(900003L).getBoolean(4), s"live index survives: ${out2(900003L)}")
+    assert(!fs.exists(tmp2), "partial tmp debris must be cleaned")
+  }
+
   test("bucket index is the exact upper-bound count, monotone, NaN-last") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val r = rng(11)

@@ -315,6 +315,28 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       .count() == 0, "stateful and windowed pair counts must agree exactly")
   }
 
+  test("transitions twins agree on NULL ts: it sorts first in both plans") {
+    import spark.implicits._
+    import graft.streaming.{StatefulTransitions, TransEvent}
+    // a NULL-ts event is not filtered by either twin — the window orders
+    // it first (Spark's nulls-first default, pinned in the oracle); the
+    // stateful sort key mirrors that with a Long.MinValue sentinel
+    val ev = Seq(
+      TransEvent(1L, None, Some(5L), "signup"),
+      TransEvent(1L, Some(Timestamp.valueOf("2024-01-01 10:00:00")), Some(1L), "view"),
+      TransEvent(1L, Some(Timestamp.valueOf("2024-01-01 10:05:00")), None, "click"))
+    val stateful = StatefulTransitions(ev.toDS()).toDF()
+      .select("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stateful == Set("signup" -> "view", "view" -> "click"),
+      s"NULL ts pairs first, NULL event_id tolerated: $stateful")
+    val windowed = graft.operators.EventFlows.eventTransitionsFrom(
+      ev.toDF("user_id", "ts", "event_id", "event_type"))
+      .select("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(windowed == stateful, s"twins must agree: $windowed vs $stateful")
+  }
+
   test("streaming transitions pair across triggers via carried state") {
     import spark.implicits._
     import graft.streaming.{StatefulTransitions, TransEvent}
@@ -329,15 +351,15 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       // trigger 1: out-of-arrival-order within the trigger — the local
       // (ts, event_id) sort must pair view->click, not click->view
       mem.addData(
-        TransEvent(1L, ts("2024-01-01 10:05:00"), 2L, "click"),
-        TransEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view"))
+        TransEvent(1L, Some(ts("2024-01-01 10:05:00")), Some(2L), "click"),
+        TransEvent(1L, Some(ts("2024-01-01 10:00:00")), Some(1L), "view"))
       q.processAllAvailable()
       val b1 = spark.table("trans_test").collect()
       assert(b1.length == 1 && b1(0).getString(1) == "view" &&
         b1(0).getString(2) == "click",
         s"intra-trigger pairs follow (ts, event_id) order: ${b1.mkString(";")}")
       // trigger 2: the cross-trigger pair rides the carried state
-      mem.addData(TransEvent(1L, ts("2024-01-01 10:10:00"), 3L, "purchase"))
+      mem.addData(TransEvent(1L, Some(ts("2024-01-01 10:10:00")), Some(3L), "purchase"))
       q.processAllAvailable()
       val b2 = spark.table("trans_test").collect()
       assert(b2.length == 2 && b2.exists(r =>
