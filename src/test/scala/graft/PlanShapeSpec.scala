@@ -117,6 +117,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one shuffle (plus AQE read) is the whole cost:\n$p")
   }
 
+  test("rollup plans grouping sets in one aggregate, not three passes") {
+    val p = plan("metrics_rollup")
+    assert(p.contains("Expand"), s"rollup must expand grouping sets inline:\n$p")
+    assert(p.contains("partial_count"), s"rollup must map-side combine:\n$p")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      s"subtotals must not re-scan the fact table:\n$p")
+  }
+
+  test("events_pivot aggregates map-side; the pivot stage sees only (day,level) rows") {
+    val p = plan("events_pivot")
+    assert(p.contains("pivotfirst"), s"enumerated pivot must plan pivotfirst:\n$p")
+    assert(p.contains("partial_count"),
+      s"the (day, level) pre-aggregate must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"no distinct-scan join to discover columns:\n$p")
+  }
+
+  test("moving average windows the day relation, never the raw events") {
+    val p = plan("metrics_moving_avg")
+    assert(p.contains("specifiedwindowframe(RowFrame, -6, currentrow"),
+      s"trailing 7-row frame over the filled timeline:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"day-domain gap-fill join must broadcast:\n$p")
+    // the unpartitioned window's input is the day-cardinality relation,
+    // already one partition from the 2-value min/max agg — its sort must
+    // be LOCAL (global=false). A global sort would mean the window slid
+    // down onto the event stream.
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
+      s"no global sort anywhere in the moving-average plan:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
