@@ -474,7 +474,11 @@ object SparkEntry {
         |FROM d LEFT JOIN c USING (day)""".stripMargin,
 
     // grouping inputs pre-coalesced to 'unknown' on both sides, so a
-    // NULL after ROLLUP can only be a subtotal marker -> 'ALL'
+    // NULL after ROLLUP can only be a subtotal marker -> 'ALL'. HAVING
+    // pins the EMPTY-input contract to Spark's grouping-sets semantics
+    // (0 rows): standard SQL ROLLUP emits a grand-total-zero row on an
+    // empty table, Spark's Expand+aggregate emits nothing — the filter
+    // only ever bites that one row (every non-empty group counts >= 1)
     "metrics_rollup" ->
       """WITH e AS (
         |  SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'unknown') AS day,
@@ -482,7 +486,8 @@ object SparkEntry {
         |  FROM events)
         |SELECT coalesce(day, 'ALL') AS day, coalesce(level, 'ALL') AS level,
         |       count(*) AS n_events
-        |FROM e GROUP BY ROLLUP(day, level)""".stripMargin,
+        |FROM e GROUP BY ROLLUP(day, level)
+        |HAVING count(*) > 0""".stripMargin,
 
     "events_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -523,7 +523,10 @@ object LogOps {
     * and there is exactly one shuffle regardless of grouping depth. The
     * grouping inputs are pre-coalesced to "unknown", so a post-rollup
     * NULL can only be a subtotal marker — rendered 'ALL', matching the
-    * SQL ROLLUP oracle cell for cell. */
+    * SQL ROLLUP oracle cell for cell. Empty-input contract: an empty
+    * store yields an EMPTY drill-down (Spark grouping-sets semantics;
+    * standard SQL would emit one grand-total-zero row — the oracle pins
+    * Spark's behavior with a HAVING that only that row can fail). */
   def metricsRollup(spark: SparkSession, dir: String): DataFrame =
     metricsRollupFrom(Tables.events(spark, dir))
 
