@@ -177,6 +177,9 @@ object SparkEntry {
     "bigram_pmi"            -> ((s: SparkSession, d: String) => Corpus.bigramPmi(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
+    // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
+    // docs); the planted-boilerplate spec drives the multi-line case
+    "dedup_lines"           -> ((s: SparkSession, d: String) => TextOps.dedupLines(s, d)),
     // — user-journey analytics —
     "funnel_steps"          -> ((s: SparkSession, d: String) => EventFlows.funnelSteps(s, d)),
     // windowed parameter point: each hop must convert within 1 day —
@@ -1147,6 +1150,35 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY md5(text)
         |HAVING count(DISTINCT source) > 1""".stripMargin,
+
+    // corpus-level boilerplate removal: a trimmed line in > 2 distinct
+    // docs is removed everywhere; empty lines are structure and survive;
+    // ordered reassembly via string_agg ORDER BY = sort_array(collect)
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        |  FROM d),
+        |lk AS (SELECT doc_id, idx, line, trim(line) AS key FROM l),
+        |boiler AS (
+        |  SELECT key FROM (
+        |    SELECT key, count(DISTINCT doc_id) AS nd FROM lk
+        |    WHERE key <> '' GROUP BY 1)
+        |  WHERE nd > 2),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM lk
+        |  WHERE key = '' OR key NOT IN (SELECT key FROM boiler)),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines_raw,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+        |       coalesce(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
 
     // min-then-filter-then-min CTE chain, the engine-portable form of
     // "earliest strictly-ordered stage times"; left joins keep partial

@@ -222,4 +222,54 @@ object TextOps {
         countDistinct("source").as("n_sources"),
         array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
       .where(col("n_sources") > 1)
+
+  /** Corpus-level boilerplate line removal — the exact-line-dedup stage
+    * of RefinedWeb/Falcon-style pipelines (and C4's three-sentence rule's
+    * blunter cousin): a (trimmed) line occurring in MORE than `maxDocs`
+    * distinct documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is removed from EVERY document; surviving lines
+    * reassemble in original order. Distinct from [[cleanC4]], which
+    * judges each line inside its own document only.
+    *
+    * Scale shape: the counting side shuffles distinct (doc, line-HASH)
+    * pairs — 8-byte xxhash64 keys, never raw line text — map-side
+    * combined twice (distinct, then count); the removal is a left-anti
+    * join on the hash key (AQE broadcasts the boilerplate set when small
+    * — it usually is: boilerplate is few distinct lines at high
+    * frequency). Only the ordered reassembly shuffles line text, keyed
+    * on doc_id — the same unavoidable shuffle corpus_shuffle pays. A
+    * 2⁻⁶⁴-per-pair hash collision removes an innocent line; at corpus
+    * scale that trade buys a pure-fixed-width counting exchange.
+    *
+    * Empty lines are preserved verbatim (they are structure, not
+    * boilerplate) and never counted. A doc whose every line is removed
+    * stays in the output with clean_text = ''. */
+  def dedupLines(spark: SparkSession, dir: String, maxDocs: Int = 2): DataFrame =
+    dedupLinesFrom(Tables.documents(spark, dir), maxDocs)
+
+  private[graft] def dedupLinesFrom(docs: DataFrame, maxDocs: Int): DataFrame = {
+    val d = docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val lines = d
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", trim(col("line")))
+      .withColumn("hk", xxhash64(col("key")))
+    val boiler = lines.where(col("key") =!= "")
+      .select(col("doc_id"), col("hk")).distinct()
+      .groupBy("hk").agg(count("*").as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("hk")
+    // empty-key lines can't match: their hash is never counted into boiler
+    val kept = lines.join(boiler, Seq("hk"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count("*").as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    d.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines_raw"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines_raw"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -287,6 +287,32 @@ class CoreSpec extends AnyFunSuite {
     assert(g.getString(4) == "books,web", s"sorted distinct source list: $g")
   }
 
+  test("dedup_lines strips corpus-wide boilerplate, keeps order and blank lines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha one\n\nbeta two"),
+      (2L, "COOKIE BANNER\ngamma three"),
+      (3L, "  COOKIE BANNER  \ndelta four"), // trims to the same key
+      (4L, null.asInstanceOf[String]),
+      (5L, "COOKIE BANNER")) // every line boilerplate -> empty doc
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.dedupLinesFrom(docs, maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L), "NULL text stays out")
+    assert(out(1L) == ((4L, 3L, "alpha one\n\nbeta two")),
+      s"banner removed, blank line and order preserved: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, "gamma three")) &&
+      out(3L) == ((2L, 1L, "delta four")), s"${out(2L)} ${out(3L)}")
+    assert(out(5L) == ((1L, 0L, "")),
+      s"an all-boilerplate doc survives as empty: ${out(5L)}")
+    // below the threshold nothing is removed: 2 docs sharing a line pass
+    val ok = graft.operators.TextOps.dedupLinesFrom(
+      docs.where(col("doc_id") <= 2), maxDocs = 2).collect()
+    assert(ok.forall(r => r.getLong(1) == r.getLong(2)),
+      s"2 occurrences <= maxDocs must keep every line: ${ok.toSeq}")
+  }
+
   test("anomaly_spikes flags a planted rate spike, not its steady baseline") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf(_: String)
