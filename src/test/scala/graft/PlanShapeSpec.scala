@@ -147,6 +147,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no global sort anywhere in the moving-average plan:\n$p")
   }
 
+  test("dedup_lines counts line hashes, not line text, and removes via anti join") {
+    val p = plan("dedup_lines")
+    assert(p.contains("LeftAnti"),
+      s"boilerplate removal must be an anti join:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id#\\d+L?, hk#\\d+L?".r
+      .findFirstIn(p).isDefined,
+      s"the distinct stage must exchange (doc_id, line-hash) pairs:\n$p")
+    assert("functions=\\[\\], output=\\[hk#".r.findFirstIn(p).isDefined,
+      s"the distinct aggregate must project the 8-byte hash only — raw " +
+        s"line text must never enter the counting exchange:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
