@@ -167,6 +167,10 @@ object SparkEntry {
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
+    // the embedding-space complement (paraphrase leakage); rows-only —
+    // rides the k-means fit — with a planted-leak spec
+    "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
+      Embeddings.decontaminateSemantic(s, d)),
     "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d)),
     "quality_perplexity"    -> (Corpus.perplexityScore _),
     "corpus_shuffle"        -> ((s: SparkSession, d: String) => Corpus.corpusShuffle(s, d)),

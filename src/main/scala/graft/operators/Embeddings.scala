@@ -370,6 +370,48 @@ object Embeddings {
         (col("nn_sim") >= thr).as("is_dup"))
   }
 
+  /** Semantic train/eval decontamination — the embedding-space
+    * complement of [[Corpus.decontaminateFrom]]'s n-gram overlap: a
+    * train vector whose cosine similarity to ANY eval vector reaches
+    * `thr` is flagged as semantic leakage (paraphrases and translations
+    * share no 8-grams but land adjacent in embedding space). Same eval
+    * split convention as the n-gram pass (id % 10 == 0).
+    *
+    * Scale shape = [[dedupEmbedding]]'s: IVF-blocked pairwise scoring on
+    * the session-memoized fit (same-bucket pairs only, N²/k work), the
+    * eval side per-bucket capped, one row per TRAIN vector with its best
+    * eval match. Blocking blind spot (an eval twin assigned to a
+    * neighboring bucket is missed) is the documented IVF trade — raise k
+    * probes via the exact [[annCosineTopK]] when auditing a specific
+    * release. Kernel-dependent (k-means) → rows-only with a
+    * planted-leak spec. */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+      thr: Double = 0.95): DataFrame =
+    decontaminateSemanticOn(ivfAssign(spark, dir)._1, thr)
+
+  private[graft] def decontaminateSemanticFrom(c: DataFrame,
+      thr: Double = 0.95, k: Int = 0): DataFrame =
+    decontaminateSemanticOn(ivfAssignFrom(c, k)._1, thr)
+
+  private def decontaminateSemanticOn(assigned: DataFrame, thr: Double): DataFrame = {
+    val isEval = pmod(col("vec_id"), lit(10)) === 0
+    val train = assigned.where(!isEval)
+      .select(col("bucket"), col("vec_id"), col("emb"))
+    val ev = capBucket(assigned.where(isEval), "vec_id")
+      .select(col("bucket"), col("vec_id").as("eval_id"), col("emb").as("eemb"))
+    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
+    val nn = train.join(ev, "bucket")
+      .withColumn("sim", round(VecFns.cosine(col("emb"), col("eemb")), 6))
+      .withColumn("rk", row_number().over(best))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("sim"))
+    assigned.where(!isEval).select(col("vec_id"), col("bucket"))
+      .join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("eval_id"),
+        col("sim").as("eval_sim"),
+        coalesce(col("sim") >= thr, lit(false)).as("is_contaminated"))
+  }
+
   /** Embedding-space outlier ranking — the curation view that finds
     * mislabeled, off-distribution, or junk vectors BEFORE they enter a
     * training mix: each vector's L2 distance to its own k-means centroid,

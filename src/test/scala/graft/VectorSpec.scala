@@ -255,6 +255,31 @@ class VectorSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("semantic decontamination flags a train vector near an eval vector") {
+    import spark.implicits._
+    // eval ids are % 10 == 0: vec 10 is eval; train vec 11 is its near-
+    // paraphrase (tiny jitter), the rest of the cluster sits further off;
+    // a second far cluster guarantees the k=2 fit separates, not isolates
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Double], s: Double) =
+      base.map(_ + rnd.nextGaussian() * s)
+    val e1 = Array.fill(8)(1.0); val e2 = Array.fill(8)(-1.0)
+    val rows =
+      Seq((10L, jitter(e1, 0.001).toSeq, 0L), (11L, jitter(e1, 0.001).toSeq, 0L)) ++
+      (1L to 9L).map(i => (i, jitter(e1, 0.4).toSeq, 0L)) ++
+      (21L to 29L).map(i => (i, jitter(e2, 0.4).toSeq, 1L))
+    val c = rows.toDF("vec_id", "emb", "label")
+    val out = Embeddings.decontaminateSemanticFrom(c, thr = 0.999, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(10L) && !out.contains(20L),
+      s"eval vectors never appear in the train verdicts: ${out.keySet}")
+    assert(out(11L).getBoolean(4) && out(11L).getLong(2) == 10L,
+      s"the planted paraphrase must be flagged against eval 10: ${out(11L)}")
+    val clean = out.removed(11L).values.filter(_.getBoolean(4))
+    assert(clean.isEmpty, s"jittered cluster mates stay clean: $clean")
+    assert(out.size == rows.size - 1, "one verdict per train vector")
+  }
+
   test("connected components label planted clusters correctly") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
