@@ -164,12 +164,18 @@ object ScaleProbe {
     // df window and top-k must not hide a super-linear stage
     def tfidf(df: DataFrame): DataFrame =
       graft.operators.Corpus.tfidfKeywordsFrom(df)
+    // corpus boilerplate removal: hash-pair counting + anti join +
+    // ordered reassembly — every stage is one linear pass over the
+    // line relation, so growth must track the corpus factor
+    def dlines(df: DataFrame): DataFrame =
+      graft.operators.TextOps.dedupLinesFrom(df, maxDocs = 2)
     // transition pairs: one user-partition window + |types|² groupBy
     def trans(df: DataFrame): DataFrame =
       graft.operators.EventFlows.eventTransitionsFrom(df)
 
     val r = Seq(
       ("tfidf", time("tfidf 1x")(tfidf(doc1)), time(s"tfidf ${factor}x")(tfidf(docN))),
+      ("dedup_lines", time("dlines 1x")(dlines(doc1)), time(s"dlines ${factor}x")(dlines(docN))),
       ("transitions", time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
       ("incr_durable", time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
