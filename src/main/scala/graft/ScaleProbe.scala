@@ -165,10 +165,20 @@ object ScaleProbe {
     def tfidf(df: DataFrame): DataFrame =
       graft.operators.Corpus.tfidfKeywordsFrom(df)
     // corpus boilerplate removal: hash-pair counting + anti join +
-    // ordered reassembly — every stage is one linear pass over the
-    // line relation, so growth must track the corpus factor
+    // ordered reassembly — every stage is one linear pass over the line
+    // relation, so growth must track the corpus factor. The text is
+    // salted with the (replica-unique) doc_id first: replicate() clones
+    // text verbatim, so at Nx EVERY line would cross the >maxDocs
+    // threshold and the Nx run would reassemble empty docs — a
+    // degenerate plan that can't witness super-linear reassembly. Every
+    // ~10th doc keeps its unsalted text, so the removal path (counting
+    // hits + anti-join matches) still executes at Nx.
     def dlines(df: DataFrame): DataFrame =
-      graft.operators.TextOps.dedupLinesFrom(df, maxDocs = 2)
+      graft.operators.TextOps.dedupLinesFrom(
+        df.withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0, col("text"))
+            .otherwise(concat_ws(" ", col("text"), col("doc_id").cast("string")))),
+        maxDocs = 2)
     // transition pairs: one user-partition window + |types|² groupBy
     def trans(df: DataFrame): DataFrame =
       graft.operators.EventFlows.eventTransitionsFrom(df)

@@ -23,7 +23,17 @@ object VecFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; a zero vector (junk embedding) scores 0.0 against
+    * everything — the raw quotient would be 0/0, which under ANSI mode
+    * (Spark 4 default) is a DIVIDE_BY_ZERO error, and with ANSI off a NaN
+    * that sorts ABOVE every real similarity and passes `>= thr` checks.
+    * The conditional evaluates the division only when the denominator is
+    * nonzero (If branches are lazy in eval and codegen), and NULL inputs
+    * still propagate as NULL through the otherwise branch. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
 
   /** Squared L2 — what FAISS IndexFlatL2 returns as `distance`. */
   def l2sq(a: Column, b: Column): Column =

@@ -139,6 +139,11 @@ object Embeddings {
     ivfMemo.getOrElseUpdate((spark, dir, k), ivfAssignFrom(corpus(spark, dir), k))
   }
 
+  /** Direct (non-memoized) fit over an arbitrary corpus. The returned
+    * assignment is PERSISTED and owned by the caller: it is not in
+    * ivfMemo, so [[releaseCache]] cannot free it — unpersist it (or let
+    * the session end) when done. Spec fixtures and probes accept the
+    * session-lifetime pin; production paths go through [[ivfAssign]]. */
   private[graft] def ivfAssignFrom(c: DataFrame, k: Int = 0)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
@@ -351,24 +356,40 @@ object Embeddings {
   private[graft] def dedupEmbeddingFrom(c: DataFrame, thr: Double = 0.95): DataFrame =
     dedupEmbeddingOn(ivfAssignFrom(c)._1, thr)
 
-  private def dedupEmbeddingOn(assigned: DataFrame, thr: Double): DataFrame = {
-    val a = assigned.select(col("bucket"), col("vec_id"), col("emb"))
-    // candidate side capped: every vector still gets scored, against at
-    // most MaxIvfBucket same-bucket candidates
-    val b = capBucket(a, "vec_id")
-      .select(col("bucket"), col("vec_id").as("vec_id_b"), col("emb").as("emb_b"))
-    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("vec_id_b"))
-    val nn = a.join(b, "bucket")
-      .where(col("vec_id") =!= col("vec_id_b"))
-      .withColumn("sim", round(VecFns.cosine(col("emb"), col("emb_b")), 6))
+  /** Best same-bucket neighbor of each LEFT vector among the RIGHT side:
+    * one row per left vector with its top match by rounded cosine,
+    * deterministic tie-break on the right id; the right side is
+    * per-bucket capped (every left vector still gets scored, against at
+    * most MaxIvfBucket candidates). A zero (junk) vector scores 0.0
+    * against everything — [[VecFns.cosine]] pins the 0/0 case, so it can
+    * neither error under ANSI mode nor NaN-sweep a bucket. Left vectors
+    * with no candidate come back with NULL match columns (left join).
+    *
+    * The shared scaffold of [[dedupEmbedding]] (left = right = corpus)
+    * and [[decontaminateSemantic]] (left = train, right = eval) — two
+    * operators, one tuning surface. */
+  private def bestBucketMatch(left: DataFrame, right: DataFrame,
+      rightIdCol: String): DataFrame = {
+    val r = capBucket(right.select(col("bucket"), col("vec_id"), col("emb")), "vec_id")
+      .select(col("bucket"), col("vec_id").as(rightIdCol), col("emb").as("emb_r"))
+    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col(rightIdCol))
+    val nn = left.select(col("bucket"), col("vec_id"), col("emb"))
+      .join(r, "bucket")
+      // inert when the sides are disjoint; excludes the self-pair when
+      // left and right are the same corpus
+      .where(col("vec_id") =!= col(rightIdCol))
+      .withColumn("sim", round(VecFns.cosine(col("emb"), col("emb_r")), 6))
       .withColumn("rk", row_number().over(best))
       .where(col("rk") === 1)
-      .select(col("vec_id"), col("vec_id_b").as("nn_id"), col("sim").as("nn_sim"))
-    assigned.select(col("vec_id"), col("bucket"))
-      .join(nn, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("bucket"), col("nn_id"), col("nn_sim"),
-        (col("nn_sim") >= thr).as("is_dup"))
+      .select(col("vec_id"), col(rightIdCol), col("sim"))
+    left.select(col("vec_id"), col("bucket")).join(nn, Seq("vec_id"), "left")
   }
+
+  private def dedupEmbeddingOn(assigned: DataFrame, thr: Double): DataFrame =
+    bestBucketMatch(assigned, assigned, "nn_id")
+      .select(col("vec_id"), col("bucket"), col("nn_id"),
+        col("sim").as("nn_sim"),
+        (col("sim") >= thr).as("is_dup"))
 
   /** Semantic train/eval decontamination — the embedding-space
     * complement of [[Corpus.decontaminateFrom]]'s n-gram overlap: a
@@ -395,18 +416,7 @@ object Embeddings {
 
   private def decontaminateSemanticOn(assigned: DataFrame, thr: Double): DataFrame = {
     val isEval = pmod(col("vec_id"), lit(10)) === 0
-    val train = assigned.where(!isEval)
-      .select(col("bucket"), col("vec_id"), col("emb"))
-    val ev = capBucket(assigned.where(isEval), "vec_id")
-      .select(col("bucket"), col("vec_id").as("eval_id"), col("emb").as("eemb"))
-    val best = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
-    val nn = train.join(ev, "bucket")
-      .withColumn("sim", round(VecFns.cosine(col("emb"), col("eemb")), 6))
-      .withColumn("rk", row_number().over(best))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("eval_id"), col("sim"))
-    assigned.where(!isEval).select(col("vec_id"), col("bucket"))
-      .join(nn, Seq("vec_id"), "left")
+    bestBucketMatch(assigned.where(!isEval), assigned.where(isEval), "eval_id")
       .select(col("vec_id"), col("bucket"), col("eval_id"),
         col("sim").as("eval_sim"),
         coalesce(col("sim") >= thr, lit(false)).as("is_contaminated"))

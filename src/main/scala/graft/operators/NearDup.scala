@@ -361,8 +361,10 @@ object NearDup {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(indexPath + "__index_tmp")
-    graft.sources.IO.recoverStore(fs, p, tmp) // heal a crashed write first
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // heal a crashed write first; recoverStore's postcondition is that
+    // tmp never survives (promoted or deleted), so the writes below start
+    // on a clean slate
+    graft.sources.IO.recoverStore(fs, p, tmp)
     base.select(col("id"), col("sig"))
       .write.mode("overwrite").parquet(s"$tmp/docs")
     base.select(col("id"), explode(col("keys")).as("key"))
@@ -400,34 +402,45 @@ object NearDup {
     // eager persist: the signature kernels — the batch's dominant
     // compute — run ONCE here, not once for the touched-bucket collect
     // and again for the scoring plan ("batch pays one kernel pass" is the
-    // contract). persist, NOT localCheckpoint: checkpoint blocks are
-    // unreplicated and lineage-free, so one preempted executor would fail
-    // the whole increment — with persist a lost partition recomputes from
-    // lineage. Increment-sized block storage, freed by the ContextCleaner
-    // on GC like the cluster iteration's checkpoints.
+    // contract). persist, NOT localCheckpoint, for the COMPUTE phase: a
+    // lost executor recomputes partitions from lineage instead of failing
+    // the increment. The cache entry is explicitly released below —
+    // Dataset.persist pins the plan in the session CacheManager until an
+    // unpersist; nothing frees it on GC.
     val batch = newDocs
       .where(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         minhashSig(sh, 128).as("sig"),
         minhashBandKeys(sh, 32, 4).as("keys"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    batch.count() // materialize while the plan is this narrow
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // heal a crashed writeSignatureIndex swap BEFORE deciding on layout:
-    // a complete tmp promotes, a set-aside old restores — the docs/keys
-    // pair this read sees is always one consistent index generation
-    graft.sources.IO.recoverStore(fs, root,
-      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
-    val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
-    if (fs.exists(docsPath))
-      dedupIncrementalKeyed(batch,
-        prunedKeyIndex(spark, indexPath, batch),
-        spark.read.parquet(s"$indexPath/docs"), thr)
-    else
-      // pre-bucketing index layout (flat (id, sig, keys) parquet): serve
-      // it unpruned rather than failing a durable store on upgrade
-      dedupIncrementalFrom(batch, spark.read.parquet(indexPath), thr)
+    try {
+      batch.count() // materialize while the plan is this narrow
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // heal a crashed writeSignatureIndex swap BEFORE deciding on layout:
+      // a complete tmp promotes, a set-aside old restores — the docs/keys
+      // pair this read sees is always one consistent index generation
+      graft.sources.IO.recoverStore(fs, root,
+        new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+      val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
+      val verdicts =
+        if (fs.exists(docsPath))
+          dedupIncrementalKeyed(batch,
+            prunedKeyIndex(spark, indexPath, batch),
+            spark.read.parquet(s"$indexPath/docs"), thr)
+        else
+          // pre-bucketing index layout (flat (id, sig, keys) parquet):
+          // serve it unpruned rather than failing a durable store on
+          // upgrade
+          dedupIncrementalFrom(batch, spark.read.parquet(indexPath), thr)
+      // materialize the increment-sized VERDICT relation eagerly, severing
+      // its lineage from the cached batch, so the batch cache can be
+      // dropped before returning: a driver looping over increments holds
+      // no cache entries between calls. The checkpoint blocks are
+      // RDD-level and ContextCleaner-freed on GC; executor loss after
+      // this point costs only the (small) verdict relation.
+      verdicts.localCheckpoint(true)
+    } finally batch.unpersist(false)
   }
 
   /** Both inputs are (id, sig, keys) signature relations; `corpus` is the

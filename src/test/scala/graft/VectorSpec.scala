@@ -280,6 +280,26 @@ class VectorSpec extends AnyFunSuite {
     assert(out.size == rows.size - 1, "one verdict per train vector")
   }
 
+  test("a zero vector scores cosine 0, never a NaN flag sweep") {
+    import spark.implicits._
+    // vec 10 is an all-zeros EVAL embedding sharing a bucket with real
+    // train vectors: cosine(x, 0) = 0/0 = NaN, and Spark sorts NaN above
+    // every double AND satisfies NaN >= thr — unguarded, one junk eval
+    // vector would flag its whole bucket as contaminated
+    val e1 = Array.fill(8)(1.0)
+    val rows =
+      Seq((10L, Array.fill(8)(0.0).toSeq, 0L)) ++
+      (1L to 9L).map(i => (i, e1.map(_ + i * 0.3).toSeq, 0L)) ++
+      (21L to 29L).map(i => (i, e1.map(v => -v - i * 0.3).toSeq, 1L))
+    val out = Embeddings.decontaminateSemanticFrom(
+      rows.toDF("vec_id", "emb", "label"), thr = 0.95, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.values.forall(!_.getBoolean(4)),
+      s"nothing is near the zero vector: ${out.values.filter(_.getBoolean(4))}")
+    assert(out.values.forall(r => r.isNullAt(3) || !r.getDouble(3).isNaN),
+      "similarity to a zero vector must be pinned to 0.0, not NaN")
+  }
+
   test("connected components label planted clusters correctly") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
