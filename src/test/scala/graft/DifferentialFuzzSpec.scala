@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz over the user-journey operators: seeded random event
+  * tables (duplicate timestamps, same-(user, ts) collisions, users
+  * missing stages entirely) checked against independent in-memory
+  * reference implementations. The DuckDB oracle gate runs these operators
+  * on ONE fixed corpus shape; this spec varies the shape — tie-breaks,
+  * empty stages, single-event users — where CTE/window logic actually
+  * breaks. Seeds are fixed: failures reproduce.
+  */
+case class FuzzEv(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String)
+
+class DifferentialFuzzSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+
+  /** Small worlds on purpose: few users × few distinct timestamps forces
+    * the collision cases a realistic generator almost never hits. */
+  private def randomEvents(seed: Int): Seq[FuzzEv] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Seq("view", "click", "purchase", "error")
+    val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val tsPool = Seq.fill(10)(base + rnd.nextInt(4 * 24 * 60) * 60000L)
+    (1 to 40 + rnd.nextInt(30)).map { i =>
+      FuzzEv(i.toLong, 1L + rnd.nextInt(6),
+        new Timestamp(tsPool(rnd.nextInt(tsPool.length))),
+        types(rnd.nextInt(types.length)))
+    }
+  }
+
+  private val stages = Seq("view", "click", "purchase")
+
+  /** The funnel contract, restated imperatively: earliest stage-1 time,
+    * then earliest LATER stage-2 time (within the hop window if set),
+    * then earliest stage-3 time after THAT. */
+  private def refFunnel(evs: Seq[FuzzEv], withinDays: Int)
+      : Map[Long, (Long, Option[Long], Option[Long], Long)] = {
+    val windowMs = withinDays.toLong * 24 * 60 * 60 * 1000
+    def hop(prev: Long, t: Long) =
+      t > prev && (withinDays <= 0 || t <= prev + windowMs)
+    evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      def tsOf(stage: String) = es.filter(_.event_type == stage).map(_.ts.getTime)
+      tsOf(stages(0)).minOption.map { t1 =>
+        val t2 = tsOf(stages(1)).filter(hop(t1, _)).minOption
+        val t3 = t2.flatMap(p => tsOf(stages(2)).filter(hop(p, _)).minOption)
+        u -> ((t1, t2, t3, if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L))
+      }
+    }
+  }
+
+  test("funnel_steps matches a brute-force reference on random collision-heavy worlds") {
+    import spark.implicits._
+    for (seed <- 1 to 5; within <- Seq(0, 1)) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.EventFlows
+        .funnelStepsFrom(evs.toDF(), stages, within)
+        .collect().map { r =>
+          def t(i: Int) = Option(r.getTimestamp(i)).map(_.getTime)
+          r.getLong(0) -> ((t(1).get, t(2), t(3), r.getLong(4)))
+        }.toMap
+      val ref = refFunnel(evs, within)
+      assert(out == ref, s"seed=$seed within=$within:\n spark=$out\n ref=$ref")
+    }
+  }
+
+  test("event_transitions matches a brute-force reference on random worlds") {
+    import spark.implicits._
+    for (seed <- 11 to 15) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.EventFlows.eventTransitionsFrom(evs.toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      // pairs from the per-user (ts, event_id) order; probabilities
+      // normalize within each from_type
+      val pairs = randomEvents(seed).groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e.ts.getTime, e.event_id)).sliding(2).collect {
+          case Seq(a, b) => (a.event_type, b.event_type)
+        }
+      }
+      val n = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromTotals = n.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val ref = n.map { case (k, c) => k -> ((c, c.toDouble / fromTotals(k._1))) }
+      assert(out.keySet == ref.keySet, s"seed=$seed pair sets differ")
+      ref.foreach { case (k, (c, p)) =>
+        assert(out(k)._1 == c, s"seed=$seed count($k): ${out(k)._1} vs $c")
+        assert(math.abs(out(k)._2 - p) < 1e-6, s"seed=$seed p($k): ${out(k)._2} vs $p")
+      }
+      assert(evs.map(_.user_id).distinct.map(u =>
+        evs.count(_.user_id == u) - 1).sum == n.values.sum,
+        "every consecutive pair is counted exactly once")
+    }
+  }
+}
