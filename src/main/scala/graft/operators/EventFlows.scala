@@ -76,8 +76,11 @@ object EventFlows {
     * size joins back on cohort_day over a |days|-sized relation. The
     * retention rate divides exact integers, rounded on both engines.
     */
-  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsFrom(Tables.events(spark, dir))
+
+  private[graft] def retentionCohortsFrom(events: DataFrame): DataFrame = {
+    val ev = events
       .where(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))

@@ -95,10 +95,13 @@ object Relational {
   /** Gap-based sessionization (30 min): lag + running sum of session starts.
     * Partition-local window work — one shuffle on user_id, then linear.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeFrom(Tables.events(spark, dir))
+
+  private[graft] def sessionizeFrom(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||

@@ -69,6 +69,66 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize matches a brute-force reference, including exact-gap ties") {
+    import spark.implicits._
+    // values are multiples of 0.25, so double summation is
+    // order-independent and round(·, 2) compares exactly; the minute-grid
+    // timestamp pool makes EXACTLY-30-minute gaps (stay in session) and
+    // duplicate timestamps genuinely occur across seeds
+    for (seed <- 21 to 25) {
+      val evs = randomEvents(seed)
+      val df = evs.toDF().withColumn("value",
+        (col("event_id") % 7).cast("double") / 4)
+      val out = graft.operators.Relational.sessionizeFrom(df)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val ref = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var sid = 0L; var prev = Long.MinValue
+        val tagged = sorted.map { e =>
+          val t = e.ts.getTime
+          if (prev == Long.MinValue || t - prev > 1800000L) sid += 1
+          prev = t
+          (sid, e)
+        }
+        tagged.groupBy(_._1).map { case (s, ses) =>
+          (u, s) -> ((ses.size.toLong,
+            ses.map(x => (x._2.event_id % 7).toDouble / 4).sum))
+        }
+      }
+      assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
+    }
+  }
+
+  test("retention_cohorts matches a brute-force reference on random worlds") {
+    import spark.implicits._
+    for (seed <- 31 to 35) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.EventFlows.retentionCohortsFrom(evs.toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      val day = (e: FuzzEv) => e.ts.toLocalDateTime.toLocalDate
+      val cohort = evs.groupBy(_.user_id).view.mapValues(_.map(day).min).toMap
+      val active = evs.map(e => (cohort(e.user_id),
+          java.time.temporal.ChronoUnit.DAYS.between(cohort(e.user_id), day(e)),
+          e.user_id)).distinct
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).distinct.size.toLong)
+      val sizes = active.collect { case ((d, 0L), n) => d -> n }.toMap
+      val ref = active.map { case ((d, off), n) =>
+        (d.toString, off) -> ((n, sizes(d), n.toDouble / sizes(d)))
+      }.toMap
+      assert(out.keySet == ref.keySet, s"seed=$seed key sets differ:" +
+        s" ${out.keySet.diff(ref.keySet)} | ${ref.keySet.diff(out.keySet)}")
+      ref.foreach { case (k, (n, sz, rt)) =>
+        assert(out(k)._1 == n && out(k)._2 == sz, s"seed=$seed $k: ${out(k)} vs ($n,$sz)")
+        assert(math.abs(out(k)._3 - rt) < 1e-6, s"seed=$seed $k rate")
+      }
+    }
+  }
+
   test("event_transitions matches a brute-force reference on random worlds") {
     import spark.implicits._
     for (seed <- 11 to 15) {
