@@ -129,6 +129,54 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly_spikes matches a brute-force reference over observed-day windows") {
+    import spark.implicits._
+    for (seed <- 41 to 45) {
+      val rnd = new scala.util.Random(seed)
+      // 10 days × 2 levels with random intensities; ~1 in 4 (level, day)
+      // cells has NO events at all — the trailing window must skip the
+      // missing day (observed-day semantics), not count it as zero —
+      // plus one planted +30 burst
+      val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+      val cells = for {
+        d <- 0 until 10; lvl <- Seq("error", "signup")
+        n = rnd.nextInt(8) - 1 // -1 or 0 -> absent day
+        if n > 0
+      } yield (lvl, d, n)
+      val burst = cells(rnd.nextInt(cells.size))
+      val all = cells.map { case (l, d, n) =>
+        (l, d, if ((l, d) == (burst._1, burst._2)) n + 30 else n)
+      }
+      var id = 0L
+      val evs = all.flatMap { case (lvl, d, n) =>
+        (1 to n).map { j =>
+          id += 1
+          FuzzEv(id, 1L, new Timestamp(base + d * 86400000L + j * 60000L), lvl)
+        }
+      }
+      val out = graft.operators.LogOps.anomalySpikesFrom(evs.toDF(), sigma = 3.0)
+        .collect().map { r =>
+          (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(5), r.getBoolean(6)))
+        }.toMap
+      val ref = all.groupBy(_._1).flatMap { case (lvl, rows) =>
+        val days = rows.sortBy(_._2)
+        days.zipWithIndex.map { case ((_, d, n), i) =>
+          val baseWin = days.slice(math.max(0, i - 7), i).map(_._3.toDouble)
+          val bn = baseWin.size
+          val spike = bn >= 3 && {
+            val avg = baseWin.sum / bn
+            val std = math.sqrt(
+              baseWin.map(x => (x - avg) * (x - avg)).sum / (bn - 1))
+            n > avg + 3.0 * std
+          }
+          (lvl, f"2024-06-${d + 1}%02d") -> ((n.toLong, bn.toLong, spike))
+        }
+      }
+      assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
+    }
+  }
+
   test("event_transitions matches a brute-force reference on random worlds") {
     import spark.implicits._
     for (seed <- 11 to 15) {
