@@ -110,7 +110,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1)) ->
           ((r.getLong(2), r.getLong(3), r.getDouble(4))))
         .toMap
-      val day = (e: FuzzEv) => e.ts.toLocalDateTime.toLocalDate
+      // UTC, matching the pinned session timezone — the JVM-default-TZ
+      // form would diverge on any non-UTC machine
+      val day = (e: FuzzEv) =>
+        e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
       val cohort = evs.groupBy(_.user_id).view.mapValues(_.map(day).min).toMap
       val active = evs.map(e => (cohort(e.user_id),
           java.time.temporal.ChronoUnit.DAYS.between(cohort(e.user_id), day(e)),
@@ -137,7 +140,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // cells has NO events at all — the trailing window must skip the
       // missing day (observed-day semantics), not count it as zero —
       // plus one planted +30 burst
-      val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+      val base = java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli
       val cells = for {
         d <- 0 until 10; lvl <- Seq("error", "signup")
         n = rnd.nextInt(8) - 1 // -1 or 0 -> absent day
@@ -170,7 +173,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
               baseWin.map(x => (x - avg) * (x - avg)).sum / (bn - 1))
             n > avg + 3.0 * std
           }
-          (lvl, f"2024-06-${d + 1}%02d") -> ((n.toLong, bn.toLong, spike))
+          val label = java.time.Instant.ofEpochMilli(base + d * 86400000L)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+          (lvl, label) -> ((n.toLong, bn.toLong, spike))
         }
       }
       assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
@@ -187,7 +192,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         .toMap
       // pairs from the per-user (ts, event_id) order; probabilities
       // normalize within each from_type
-      val pairs = randomEvents(seed).groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+      val pairs = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
         es.sortBy(e => (e.ts.getTime, e.event_id)).sliding(2).collect {
           case Seq(a, b) => (a.event_type, b.event_type)
         }
