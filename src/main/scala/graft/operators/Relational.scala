@@ -144,9 +144,12 @@ object Relational {
   }
 
   /** Per-key top-k via window rank (top 3 events per user by value). */
-  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame =
+    topEventsPerUserFrom(Tables.events(spark, dir))
+
+  private[graft] def topEventsPerUserFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
-    Tables.events(spark, dir)
+    events
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 3)
       .select(col("user_id"), col("rk"), col("event_id"), col("event_type"), col("value"))
@@ -156,8 +159,11 @@ object Relational {
     * The per-key counts shrink the data by ~events/users before the tiny
     * threshold cross-join, so this stays one real shuffle at any scale.
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(spark, dir)
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersFrom(Tables.events(spark, dir))
+
+  private[graft] def heavyHittersFrom(events: DataFrame): DataFrame = {
+    val counts = events
       .groupBy("user_id").agg(count("*").as("n_events"))
     val thr = counts.agg((avg("n_events") * lit(1.15)).as("thr"))
     counts.crossJoin(broadcast(thr))

@@ -132,6 +132,45 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("top_events_per_user matches a brute-force reference with NULL values") {
+    import spark.implicits._
+    for (seed <- 51 to 55) {
+      val evs = randomEvents(seed)
+      // every 5th event has a NULL value: desc ordering must put them
+      // LAST (Spark's desc default), never rank a NULL into the top 3
+      val df = evs.toDF().withColumn("value",
+        when(col("event_id") % 5 === 0, lit(null))
+          .otherwise((col("event_id") % 7).cast("double") / 4))
+      val out = graft.operators.Relational.topEventsPerUserFrom(df)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        .toMap
+      val value = (e: FuzzEv) =>
+        if (e.event_id % 5 == 0) None else Some((e.event_id % 7).toDouble / 4)
+      val ref = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        es.sortBy(e => (value(e).map(-_).getOrElse(Double.MaxValue), e.event_id))
+          .take(3).zipWithIndex.map { case (e, i) =>
+            (u, i + 1L) -> ((e.event_id, value(e)))
+          }
+      }
+      assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
+    }
+  }
+
+  test("heavy_hitters matches a brute-force reference threshold") {
+    import spark.implicits._
+    for (seed <- 61 to 65) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.Relational.heavyHittersFrom(evs.toDF())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val counts = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      val thr = counts.values.sum.toDouble / counts.size * 1.15
+      val ref = counts.filter(_._2 > thr)
+      assert(out == ref, s"seed=$seed thr=$thr:\n spark=$out\n ref=$ref")
+    }
+  }
+
   test("anomaly_spikes matches a brute-force reference over observed-day windows") {
     import spark.implicits._
     for (seed <- 41 to 45) {
