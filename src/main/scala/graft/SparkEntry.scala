@@ -122,6 +122,10 @@ object SparkEntry {
     "value_percentiles"     -> (Relational.valuePercentiles _),
     "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "asof_prev_error"       -> (Relational.asofPrevError _),
+    // last-touch attribution: bounded asof; the streaming interval-join
+    // twin (StreamJoins.attributionCandidates) emits the eligible pairs
+    "click_attribution"     -> ((s: SparkSession, d: String) =>
+      EventFlows.clickAttribution(s, d)),
     "stream_windowed_counts" -> (Relational.streamWindowedCounts _),
     // — training-data text operators —
     "dedup_exact"           -> (TextOps.dedupExact _),
@@ -703,6 +707,32 @@ object SparkEntry {
         |       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts_us
         |FROM events e ASOF LEFT JOIN errs r
         |  ON e.user_id = r.user_id AND e.ts > r.ts""".stripMargin,
+
+    // bounded-window rank formulation ≡ the Spark side's asof + window
+    // null-out: the latest view overall is the latest in-window view
+    // whenever any view is in-window
+    "click_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts AS vts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts, v.view_id, v.vts,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY v.vts DESC) AS rk
+        |  FROM p LEFT JOIN v
+        |    ON p.user_id = v.user_id AND v.vts <= p.ts
+        |   AND v.vts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT purchase_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |       view_id,
+        |       strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |       CAST(epoch_us(ts) - epoch_us(vts) AS BIGINT) AS gap_us
+        |FROM j WHERE rk = 1""".stripMargin,
 
     "top_events_per_user" ->
       """SELECT user_id, rk, event_id, event_type, value FROM (

@@ -127,6 +127,43 @@ object EventFlows {
       .where(col("to_type").isNotNull))
   }
 
+  /** Last-touch attribution: each purchase attributed to the user's most
+    * recent view within a trailing window — the classic marketing/
+    * conversion join, and the batch path of record for the streaming
+    * interval join ([[graft.streaming.StreamJoins.attributionCandidates]]
+    * emits the same pairs continuously). One row per purchase; a purchase
+    * with no in-window view keeps NULL attribution columns.
+    *
+    * Spark-first shape: [[JoinOps.asofJoin]] (one user-keyed shuffle +
+    * partition-local sort, no range join) finds the latest view at or
+    * before each purchase; the window bound then nulls out a too-old
+    * match. Sound because views further back than the LATEST are older
+    * still: if the asof match is outside the window, every view is.
+    * Views are pre-aggregated unique per (user, ts) — asofJoin's tie
+    * contract — keeping the largest event_id, the same deterministic
+    * pick the oracle's rank makes. */
+  def clickAttribution(spark: SparkSession, dir: String,
+      windowHours: Int = 1): DataFrame =
+    clickAttributionFrom(Tables.events(spark, dir), windowHours)
+
+  private[graft] def clickAttributionFrom(events: DataFrame,
+      windowHours: Int = 1): DataFrame = {
+    val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val v = events.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(col("attr.ts"))
+    val within = gapUs <= lit(windowHours.toLong * 3600L * 1000000L)
+    JoinOps.asofJoin(p, v, "user_id", "ts", "ts", "attr")
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsUs).as("purchase_ts"),
+        when(within, col("attr.view_id")).as("view_id"),
+        when(within, date_format(col("attr.ts"), tsUs)).as("view_ts"),
+        when(within, gapUs).as("gap_us"))
+  }
+
   /** (from_type, to_type) pairs → counts + conditional probabilities.
     * Shared by the window plan above and the stateful twin's entry
     * (SparkEntry `event_transitions_stateful`): both twins answer to ONE

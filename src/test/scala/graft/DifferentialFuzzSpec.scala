@@ -158,6 +158,29 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("click_attribution matches a brute-force reference on random worlds") {
+    import spark.implicits._
+    for (seed <- 71 to 75) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.EventFlows.clickAttributionFrom(evs.toDF())
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      val windowMs = 3600000L
+      val ref = evs.filter(_.event_type == "purchase").map { p =>
+        val best = evs.filter(v => v.event_type == "view" &&
+            v.user_id == p.user_id &&
+            v.ts.getTime <= p.ts.getTime &&
+            v.ts.getTime >= p.ts.getTime - windowMs)
+          // latest view first, then largest event_id — the tie contract
+          .sortBy(v => (-v.ts.getTime, -v.event_id)).headOption
+        p.event_id -> ((best.map(_.event_id),
+          best.map(v => (p.ts.getTime - v.ts.getTime) * 1000L)))
+      }.toMap
+      assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
+    }
+  }
+
   test("heavy_hitters matches a brute-force reference threshold") {
     import spark.implicits._
     for (seed <- 61 to 65) {

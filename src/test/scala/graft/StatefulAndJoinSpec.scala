@@ -299,6 +299,62 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("click_attribution picks the last in-window view, nulls a stale one") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: two views inside the hour (latest wins), one after the
+      // purchase (ignored), purchase at 12:00
+      (1L, 1L, t("2024-07-01 11:10:00"), "view"),
+      (2L, 1L, t("2024-07-01 11:40:00"), "view"),
+      (3L, 1L, t("2024-07-01 12:00:00"), "purchase"),
+      (4L, 1L, t("2024-07-01 12:05:00"), "view"),
+      // user 2: only view is 2h old -> unattributed
+      (5L, 2L, t("2024-07-01 10:00:00"), "view"),
+      (6L, 2L, t("2024-07-01 12:00:00"), "purchase"),
+      // user 3: two views at the SAME instant -> max event_id wins
+      (7L, 3L, t("2024-07-01 12:00:00"), "view"),
+      (8L, 3L, t("2024-07-01 12:00:00"), "view"),
+      (9L, 3L, t("2024-07-01 12:30:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.EventFlows.clickAttributionFrom(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(out(3L) == ((Some(2L), Some(1200L * 1000000L))),
+      s"latest in-window view, 20 min gap: ${out(3L)}")
+    assert(out(6L) == ((None, None)), s"stale view must not attribute: ${out(6L)}")
+    assert(out(9L) == ((Some(8L), Some(1800L * 1000000L))),
+      s"tied instant resolves to max event_id: ${out(9L)}")
+  }
+
+  test("streaming attribution interval join pairs only in-window views") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val pMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val vMem = MemoryStream[(Long, Long, Timestamp, String)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "event_type")
+    val q = graft.streaming.StreamJoins
+      .attributionCandidates(named(pMem.toDF()), named(vMem.toDF()))
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      vMem.addData(
+        (1L, 1L, t("2024-07-01 11:40:00"), "view"),   // in window
+        (2L, 1L, t("2024-07-01 09:00:00"), "view"),   // 3h old - outside
+        (3L, 2L, t("2024-07-01 11:50:00"), "view"))   // other user
+      pMem.addData((10L, 1L, t("2024-07-01 12:00:00"), "purchase"))
+      q.processAllAvailable()
+      val pairs = spark.table("attr_test").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(pairs.toSet == Set((10L, 1L)),
+        s"only the same-user in-window view pairs: ${pairs.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch stateful transitions match the lead() window operator") {
     import spark.implicits._
     import graft.streaming.{StatefulTransitions, TransEvent}
