@@ -161,9 +161,18 @@ object ScaleProbe {
       graft.operators.NearDup.dedupIncrementalAgainst(spark, idx, tinyBatch)
 
     // tf-idf: two linear pair-relation shuffles + rank-limit window; the
-    // df window and top-k must not hide a super-linear stage
+    // df aggregate+join and top-k must not hide a super-linear stage
     def tfidf(df: DataFrame): DataFrame =
       graft.operators.Corpus.tfidfKeywordsFrom(df)
+    // hot-term case: planted stopwords present in EVERY doc make those
+    // term groups corpus-sized. The pre-aggregated df equi-join handles
+    // them (map-side combine collapses each to one row; the join back is
+    // AQE-skew-split eligible), where the old count-over-term window
+    // buffered all n_docs pair rows in ONE un-splittable task — this
+    // point witnesses that the hot-term cost stays linear in corpus size
+    def tfidfHot(df: DataFrame): DataFrame =
+      tfidf(df.withColumn("text", concat_ws(" ",
+        lit("stopa stopb stopc stopd stope"), col("text"))))
     // corpus boilerplate removal: hash-pair counting + anti join +
     // ordered reassembly — every stage is one linear pass over the line
     // relation, so growth must track the corpus factor. The text is
@@ -185,6 +194,7 @@ object ScaleProbe {
 
     val r = Seq(
       ("tfidf", time("tfidf 1x")(tfidf(doc1)), time(s"tfidf ${factor}x")(tfidf(docN))),
+      ("tfidf_hotterm", time("tfidf_hot 1x")(tfidfHot(doc1)), time(s"tfidf_hot ${factor}x")(tfidfHot(docN))),
       ("dedup_lines", time("dlines 1x")(dlines(doc1)), time(s"dlines ${factor}x")(dlines(docN))),
       ("transitions", time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),

@@ -455,13 +455,18 @@ object Corpus {
     * present in every document still scores finitely.
     *
     * Scale shape: explode → one map-side-combined groupBy(doc, term) for
-    * TF; the document frequency comes from a `count over (partition by
-    * term)` window on that SAME pair relation — no vocab-sized join side
-    * to broadcast (a 100 TB corpus's distinct-term relation is 10⁸⁺ rows;
-    * broadcasting it would be the classic toy-scale trap). The corpus
-    * size N is a broadcast 1-row aggregate (the skew_profile pattern).
-    * Two pair-relation shuffles total (by term, then by doc for the
-    * top-k window) — linear in corpus size, no driver collect.
+    * TF; the document frequency is a map-side-combined
+    * `groupBy(term).count()` (one row per distinct term) shuffle-equi-
+    * joined back onto the tf relation — no vocab-sized join side to
+    * broadcast (a 100 TB corpus's distinct-term relation is 10⁸⁺ rows;
+    * broadcasting it would be the classic toy-scale trap), and no
+    * `count over (partition by term)` window either: a window would
+    * buffer a stopword's ENTIRE doc set in one un-splittable task at
+    * 100×, whereas a hot term key in an equi-join is AQE-skew-split
+    * eligible. The corpus size N is a broadcast 1-row aggregate (the
+    * skew_profile pattern). Two pair-relation shuffles total (by term
+    * for the df join, then by doc for the top-k window) — linear in
+    * corpus size, no driver collect.
     *
     * Ranking uses the ROUNDED score so the tie order is engine-invariant
     * (an unrounded double tie could rank differently than its rounded
@@ -476,11 +481,11 @@ object Corpus {
         explode(TextFns.wsTokens(lower(col("text")))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
-    val byTerm = Window.partitionBy(col("term"))
+    val df = tf.groupBy("term").agg(count("*").cast("long").as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf
-      .withColumn("df", count("*").over(byTerm).cast("long"))
+      .join(df, "term")
       .crossJoin(broadcast(docs.agg(count("*").as("n_docs"))))
       .withColumn("score",
         round(col("tf").cast("double") *

@@ -183,16 +183,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("tfidf top-k plans as a rank-limit, df as a window (no vocab join)") {
+  test("tfidf top-k plans as a rank-limit, df as a pre-aggregated join") {
     val p = plan("tfidf_keywords")
     // partial top-5 per map task BEFORE the doc exchange
     assert(p.contains("WindowGroupLimit"),
       s"per-doc top-k must plan as a rank-limit:\n$p")
-    // df must NOT be a join against a distinct-term relation (a
-    // vocab-sized broadcast is the toy-scale trap): the only join is the
-    // broadcast 1-row corpus count
-    assert(!p.contains("BroadcastHashJoin"),
-      s"df must come from a window over the tf relation, not a join:\n$p")
+    // df must NOT be a count-over-term window on the (doc, term) pair
+    // relation: a stopword's window partition is the corpus's entire doc
+    // set buffered in ONE task, and AQE cannot split a window partition.
+    // The groupBy(term).count equi-join keeps the no-vocab-broadcast
+    // property (join strategy is stats-driven — a 10⁸-row term relation
+    // won't broadcast) while hot term keys stay AQE-skew-split eligible.
+    assert(!p.contains("windowspecdefinition(term"),
+      s"df must not be a window partitioned by term:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[term".r
+      .findFirstIn(p).isDefined,
+      s"df must join back onto tf on the term key:\n$p")
   }
 
   test("multi-reference plans collapse duplicate subtrees via AQE exchange reuse") {
