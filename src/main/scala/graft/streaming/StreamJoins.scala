@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Stream-stream joins — the capability class the stateful-operator twins
   * (sessionize, transitions, spikes, templates) don't cover: two LIVE
@@ -50,5 +52,71 @@ object StreamJoins {
       "leftOuter")
       .select(col("purchase_id"), col("user_id"), col("ts"),
         col("view_id"), col("vts"))
+  }
+
+  /** Streaming last-touch attribution END-TO-END: ranks the candidate
+    * stream's (purchase, view) pairs per micro-batch and maintains a
+    * one-winner-per-purchase store on disk — closing the loop
+    * [[attributionCandidates]]' scaladoc leaves open (top-1-per-purchase
+    * is not expressible in append mode, but it IS expressible per
+    * micro-batch against the running store).
+    *
+    * Cross-batch upgrades: a late view (inside the delay threshold) can
+    * arrive in a LATER micro-batch than its purchase's first candidate.
+    * Each batch re-ranks the union of the prior winners and the new
+    * candidates on (vts DESC NULLS LAST, view_id DESC NULLS LAST) per
+    * purchase — the same total order the batch operator's
+    * max-event_id-per-(user, ts) pre-aggregation + asof pick induces —
+    * so a more-recent late candidate replaces the stored winner and an
+    * unattributed purchase's NULL candidate (emitted only once the
+    * watermark proves no view is coming) never displaces a real match.
+    *
+    * Store commit is the rename-aside swap + crash recovery every
+    * durable sink in this module uses ([[graft.sources.IO.swapInto]] /
+    * `recoverStore`): a complete store exists at every instant, and a
+    * replayed micro-batch re-ranks the same candidates into the same
+    * winners — idempotent by construction.
+    *
+    * [[readLastTouch]] projects the store onto the exact output shape of
+    * the batch path of record
+    * ([[graft.operators.EventFlows.clickAttribution]]); the spec drives
+    * both over the same events and asserts row equality.
+    */
+  def lastTouchSink(candidates: DataFrame, storePath: String,
+      checkpoint: String): StreamingQuery =
+    candidates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(storePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(storePath + "__merge_tmp")
+        graft.sources.IO.recoverStore(fs, p, tmp)
+        val prior =
+          if (fs.exists(p)) spark.read.parquet(storePath) else batch.limit(0).toDF()
+        val best = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("vts").desc_nulls_last, col("view_id").desc_nulls_last)
+        prior.unionByName(batch.toDF())
+          .withColumn("rk", row_number().over(best))
+          .where(col("rk") === 1).drop("rk")
+          .write.mode("overwrite").parquet(tmp.toString)
+        graft.sources.IO.swapInto(fs, tmp, p)
+        ()
+      }
+      .start()
+
+  /** The [[lastTouchSink]] store in the batch operator's output shape
+    * (purchase_id, user_id, purchase_ts, view_id, view_ts, gap_us) — an
+    * unattributed purchase keeps NULL view columns, exactly as
+    * [[graft.operators.EventFlows.clickAttribution]] renders it. */
+  def readLastTouch(spark: SparkSession, storePath: String): DataFrame = {
+    val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    spark.read.parquet(storePath).select(
+      col("purchase_id"), col("user_id"),
+      date_format(col("ts"), tsUs).as("purchase_ts"),
+      col("view_id"),
+      date_format(col("vts"), tsUs).as("view_ts"),
+      (unix_micros(col("ts")) - unix_micros(col("vts"))).as("gap_us"))
   }
 }

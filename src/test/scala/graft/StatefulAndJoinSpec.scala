@@ -355,6 +355,65 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming last-touch sink equals the batch attribution on the same events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = "/tmp/graft_lasttouch"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val pMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val vMem = MemoryStream[(Long, Long, Timestamp, String)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "event_type")
+    val store = s"$base/store"
+    val q = graft.streaming.StreamJoins.lastTouchSink(
+      graft.streaming.StreamJoins.attributionCandidates(
+        named(pMem.toDF()), named(vMem.toDF())),
+      store, s"$base/ckpt")
+    // the full event log, fed in four micro-batches below. u2's stale
+    // view rides in batch 1 ON PURPOSE: fed later it would be dropped as
+    // watermark-late, which the batch path (that sees everything) cannot
+    // imitate — the spec's equivalence claim is for in-watermark arrivals
+    val views = Seq(
+      (1L, 1L, t("2024-07-01 11:40:00"), "view"),  // b1: first winner
+      (5L, 2L, t("2024-07-01 10:00:00"), "view"),  // b1: out-of-window for u2
+      (2L, 1L, t("2024-07-01 11:55:00"), "view"),  // b2: LATE, better -> upgrade
+      (6L, 99L, t("2024-07-01 15:59:00"), "view"), // b3: sentinel match
+      (7L, 98L, t("2024-07-01 16:29:00"), "view")) // b4: sentinel match
+    val purchases = Seq(
+      (10L, 1L, t("2024-07-01 12:00:00"), "purchase"),  // b1
+      (11L, 2L, t("2024-07-01 12:00:00"), "purchase"),  // b3: stays NULL
+      (12L, 99L, t("2024-07-01 16:00:00"), "purchase"), // b3: advances watermark
+      (13L, 98L, t("2024-07-01 16:30:00"), "purchase")) // b4: flushes 11's NULL row
+    try {
+      vMem.addData(views(0), views(1)); pMem.addData(purchases(0))
+      q.processAllAvailable()
+      val w1 = spark.read.parquet(store)
+        .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toMap
+      assert(w1 == Map(10L -> Some(1L)), s"batch-1 winner: $w1")
+      vMem.addData(views(2))
+      q.processAllAvailable()
+      val w2 = spark.read.parquet(store)
+        .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toMap
+      assert(w2 == Map(10L -> Some(2L)),
+        s"a late better candidate must upgrade the stored winner: $w2")
+      vMem.addData(views(3)); pMem.addData(purchases(1), purchases(2))
+      q.processAllAvailable()
+      vMem.addData(views(4)); pMem.addData(purchases(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamJoins.readLastTouch(spark, store)
+    val batchRef = graft.operators.EventFlows.clickAttributionFrom(
+      (views ++ purchases).toDF("event_id", "user_id", "ts", "event_type"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("purchase_id").collect().map(_.toSeq).toSeq
+    assert(rows(streamed) == rows(batchRef),
+      s"streaming winners must equal the batch path of record:\n" +
+        s"stream: ${rows(streamed)}\nbatch:  ${rows(batchRef)}")
+  }
+
   test("batch stateful transitions match the lead() window operator") {
     import spark.implicits._
     import graft.streaming.{StatefulTransitions, TransEvent}
