@@ -175,6 +175,11 @@ object SparkEntry {
     // rides the k-means fit — with a planted-leak spec
     "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
       Embeddings.decontaminateSemantic(s, d)),
+    // the exact-scan escalation of the above (no k-means blocking, so no
+    // blind spot AND no kernel dependence) — oracle-verified like the
+    // other exact vector scans
+    "decontaminate_semantic_exact" -> ((s: SparkSession, d: String) =>
+      Embeddings.decontaminateSemanticExact(s, d)),
     "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d)),
     "quality_perplexity"    -> (Corpus.perplexityScore _),
     "corpus_shuffle"        -> ((s: SparkSession, d: String) => Corpus.corpusShuffle(s, d)),
@@ -842,6 +847,31 @@ object SparkEntry {
         |       coalesce(sh.n_shared, 0) > 0 AS is_contaminated
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
         |WHERE d.doc_id % 10 != 0""".stripMargin,
+
+    // exact semantic decontamination: the normalize-then-dot kernel
+    // mirror (see the ann_cosine_topk comment); best match per train
+    // vector via rank-1, rendered as a left join so an empty eval split
+    // keeps every train verdict
+    "decontaminate_semantic_exact" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+        |  FROM c),
+        |ev AS (
+        |  SELECT vec_id AS eval_id, e AS er FROM n
+        |  WHERE vec_id % 10 = 0 ORDER BY eval_id LIMIT 65536),
+        |s AS (
+        |  SELECT n.vec_id, ev.eval_id, round(list_dot_product(n.e, ev.er), 6) AS sim
+        |  FROM n, ev WHERE n.vec_id % 10 <> 0),
+        |r AS (
+        |  SELECT vec_id, eval_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk
+        |  FROM s)
+        |SELECT t.vec_id, r.eval_id, r.sim AS eval_sim,
+        |       coalesce(r.sim >= 0.95, FALSE) AS is_contaminated
+        |FROM (SELECT vec_id FROM c WHERE vec_id % 10 <> 0) t
+        |LEFT JOIN r ON t.vec_id = r.vec_id AND r.rk = 1""".stripMargin,
 
     "quality_perplexity" ->
       """WITH vocab AS (

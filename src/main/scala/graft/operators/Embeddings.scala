@@ -422,6 +422,58 @@ object Embeddings {
         coalesce(col("sim") >= thr, lit(false)).as("is_contaminated"))
   }
 
+  /** Broadcast-side bound for the exact decontamination scan: the eval
+    * split rides to every executor, so it is capped deterministically
+    * (first N by vec_id). Coverage beyond the cap needs a sharded audit
+    * run — the cap is in the operator contract, not silent. */
+  private val MaxExactEval = 65536
+
+  /** Exact-scan escalation of [[decontaminateSemantic]] — the documented
+    * IVF-blocking escape hatch made real: every train vector is scored
+    * against the ENTIRE eval split by brute-force cosine, so a
+    * paraphrase that k-means assigned to a different bucket (the blocked
+    * path's blind spot) cannot hide. Audit-grade, not default-grade:
+    * cost is |train|·|eval| kernel evaluations — run it on a release
+    * candidate; the blocked path remains the continuous screen.
+    *
+    * Scale shape: the eval split is broadcast (≤[[MaxExactEval]] rows,
+    * first-N by vec_id — the cap is part of the contract, a larger eval
+    * split needs a sharded audit); cosine = dot over unit-normalized
+    * vectors (the [[annCosineTopK]] kernel). The best match per train
+    * vector is a lexicographic `max(struct(sim, -eval_id))` aggregate,
+    * NOT a window: partial aggregation collapses each train vector's
+    * |eval| scores map-side inside the scan partition, so the only
+    * exchange carries one row per train vector — a window would shuffle
+    * the full |train|·|eval| cross product first. Deterministic given
+    * the input (no k-means, no memo), hence oracle-verifiable where the
+    * blocked path is rows-only. */
+  def decontaminateSemanticExact(spark: SparkSession, dir: String,
+      thr: Double = 0.95): DataFrame =
+    decontaminateSemanticExactFrom(corpus(spark, dir), thr)
+
+  private[graft] def decontaminateSemanticExactFrom(c: DataFrame,
+      thr: Double = 0.95): DataFrame = {
+    val n = c.select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"))
+    val isEval = pmod(col("vec_id"), lit(10)) === 0
+    val ev = n.where(isEval)
+      .orderBy("vec_id").limit(MaxExactEval)
+      .select(col("vec_id").as("eval_id"), col("emb").as("emb_r"))
+    val train = n.where(!isEval)
+    // max sim, ties to the SMALLEST eval id (negate inside the struct) —
+    // the same total order bestBucketMatch's (sim DESC, eval_id) rank uses
+    val best = train.crossJoin(broadcast(ev))
+      .withColumn("sim", round(VecFns.dot(col("emb"), col("emb_r")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("nid"))).as("b"))
+      .select(col("vec_id"), (-col("b.nid")).as("eval_id"),
+        col("b.sim").as("eval_sim"))
+    // left join keeps every train verdict when the eval split is empty
+    // (NULL match columns, not-contaminated — the blocked path's contract)
+    train.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("eval_id"), col("eval_sim"),
+        coalesce(col("eval_sim") >= thr, lit(false)).as("is_contaminated"))
+  }
+
   /** Embedding-space outlier ranking — the curation view that finds
     * mislabeled, off-distribution, or junk vectors BEFORE they enter a
     * training mix: each vector's L2 distance to its own k-means centroid,

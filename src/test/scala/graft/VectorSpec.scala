@@ -280,6 +280,38 @@ class VectorSpec extends AnyFunSuite {
     assert(out.size == rows.size - 1, "one verdict per train vector")
   }
 
+  test("exact decontamination catches the cross-bucket paraphrase IVF misses") {
+    import spark.implicits._
+    // train 11 and its eval paraphrase 10 straddle the k=2 boundary: 11
+    // leans cluster A (0.6a+0.4b), 10 leans cluster B (0.4a+0.6b), so
+    // cos(10,11) ≈ 0.923 but the fit buckets them apart — and cluster A
+    // holds NO eval vector, so IVF blocking can never pair them (the
+    // documented blind spot). The exact scan has no blocking and must
+    // flag the pair. All other cosines sit ≤ ~0.83, clear of thr=0.9.
+    val rnd = new scala.util.Random(7)
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0 else 0.0)
+    val b = Array.tabulate(8)(i => if (i < 4) 0.0 else 1.0)
+    def mix(wa: Double, wb: Double) = Array.tabulate(8)(i => wa * a(i) + wb * b(i))
+    def jitter(base: Array[Double], s: Double) = base.map(_ + rnd.nextGaussian() * s)
+    val rows =
+      Seq((10L, mix(0.4, 0.6).toSeq, 0L), (11L, mix(0.6, 0.4).toSeq, 0L)) ++
+      (1L to 9L).map(i => (i, jitter(a, 0.15).toSeq, 0L)) ++
+      (21L to 29L).map(i => (i, jitter(b, 0.15).toSeq, 1L))
+    val c = rows.toDF("vec_id", "emb", "label")
+    val blocked = Embeddings.decontaminateSemanticFrom(c, thr = 0.9, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!blocked(11L).getBoolean(4),
+      s"the cross-bucket paraphrase must slip past IVF blocking: ${blocked(11L)}")
+    val exact = Embeddings.decontaminateSemanticExactFrom(c, thr = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(exact.keySet == blocked.keySet,
+      "one verdict per train vector on both paths")
+    assert(exact(11L).getBoolean(3) && exact(11L).getLong(1) == 10L,
+      s"the exact scan must catch it against eval 10: ${exact(11L)}")
+    val extra = exact.removed(11L).values.filter(_.getBoolean(3))
+    assert(extra.isEmpty, s"cluster mates stay clean: $extra")
+  }
+
   test("a zero vector scores cosine 0, never a NaN flag sweep") {
     import spark.implicits._
     // vec 10 is an all-zeros EVAL embedding sharing a bucket with real
