@@ -512,12 +512,16 @@ object Corpus {
     * broadcast 1-row aggregate. The top-N cut is a distributed
     * TakeOrdered on a rounded, totally-ordered key. */
   def bigramPmi(spark: SparkSession, dir: String, minCount: Int = 5,
+      topN: Int = 200): DataFrame =
+    bigramPmiFrom(Tables.documents(spark, dir), minCount, topN)
+
+  private[graft] def bigramPmiFrom(documents: DataFrame, minCount: Int = 5,
       topN: Int = 200): DataFrame = {
     val toks = TextFns.wsTokens(lower(col("text")))
     val n1 = greatest(size(toks) - 1, lit(0))
     val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val pairs = Tables.documents(spark, dir)
+    val pairs = documents
       .where(col("text").isNotNull)
       .select(explode(bgs).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))

@@ -425,10 +425,13 @@ object Relational {
     * user_id + a spillable time sort ([[JoinOps.asofJoin]]); ties at equal
     * timestamps are pre-reduced to max event_id so both engines pick the
     * same row. */
-  def asofPrevError(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def asofPrevError(spark: SparkSession, dir: String): DataFrame =
+    asofPrevErrorFrom(Tables.events(spark, dir))
+
+  private[graft] def asofPrevErrorFrom(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("event_id"), col("ts"), col("user_id"))
-    val errs = Tables.events(spark, dir)
+    val errs = events
       .where(col("event_type") === "error")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("prev_error_id"))

@@ -272,4 +272,157 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         "every consecutive pair is counted exactly once")
     }
   }
+
+  /** Spark's round(x, 6) on doubles: BigDecimal.valueOf + HALF_UP. The
+    * references reuse it so score comparisons are exact, not epsilon. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Line-world docs: a tiny line pool (trim-variants, blank and
+    * whitespace-only lines, repeats within a doc, the occasional NULL
+    * text) so cross-doc boilerplate, within-doc repeats, and
+    * empty-line preservation all genuinely occur. */
+  private def randomLineDocs(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val pool = Seq("alpha", " alpha ", "beta", "", "   ",
+      "gamma delta", "epsilon zeta", "beta")
+    (1L to (6 + rnd.nextInt(5)).toLong).map { i =>
+      val text =
+        if (rnd.nextInt(10) == 0) null
+        else Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).mkString("\n")
+      (i, text)
+    }
+  }
+
+  test("dedup_lines matches a brute-force reference on random line worlds") {
+    import spark.implicits._
+    for (seed <- 91 to 95; maxDocs <- Seq(1, 2)) {
+      val docs = randomLineDocs(seed)
+      val out = graft.operators.TextOps
+        .dedupLinesFrom(docs.toDF("doc_id", "text"), maxDocs)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val valid = docs.filter(_._2 != null)
+      // split with limit -1, like Spark's split(): trailing empty lines
+      // are real lines
+      val lined = valid.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+      val docsPerLine = lined
+        .flatMap { case (id, ls) => ls.map(_.trim).filter(_.nonEmpty).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val ref = lined.map { case (id, ls) =>
+        val kept = ls.filter(l => l.trim.isEmpty || docsPerLine(l.trim) <= maxDocs)
+        id -> ((ls.size.toLong, kept.size.toLong, kept.mkString("\n")))
+      }.toMap
+      assert(out == ref, s"seed=$seed maxDocs=$maxDocs:\n spark=$out\n ref=$ref")
+    }
+  }
+
+  /** Word-world docs: a 7-word vocab with a planted stopword present in
+    * almost every doc (df ≈ N — the tfidf hot-term case), mixed case
+    * (lowering must happen before counting), empty and NULL texts. */
+  private def randomWordDocs(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("the", "cat", "dog", "runs", "fast", "Blue", "moon")
+    (1L to (8 + rnd.nextInt(5)).toLong).map { i =>
+      val words = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))) ++
+        (if (rnd.nextInt(4) > 0) Seq("the") else Nil)
+      (i, if (rnd.nextInt(12) == 0) null else words.mkString(" "))
+    }
+  }
+
+  test("tfidf_keywords matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    for (seed <- 101 to 105; topK <- Seq(2, 5)) {
+      val docs = randomWordDocs(seed)
+      val out = graft.operators.Corpus
+        .tfidfKeywordsFrom(docs.toDF("doc_id", "text"), topK)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+        .toMap
+      val valid = docs.filter(_._2 != null)
+      val n = valid.size
+      val tf = valid
+        .flatMap { case (id, t) =>
+          t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).map(id -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ref = tf.keys.groupBy(_._1).flatMap { case (id, keys) =>
+        keys.toSeq
+          .map { case (_, term) =>
+            val score = round6(tf((id, term)).toDouble *
+              math.log(1.0 + n.toDouble / df(term).toDouble))
+            (term, score)
+          }
+          .sortBy { case (term, score) => (-score, term) }
+          .zipWithIndex.filter(_._2 < topK)
+          .map { case ((term, score), i) =>
+            (id, term) -> ((tf((id, term)), df(term), score, i + 1L))
+          }
+      }
+      assert(out == ref, s"seed=$seed topK=$topK:\n spark=$out\n ref=$ref")
+    }
+  }
+
+  test("bigram_pmi matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    for (seed <- 111 to 115; minCount <- Seq(1, 2)) {
+      val docs = randomWordDocs(seed)
+      // topN above any possible pair count: the fuzz pins counting and
+      // the PMI law; the top-N cut is a deterministic order pin elsewhere
+      val out = graft.operators.Corpus
+        .bigramPmiFrom(docs.toDF("doc_id", "text"), minCount, topN = 10000)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+        .toMap
+      val pairs = docs.filter(_._2 != null)
+        .flatMap { case (_, t) =>
+          t.toLowerCase.trim.split("\\s+").toSeq.sliding(2).collect {
+            case Seq(a, b) => (a, b)
+          }
+        }
+      val n12 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n1 = n12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val n2 = n12.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val t = n12.values.sum
+      val ref = n12.collect { case (k @ (w1, w2), c) if c >= minCount =>
+        k -> ((c, n1(w1), n2(w2), round6(math.log(
+          (c.toDouble * t.toDouble) / (n1(w1).toDouble * n2(w2).toDouble)))))
+      }
+      assert(out == ref, s"seed=$seed minCount=$minCount:\n spark=$out\n ref=$ref")
+    }
+  }
+
+  test("asof_prev_error matches a brute-force reference on collision-heavy worlds") {
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    // render through UTC explicitly, matching the pinned session timezone
+    def render(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
+    for (seed <- 81 to 85) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.Relational.asofPrevErrorFrom(evs.toDF())
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          Option(r.getString(4)))))
+        .toMap
+      // STRICTLY earlier errors only (an error is never its own context,
+      // and an equal-ts error of the same user must not leak in); ties at
+      // the winning instant resolve to max event_id
+      val ref = evs.map { e =>
+        val errs = evs.filter(x => x.event_type == "error" &&
+          x.user_id == e.user_id && x.ts.getTime < e.ts.getTime)
+        val prevTs = errs.map(_.ts.getTime).maxOption
+        val prevId = prevTs.map(t =>
+          errs.filter(_.ts.getTime == t).map(_.event_id).max)
+        e.event_id -> ((render(e.ts.getTime), e.user_id, prevId, prevTs.map(render)))
+      }.toMap
+      assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
+    }
+  }
 }
