@@ -15,14 +15,87 @@ case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
 /** Multimodal column plumbing (SURVEY.md §2 row 33): image/audio/video as
   * opaque `binary` columns, decoded in executor-side batches.
   *
-  * The decode itself is a STUB (the container has no media libs): a
-  * deterministic fake derives dimensions from payload bytes. Everything
-  * around it — the schema, the `Dataset[MediaRecord]` typed pipeline, the
-  * `mapPartitions` batch shape (the Scala twin of `mapInPandas` batches),
-  * the frame-sampling explode — is real and tested.
+  * Metadata extraction parses REAL container headers by magic bytes —
+  * PNG IHDR, JPEG SOFn, GIF logical screen descriptor, RIFF/WAVE — all
+  * public byte layouts, no media libraries. Pixel-level work (full
+  * decode, resize) remains a STUB (the container has no codecs): a
+  * deterministic fake stands in, and unrecognized payloads (the
+  * synthetic utf-8 corpus) fall back to it. Everything around the
+  * decode — the schema, the `Dataset[MediaRecord]` typed pipeline, the
+  * `mapPartitions` batch shape (the Scala twin of `mapInPandas`
+  * batches), the frame-sampling explode — is real and tested.
   */
 object Multimodal {
   val BatchSize = 32
+
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+  private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= p.length && s.indices.forall(j => (p(i + j) & 0xff) == s.charAt(j))
+
+  /** Magic-byte header parse → (width, height, duration_ms, n_frames),
+    * or None when no known container signature matches. Byte layouts are
+    * from the public format specs:
+    *  - PNG: 8-byte signature, IHDR is the first chunk — width/height
+    *    are big-endian u32 at offsets 16/20.
+    *  - JPEG: FF D8 then marker segments; any SOFn (C0–CF minus the
+    *    non-frame C4/C8/CC) carries precision(1), height(2), width(2)
+    *    big-endian after the 2-byte segment length.
+    *  - GIF: "GIF87a"/"GIF89a", then little-endian u16 width/height.
+    *  - RIFF/WAVE: chunk walk; "fmt " carries byte-rate (LE u32 at +8),
+    *    "data"'s size / byte-rate gives the duration.
+    * A truncated or corrupt header returns None (never throws): malformed
+    * blobs at 100 TB are data, not exceptions — they fall through to the
+    * deterministic fallback like any other unrecognized payload. */
+  private[graft] def parseHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      if (p.length >= 24 && ascii(p, 1, "PNG") && (p(0) & 0xff) == 0x89 &&
+          ascii(p, 12, "IHDR"))
+        Some((be32(p, 16), be32(p, 20), 0, 1))
+      else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+        var i = 2
+        var out: Option[(Int, Int, Int, Int)] = None
+        while (out.isEmpty && i + 3 < p.length && (p(i) & 0xff) == 0xff) {
+          val m = p(i + 1) & 0xff
+          if (m == 0xff) i += 1                  // fill byte
+          else if (m >= 0xd0 && m <= 0xd9) i += 2 // standalone RSTn/SOI/EOI
+          else {
+            val len = be16(p, i + 2)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 < p.length)
+                out = Some((be16(p, i + 7), be16(p, i + 5), 0, 1))
+              i = p.length
+            } else i += 2 + len
+          }
+        }
+        out
+      } else if (ascii(p, 0, "GIF8") && p.length >= 10)
+        Some((le16(p, 6), le16(p, 8), 0, 1))
+      else if (ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE")) {
+        var i = 12
+        var byteRate = 0L
+        var dataSize = -1L
+        while (i + 8 <= p.length && (byteRate == 0L || dataSize < 0L)) {
+          val size = le32(p, i + 4)
+          if (ascii(p, i, "fmt ") && i + 16 + 4 <= p.length)
+            byteRate = le32(p, i + 16)
+          else if (ascii(p, i, "data")) dataSize = size
+          // chunks are word-aligned: odd sizes carry a pad byte
+          i += 8 + size.toInt + (size.toInt & 1)
+        }
+        if (byteRate > 0L && dataSize >= 0L)
+          Some((0, 0, (dataSize * 1000L / byteRate).toInt, 0))
+        else None
+      } else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
 
   /** Synthesizes a media table from the corpus: utf-8 bytes stand in for
     * encoded media; kind cycles image/audio/video. */
@@ -37,13 +110,12 @@ object Multimodal {
       // this, the typed decode NPEs on the first missing blob
       .where(col("payload").isNotNull)
 
-  /** STUB decode — replace with a real JNI/native decoder in production.
+  /** STUB decode fallback for payloads with no recognized container
+    * signature — replace with a real JNI/native decoder in production.
     * Deterministic: all outputs derive from the payload bytes alone. */
-  private[operators] def decodeStub(m: MediaRecord): MediaMeta = {
+  private[graft] def decodeStub(m: MediaRecord): MediaMeta = {
     val n = m.payload.length.toLong
-    var h = 1469598103934665603L // FNV-1a over the payload
-    var i = 0
-    while (i < m.payload.length) { h = (h ^ (m.payload(i) & 0xff)) * 1099511628211L; i += 1 }
+    val h = fnv(m.payload)
     val w = 64 + math.floorMod(h, 1024).toInt
     val ht = 64 + math.floorMod(h >> 10, 1024).toInt
     val dur = if (m.kind == "image") 0 else 1000 + math.floorMod(h >> 20, 60000).toInt
@@ -55,13 +127,35 @@ object Multimodal {
     MediaMeta(m.media_id, m.kind, n, w, ht, dur, frames, h)
   }
 
+  private def fnv(payload: Array[Byte]): Long = {
+    var h = 1469598103934665603L // FNV-1a over the payload
+    var i = 0
+    while (i < payload.length) { h = (h ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  /** Header parse first, stub fallback second: a real-format payload gets
+    * its TRUE dimensions/duration; anything else keeps the deterministic
+    * fake. Checksum is the payload FNV either way. */
+  private[graft] def decodeRecord(m: MediaRecord): MediaMeta =
+    parseHeader(m.payload) match {
+      case Some((w, h, dur, frames)) =>
+        MediaMeta(m.media_id, m.kind, m.payload.length.toLong, w, h, dur,
+          frames, fnv(m.payload))
+      case None => decodeStub(m)
+    }
+
   /** Batched metadata extraction over the binary column. `grouped(BatchSize)`
     * mirrors the batch shape a vectorized decoder (or mapInPandas) would
     * see; per-partition work, no shuffle. */
-  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] =
+    decodeMetaFrom(spark, mediaTable(spark, dir))
+
+  private[graft] def decodeMetaFrom(spark: SparkSession, media: DataFrame)
+      : Dataset[MediaMeta] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(decodeStub)))
+    media.as[MediaRecord]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(decodeRecord)))
   }
 
   /** multimodal_meta query: one metadata row per media item. */
@@ -89,7 +183,7 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val meta = decodeStub(m)
+        val meta = decodeRecord(m)
         val (bytes, w, h) = resizeStub(meta, m.payload, maxDim)
         (m.media_id, m.kind, w, h, bytes.length.toLong, bytes)
       }))

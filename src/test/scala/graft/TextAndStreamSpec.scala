@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Multimodal, TextOps}
+import graft.operators.{MediaRecord, Multimodal, TextOps}
 import graft.streaming.StreamPipeline
 
 class TextAndStreamSpec extends AnyFunSuite {
@@ -65,6 +65,63 @@ class TextAndStreamSpec extends AnyFunSuite {
     // images have exactly 1 frame, audio 0
     assert(meta.where(col("kind") === "image" && col("n_frames") =!= 1).count() == 0)
     assert(meta.where(col("kind") === "audio" && col("n_frames") =!= 0).count() == 0)
+  }
+
+  test("multimodal meta parses real PNG/JPEG/GIF/WAV headers") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal REAL container headers, built byte-for-byte from the public
+    // format specs — the decode must report the true planted dimensions
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h)
+      bb.put(Array[Byte](8, 6, 0, 0, 0))
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI, APP0 (JFIF, 16 bytes), then SOF0 carrying the frame dims
+      val app0 = Array(0xff, 0xe0, 0, 16).map(_.toByte) ++ new Array[Byte](14)
+      val sof0 = Array(0xff, 0xc0, 0, 17, 8,
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff).map(_.toByte) ++
+        new Array[Byte](10)
+      Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof0
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ Array(
+        w & 0xff, (w >> 8) & 0xff, h & 0xff, (h >> 8) & 0xff).map(_.toByte)
+    def wav(byteRate: Int, dataSize: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(byteRate / 2); bb.putInt(byteRate)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+      bb.array()
+    }
+    val media = Seq(
+      (1L, "image", png(640, 480)),
+      (2L, "image", jpeg(800, 600)),
+      (3L, "image", gif(320, 200)),
+      (4L, "audio", wav(16000, 32000)),       // 32000 B at 16 kB/s = 2000 ms
+      (5L, "image", "not a container".getBytes("UTF-8")),
+      (6L, "image", png(640, 480).take(20))). // truncated: fallback, no throw
+      toDF("media_id", "kind", "payload")
+    val meta = Multimodal.decodeMetaFrom(spark, media)
+      .collect().map(m => m.media_id -> m).toMap
+    assert((meta(1L).width, meta(1L).height) == ((640, 480)), s"png: ${meta(1L)}")
+    assert((meta(2L).width, meta(2L).height) == ((800, 600)), s"jpeg: ${meta(2L)}")
+    assert((meta(3L).width, meta(3L).height) == ((320, 200)), s"gif: ${meta(3L)}")
+    assert(meta(4L).duration_ms == 2000 && meta(4L).n_frames == 0, s"wav: ${meta(4L)}")
+    // unrecognized and truncated payloads take the deterministic fallback
+    Seq(5L, 6L).foreach { id =>
+      val m = media.where(col("media_id") === id).collect().head
+      val stub = Multimodal.decodeStub(MediaRecord(id, m.getString(1),
+        m.getAs[Array[Byte]](2)))
+      assert(meta(id) == stub, s"fallback mismatch for $id: ${meta(id)} vs $stub")
+    }
   }
 
   test("multimodal resize bounds dimensions and shrinks payloads") {
