@@ -523,10 +523,16 @@ object LogOps {
     * and there is exactly one shuffle regardless of grouping depth. The
     * grouping inputs are pre-coalesced to "unknown", so a post-rollup
     * NULL can only be a subtotal marker — rendered 'ALL', matching the
-    * SQL ROLLUP oracle cell for cell. Empty-input contract: an empty
-    * store yields an EMPTY drill-down (Spark grouping-sets semantics;
-    * standard SQL would emit one grand-total-zero row — the oracle pins
-    * Spark's behavior with a HAVING that only that row can fail). */
+    * SQL ROLLUP oracle cell for cell. CONTRACT: 'ALL' (subtotal marker)
+    * and 'unknown' (missing input) are reserved sentinel values of this
+    * relation — a genuine event_type literally named 'ALL' or 'unknown'
+    * is indistinguishable from them in the string columns. Safe on this
+    * domain ([[PivotLevels]] is the closed level set); a deployment with
+    * colliding level names should emit `grouping()` marker columns
+    * alongside instead. Empty-input contract: an empty store yields an
+    * EMPTY drill-down (Spark grouping-sets semantics; standard SQL would
+    * emit one grand-total-zero row — the oracle pins Spark's behavior
+    * with a HAVING that only that row can fail). */
   def metricsRollup(spark: SparkSession, dir: String): DataFrame =
     metricsRollupFrom(Tables.events(spark, dir))
 

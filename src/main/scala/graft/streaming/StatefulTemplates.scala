@@ -4,14 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.{col, date_format}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** All fields Option/primitive per the SessEvent nullability note. */
+/** ALL fields Option (the SessEvent nullability note): a primitive Long
+  * event_id would NPE at encoding time on a NULL id row — the TransEvent
+  * lesson — while the DuckDB oracle's min(event_id) just ignores it. */
 case class TemplEvent(level: Option[String], template: Option[String],
-    event_id: Long, day: Option[String])
+    event_id: Option[Long], day: Option[String])
 
-case class TemplState(firstId: Long, firstDay: Option[String])
+case class TemplState(firstId: Option[Long], firstDay: Option[String])
 
 case class TemplOut(level: Option[String], template: Option[String],
-    first_event_id: Long, first_day: Option[String])
+    first_event_id: Option[Long], first_day: Option[String])
 
 /** Continuous first-seen template detection — the streaming form of the
   * "new error shape" trigger ([[graft.operators.LogOps.templateNovelty]]
@@ -52,8 +54,12 @@ object StatefulTemplates {
             it.foreach(_ => ()) // known shape: drain, stay silent
             Iterator.empty
           } else {
-            // first batch carrying this shape: alert with its earliest row
-            val first = it.minBy(_.event_id)
+            // first batch carrying this shape: alert with its earliest row.
+            // NULL ids rank LAST (min-over-defined, the oracle's
+            // NULL-ignoring min) — a bare Option minBy would rank None
+            // FIRST and pin a NULL exemplar over a real one
+            val first = it.minBy(e =>
+              (e.event_id.isEmpty, e.event_id.getOrElse(Long.MaxValue)))
             state.update(TemplState(first.event_id, first.day))
             Iterator.single(TemplOut(key._1, key._2, first.event_id, first.day))
           }

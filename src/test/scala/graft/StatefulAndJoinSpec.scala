@@ -64,9 +64,12 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("templ_test")
       .outputMode("append").start()
     def ev(id: Long, lvl: String, tpl: String) =
-      TemplEvent(Some(lvl), Some(tpl), id, Some("2024-01-01"))
+      TemplEvent(Some(lvl), Some(tpl), Some(id), Some("2024-01-01"))
     try {
+      // the NULL-id row must neither crash the encoder nor win the
+      // exemplar pick (defined ids rank first, like the oracle's min)
       mem.addData(ev(3, "error", "oom in <hex>"), ev(1, "error", "oom in <hex>"),
+        TemplEvent(Some("error"), Some("oom in <hex>"), None, Some("2024-01-01")),
         ev(2, "warn", "slow query <num>"))
       q.processAllAvailable()
       val b1 = spark.table("templ_test").collect()
