@@ -528,6 +528,10 @@ object Corpus {
       .groupBy("w1", "w2").agg(count("*").as("n12"))
     val total = pairs.agg(sum("n12").cast("long").as("t"))
     pairs
+      // marginal windows over the DISTINCT-pair relation are safe where
+      // tfidf's df window was not: a partition here holds at most
+      // |vocab| rows (the distinct continuations of one word), bounded
+      // by vocabulary — NOT by corpus size like the (doc, term) relation
       .withColumn("n1", sum("n12").over(Window.partitionBy(col("w1"))).cast("long"))
       .withColumn("n2", sum("n12").over(Window.partitionBy(col("w2"))).cast("long"))
       .crossJoin(broadcast(total))
