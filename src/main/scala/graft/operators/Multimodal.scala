@@ -88,8 +88,12 @@ object Multimodal {
           if (ascii(p, i, "fmt ") && i + 16 + 4 <= p.length)
             byteRate = le32(p, i + 16)
           else if (ascii(p, i, "data")) dataSize = size
-          // chunks are word-aligned: odd sizes carry a pad byte
-          i += 8 + size.toInt + (size.toInt & 1)
+          // chunks are word-aligned: odd sizes carry a pad byte. Advance
+          // in Long: a corrupt size near 2^32 would wrap Int negative and
+          // walk the cursor BACKWARDS — an executor task spinning forever,
+          // which the catch below can't save. Clamp to the payload end.
+          val next = i.toLong + 8L + size + (size & 1L)
+          i = if (next > p.length) p.length else next.toInt
         }
         if (byteRate > 0L && dataSize >= 0L)
           Some((0, 0, (dataSize * 1000L / byteRate).toInt, 0))

@@ -101,13 +101,23 @@ class TextAndStreamSpec extends AnyFunSuite {
       bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
       bb.array()
     }
+    // corrupt WAV: a chunk size near 2^32 wraps Int negative — the walk
+    // must clamp forward and fall back, not spin the task forever
+    val wavHuge = {
+      val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(12)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")); bb.putInt(0xfffffff0)
+      bb.array()
+    }
     val media = Seq(
       (1L, "image", png(640, 480)),
       (2L, "image", jpeg(800, 600)),
       (3L, "image", gif(320, 200)),
       (4L, "audio", wav(16000, 32000)),       // 32000 B at 16 kB/s = 2000 ms
       (5L, "image", "not a container".getBytes("UTF-8")),
-      (6L, "image", png(640, 480).take(20))). // truncated: fallback, no throw
+      (6L, "image", png(640, 480).take(20)),  // truncated: fallback, no throw
+      (7L, "audio", wavHuge)).                // corrupt size: fallback, no hang
       toDF("media_id", "kind", "payload")
     val meta = Multimodal.decodeMetaFrom(spark, media)
       .collect().map(m => m.media_id -> m).toMap
@@ -115,8 +125,8 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert((meta(2L).width, meta(2L).height) == ((800, 600)), s"jpeg: ${meta(2L)}")
     assert((meta(3L).width, meta(3L).height) == ((320, 200)), s"gif: ${meta(3L)}")
     assert(meta(4L).duration_ms == 2000 && meta(4L).n_frames == 0, s"wav: ${meta(4L)}")
-    // unrecognized and truncated payloads take the deterministic fallback
-    Seq(5L, 6L).foreach { id =>
+    // unrecognized, truncated, and corrupt payloads take the fallback
+    Seq(5L, 6L, 7L).foreach { id =>
       val m = media.where(col("media_id") === id).collect().head
       val stub = Multimodal.decodeStub(MediaRecord(id, m.getString(1),
         m.getAs[Array[Byte]](2)))
