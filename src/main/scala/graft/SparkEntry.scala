@@ -193,6 +193,11 @@ object SparkEntry {
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
     // docs); the planted-boilerplate spec drives the multi-line case
     "dedup_lines"           -> ((s: SparkSession, d: String) => TextOps.dedupLines(s, d)),
+    // maxDocs=1 parameter point: the threshold bites DIFFERENTLY (any
+    // line shared by ≥2 docs is boilerplate — the 3-copy text AND every
+    // 2-doc line go), hash-compared like incident_report_cap
+    "dedup_lines_md1"       -> ((s: SparkSession, d: String) =>
+      TextOps.dedupLines(s, d, maxDocs = 1)),
     // — user-journey analytics —
     "funnel_steps"          -> ((s: SparkSession, d: String) => EventFlows.funnelSteps(s, d)),
     // windowed parameter point: each hop must convert within 1 day —
@@ -856,7 +861,8 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (
-        |  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+        |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+        |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e
         |  FROM c),
         |ev AS (
         |  SELECT vec_id AS eval_id, e AS er FROM n
@@ -1018,14 +1024,18 @@ object SparkEntry {
     // float embeddings to double and run the same sequential per-element
     // sums (VecDot/VecL2Normalize here, list_dot_product/list_transform
     // there), so the doubles are bit-identical and round(·,6) hashes
-    // match. vector_knn's squared-L2 mirrors the kernel's (a−b)² op order
+    // match. The CASE in every normalize CTE mirrors VecL2Normalize's
+    // nrm>0 branch: an all-zero vector stays zero (sim 0.0) instead of
+    // DuckDB's 0/0 = NaN, which would sort ABOVE every real sim and
+    // fabricate matches. vector_knn's squared-L2 mirrors the kernel's (a−b)² op order
     // exactly (zip−subtract−dot), NOT the expanded a·a − 2a·b + b·b form,
     // to keep the same floating-point evaluation order.
     "ann_cosine_topk" ->
       """WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (
-        |  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+        |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+        |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e
         |  FROM c),
         |q AS (SELECT vec_id AS qid, e AS qe FROM n WHERE vec_id < 100),
         |s AS (
@@ -1056,7 +1066,9 @@ object SparkEntry {
       """WITH c0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
         |n AS (
-        |  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e, label
+        |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+        |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e,
+        |         label
         |  FROM c0),
         |q AS (SELECT vec_id AS qid, e AS qe, label AS true_label FROM n WHERE vec_id % 10 = 0),
         |s AS (
@@ -1231,6 +1243,33 @@ object SparkEntry {
         |    SELECT key, count(DISTINCT doc_id) AS nd FROM lk
         |    WHERE key <> '' GROUP BY 1)
         |  WHERE nd > 2),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM lk
+        |  WHERE key = '' OR key NOT IN (SELECT key FROM boiler)),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines_raw,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+        |       coalesce(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // maxDocs=1 point: same pipeline, nd > 1 boilerplate threshold
+    "dedup_lines_md1" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        |  FROM d),
+        |lk AS (SELECT doc_id, idx, line, trim(line) AS key FROM l),
+        |boiler AS (
+        |  SELECT key FROM (
+        |    SELECT key, count(DISTINCT doc_id) AS nd FROM lk
+        |    WHERE key <> '' GROUP BY 1)
+        |  WHERE nd > 1),
         |kept AS (
         |  SELECT doc_id, idx, line FROM lk
         |  WHERE key = '' OR key NOT IN (SELECT key FROM boiler)),

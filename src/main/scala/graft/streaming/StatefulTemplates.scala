@@ -10,6 +10,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class TemplEvent(level: Option[String], template: Option[String],
     event_id: Option[Long], day: Option[String])
 
+/** STATE-SCHEMA COMPATIBILITY: widening firstId from Long to
+  * Option[Long] (the r8 NULL-id hardening) changed the
+  * flatMapGroupsWithState state encoder schema — a streaming query
+  * restarted from a checkpoint written by a pre-r8 build will fail (or
+  * misread state) against this class. Fresh deployments are unaffected;
+  * an upgrade of a running query needs a new checkpoint directory (the
+  * store is re-derivable by replaying the log topic). */
 case class TemplState(firstId: Option[Long], firstDay: Option[String])
 
 case class TemplOut(level: Option[String], template: Option[String],

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 /** Stream-stream joins — the capability class the stateful-operator twins
   * (sessionize, transitions, spikes, templates) don't cover: two LIVE
@@ -54,6 +55,21 @@ object StreamJoins {
         col("view_id"), col("vts"))
   }
 
+  /** Bucket fan of the winner store: within each purchase-ts epoch day,
+    * winners hash-partition by purchase_id into this many directories.
+    * A micro-batch's merge reads and rewrites ONLY the (epoch, bucket)
+    * leaves its own purchases land in — the same partition-pruned
+    * durable-store shape as the near-dup signature index
+    * ([[graft.operators.NearDup.IndexBuckets]]). */
+  val StoreBuckets = 64
+
+  /** Degrade-gracefully threshold: a batch touching more distinct
+    * (epoch, bucket) leaves than this (a backfill spanning years) skips
+    * the pruning predicate and merges against the full store — the same
+    * "corpus-sized increment degrades to the full scan" contract the
+    * signature index documents. */
+  private val MaxTouchedLeaves = 4096
+
   /** Streaming last-touch attribution END-TO-END: ranks the candidate
     * stream's (purchase, view) pairs per micro-batch and maintains a
     * one-winner-per-purchase store on disk — closing the loop
@@ -71,11 +87,25 @@ object StreamJoins {
     * unattributed purchase's NULL candidate (emitted only once the
     * watermark proves no view is coming) never displaces a real match.
     *
-    * Store commit is the rename-aside swap + crash recovery every
-    * durable sink in this module uses ([[graft.sources.IO.swapInto]] /
-    * `recoverStore`): a complete store exists at every instant, and a
-    * replayed micro-batch re-ranks the same candidates into the same
-    * winners — idempotent by construction.
+    * BOUNDED per-batch cost — the store is partitioned two levels deep,
+    * `pe` (purchase-ts epoch day) × `pb` (hash(purchase_id) mod
+    * [[StoreBuckets]]), and a micro-batch merges only the leaves its own
+    * purchases touch: the prior read partition-prunes to those leaves
+    * and the rewrite swaps only those directories. Cost scales with the
+    * batch and the touched leaves, NEVER with stream lifetime: a
+    * watermarked candidate stream can only emit for recent purchase
+    * timestamps, so old epochs are sealed — their winners can never
+    * change and their partitions are never read or rewritten again.
+    *
+    * Crash safety: leaves are replaced with the rename-aside swap every
+    * durable store here uses ([[graft.sources.IO.swapInto]]) — each leaf
+    * has a complete version on disk at every instant. A crash mid-merge
+    * leaves some leaves updated and some not; [[recoverLeaves]] restores
+    * any set-aside leaf and drops the tmp dir, and the replayed
+    * micro-batch (foreachBatch + checkpoint replays an uncommitted
+    * batch) re-merges idempotently: re-ranking winners that already
+    * absorbed the batch against the same batch picks the same winners
+    * (top-1 of a set is unchanged by re-adding candidates that lost).
     *
     * [[readLastTouch]] projects the store onto the exact output shape of
     * the batch path of record
@@ -83,40 +113,135 @@ object StreamJoins {
     * both over the same events and asserts row equality.
     */
   def lastTouchSink(candidates: DataFrame, storePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, buckets: Int = StoreBuckets): StreamingQuery =
     candidates.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val p = new org.apache.hadoop.fs.Path(storePath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(storePath + "__merge_tmp")
-        graft.sources.IO.recoverStore(fs, p, tmp)
-        val prior =
-          if (fs.exists(p)) spark.read.parquet(storePath) else batch.limit(0).toDF()
-        val best = Window.partitionBy(col("purchase_id"))
-          .orderBy(col("vts").desc_nulls_last, col("view_id").desc_nulls_last)
-        prior.unionByName(batch.toDF())
-          .withColumn("rk", row_number().over(best))
-          .where(col("rk") === 1).drop("rk")
-          .write.mode("overwrite").parquet(tmp.toString)
-        graft.sources.IO.swapInto(fs, tmp, p)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        mergeBatch(batch.toDF(), storePath, buckets)
         ()
       }
       .start()
 
+  /** One micro-batch's merge into the winner store — the foreachBatch
+    * body, exposed for the bounded-I/O and pruning specs. */
+  private[graft] def mergeBatch(batch: DataFrame, storePath: String,
+      buckets: Int = StoreBuckets): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "__merge_tmp")
+    recoverLeaves(fs, p, tmp)
+    // pe/pb are functions of the PURCHASE (ts is the purchase ts on every
+    // candidate row, including the NULL-view row), so all candidates for
+    // one purchase land in one leaf and the per-purchase rank never
+    // crosses a partition boundary
+    val b = batch
+      .withColumn("pe", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn("pb", pmod(xxhash64(col("purchase_id")), lit(buckets.toLong)).cast("int"))
+      .persist()
+    try {
+      val touched = b.select("pe", "pb").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted
+      if (touched.nonEmpty) {
+        val hasStore = fs.exists(p) &&
+          fs.listStatus(p).exists(_.getPath.getName.startsWith("pe="))
+        // prior winners, partition-pruned to the touched leaves (grouped
+        // into one IN-list per epoch); never derived from `batch` — a
+        // fresh parquet read has its own attribute IDs, so the union
+        // below can never alias two sides of the same plan
+        val merged0 =
+          if (!hasStore) b.toDF()
+          else prunedPrior(spark, storePath, touched.toIndexedSeq).unionByName(b)
+        val best = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("vts").desc_nulls_last, col("view_id").desc_nulls_last)
+        merged0
+          .withColumn("rk", row_number().over(best))
+          .where(col("rk") === 1).drop("rk")
+          .repartition(col("pe"), col("pb"))
+          .write.mode("overwrite").partitionBy("pe", "pb").parquet(tmp.toString)
+        touched.foreach { case (e, x) =>
+          val src = new org.apache.hadoop.fs.Path(tmp, s"pe=$e/pb=$x")
+          if (fs.exists(src)) {
+            val parent = new org.apache.hadoop.fs.Path(p, s"pe=$e")
+            fs.mkdirs(parent)
+            graft.sources.IO.swapInto(fs, src, new org.apache.hadoop.fs.Path(parent, s"pb=$x"))
+          }
+        }
+        fs.delete(tmp, true)
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  /** Prior winners for a merge, partition-pruned to the touched leaves
+    * (one IN-list per epoch, OR-ed — a literal predicate over the two
+    * partition columns, so the scan reads only the touched directories;
+    * the bounded-I/O spec pins `numFiles`). A batch touching more than
+    * [[MaxTouchedLeaves]] leaves degrades to the full scan — pruning
+    * buys nothing there and the predicate would be planning-sized. */
+  private[graft] def prunedPrior(spark: SparkSession, storePath: String,
+      touched: Seq[(Int, Int)]): DataFrame = {
+    val all = spark.read.parquet(storePath)
+    if (touched.length > MaxTouchedLeaves) all
+    else all.where(
+      touched.groupBy(_._1).toSeq.map { case (e, bs) =>
+        col("pe") === e && col("pb").isin(bs.map(x => Integer.valueOf(x._2)): _*)
+      }.reduce(_ || _))
+  }
+
+  /** Entry recovery for the leaf-swapped store: restore any leaf set
+    * aside by an interrupted [[graft.sources.IO.swapInto]] (old exists,
+    * promoted copy missing → the pre-batch version is authoritative;
+    * both exist → the promote completed, drop the old), then drop the
+    * merge tmp wholesale — the interrupted micro-batch replays and
+    * re-merges idempotently, so tmp's partial (or even complete) output
+    * is never needed. */
+  private def recoverLeaves(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+    val Old = "__swap_old"
+    if (fs.exists(p)) {
+      fs.listStatus(p).filter(_.isDirectory).foreach { pe =>
+        fs.listStatus(pe.getPath).filter(_.getPath.getName.endsWith(Old)).foreach { st =>
+          val orig = new org.apache.hadoop.fs.Path(
+            pe.getPath, st.getPath.getName.stripSuffix(Old))
+          if (!fs.exists(orig)) {
+            if (!fs.rename(st.getPath, orig))
+              sys.error(s"recover: cannot restore ${st.getPath}")
+          } else fs.delete(st.getPath, true)
+        }
+      }
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** The batch-shaped output schema of [[readLastTouch]]. */
+  private val lastTouchSchema = StructType(Seq(
+    StructField("purchase_id", LongType), StructField("user_id", LongType),
+    StructField("purchase_ts", StringType), StructField("view_id", LongType),
+    StructField("view_ts", StringType), StructField("gap_us", LongType)))
+
   /** The [[lastTouchSink]] store in the batch operator's output shape
     * (purchase_id, user_id, purchase_ts, view_id, view_ts, gap_us) — an
     * unattributed purchase keeps NULL view columns, exactly as
-    * [[graft.operators.EventFlows.clickAttribution]] renders it. */
+    * [[graft.operators.EventFlows.clickAttribution]] renders it. Before
+    * the first micro-batch commits a leaf, the store path is absent (or
+    * an empty directory) — that reads as an EMPTY relation in the same
+    * shape, not a PATH_NOT_FOUND. */
   def readLastTouch(spark: SparkSession, storePath: String): DataFrame = {
-    val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    spark.read.parquet(storePath).select(
-      col("purchase_id"), col("user_id"),
-      date_format(col("ts"), tsUs).as("purchase_ts"),
-      col("view_id"),
-      date_format(col("vts"), tsUs).as("view_ts"),
-      (unix_micros(col("ts")) - unix_micros(col("vts"))).as("gap_us"))
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empty = !fs.exists(p) ||
+      !fs.listStatus(p).exists(_.getPath.getName.startsWith("pe="))
+    if (empty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), lastTouchSchema)
+    else {
+      val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      spark.read.parquet(storePath).select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsUs).as("purchase_ts"),
+        col("view_id"),
+        date_format(col("vts"), tsUs).as("view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("vts"))).as("gap_us"))
+    }
   }
 }

@@ -417,6 +417,166 @@ class StatefulAndJoinSpec extends AnyFunSuite {
         s"stream: ${rows(streamed)}\nbatch:  ${rows(batchRef)}")
   }
 
+  // --- last-touch store: suite-order, bounded I/O, pruning, recovery ---
+
+  /** Candidate-stream schema rows for driving mergeBatch directly. */
+  private def cand(rows: Seq[(Long, Long, Timestamp, Option[Long], Option[Timestamp])]) = {
+    import spark.implicits._
+    rows.toDF("purchase_id", "user_id", "ts", "view_id", "vts")
+  }
+
+  private def leafFiles(store: String): Map[String, Set[String]] = {
+    val root = new java.io.File(store)
+    val leaves = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("pe="))
+      .flatMap(pe => Option(pe.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("pb=")))
+    leaves.map(d => s"${d.getParentFile.getName}/${d.getName}" ->
+      d.listFiles().map(f => s"${f.getName}:${f.length}").toSet).toMap
+  }
+
+  private def bucketOf(id: Long): Int = spark.range(1)
+    .select(pmod(xxhash64(lit(id)), lit(64L)).cast("int")).head().getInt(0)
+
+  private def epochOf(s: String): Int = spark.range(1)
+    .select(datediff(lit(Timestamp.valueOf(s)).cast("date"),
+      lit("1970-01-01").cast("date"))).head().getInt(0)
+
+  test("last-touch merge rewrites only the touched store leaves") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val store = "/tmp/graft_lasttouch_leaves/store"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/tmp/graft_lasttouch_leaves")).deleteRecursively()
+    // batch 1: 200 purchases in one epoch day populate most of the 64 buckets
+    val b1 = cand((1L to 200L).map(i =>
+      (i, i, t("2024-07-01 12:00:00"), Some(1000L + i), Some(t("2024-07-01 11:40:00")))))
+    graft.streaming.StreamJoins.mergeBatch(b1, store)
+    val after1 = leafFiles(store)
+    assert(after1.size > 40, s"200 uniform purchases should fill most buckets: ${after1.size}")
+    // batch 2: ONE purchase gets a better late candidate
+    val b2 = cand(Seq((42L, 42L, t("2024-07-01 12:00:00"),
+      Some(9999L), Some(t("2024-07-01 11:55:00")))))
+    graft.streaming.StreamJoins.mergeBatch(b2, store)
+    val after2 = leafFiles(store)
+    val changed2 = (after1.keySet ++ after2.keySet)
+      .filter(k => after1.get(k) != after2.get(k))
+    val e1 = epochOf("2024-07-01 12:00:00")
+    assert(changed2 == Set(s"pe=$e1/pb=${bucketOf(42L)}"),
+      s"a one-purchase batch must rewrite exactly its own leaf: $changed2")
+    // batch 3: a purchase four days later lands in a NEW epoch partition —
+    // every epoch-1 leaf is sealed (not even the same hash bucket is touched)
+    val b3 = cand(Seq((300L, 300L, t("2024-07-05 09:00:00"),
+      Some(7000L), Some(t("2024-07-05 08:30:00")))))
+    graft.streaming.StreamJoins.mergeBatch(b3, store)
+    val after3 = leafFiles(store)
+    val changed3 = after2.keySet.filter(k => after2.get(k) != after3.get(k))
+    assert(changed3.isEmpty,
+      s"a new-epoch batch must not rewrite any sealed epoch-1 leaf: $changed3")
+    assert(after3.keySet.contains(s"pe=${epochOf("2024-07-05 09:00:00")}/pb=${bucketOf(300L)}"))
+    // winners: 42 upgraded, 41 untouched, 300 present
+    val w = graft.streaming.StreamJoins.readLastTouch(spark, store)
+      .select("purchase_id", "view_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(42L) == 9999L, s"late better candidate must upgrade: ${w(42L)}")
+    assert(w(41L) == 1041L && w(300L) == 7000L, s"others keep/gain winners: $w")
+  }
+
+  test("last-touch prior read partition-prunes to the touched leaves") {
+    val store = "/tmp/graft_lasttouch_leaves/store" // built by the previous test
+    assume(new java.io.File(store).exists())
+    val e1 = epochOf("2024-07-01 12:00:00")
+    val touched = Seq((e1, bucketOf(42L)), (e1, bucketOf(43L)))
+    val pruned = graft.streaming.StreamJoins.prunedPrior(spark, store, touched)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = leafFiles(store).values.map(_.count(_.contains(".parquet"))).sum
+    assert(totalFiles > 40, s"store should hold many leaf files: $totalFiles")
+    assert(filesRead > 0 && filesRead <= 2,
+      s"a two-leaf merge must scan at most its two leaves: $filesRead of $totalFiles")
+  }
+
+  test("last-touch recovery restores a set-aside leaf and drops merge debris") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val store = "/tmp/graft_lasttouch_leaves/store"
+    assume(new java.io.File(store).exists())
+    val e1 = epochOf("2024-07-01 12:00:00")
+    val peDir = new java.io.File(store, s"pe=$e1")
+    val victim = new java.io.File(peDir, s"pb=${bucketOf(41L)}")
+    // crash window 1: leaf renamed aside, promote never happened
+    assert(victim.renameTo(new java.io.File(peDir, victim.getName + "__swap_old")))
+    // crash window 2: promote completed, old copy not yet deleted
+    val done = new java.io.File(peDir, s"pb=${bucketOf(43L)}")
+    val doneOld = new java.io.File(peDir, done.getName + "__swap_old")
+    doneOld.mkdirs()
+    // plus a dead merge tmp from the interrupted batch
+    new java.io.File(store + "__merge_tmp/pe=0").mkdirs()
+    // any merge entry heals all three before touching data
+    graft.streaming.StreamJoins.mergeBatch(
+      cand(Seq((42L, 42L, t("2024-07-01 12:00:00"),
+        Some(9999L), Some(t("2024-07-01 11:55:00"))))), store)
+    assert(victim.exists(), "set-aside leaf must be restored")
+    assert(!doneOld.exists(), "completed-swap debris must be deleted")
+    assert(!new java.io.File(store + "__merge_tmp").exists(), "merge tmp must be dropped")
+    val w = graft.streaming.StreamJoins.readLastTouch(spark, store)
+      .select("purchase_id", "view_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(41L) == 1041L && w(42L) == 9999L, s"store intact after recovery: $w")
+  }
+
+  test("last-touch sink's first batch works after other streaming queries in the session") {
+    // the r8 in-suite failure distilled: lastTouchSink's first micro-batch
+    // ran AFTER other streaming queries in the same session and its
+    // prior-union (then derived from the batch itself, sharing attribute
+    // IDs) died in constraint propagation (key not found: ts#...).
+    // The store-read prior (or no union at all on the first batch) must
+    // make ordering irrelevant — this spec pins exactly that sequencing.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "event_type")
+    // another streaming query first (same session, runs to completion)
+    val pre = MemoryStream[(Long, Long, Timestamp, String)]
+    val preQ = graft.streaming.StreamJoins
+      .attributionCandidates(named(pre.toDF()), named(pre.toDF()))
+      .writeStream.format("memory").queryName("order_probe")
+      .outputMode("append").start()
+    try {
+      pre.addData((1L, 1L, t("2024-07-01 12:00:00"), "purchase"))
+      preQ.processAllAvailable()
+    } finally preQ.stop()
+    // now a FRESH last-touch sink: its first micro-batch must succeed
+    val base = "/tmp/graft_lasttouch_order"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val pMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val vMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = graft.streaming.StreamJoins.lastTouchSink(
+      graft.streaming.StreamJoins.attributionCandidates(
+        named(pMem.toDF()), named(vMem.toDF())),
+      s"$base/store", s"$base/ckpt")
+    try {
+      vMem.addData((2L, 1L, t("2024-07-01 11:40:00"), "view"))
+      pMem.addData((10L, 1L, t("2024-07-01 12:00:00"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = spark.read.parquet(s"$base/store")
+      .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toMap
+    assert(w == Map(10L -> Some(2L)), s"first batch after prior queries: $w")
+  }
+
+  test("readLastTouch on an absent or empty store is an empty typed relation") {
+    val df = graft.streaming.StreamJoins.readLastTouch(
+      spark, "/tmp/graft_lasttouch_never_written")
+    assert(df.columns.toSeq == Seq("purchase_id", "user_id", "purchase_ts",
+      "view_id", "view_ts", "gap_us"))
+    assert(df.count() == 0)
+  }
+
   test("batch stateful transitions match the lead() window operator") {
     import spark.implicits._
     import graft.streaming.{StatefulTransitions, TransEvent}

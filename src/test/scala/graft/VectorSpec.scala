@@ -330,6 +330,16 @@ class VectorSpec extends AnyFunSuite {
       s"nothing is near the zero vector: ${out.values.filter(_.getBoolean(4))}")
     assert(out.values.forall(r => r.isNullAt(3) || !r.getDouble(3).isNaN),
       "similarity to a zero vector must be pinned to 0.0, not NaN")
+    // same pin on the exact-scan path (its oracle mirrors this with a
+    // CASE-guarded normalize: zero stays zero, never 0/0 = NaN)
+    val exact = Embeddings.decontaminateSemanticExactFrom(
+      rows.toDF("vec_id", "emb", "label"), thr = 0.95)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(exact.values.forall(!_.getBoolean(3)),
+      s"exact scan: nothing is near the zero vector: " +
+        s"${exact.values.filter(_.getBoolean(3))}")
+    assert(exact.values.forall(r => r.isNullAt(2) || !r.getDouble(2).isNaN),
+      "exact scan: zero-vector sim must be 0.0, not NaN")
   }
 
   test("connected components label planted clusters correctly") {
