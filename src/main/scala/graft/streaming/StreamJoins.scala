@@ -90,12 +90,15 @@ object StreamJoins {
     * BOUNDED per-batch cost — the store is partitioned two levels deep,
     * `pe` (purchase-ts epoch day) × `pb` (hash(purchase_id) mod
     * [[StoreBuckets]]), and a micro-batch merges only the leaves its own
-    * purchases touch: the prior read partition-prunes to those leaves
-    * and the rewrite swaps only those directories. Cost scales with the
-    * batch and the touched leaves, NEVER with stream lifetime: a
-    * watermarked candidate stream can only emit for recent purchase
-    * timestamps, so old epochs are sealed — their winners can never
-    * change and their partitions are never read or rewritten again.
+    * purchases touch: the prior read opens EXACTLY the touched leaf
+    * directories (explicit paths + `basePath`, [[prunedPrior]] — no
+    * store-wide partition discovery), crash healing walks only the
+    * touched epochs, and the rewrite swaps only those directories. Both
+    * data I/O AND filesystem listing scale with the batch, NEVER with
+    * stream lifetime: a watermarked candidate stream can only emit for
+    * recent purchase timestamps, so old epochs are sealed — their
+    * winners can never change and their partitions are never read,
+    * listed, or rewritten again.
     *
     * Crash safety: leaves are replaced with the rename-aside swap every
     * durable store here uses ([[graft.sources.IO.swapInto]]) — each leaf
@@ -113,7 +116,12 @@ object StreamJoins {
     * both over the same events and asserts row equality.
     */
   def lastTouchSink(candidates: DataFrame, storePath: String,
-      checkpoint: String, buckets: Int = StoreBuckets): StreamingQuery =
+      checkpoint: String, buckets: Int = StoreBuckets): StreamingQuery = {
+    // one FULL healing pass per sink start: covers debris from any prior
+    // lifetime (a crash whose batch never replays here, e.g. a new
+    // checkpoint over an old store). Per-batch healing is then scoped to
+    // the batch's own epochs — the only place replay debris can live
+    recoverStore(candidates.sparkSession, storePath)
     candidates.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -122,6 +130,7 @@ object StreamJoins {
         ()
       }
       .start()
+  }
 
   /** One micro-batch's merge into the winner store — the foreachBatch
     * body, exposed for the bounded-I/O and pruning specs. */
@@ -131,12 +140,16 @@ object StreamJoins {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(storePath + "__merge_tmp")
-    recoverLeaves(fs, p, tmp)
     // pe/pb are functions of the PURCHASE (ts is the purchase ts on every
     // candidate row, including the NULL-view row), so all candidates for
     // one purchase land in one leaf and the per-purchase rank never
     // crosses a partition boundary
+    // ts is the PARTITION key (pe below): a NULL purchase ts has no leaf
+    // to land in and would NPE the touched-leaf collect. The streaming
+    // source ([[attributionCandidates]]) already filters it; this guard
+    // covers direct private[graft] callers feeding raw candidate rows.
     val b = batch
+      .where(col("ts").isNotNull && col("purchase_id").isNotNull)
       .withColumn("pe", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
       .withColumn("pb", pmod(xxhash64(col("purchase_id")), lit(buckets.toLong)).cast("int"))
       .persist()
@@ -144,15 +157,15 @@ object StreamJoins {
       val touched = b.select("pe", "pb").distinct().collect()
         .map(r => (r.getInt(0), r.getInt(1))).sorted
       if (touched.nonEmpty) {
-        val hasStore = fs.exists(p) &&
-          fs.listStatus(p).exists(_.getPath.getName.startsWith("pe="))
-        // prior winners, partition-pruned to the touched leaves (grouped
-        // into one IN-list per epoch); never derived from `batch` — a
-        // fresh parquet read has its own attribute IDs, so the union
-        // below can never alias two sides of the same plan
-        val merged0 =
-          if (!hasStore) b.toDF()
-          else prunedPrior(spark, storePath, touched.toIndexedSeq).unionByName(b)
+        // replay debris can only live in the interrupted batch's own
+        // leaves, and foreachBatch replays the same batch (same touched
+        // set) — so healing the touched epochs is complete, and O(batch)
+        recoverLeaves(fs, p, tmp, touched.map(_._1).distinct.toIndexedSeq)
+        // prior winners read from the touched leaves ONLY; never derived
+        // from `batch` — a fresh parquet read has its own attribute IDs,
+        // so the union below can never alias two sides of the same plan
+        val merged0 = prunedPrior(spark, storePath, touched.toIndexedSeq)
+          .map(_.unionByName(b)).getOrElse(b.toDF())
         val best = Window.partitionBy(col("purchase_id"))
           .orderBy(col("vts").desc_nulls_last, col("view_id").desc_nulls_last)
         merged0
@@ -173,44 +186,80 @@ object StreamJoins {
     } finally { b.unpersist(); () }
   }
 
-  /** Prior winners for a merge, partition-pruned to the touched leaves
-    * (one IN-list per epoch, OR-ed — a literal predicate over the two
-    * partition columns, so the scan reads only the touched directories;
-    * the bounded-I/O spec pins `numFiles`). A batch touching more than
-    * [[MaxTouchedLeaves]] leaves degrades to the full scan — pruning
-    * buys nothing there and the predicate would be planning-sized. */
+  /** Prior winners for a merge, read from the touched leaf directories
+    * DIRECTLY (explicit paths + `basePath`, which still materializes
+    * pe/pb as partition columns): neither the data I/O nor the
+    * filesystem LISTING sees untouched leaves, so per-batch cost is
+    * O(touched) even against a store that has accumulated years of
+    * sealed epochs — `spark.read.parquet(root)` would re-discover every
+    * leaf each batch, a cost term proportional to store lifetime. None
+    * when no touched leaf exists yet (first batch, or all-new leaves).
+    * A batch touching more than [[MaxTouchedLeaves]] leaves (a backfill
+    * spanning years) degrades to the full-store scan — pruning buys
+    * nothing there and the path list would be planning-sized. */
   private[graft] def prunedPrior(spark: SparkSession, storePath: String,
-      touched: Seq[(Int, Int)]): DataFrame = {
-    val all = spark.read.parquet(storePath)
-    if (touched.length > MaxTouchedLeaves) all
-    else all.where(
-      touched.groupBy(_._1).toSeq.map { case (e, bs) =>
-        col("pe") === e && col("pb").isin(bs.map(x => Integer.valueOf(x._2)): _*)
-      }.reduce(_ || _))
+      touched: Seq[(Int, Int)]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (touched.length > MaxTouchedLeaves) {
+      val hasStore = fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("pe="))
+      if (hasStore) Some(spark.read.parquet(storePath)) else None
+    } else {
+      val leaves = touched.map { case (e, x) =>
+        new org.apache.hadoop.fs.Path(p, s"pe=$e/pb=$x") }.filter(fs.exists)
+      if (leaves.isEmpty) None
+      else Some(spark.read.option("basePath", storePath)
+        .parquet(leaves.map(_.toString): _*))
+    }
   }
 
-  /** Entry recovery for the leaf-swapped store: restore any leaf set
-    * aside by an interrupted [[graft.sources.IO.swapInto]] (old exists,
-    * promoted copy missing → the pre-batch version is authoritative;
-    * both exist → the promote completed, drop the old), then drop the
-    * merge tmp wholesale — the interrupted micro-batch replays and
-    * re-merges idempotently, so tmp's partial (or even complete) output
-    * is never needed. */
-  private def recoverLeaves(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+  /** Heal one epoch directory: restore any leaf set aside by an
+    * interrupted [[graft.sources.IO.swapInto]] (old exists, promoted
+    * copy missing → the pre-batch version is authoritative; both exist →
+    * the promote completed, drop the old). */
+  private def healEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      peDir: org.apache.hadoop.fs.Path): Unit = {
     val Old = "__swap_old"
-    if (fs.exists(p)) {
-      fs.listStatus(p).filter(_.isDirectory).foreach { pe =>
-        fs.listStatus(pe.getPath).filter(_.getPath.getName.endsWith(Old)).foreach { st =>
-          val orig = new org.apache.hadoop.fs.Path(
-            pe.getPath, st.getPath.getName.stripSuffix(Old))
-          if (!fs.exists(orig)) {
-            if (!fs.rename(st.getPath, orig))
-              sys.error(s"recover: cannot restore ${st.getPath}")
-          } else fs.delete(st.getPath, true)
-        }
-      }
+    fs.listStatus(peDir).filter(_.getPath.getName.endsWith(Old)).foreach { st =>
+      val orig = new org.apache.hadoop.fs.Path(
+        peDir, st.getPath.getName.stripSuffix(Old))
+      if (!fs.exists(orig)) {
+        if (!fs.rename(st.getPath, orig))
+          sys.error(s"recover: cannot restore ${st.getPath}")
+      } else fs.delete(st.getPath, true)
     }
+  }
+
+  /** Per-batch crash recovery, scoped to the batch's own epochs: an
+    * interrupted merge can only have set leaves aside in ITS touched
+    * epochs, and the checkpoint replays that same batch (same touched
+    * set) — so walking just those epoch dirs is complete, and the per-
+    * batch listing stays O(batch) instead of O(store lifetime). Then
+    * drop the merge tmp wholesale — the replayed micro-batch re-merges
+    * idempotently, so tmp's partial (or even complete) output is never
+    * needed. */
+  private def recoverLeaves(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      epochs: Seq[Int]): Unit = {
+    epochs.foreach { e =>
+      val peDir = new org.apache.hadoop.fs.Path(p, s"pe=$e")
+      if (fs.exists(peDir)) healEpoch(fs, peDir)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Full-store healing pass — run ONCE per [[lastTouchSink]] start (not
+    * per batch): covers debris that per-batch scoped recovery can never
+    * see, e.g. a crash whose batch is not replayed because the store was
+    * re-attached under a fresh checkpoint. */
+  private[graft] def recoverStore(spark: SparkSession, storePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("pe=")).foreach(s => healEpoch(fs, s.getPath))
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "__merge_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 

@@ -486,7 +486,7 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assume(new java.io.File(store).exists())
     val e1 = epochOf("2024-07-01 12:00:00")
     val touched = Seq((e1, bucketOf(42L)), (e1, bucketOf(43L)))
-    val pruned = graft.streaming.StreamJoins.prunedPrior(spark, store, touched)
+    val pruned = graft.streaming.StreamJoins.prunedPrior(spark, store, touched).get
     pruned.collect()
     val scan = pruned.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
@@ -496,6 +496,20 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(totalFiles > 40, s"store should hold many leaf files: $totalFiles")
     assert(filesRead > 0 && filesRead <= 2,
       s"a two-leaf merge must scan at most its two leaves: $filesRead of $totalFiles")
+    // the LISTING pin (the r10 carried item): the scan's file index must
+    // be rooted at exactly the touched leaf dirs — store-wide partition
+    // discovery would root at the store and re-list every sealed leaf
+    // each batch, a cost term growing with store lifetime
+    val roots = scan.relation.location.rootPaths.map(_.toString)
+    assert(roots.size == touched.size &&
+      touched.forall { case (e, x) => roots.exists(_.endsWith(s"pe=$e/pb=$x")) },
+      s"prior read must be rooted at the touched leaves only: $roots")
+    // and the partition columns still materialize through basePath
+    assert(pruned.columns.contains("pe") && pruned.columns.contains("pb"),
+      s"basePath read must keep partition columns: ${pruned.columns.toSeq}")
+    // a merge whose touched leaves don't exist yet has NO prior to read
+    assert(graft.streaming.StreamJoins.prunedPrior(spark, store,
+      Seq((e1 + 9999, 0))).isEmpty, "all-new leaves => no prior scan at all")
   }
 
   test("last-touch recovery restores a set-aside leaf and drops merge debris") {
