@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * it under-reports real work. noop materializes every output column.
   */
 object Bench {
+  /** Max clean-looking pass-total spread: above this an attempt retries
+    * (budget permitting) and a record that still exceeds it carries
+    * `"contended":true` on the official line. */
+  private val SpreadLimit = 1.15
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,9 +72,12 @@ object Bench {
     // entire bench window (it cost THREE rounds' official records — judged
     // 131 s→48.9 s in r3, 78 s→37.4 s in r4, 67.7 s→48.6 s in r6). The r6
     // spread field made the pollution visible but the driver still recorded
-    // the contended run — so now a contended attempt (spread > 2) triggers
-    // a bounded whole-suite re-run and the CLEANEST attempt becomes the
-    // record; contended attempts stay visible on detail: lines.
+    // the contended run — so now a contended attempt triggers a bounded
+    // whole-suite re-run and the CLEANEST attempt becomes the record;
+    // contended attempts stay visible on detail: lines. The threshold is
+    // 1.15, not 2: r10's contended record slipped through at spread 1.175
+    // (a 31% same-code swing) while the cleanest uncontended runs on this
+    // host sit at ≤1.13 — 1.15 separates the two populations.
     // one definition of "a pass's total" and one Locale.ROOT formatter:
     // spread, attempt_totals, and the official line must never disagree
     // on either
@@ -93,13 +101,13 @@ object Bench {
       // can never prove the host is quiet — retry while budget remains.
       // Once failures stabilize (failed queries are never re-run), the
       // in-loop check and the final pass score the same query set.
-      settled = failed.size == failedBefore && spreadOf(attempts.last) <= 2.0
+      settled = failed.size == failedBefore && spreadOf(attempts.last) <= SpreadLimit
     }
     // `failed` is final here, so every attempt's spread is computed over the
     // same query set; ties go to the earliest attempt
     val passes = attempts.minBy(spreadOf)
     val spread = spreadOf(passes)
-    val contended = spread > 2.0
+    val contended = spread > SpreadLimit
     val results = names.filterNot(failed).map { name =>
       // upper-median for even run counts — biased against flattering noise
       val times = passes.map(_(name)).sorted

@@ -126,6 +126,10 @@ object SparkEntry {
     // twin (StreamJoins.attributionCandidates) emits the eligible pairs
     "click_attribution"     -> ((s: SparkSession, d: String) =>
       EventFlows.clickAttribution(s, d)),
+    // 5-minute parameter point: most purchases lose their asof match, so
+    // the NULL branch and the window predicate both bite differently
+    "click_attribution_w5m" -> ((s: SparkSession, d: String) =>
+      EventFlows.clickAttributionMinutes(s, d, 5)),
     "stream_windowed_counts" -> (Relational.streamWindowedCounts _),
     // — training-data text operators —
     "dedup_exact"           -> (TextOps.dedupExact _),
@@ -737,6 +741,29 @@ object SparkEntry {
         |  FROM p LEFT JOIN v
         |    ON p.user_id = v.user_id AND v.vts <= p.ts
         |   AND v.vts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT purchase_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |       view_id,
+        |       strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |       CAST(epoch_us(ts) - epoch_us(vts) AS BIGINT) AS gap_us
+        |FROM j WHERE rk = 1""".stripMargin,
+
+    "click_attribution_w5m" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts AS vts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts, v.view_id, v.vts,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY v.vts DESC) AS rk
+        |  FROM p LEFT JOIN v
+        |    ON p.user_id = v.user_id AND v.vts <= p.ts
+        |   AND v.vts >= p.ts - INTERVAL 5 MINUTE)
         |SELECT purchase_id, user_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
         |       view_id,

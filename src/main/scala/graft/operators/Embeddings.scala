@@ -487,11 +487,14 @@ object Embeddings {
     * partitioning). One linear scan + a distributed TakeOrdered. Kernel-
     * dependent (k-means fit) → rows-only with a planted-outlier spec.
     *
-    * Known blind spot: a vector the fit isolates into its own singleton
-    * bucket IS its centroid (distance 0) and scores 0 — within-bucket
-    * normalization cannot see between-bucket anomalies. At corpus scale
-    * with √N centroids singleton buckets are rare; the spec places its
-    * planted rogue so the k=2 fit absorbs it instead of isolating it.
+    * A vector the fit isolates into its own singleton bucket defines its
+    * own bucket mean — the within-bucket ratio is vacuously uninformative
+    * (reported as 0), and normalization cannot see between-bucket
+    * anomalies. Those rows carry `singleton = true` and sort FIRST: a
+    * point the fit refused to merge into any cluster is precisely the
+    * kind of between-bucket anomaly this view exists to surface, and the
+    * flag routes it to an exact-distance audit instead of silently
+    * burying it at ratio 0 (the pre-r11 blind spot).
     */
   def embeddingOutliers(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
     val (assigned, cents) = ivfAssign(spark, dir)
@@ -511,14 +514,18 @@ object Embeddings {
       .join(broadcast(cents), "bucket")
       .withColumn("dist", sqrt(VecFns.l2sq(col("emb"), col("cemb"))))
       .withColumn("bucket_mean", avg(col("dist")).over(byBucket))
-      // an all-identical bucket has mean 0: its members are no outliers
+      .withColumn("singleton", count(lit(1)).over(byBucket) === 1)
+      // a singleton defines its own mean (ratio vacuously 0 — the flag
+      // carries the signal); an all-identical bucket has mean 0: its
+      // members are no outliers
       .withColumn("ratio",
-        when(col("bucket_mean") > 0, col("dist") / col("bucket_mean"))
-          .otherwise(lit(0.0)))
+        when(!col("singleton") && col("bucket_mean") > 0,
+          col("dist") / col("bucket_mean")).otherwise(lit(0.0)))
       .select(col("vec_id"), col("bucket"),
         round(col("dist"), 6).as("dist"),
-        round(col("ratio"), 6).as("outlier_ratio"))
-      .orderBy(col("outlier_ratio").desc, col("vec_id"))
+        round(col("ratio"), 6).as("outlier_ratio"),
+        col("singleton"))
+      .orderBy(col("singleton").desc, col("outlier_ratio").desc, col("vec_id"))
       .limit(topN)
   }
 

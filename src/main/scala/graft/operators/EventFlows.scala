@@ -146,8 +146,18 @@ object EventFlows {
       windowHours: Int = 1): DataFrame =
     clickAttributionFrom(Tables.events(spark, dir), windowHours)
 
+  /** Minutes-granularity window — the oracle parameter point where the
+    * window predicate bites hard (at 5 minutes most purchases lose their
+    * asof match and take the NULL branch). */
+  def clickAttributionMinutes(spark: SparkSession, dir: String,
+      windowMinutes: Int): DataFrame =
+    attributionCore(Tables.events(spark, dir), windowMinutes * 60L * 1000000L)
+
   private[graft] def clickAttributionFrom(events: DataFrame,
-      windowHours: Int = 1): DataFrame = {
+      windowHours: Int = 1): DataFrame =
+    attributionCore(events, windowHours.toLong * 3600L * 1000000L)
+
+  private def attributionCore(events: DataFrame, windowUs: Long): DataFrame = {
     val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val p = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
@@ -155,7 +165,7 @@ object EventFlows {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("view_id"))
     val gapUs = unix_micros(col("ts")) - unix_micros(col("attr.ts"))
-    val within = gapUs <= lit(windowHours.toLong * 3600L * 1000000L)
+    val within = gapUs <= lit(windowUs)
     JoinOps.asofJoin(p, v, "user_id", "ts", "ts", "attr")
       .select(col("purchase_id"), col("user_id"),
         date_format(col("ts"), tsUs).as("purchase_ts"),

@@ -27,15 +27,28 @@ object Tables {
   /** The log-event stream (the stand-in for the reference's New Relic `Log`
     * table, cf. /root/reference/src/ingestion/new_relic_fetcher.py:70-79).
     *
-    * events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long and
-    * truncate to microseconds ourselves — integer division, not a double
-    * divide, so no mantissa loss on ~1.7e18 nano values. DuckDB truncates
-    * ns→µs the same way natively, so oracle comparisons stay aligned.
+    * The generator has shipped `ts` under three physical types across
+    * rounds, so the loader adapts to what the file actually carries:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` reads it as a long and we
+    *     truncate to µs ourselves — integer division, not a double divide,
+    *     so no mantissa loss on ~1.7e18 nano values. DuckDB truncates
+    *     ns→µs the same way natively, so oracle comparisons stay aligned.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ:
+    *     cast to session-local TIMESTAMP. The session timezone is pinned
+    *     to UTC everywhere here, so the instant equals DuckDB's naive
+    *     reading of the same value.
+    *   - TIMESTAMP(MICROS, adjusted) → already the TIMESTAMP we want.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

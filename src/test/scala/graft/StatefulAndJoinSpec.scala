@@ -540,6 +540,30 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(w(41L) == 1041L && w(42L) == 9999L, s"store intact after recovery: $w")
   }
 
+  test("last-touch merge drops NULL-key candidates instead of NPEing") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = "/tmp/graft_lasttouch_nullts"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val store = s"$base/store"
+    // raw private[graft] rows: a NULL purchase ts has no pe leaf to land
+    // in, a NULL purchase_id no pb — before the entry guard these NPE'd
+    // the touched-leaf collect (r10 carried finding). The streaming
+    // source filters them; a direct caller must get a drop, not a crash
+    val rows = Seq[(Option[Long], Long, Option[Timestamp], Option[Long], Option[Timestamp])](
+      (Some(10L), 1L, Some(t("2024-07-01 12:00:00")),
+        Some(100L), Some(t("2024-07-01 11:40:00"))),
+      (Some(11L), 2L, None, Some(101L), Some(t("2024-07-01 11:41:00"))),
+      (None, 3L, Some(t("2024-07-01 12:00:00")),
+        Some(102L), Some(t("2024-07-01 11:42:00"))))
+      .toDF("purchase_id", "user_id", "ts", "view_id", "vts")
+    graft.streaming.StreamJoins.mergeBatch(rows, store)
+    val w = graft.streaming.StreamJoins.readLastTouch(spark, store)
+      .select("purchase_id").as[Long].collect().toSet
+    assert(w == Set(10L), s"only the fully-keyed candidate is stored: $w")
+  }
+
   test("last-touch sink's first batch works after other streaming queries in the session") {
     // the r8 in-suite failure distilled: lastTouchSink's first micro-batch
     // ran AFTER other streaming queries in the same session and its
@@ -581,6 +605,104 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     val w = spark.read.parquet(s"$base/store")
       .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toMap
     assert(w == Map(10L -> Some(2L)), s"first batch after prior queries: $w")
+  }
+
+  test("last-touch soak: 12 batches, late upgrade, watermark drop, crash+restart") {
+    // the replay-idempotence and longevity claims DRIVEN, not argued:
+    // two epoch days of micro-batches through a real checkpoint, a late
+    // in-threshold upgrade, a watermark-dropped candidate, and a mid-run
+    // stop with injected swap debris — after restart FROM THE SAME
+    // checkpoint the store must equal the batch path of record over the
+    // non-dropped events, with every debris artifact healed
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "event_type")
+    val base = "/tmp/graft_lasttouch_soak"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val store = s"$base/store"
+    val pMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val vMem = MemoryStream[(Long, Long, Timestamp, String)]
+    def sink() = graft.streaming.StreamJoins.lastTouchSink(
+      graft.streaming.StreamJoins.attributionCandidates(
+        named(pMem.toDF()), named(vMem.toDF())),
+      store, s"$base/ckpt")
+    var views = Seq.empty[(Long, Long, Timestamp, String)]
+    var purchases = Seq.empty[(Long, Long, Timestamp, String)]
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+        vs: Seq[(Long, Long, Timestamp)], ps: Seq[(Long, Long, Timestamp)]): Unit = {
+      val vRows = vs.map { case (id, u, ts) => (id, u, ts, "view") }
+      val pRows = ps.map { case (id, u, ts) => (id, u, ts, "purchase") }
+      views ++= vRows; purchases ++= pRows
+      if (vRows.nonEmpty) vMem.addData(vRows: _*)
+      if (pRows.nonEmpty) pMem.addData(pRows: _*)
+      q.processAllAvailable()
+    }
+    val q1 = sink()
+    try {
+      feed(q1, Seq((101L, 1L, t("2024-07-01 11:40:00"))),
+        Seq((10L, 1L, t("2024-07-01 12:00:00"))))                 // b1
+      feed(q1, Seq((102L, 1L, t("2024-07-01 11:55:00"))), Nil)    // b2: upgrade
+      feed(q1, Seq((103L, 3L, t("2024-07-01 12:20:00"))),
+        Seq((11L, 2L, t("2024-07-01 12:10:00"))))                 // b3
+      feed(q1, Seq((104L, 4L, t("2024-07-01 12:59:00"))),
+        Seq((12L, 3L, t("2024-07-01 12:30:00")),
+          (13L, 4L, t("2024-07-01 13:00:00"))))                   // b4
+      feed(q1, Seq((105L, 5L, t("2024-07-01 13:58:00"))),
+        Seq((14L, 5L, t("2024-07-01 14:00:00"))))                 // b5: wm→13:48
+    } finally q1.stop()
+    // induced crash: one winner leaf renamed aside mid-swap + a dead tmp
+    val e1 = epochOf("2024-07-01 12:00:00")
+    val peDir = new java.io.File(store, s"pe=$e1")
+    val victim = new java.io.File(peDir, s"pb=${bucketOf(10L)}")
+    assert(victim.exists(), s"u1's winner leaf must exist before the crash: $victim")
+    assert(victim.renameTo(new java.io.File(peDir, victim.getName + "__swap_old")))
+    new java.io.File(store + "__merge_tmp/pe=0").mkdirs()
+    // a watermark-dropped candidate arrives while the sink is DOWN: p11's
+    // in-window view is behind the checkpointed watermark (13:48) when the
+    // restarted query processes it, so the engine drops it and p11 keeps
+    // its NULL row. The batch reference below EXCLUDES it — the
+    // equivalence claim is for in-watermark arrivals
+    vMem.addData((106L, 2L, t("2024-07-01 11:55:00"), "view"))
+    val dropped = Seq((106L, 2L, t("2024-07-01 11:55:00"), "view"))
+    val q2 = sink()
+    try {
+      q2.processAllAvailable()                                    // b6: drop
+      feed(q2, Seq((107L, 7L, t("2024-07-02 09:30:00"))),
+        Seq((15L, 7L, t("2024-07-02 10:00:00"))))                 // b7: day 2
+      feed(q2, Seq((108L, 8L, t("2024-07-02 10:29:00"))),
+        Seq((16L, 8L, t("2024-07-02 10:30:00"))))                 // b8
+      feed(q2, Seq((109L, 8L, t("2024-07-02 10:30:00"))), Nil)    // b9: upgrade
+      feed(q2, Nil, Seq((17L, 9L, t("2024-07-02 11:00:00"))))     // b10: no view
+      feed(q2, Seq((110L, 10L, t("2024-07-02 11:58:00"))),
+        Seq((18L, 10L, t("2024-07-02 12:00:00"))))                // b11
+      feed(q2, Seq((111L, 11L, t("2024-07-02 13:58:00"))),
+        Seq((19L, 11L, t("2024-07-02 14:00:00"))))                // b12: flush 17
+    } finally q2.stop()
+    // every debris artifact healed by the restart
+    def swapDebris(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith("__swap_old"))
+    assert(swapDebris(new java.io.File(store)).isEmpty, "swap debris healed")
+    assert(!new java.io.File(store + "__merge_tmp").exists(), "merge tmp dropped")
+    val streamed = graft.streaming.StreamJoins.readLastTouch(spark, store)
+    val batchRef = graft.operators.EventFlows.clickAttributionFrom(
+      (views ++ purchases).toDF("event_id", "user_id", "ts", "event_type"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("purchase_id").collect().map(_.toSeq).toSeq
+    assert(rows(streamed) == rows(batchRef),
+      s"after crash+restart the store must equal the batch path of record:\n" +
+        s"stream: ${rows(streamed)}\nbatch:  ${rows(batchRef)}")
+    // the dropped view would have changed p11's verdict — prove the soak
+    // exercised the drop (the batch path WITH it disagrees)
+    val withDropped = graft.operators.EventFlows.clickAttributionFrom(
+      (views ++ dropped ++ purchases).toDF("event_id", "user_id", "ts", "event_type"))
+    assert(rows(withDropped) != rows(batchRef),
+      "the watermark-dropped view must be one the batch path would have used")
   }
 
   test("readLastTouch on an absent or empty store is an empty typed relation") {

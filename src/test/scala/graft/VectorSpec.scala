@@ -253,6 +253,32 @@ class VectorSpec extends AnyFunSuite {
     // ratios are non-negative and the output is rank-ordered
     assert(out.forall(_.getDouble(3) >= 0.0))
     assert(out.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    // the absorbed rogue is NOT a singleton — the flag stays false here
+    assert(out.forall(!_.getBoolean(4)), s"no singleton buckets: ${out.toSeq}")
+  }
+
+  test("embedding outliers flag a vector isolated into a singleton bucket") {
+    import spark.implicits._
+    // rogue at 100/dim: isolating it costs ~0 WSSQ while attaching it to
+    // either cluster costs ~10^5 — the k=2 fit MUST give it its own
+    // bucket, the within-bucket ratio is vacuously 0 there, and only the
+    // `singleton` flag can surface it (the pre-r11 blind spot)
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val e1 = Array.fill(8)(1.0); val e2 = Array.fill(8)(-1.0)
+    val rogue = Array.fill(8)(100.0)
+    val rows =
+      (1L to 20L).map(i => (i, jitter(e1).toSeq, 0L)) ++
+      (21L to 40L).map(i => (i, jitter(e2).toSeq, 1L)) :+ ((99L, rogue.toSeq, 0L))
+    val out = Embeddings.embeddingOutliersFrom(
+      rows.toDF("vec_id", "emb", "label"), k = 2, topN = 41).collect()
+    val flagged = out.filter(_.getBoolean(4))
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(99L),
+      s"exactly the isolated rogue is flagged: ${flagged.toSeq}")
+    assert(out.head.getLong(0) == 99L,
+      "singletons sort first — routing surfaces them even at small topN")
+    assert(flagged.head.getDouble(3) == 0.0,
+      s"a singleton's within-bucket ratio is vacuously 0: ${flagged.toSeq}")
   }
 
   test("semantic decontamination flags a train vector near an eval vector") {
