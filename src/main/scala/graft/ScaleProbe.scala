@@ -160,6 +160,47 @@ object ScaleProbe {
     def incrDisk(idx: String): DataFrame =
       graft.operators.NearDup.dedupIncrementalAgainst(spark, idx, tinyBatch)
 
+    // last-touch winner-store longevity: a FIXED micro-batch merged into
+    // a store grown 1x vs Nx in epochs (lifetime). Since r11 the prior
+    // read opens exactly the touched leaf dirs (basePath + explicit
+    // paths) and healing walks only the batch's epochs, so NOTHING in
+    // the merge — data I/O or filesystem listing — scales with store
+    // lifetime; wall-time must be flat, the incr_durable pattern
+    val day0Us = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
+    def candBatch(epochs: Int, perEpoch: Int, idOff: Long): DataFrame =
+      spark.range(epochs.toLong * perEpoch).select(
+        (col("id") + idOff).as("purchase_id"),
+        pmod(col("id"), lit(997L)).as("user_id"),
+        timestamp_micros(lit(day0Us) +
+          pmod(col("id"), lit(epochs.toLong)) * 86400000000L +
+          pmod(col("id") * 7919L, lit(3600000000L))).as("ts"),
+        (col("id") + 1000000L).as("view_id"),
+        timestamp_micros(lit(day0Us) +
+          pmod(col("id"), lit(epochs.toLong)) * 86400000000L).as("vts"))
+    val lt1Store = "/tmp/graft_probe_lt1"
+    val ltNStore = "/tmp/graft_probe_ltN"
+    Seq(lt1Store, ltNStore).foreach(pth =>
+      new scala.reflect.io.Directory(new java.io.File(pth)).deleteRecursively())
+    // stores built off-timer: 4 epoch days vs 4×N — winner count AND leaf
+    // count (epochs × 64 buckets) both grow by the factor
+    graft.streaming.StreamJoins.mergeBatch(candBatch(4, 4000, 0L), lt1Store)
+    graft.streaming.StreamJoins.mergeBatch(candBatch(4 * factor, 4000, 0L), ltNStore)
+    // the fixed batch lands in epoch day 0, which exists in BOTH stores
+    val ltBatch = candBatch(1, 500, 10000000L).persist()
+    ltBatch.count()
+    def timeU(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $name%-28s $s%7.2f s"); s
+    }
+    def med3U(name: String)(f: => Unit): Double = {
+      val ts = Seq.fill(3)(timeU(name)(f)).sorted; ts(1)
+    }
+    val lt1 = med3U("lasttouch_merge 1x")(
+      graft.streaming.StreamJoins.mergeBatch(ltBatch, lt1Store))
+    val ltN = med3U(s"lasttouch_merge ${factor}x")(
+      graft.streaming.StreamJoins.mergeBatch(ltBatch, ltNStore))
+
     // tf-idf: two linear pair-relation shuffles + rank-limit window; the
     // df aggregate+join and top-k must not hide a super-linear stage
     def tfidf(df: DataFrame): DataFrame =
@@ -199,6 +240,7 @@ object ScaleProbe {
       ("transitions", time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
       ("incr_durable", time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
+      ("lasttouch_store", lt1, ltN),
       ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
       ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
@@ -211,7 +253,7 @@ object ScaleProbe {
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }
-    Seq(corpus1, corpusN, batch, tinyBatch).foreach(_.unpersist())
+    Seq(corpus1, corpusN, batch, tinyBatch, ltBatch).foreach(_.unpersist())
     spark.stop()
   }
 }

@@ -122,6 +122,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(hist.columns.contains("best_sim") && hist.columns.contains("n_hits"))
   }
 
+  test("pipeline prompt is byte-stable across two full runs at sf0.01") {
+    // rag determinism pin (r9 carried item): every stage of fetch →
+    // preprocess → embed → rag is deterministic given the input — the
+    // ordered-limit fetch, hash-seeded embeddings, lexicographic rank
+    // tie-breaks, and the two 1-row global aggregates ragBatch joins —
+    // so two END-TO-END drives must produce byte-identical prompts
+    val sf01 = "/root/testdata/sf0.01"
+    val (n1, p1) = IncidentPipeline.run(spark, sf01, "/tmp/graft_pipeline_det1")
+    val (n2, p2) = IncidentPipeline.run(spark, sf01, "/tmp/graft_pipeline_det2")
+    assert(n1 == n2, s"history row counts must match: $n1 vs $n2")
+    assert(p1 == p2, "prompt must be byte-identical across runs")
+    assert(p1.startsWith("Given the following logs") &&
+      p1.endsWith("RCA and Fix Suggestion:"), p1.take(200))
+  }
+
   test("append-mode index write grows the index without duplicating ids") {
     import IncidentPipeline._
     val idxPath = "/tmp/graft_append_idx/index"
