@@ -540,6 +540,49 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(w(41L) == 1041L && w(42L) == 9999L, s"store intact after recovery: $w")
   }
 
+  test("sink start heals debris in epochs a fresh checkpoint never replays") {
+    // the one crash window per-batch scoped healing can NOT reach: the
+    // interrupted batch's checkpoint is gone (store re-attached under a
+    // fresh checkpoint), so no batch will ever touch the debris epoch.
+    // lastTouchSink's start-time full healing pass must cover it
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = "/tmp/graft_lasttouch_freshckpt"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val store = s"$base/store"
+    // seed an epoch-1 winner via a direct merge (no checkpoint involved)
+    graft.streaming.StreamJoins.mergeBatch(cand(Seq(
+      (50L, 50L, t("2024-06-01 12:00:00"),
+        Some(500L), Some(t("2024-06-01 11:40:00"))))), store)
+    val peDir = new java.io.File(store, s"pe=${epochOf("2024-06-01 12:00:00")}")
+    val victim = new java.io.File(peDir, s"pb=${bucketOf(50L)}")
+    assert(victim.renameTo(new java.io.File(peDir, victim.getName + "__swap_old")))
+    // fresh-checkpoint sink whose only batch touches a DIFFERENT epoch
+    val pMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val vMem = MemoryStream[(Long, Long, Timestamp, String)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "event_type")
+    val q = graft.streaming.StreamJoins.lastTouchSink(
+      graft.streaming.StreamJoins.attributionCandidates(
+        named(pMem.toDF()), named(vMem.toDF())),
+      store, s"$base/ckpt")
+    try {
+      vMem.addData((101L, 1L, t("2024-07-01 11:40:00"), "view"))
+      pMem.addData((10L, 1L, t("2024-07-01 12:00:00"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(victim.exists() &&
+      !new java.io.File(peDir, victim.getName + "__swap_old").exists(),
+      "start-time healing must restore the set-aside leaf in the unreplayed epoch")
+    val w = graft.streaming.StreamJoins.readLastTouch(spark, store)
+      .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toMap
+    assert(w == Map(50L -> Some(500L), 10L -> Some(101L)),
+      s"both the healed epoch-1 winner and the new winner survive: $w")
+  }
+
   test("last-touch merge drops NULL-key candidates instead of NPEing") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)

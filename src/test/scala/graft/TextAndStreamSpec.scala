@@ -512,8 +512,8 @@ class TextAndStreamSpec extends AnyFunSuite {
     // it gets 5 segments. The clean testdata always carries props.k, so
     // plant k-less payloads and check both branches in ONE message.
     val dir = java.nio.file.Files.createTempDirectory("graft_ns_probe").toString
-    // rewrite the RAW table (ts stays the nanos long that Tables.events
-    // expects), touching only the payload
+    // rewrite the RAW table (ts keeps whatever physical type the
+    // generator shipped — Tables.events adapts), touching only the payload
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$Sf/events.parquet")
       .withColumn("props",
