@@ -748,6 +748,63 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       "the watermark-dropped view must be one the batch path would have used")
   }
 
+  test("last-touch sink equals batch attribution on a randomized chronological stream") {
+    // seeded randomized equivalence: 300 events over 20 users fed in 8
+    // CHRONOLOGICAL micro-batches. Sorted feeding means every batch's
+    // min ts is at or above the previous batch's max, so nothing is ever
+    // watermark-late; and a matching view (vts <= pts) always arrives in
+    // an earlier-or-same batch than its purchase, still in join state
+    // (views evict only once the watermark proves they can't match). So
+    // the stream must reproduce the batch operator EXACTLY — no carve-out
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_lasttouch_fuzz"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val day0 = Timestamp.valueOf("2024-07-01 00:00:00").getTime
+    val rnd = new scala.util.Random(1234)
+    val events = (1 to 300).map { i =>
+      val tp = if (rnd.nextInt(10) < 3) "purchase" else "view"
+      (i.toLong, (1 + rnd.nextInt(20)).toLong,
+        new Timestamp(day0 + rnd.nextInt(600) * 60000L), tp)
+    }.sortBy(e => (e._3.getTime, e._1))
+    // far-future matched sentinel: advances the watermark past every
+    // purchase's window so unattributed purchases flush their NULL rows
+    val sentinel = Seq(
+      (9001L, 999L, new Timestamp(day0 + 800 * 60000L), "view"),
+      (9002L, 999L, new Timestamp(day0 + 801 * 60000L), "purchase"))
+    val pMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val vMem = MemoryStream[(Long, Long, Timestamp, String)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "event_type")
+    val q = graft.streaming.StreamJoins.lastTouchSink(
+      graft.streaming.StreamJoins.attributionCandidates(
+        named(pMem.toDF()), named(vMem.toDF())),
+      s"$base/store", s"$base/ckpt")
+    try {
+      (events.grouped(38).toSeq :+ sentinel).foreach { b =>
+        val (ps, vs) = b.partition(_._4 == "purchase")
+        if (vs.nonEmpty) vMem.addData(vs: _*)
+        if (ps.nonEmpty) pMem.addData(ps: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = graft.streaming.StreamJoins.readLastTouch(spark, s"$base/store")
+    val batchRef = graft.operators.EventFlows.clickAttributionFrom(
+      (events ++ sentinel).toDF("event_id", "user_id", "ts", "event_type"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("purchase_id").collect().map(_.toSeq).toSeq
+    val (s, b) = (rows(streamed), rows(batchRef))
+    assert(s.size == b.size && s == b,
+      s"randomized stream/batch divergence: stream ${s.size} rows, batch ${b.size};" +
+        s" first diff: ${s.zip(b).find { case (x, y) => x != y }}")
+    // the run must exercise both branches materially
+    val withView = b.count(_(3) != null)
+    assert(withView > 10 && withView < b.size,
+      s"fuzz must produce both attributed and NULL purchases: $withView/${b.size}")
+  }
+
   test("readLastTouch on an absent or empty store is an empty typed relation") {
     val df = graft.streaming.StreamJoins.readLastTouch(
       spark, "/tmp/graft_lasttouch_never_written")
