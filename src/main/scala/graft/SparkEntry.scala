@@ -100,7 +100,10 @@ object SparkEntry {
     "sessionize_stateful"   -> ((s: SparkSession, d: String) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
+      // the shared sessionizer contract: a NULL-ts event has no place in
+      // a session (and would NPE the typed gap arithmetic)
       val ev = graft.sources.Tables.events(s, d)
+        .where(col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("value"))
         .as[graft.streaming.SessEvent]
       graft.streaming.StatefulSessionize(ev).toDF()
@@ -233,7 +236,7 @@ object SparkEntry {
     """WITH g AS (
       |  SELECT user_id, ts, event_id, value,
       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |s AS (
       |  SELECT user_id, ts, value,
       |         CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
@@ -587,7 +590,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |s AS (
         |  SELECT user_id, ts, value,
         |         CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
@@ -615,7 +618,7 @@ object SparkEntry {
         |                    '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
         |                  '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g')) AS line
         |  FROM events
-        |  WHERE event_type = 'error'
+        |  WHERE event_type = 'error' AND ts IS NOT NULL
         |  ORDER BY ts, event_id
         |  LIMIT 5),
         |a AS (
@@ -647,7 +650,7 @@ object SparkEntry {
         |             '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
         |           '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g') AS line
         |  FROM events
-        |  WHERE event_type = 'error'
+        |  WHERE event_type = 'error' AND ts IS NOT NULL
         |  ORDER BY ts, event_id
         |  LIMIT 5),
         |a AS (
@@ -710,17 +713,25 @@ object SparkEntry {
     "sessionize" -> sessionizeOracle,
     "sessionize_native" -> sessionizeOracle,
 
+    // NULL-ts rows sit outside the ASOF entirely (a timeless event has no
+    // "most recent earlier" anything, and a timeless error can never be
+    // one) — matches the Spark asofJoin's NULL-time contract; the outer
+    // LEFT JOIN keeps one output row per event either way
     "asof_prev_error" ->
       """WITH errs AS (
         |  SELECT user_id, ts, max(event_id) AS prev_error_id
         |  FROM events
-        |  WHERE event_type = 'error'
-        |  GROUP BY user_id, ts)
+        |  WHERE event_type = 'error' AND ts IS NOT NULL
+        |  GROUP BY user_id, ts),
+        |m AS (
+        |  SELECT e.event_id, r.prev_error_id, r.ts AS rts
+        |  FROM (SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL) e
+        |  ASOF LEFT JOIN errs r
+        |    ON e.user_id = r.user_id AND e.ts > r.ts)
         |SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
-        |       e.user_id, r.prev_error_id,
-        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts_us
-        |FROM events e ASOF LEFT JOIN errs r
-        |  ON e.user_id = r.user_id AND e.ts > r.ts""".stripMargin,
+        |       e.user_id, m.prev_error_id,
+        |       strftime(m.rts, '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts_us
+        |FROM events e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin,
 
     // bounded-window rank formulation ≡ the Spark side's asof + window
     // null-out: the latest view overall is the latest in-window view
@@ -809,7 +820,7 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "build_vocab" ->
       """SELECT token, freq, token_id FROM (

@@ -471,7 +471,10 @@ object LogOps {
   private def slackAssemble(spark: SparkSession, dir: String,
       line: Column): DataFrame =
     Tables.events(spark, dir)
-      .where(col("event_type") === "error")
+      // an entry with no timestamp cannot rank among the EARLIEST five
+      // (Spark's NULLS-FIRST orderBy would seat it ahead of every real
+      // entry and NULL the whole message through format_string)
+      .where(col("event_type") === "error" && col("ts").isNotNull)
       .orderBy(col("ts"), col("event_id"))
       .limit(5)
       .select(col("event_id"), line.as("line"))

@@ -101,7 +101,11 @@ object Relational {
   private[graft] def sessionizeFrom(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
+    // an event without a timestamp cannot be placed in a session — and the
+    // engines' NULL sort orders differ (Spark NULLS FIRST, SQL NULLS LAST),
+    // so leaving them in makes the gap arithmetic engine-dependent. All
+    // three sessionizers and the oracle share this filter.
+    events.where(col("ts").isNotNull)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
@@ -129,7 +133,9 @@ object Relational {
     * over the session-grain relation (~|events|/session_size rows), not
     * the fact table. */
   def sessionizeNative(spark: SparkSession, dir: String): DataFrame = {
-    val sess = Tables.events(spark, dir)
+    // session_window silently drops NULL-ts rows; filter them explicitly
+    // so all three sessionizers state the same contract in the same place
+    val sess = Tables.events(spark, dir).where(col("ts").isNotNull)
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes 1 microseconds").as("sw"))
       .agg(count("*").as("n_events"),

@@ -21,10 +21,14 @@ object StreamPipeline {
       .withColumn("props", TextFns.redactPii(col("props")))
 
   /** Tumbling 1-hour counts by level. On a streaming input the 2h watermark
-    * bounds state; on a batch input `withWatermark` is a no-op. */
+    * bounds state; on a batch input `withWatermark` is a no-op. A NULL ts
+    * has no window to land in — the streaming engine drops such rows at
+    * the watermark, so the batch twin filters them EXPLICITLY to keep the
+    * two paths (and the SQL oracle) on one contract. */
   def windowedCounts(events: DataFrame): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
-    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+    src.where(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
   }
 
