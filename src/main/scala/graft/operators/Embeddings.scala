@@ -160,7 +160,12 @@ object Embeddings {
         Seq.empty[(Int, Array[Double])]).toDF("bucket", "cemb")
       return (assigned, centDf)
     }
-    val kk = if (k > 0) k else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // k can never exceed the corpus size: the ML fit crashes outright
+    // (ArrayIndexOutOfBounds) when asked for more centers than points —
+    // a 3-row corpus must fit 3 centers, not the 16-center floor
+    val kk = math.min(
+      if (k > 0) k.toLong else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt).toLong,
+      n).toInt
     val feat = c.withColumn("features", array_to_vector(col("emb")))
     val trainFrac = MaxKMeansTrain.toDouble / n
     val train = if (trainFrac < 1.0) feat.sample(withReplacement = false, trainFrac, 42) else feat

@@ -281,6 +281,22 @@ class VectorSpec extends AnyFunSuite {
       s"a singleton's within-bucket ratio is vacuously 0: ${flagged.toSeq}")
   }
 
+  test("IVF fit clamps k to the corpus size on tiny inputs") {
+    import spark.implicits._
+    // 3 vectors < the 16-center floor: the ML fit crashes outright when
+    // asked for more centers than points (3-row-probe catch) — the clamp
+    // must fit 3 centers and every downstream IVF consumer must run
+    val rows = Seq(
+      (1L, Seq.fill(8)(1.0), 0L), (2L, Seq.fill(8)(-1.0), 1L),
+      (3L, Seq.fill(8)(3.0), 0L))
+    val c = rows.toDF("vec_id", "emb", "label")
+    val (assigned, cents) = Embeddings.ivfAssignFrom(c)
+    assert(cents.count() <= 3, "no more centers than points")
+    assert(assigned.count() == 3)
+    val out = Embeddings.embeddingOutliersFrom(c, topN = 10).collect()
+    assert(out.length == 3, s"every vector scored: ${out.toSeq}")
+  }
+
   test("semantic decontamination flags a train vector near an eval vector") {
     import spark.implicits._
     // eval ids are % 10 == 0: vec 10 is eval; train vec 11 is its near-
