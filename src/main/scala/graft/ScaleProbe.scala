@@ -26,13 +26,14 @@ object ScaleProbe {
         .drop("__rep")
     }
 
-    def time(name: String)(df: => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+    def timeU(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"PROBE $name%-28s $s%7.2f s")
       s
     }
+    def time(name: String)(df: => DataFrame): Double =
+      timeU(name)(df.write.format("noop").mode("overwrite").save())
 
     val ev1 = Tables.events(spark, dir)
     val evN = replicate(ev1, "event_id", factor)
@@ -188,11 +189,6 @@ object ScaleProbe {
     // the fixed batch lands in epoch day 0, which exists in BOTH stores
     val ltBatch = candBatch(1, 500, 10000000L).persist()
     ltBatch.count()
-    def timeU(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $name%-28s $s%7.2f s"); s
-    }
     def med3U(name: String)(f: => Unit): Double = {
       val ts = Seq.fill(3)(timeU(name)(f)).sorted; ts(1)
     }

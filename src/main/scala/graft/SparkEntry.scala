@@ -715,23 +715,26 @@ object SparkEntry {
 
     // NULL-ts rows sit outside the ASOF entirely (a timeless event has no
     // "most recent earlier" anything, and a timeless error can never be
-    // one) — matches the Spark asofJoin's NULL-time contract; the outer
-    // LEFT JOIN keeps one output row per event either way
+    // one) — matches the Spark asofJoin's NULL-time contract. UNION ALL,
+    // not a join-back: one output row per event with NO assumption that
+    // event_id is unique or non-NULL
     "asof_prev_error" ->
       """WITH errs AS (
         |  SELECT user_id, ts, max(event_id) AS prev_error_id
         |  FROM events
         |  WHERE event_type = 'error' AND ts IS NOT NULL
-        |  GROUP BY user_id, ts),
-        |m AS (
-        |  SELECT e.event_id, r.prev_error_id, r.ts AS rts
-        |  FROM (SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL) e
-        |  ASOF LEFT JOIN errs r
-        |    ON e.user_id = r.user_id AND e.ts > r.ts)
+        |  GROUP BY user_id, ts)
         |SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
-        |       e.user_id, m.prev_error_id,
-        |       strftime(m.rts, '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts_us
-        |FROM events e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin,
+        |       e.user_id, r.prev_error_id,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL) e
+        |ASOF LEFT JOIN errs r
+        |  ON e.user_id = r.user_id AND e.ts > r.ts
+        |UNION ALL
+        |SELECT event_id, CAST(NULL AS VARCHAR) AS ts_us, user_id,
+        |       CAST(NULL AS BIGINT) AS prev_error_id,
+        |       CAST(NULL AS VARCHAR) AS prev_error_ts_us
+        |FROM events WHERE ts IS NULL""".stripMargin,
 
     // bounded-window rank formulation ≡ the Spark side's asof + window
     // null-out: the latest view overall is the latest in-window view

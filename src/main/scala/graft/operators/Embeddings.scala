@@ -160,15 +160,20 @@ object Embeddings {
         Seq.empty[(Int, Array[Double])]).toDF("bucket", "cemb")
       return (assigned, centDf)
     }
-    // k can never exceed the corpus size: the ML fit crashes outright
-    // (ArrayIndexOutOfBounds) when asked for more centers than points —
-    // a 3-row corpus must fit 3 centers, not the 16-center floor
-    val kk = math.min(
-      if (k > 0) k.toLong else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt).toLong,
-      n).toInt
     val feat = c.withColumn("features", array_to_vector(col("emb")))
     val trainFrac = MaxKMeansTrain.toDouble / n
     val train = if (trainFrac < 1.0) feat.sample(withReplacement = false, trainFrac, 42) else feat
+    // k can never exceed the number of TRAINING points: the ML fit
+    // crashes outright (ArrayIndexOutOfBounds) when asked for more
+    // centers than it has rows — a 3-row corpus must fit 3 centers, not
+    // the 16-center floor, and an explicit k above the ~MaxKMeansTrain
+    // sample must clamp to the sample's ACTUAL size (Bernoulli sampling
+    // jitters around the mean, so the count is materialized — only on
+    // the absurd-k path; the √N default can never reach it)
+    val kk0 = if (k > 0) k.toLong
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt).toLong
+    val cap = if (trainFrac < 1.0 && kk0 > MaxKMeansTrain / 2) train.count() else n
+    val kk = math.min(kk0, cap).toInt
     val model = new KMeans().setK(kk).setSeed(42).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("bucket").fit(train)
     // consumers reference the assignment several times (probe join sides,

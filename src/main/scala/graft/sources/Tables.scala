@@ -48,7 +48,14 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      // fail HERE, not three operators downstream: a VARCHAR or epoch-int
+      // ts (e.g. a probe replica round-tripped through another engine) is
+      // a malformed input, and the far-off errors it would otherwise
+      // cause (unix_micros on string) don't name the real culprit
+      case other => sys.error(
+        s"events.ts has unsupported physical type $other — expected " +
+          "TIMESTAMP(NANOS) (read as long), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 }

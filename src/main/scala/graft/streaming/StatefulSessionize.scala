@@ -54,7 +54,12 @@ object StatefulSessionize {
       watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
-    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    // the sessionizer contract, enforced where the operator lives (not
+    // just at registry call sites): an event without a timestamp has no
+    // place in a session — and would NPE tsToUs below. The streaming
+    // watermark drops such rows anyway; batch must match.
+    val timed = events.filter((e: SessEvent) => e.ts != null)
+    val src = if (streaming) timed.withWatermark("ts", watermark) else timed
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessBuf, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

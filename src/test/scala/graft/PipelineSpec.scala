@@ -129,7 +129,18 @@ class PipelineSpec extends AnyFunSuite {
     // tie-breaks, and the two 1-row global aggregates ragBatch joins —
     // so two END-TO-END drives must produce byte-identical prompts
     val sf01 = "/root/testdata/sf0.01"
+    def releaseAll(): Unit = {
+      graft.operators.Embeddings.releaseCache(spark)
+      graft.operators.NearDup.releaseCache(spark)
+      graft.operators.Corpus.releaseCache(spark)
+      graft.operators.Relational.releaseCache(spark)
+    }
+    // drop every session memo between runs so run 2 re-executes each
+    // stage from scratch — a fit/signature memo surviving across runs
+    // would make the byte-equality vacuous for the memoized stage
+    releaseAll()
     val (n1, p1) = IncidentPipeline.run(spark, sf01, "/tmp/graft_pipeline_det1")
+    releaseAll()
     val (n2, p2) = IncidentPipeline.run(spark, sf01, "/tmp/graft_pipeline_det2")
     assert(n1 == n2, s"history row counts must match: $n1 vs $n2")
     assert(p1 == p2, "prompt must be byte-identical across runs")
