@@ -46,6 +46,23 @@ object TextFns {
   /** Whitespace tokens (trim first so neither engine emits edge empties). */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Case normalization with an engine-pinned Unicode contract.
+    *
+    * JVM `lower` (full Unicode case mapping) and DuckDB/utf8proc `lower`
+    * (simple one-to-one mapping) disagree on exactly two lowercase paths:
+    * U+0130 İ (full: i + combining dot U+0307; simple: plain i) and
+    * capital sigma Σ (JVM is context-sensitive — word-final Σ → ς —
+    * utf8proc always emits σ). Pre-mapping İ before lower and folding
+    * ς → σ after pins ONE mapping both engines express identically; for
+    * every character whose simple and full lowercase agree this IS plain
+    * `lower`. The oracle twin is the inlined DuckDB expression
+    * `replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')` at each
+    * tokenizing oracle in SparkEntry. */
+  def foldCase(c: Column): Column =
+    regexp_replace(
+      lower(regexp_replace(c, "İ", "i̇")),
+      "ς", "σ")
+
   def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
 
   def bpeTokenCount(c: Column): Column =

@@ -45,7 +45,7 @@ object Corpus {
     vocabMemo.getOrElseUpdate((spark, s"$dir:$minCount:$maxVocab"), {
       val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
       Tables.documents(spark, dir)
-        .select(explode(TextFns.wsTokens(lower(col("text")))).as("token"))
+        .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
         .where(length(col("token")) > 0)
         .groupBy(col("token")).agg(count("*").as("freq"))
         .where(col("freq") >= minCount)
@@ -70,7 +70,7 @@ object Corpus {
       .select(col("token"), col("token_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        posexplode(TextFns.wsTokens(lower(col("text")))).as(Seq("pos", "token")))
+        posexplode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as(Seq("pos", "token")))
       .join(broadcast(vocab), Seq("token"), "left")
       .withColumn("tid", coalesce(col("token_id"), lit(0L)))
       .groupBy(col("doc_id"))
@@ -158,7 +158,7 @@ object Corpus {
     val vocab = vocabRows.toSeq.toDF("token", "freq")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(TextFns.wsTokens(lower(col("text")))).as("token"))
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
       .where(length(col("token")) > 0)
       .join(broadcast(vocab), Seq("token"), "left")
       .withColumn("logp",
@@ -390,7 +390,7 @@ object Corpus {
     * stream twice), then a map-side-combined count; the top-N cut is a
     * deterministic total order so ties at the boundary are stable. */
   def bigramCounts(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
-    val toks = TextFns.wsTokens(lower(col("text")))
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
     val n1 = greatest(size(toks) - 1, lit(0))
     val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
@@ -478,7 +478,7 @@ object Corpus {
     val docs = documents.where(col("text").isNotNull)
     val tf = docs
       .select(col("doc_id"),
-        explode(TextFns.wsTokens(lower(col("text")))).as("term"))
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
     val df = tf.groupBy("term").agg(count("*").cast("long").as("df"))
@@ -517,7 +517,7 @@ object Corpus {
 
   private[graft] def bigramPmiFrom(documents: DataFrame, minCount: Int = 5,
       topN: Int = 200): DataFrame = {
-    val toks = TextFns.wsTokens(lower(col("text")))
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
     val n1 = greatest(size(toks) - 1, lit(0))
     val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))

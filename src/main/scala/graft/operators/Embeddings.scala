@@ -29,7 +29,7 @@ object Embeddings {
     * 100 TB of text is a pure scan, no shuffle, O(tokens + dim) per row.
     */
   def embedCol(text: Column, dim: Int = Dim): Column = {
-    val toks = TextFns.wsTokens(lower(text))
+    val toks = TextFns.wsTokens(TextFns.foldCase(text))
     org.apache.spark.sql.graft.Bridge.column(
       graft.expressions.FeatureHashEmbed(
         org.apache.spark.sql.graft.Bridge.expression(toks), dim))

@@ -22,7 +22,7 @@ object NearDup {
 
   /** Distinct word n-shingles (native kernel). */
   def wordShingles(text: Column, n: Int): Column =
-    Bridge.column(WordShingles(Bridge.expression(TextFns.wsTokens(lower(text))), n))
+    Bridge.column(WordShingles(Bridge.expression(TextFns.wsTokens(TextFns.foldCase(text))), n))
 
   /** Distinct character n-grams (native kernel). */
   def charShingles(text: Column, n: Int): Column =
@@ -179,7 +179,7 @@ object NearDup {
     val base = memoBase(spark, s"simhash:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id").as("id"),
-          simhashSig(TextFns.wsTokens(lower(col("text")))).as("sig"))
+          simhashSig(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("sig"))
         .withColumn("keys", simhashChunkKeys(col("sig")))
     }
     lshSummary(base,

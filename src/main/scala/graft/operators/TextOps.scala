@@ -140,7 +140,7 @@ object TextOps {
 
   private[graft] def textRepetitionFrom(docs: DataFrame): DataFrame = {
     val lines = split(col("text"), "\n")
-    val toks = TextFns.wsTokens(lower(col("text")))
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
     def dupRatio(arr: Column): Column =
       round(lit(1.0) -
         size(array_distinct(arr)).cast("double") / size(arr).cast("double"), 4)

@@ -71,6 +71,29 @@ class CoreSpec extends AnyFunSuite {
     assert(df.as[String].head() == "api_key=[REDACTED] and token=[REDACTED] and [REDACTED_EMAIL]")
   }
 
+  test("foldCase pins the two JVM-vs-utf8proc lowercase divergences") {
+    import spark.implicits._
+    // U+0130 İ: JVM full mapping emits i+U+0307, utf8proc simple emits i;
+    // word-final Σ: JVM emits ς, utf8proc emits σ. foldCase must produce
+    // the SAME string the inlined DuckDB oracle expression
+    // replace(lower(replace(text,'İ','i̇')),'ς','σ') produces — and be
+    // plain lower() on everything else.
+    val out = Seq("DİYARBAKIR", "İstanbul",
+        "ΟΔΥΣΣΕΥΣ ΣΟΦΙΑΣ", "CafÉ MiXeD ascii42")
+      .toDF("text").select(TextFns.foldCase(col("text")).as("t"))
+      .as[String].collect()
+    assert(out(0) == "di̇yarbakir")
+    assert(out(1) == "i̇stanbul")
+    assert(out(2) == "οδυσσευσ σοφιασ") // every Σ → σ, final ones included
+    assert(out(3) == "café mixed ascii42")
+    // no-op on pure ASCII: foldCase == lower
+    val asciiEq = Seq("The Quick BROWN fox_42!")
+      .toDF("text")
+      .select((TextFns.foldCase(col("text")) === lower(col("text"))).as("eq"))
+      .as[Boolean].head()
+    assert(asciiEq)
+  }
+
   test("sessionize splits on >30min gaps per user") {
     val n = Relational.sessionize(spark, Sf)
     // sessions never exceed total events; at least one session per user
