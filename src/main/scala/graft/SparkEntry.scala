@@ -831,7 +831,7 @@ object SparkEntry {
         |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
         |  FROM (
         |    SELECT token, count(*) AS freq FROM (
-        |      SELECT unnest(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')) AS token
+        |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |      FROM documents) t
         |    WHERE length(token) > 0
         |    GROUP BY token HAVING count(*) >= 2) c) r
@@ -843,14 +843,14 @@ object SparkEntry {
         |    SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
         |    FROM (
         |      SELECT token, count(*) AS freq FROM (
-        |        SELECT unnest(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')) AS token
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |        FROM documents) t
         |      WHERE length(token) > 0
         |      GROUP BY token HAVING count(*) >= 2) c) r
         |  WHERE token_id <= 1000),
         |toks AS (
         |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS token
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+') AS ts
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
         |        FROM documents) d)
         |SELECT t.doc_id,
         |       string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ',' ORDER BY t.pos) AS token_ids_csv,
@@ -881,7 +881,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT doc_id, t, len(t) AS n,
         |           unnest(range(0, greatest(1, len(t) - 7))) AS i
-        |    FROM (SELECT doc_id, regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+') AS t
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         |          FROM documents))),
         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
         |sh AS (
@@ -927,14 +927,14 @@ object SparkEntry {
         |           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
         |    FROM (
         |      SELECT token, count(*) AS freq FROM (
-        |        SELECT unnest(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')) AS token
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |        FROM documents) t
         |      WHERE length(token) > 0
         |      GROUP BY token HAVING count(*) >= 2) c) r
         |  WHERE token_id <= 1000),
         |stats AS (SELECT sum(freq) + count(*) + 1 AS denom FROM vocab),
         |toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')) AS token
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |  FROM documents),
         |scored AS (
         |  SELECT t.doc_id,
@@ -1026,7 +1026,7 @@ object SparkEntry {
     // the LIMIT so boundary ties match Spark's
     "bigram_counts" ->
       """WITH t AS (
-        |  SELECT regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+') AS toks
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents WHERE text IS NOT NULL),
         |p AS (
         |  SELECT unnest(list_zip(toks[1:greatest(len(toks)-1, 0)],
@@ -1139,8 +1139,8 @@ object SparkEntry {
         |       CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
         |       round(1.0 - len(list_distinct(str_split(text, chr(10))))
         |             / len(str_split(text, chr(10))), 4) AS dup_line_ratio,
-        |       round(1.0 - len(list_distinct(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')))
-        |             / len(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')), 4) AS dup_token_ratio
+        |       round(1.0 - len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |             / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS dup_token_ratio
         |FROM documents""".stripMargin,
 
     "text_quality" ->
@@ -1184,7 +1184,7 @@ object SparkEntry {
     "tfidf_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id,
-        |         unnest(regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+')) AS term
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |  FROM documents WHERE text IS NOT NULL),
         |tf AS (
         |  SELECT doc_id, term, count(*) AS tf
@@ -1214,7 +1214,7 @@ object SparkEntry {
     // window sums CAST to BIGINT (HUGEINT lesson)
     "bigram_pmi" ->
       """WITH t AS (
-        |  SELECT regexp_split_to_array(trim(replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')), '\s+') AS toks
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents WHERE text IS NOT NULL),
         |p AS (
         |  SELECT unnest(list_zip(toks[1:greatest(len(toks)-1, 0)],

@@ -46,22 +46,25 @@ object TextFns {
   /** Whitespace tokens (trim first so neither engine emits edge empties). */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Case normalization with an engine-pinned Unicode contract.
+  /** Case normalization with an engine-pinned Unicode contract: the
+    * SIMPLE (one-to-one) Unicode lowercase mapping.
     *
-    * JVM `lower` (full Unicode case mapping) and DuckDB/utf8proc `lower`
-    * (simple one-to-one mapping) disagree on exactly two lowercase paths:
-    * U+0130 İ (full: i + combining dot U+0307; simple: plain i) and
-    * capital sigma Σ (JVM is context-sensitive — word-final Σ → ς —
-    * utf8proc always emits σ). Pre-mapping İ before lower and folding
-    * ς → σ after pins ONE mapping both engines express identically; for
-    * every character whose simple and full lowercase agree this IS plain
-    * `lower`. The oracle twin is the inlined DuckDB expression
-    * `replace(lower(replace(text, 'İ', 'i̇')), 'ς', 'σ')` at each
-    * tokenizing oracle in SparkEntry. */
+    * JVM `lower` applies the full case mapping, DuckDB/utf8proc the
+    * simple one; they disagree on exactly two lowercase paths — U+0130 İ
+    * (full: i + combining dot U+0307; simple: plain i) and capital sigma
+    * Σ (JVM is context-sensitive, word-final Σ → ς; utf8proc always
+    * emits σ). Pinning the SIMPLE mapping makes the oracle side plain
+    * `lower(text)` and keeps the Spark side regex-free: `translate` is a
+    * per-codepoint 1:1 map (no regex machinery, one pass), so the 100 TB
+    * token path pays two cheap char-map passes, not two regex scans.
+    * Pre-mapping the CAPITALS İ → i and Σ → σ before lower neutralizes
+    * the JVM's one unconditional multi-char lowercase mapping and its
+    * one context-sensitive one at the source — and touches nothing
+    * else: an input that already contains a final ς stays ς in both
+    * engines (lower() is the identity on it). For every character whose
+    * simple and full mappings agree this IS plain `lower`. */
   def foldCase(c: Column): Column =
-    regexp_replace(
-      lower(regexp_replace(c, "İ", "i̇")),
-      "ς", "σ")
+    lower(translate(c, "İΣ", "iσ"))
 
   def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
 

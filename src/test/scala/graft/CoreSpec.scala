@@ -73,19 +73,20 @@ class CoreSpec extends AnyFunSuite {
 
   test("foldCase pins the two JVM-vs-utf8proc lowercase divergences") {
     import spark.implicits._
-    // U+0130 İ: JVM full mapping emits i+U+0307, utf8proc simple emits i;
-    // word-final Σ: JVM emits ς, utf8proc emits σ. foldCase must produce
-    // the SAME string the inlined DuckDB oracle expression
-    // replace(lower(replace(text,'İ','i̇')),'ς','σ') produces — and be
-    // plain lower() on everything else.
+    // The contract is the SIMPLE Unicode lowercase mapping — what DuckDB's
+    // utf8proc lower() computes natively, so the tokenizing oracles stay
+    // plain lower(text). The JVM's full mapping diverges on exactly two
+    // paths, both neutralized by foldCase: U+0130 İ (full: i+U+0307,
+    // simple: plain i) and word-final Σ (full: ς, simple: σ).
     val out = Seq("DİYARBAKIR", "İstanbul",
-        "ΟΔΥΣΣΕΥΣ ΣΟΦΙΑΣ", "CafÉ MiXeD ascii42")
+        "ΟΔΥΣΣΕΥΣ ΣΟΦΙΑΣ", "τέλος", "CafÉ MiXeD ascii42")
       .toDF("text").select(TextFns.foldCase(col("text")).as("t"))
       .as[String].collect()
-    assert(out(0) == "di̇yarbakir")
-    assert(out(1) == "i̇stanbul")
-    assert(out(2) == "οδυσσευσ σοφιασ") // every Σ → σ, final ones included
-    assert(out(3) == "café mixed ascii42")
+    assert(out(0) == "diyarbakir")   // NOT the JVM's "di̇yarbakir"
+    assert(out(1) == "istanbul")
+    assert(out(2) == "οδυσσευσ σοφιασ") // every CAPITAL Σ → σ, incl. final
+    assert(out(3) == "τέλος")        // pre-existing final ς is untouched
+    assert(out(4) == "café mixed ascii42")
     // no-op on pure ASCII: foldCase == lower
     val asciiEq = Seq("The Quick BROWN fox_42!")
       .toDF("text")
