@@ -251,7 +251,13 @@ object Corpus {
     val candGrams = trainGrams.where(Bridge.column(BloomFilterMightContain(
       Bridge.scalarSubquery(bloomDf),
       Bridge.expression(xxhash64(col("g"))))))
-    val shared = candGrams
+    // distinct BEFORE the count: n_shared_ngrams is the number of DISTINCT
+    // contaminated grams per train doc (the oracle's SELECT DISTINCT
+    // (doc_id, g)), not occurrence multiplicity — a gram repeated within a
+    // doc, or a duplicated train row, must not inflate it. Placed after
+    // the bloom prefilter, where ~99% of train grams are already gone, so
+    // the dedup shuffles only candidate grams.
+    val shared = candGrams.distinct()
       .join(evalGrams, Seq("g"))
       .groupBy(col("doc_id")).agg(count("*").as("n_shared"))
     train.select(col("doc_id"))

@@ -159,8 +159,15 @@ object EventFlows {
 
   private def attributionCore(events: DataFrame, windowUs: Long): DataFrame = {
     val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    // distinct: attribution is per purchase ENTITY, not per delivered row.
+    // An at-least-once event stream redelivers the same purchase row, and
+    // both the oracle (rank per purchase_id) and the streaming twin (the
+    // winner store keyed by purchase_id) already collapse redeliveries —
+    // the batch side must match. Three narrow columns, purchases are the
+    // small side, so the dedup shuffle is the cheapest point in the plan.
     val p = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .distinct()
     val v = events.where(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("view_id"))

@@ -140,6 +140,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate counts DISTINCT shared grams under duplicated rows") {
+    import spark.implicits._
+    // eval doc 10 shares its whole text with train doc 3; the train row
+    // is delivered TWICE and the text's 16 tokens repeat its 8 words, so
+    // the 9 gram windows hold only 8 DISTINCT grams (window 9 == window
+    // 1). n_shared_ngrams must be that distinct count — occurrence
+    // multiplicity would give 9 per row and 18 across the duplicate —
+    // on BOTH duplicated output rows
+    val shared = "a b c d e f g h a b c d e f g h"
+    val docs = Seq(
+      (3L, shared), (3L, shared),     // duplicated train row
+      (7L, "x y z q w e r t unrelated train"),
+      (10L, shared))                  // eval doc (doc_id % 10 == 0)
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminateFrom(docs).collect()
+      .filter(_.getAs[Long]("doc_id") == 3L)
+    assert(out.length == 2, s"one output row per delivered train row: ${out.length}")
+    assert(out.forall(_.getAs[Long]("n_shared_ngrams") == 8L),
+      s"distinct grams, not occurrences: ${out.map(_.getAs[Long]("n_shared_ngrams")).toSeq}")
+  }
+
   test("mixture sample respects per-source targets, deterministic") {
     import graft.operators.Corpus
     val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)

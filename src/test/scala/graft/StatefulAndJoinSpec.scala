@@ -331,6 +331,22 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       s"tied instant resolves to max event_id: ${out(9L)}")
   }
 
+  test("click_attribution collapses redelivered purchase rows to one entity") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // the purchase row arrives three times (at-least-once delivery) and a
+    // view row twice — attribution is per purchase ENTITY, so the output
+    // is ONE row, matching the oracle's per-purchase_id rank and the
+    // streaming twin's purchase_id-keyed winner store
+    val p = (2L, 1L, t("2024-07-01 12:00:00"), "purchase")
+    val v = (1L, 1L, t("2024-07-01 11:30:00"), "view")
+    val out = graft.operators.EventFlows.clickAttributionFrom(
+        Seq(v, v, p, p, p).toDF("event_id", "user_id", "ts", "event_type"))
+      .collect()
+    assert(out.length == 1, s"one row per purchase entity: ${out.length}")
+    assert(out.head.getLong(3) == 1L && out.head.getLong(5) == 1800L * 1000000L)
+  }
+
   test("streaming attribution interval join pairs only in-window views") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
