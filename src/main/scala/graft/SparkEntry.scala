@@ -551,8 +551,8 @@ object SparkEntry {
 
     "metrics_by_service" ->
       """SELECT user_id AS service_id, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
-        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
 
     // missing level/namespace -> the "unknown" bucket, mirroring the
@@ -812,10 +812,10 @@ object SparkEntry {
 
     "value_percentiles" ->
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.5), 4) AS p50,
-        |       round(quantile_cont(value, 0.9), 4) AS p90,
-        |       round(quantile_cont(value, 0.99), 4) AS p99,
-        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5), 4) AS p50,
+        |       round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.9), 4) AS p90,
+        |       round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.99), 4) AS p99,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 

@@ -253,7 +253,13 @@ object LogOps {
     * on round() of boundary-exact quotients; identical exact sums cast to
     * bit-identical doubles instead (see Relational.q1PricingSummary). */
   def metricsByService(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("value").cast("decimal(12,2)")
+    // try_cast, not cast: the value domain of the decimal sum is
+    // |v| < 1e10 — NaN, ±Inf, and out-of-range doubles become NULL
+    // (excluded from the sum, still counted in n_events) instead of
+    // aborting a 100 TB job on one corrupt record. The oracle mirrors
+    // with TRY_CAST (+ an isnan guard — DuckDB's TRY_CAST errors on
+    // NaN→DECIMAL rather than returning NULL).
+    val v = expr("try_cast(value AS DECIMAL(12,2))")
     Tables.events(spark, dir)
       .groupBy(col("user_id").as("service_id"))
       .agg(count("*").as("n_events"),

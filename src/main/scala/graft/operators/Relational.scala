@@ -326,13 +326,22 @@ object Relational {
     import org.apache.spark.sql.graft.Bridge
     // count(*) (incl. NULL values — the oracle's n_events/avg divisor) and
     // count(value) (non-null — the quantile_cont rank base) both in one pass
+    // the percentile DOMAIN is the finite values: NaN and ±Inf rank
+    // engine-dependently (Spark sorts NaN greatest; DuckDB's
+    // quantile_cont drops NaN but keeps Inf, and interpolation through
+    // either poisons the quantile), so both sides exclude them — the
+    // oracle via CASE WHEN isfinite(value). They still count in n_events.
+    val finite = !isnan(col("value")) &&
+      abs(col("value")) <= lit(Double.MaxValue)
     val counts = ev.groupBy("event_type")
       .agg(count("*").as("n_events"),
-        count(col("value")).as("n_nn"),
-        // decimal sum, unrounded: see q1PricingSummary for why
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_v"))
-    // quantile_cont ignores NULLs: rank non-null values only
-    val nn = ev.where(col("value").isNotNull)
+        count(when(finite, col("value"))).as("n_nn"),
+        // decimal sum, unrounded: see q1PricingSummary for why; try_cast
+        // so NaN/±Inf/out-of-range values NULL out of the sum instead of
+        // aborting the job (domain contract shared with metricsByService)
+        sum(expr("try_cast(value AS DECIMAL(12,2))")).cast("double").as("sum_v"))
+    // rank the finite non-null values only (see the domain note above)
+    val nn = ev.where(col("value").isNotNull && finite)
     def computeBounds(): Map[String, Seq[Double]] = {
       val fracs = (1 until buckets).map(_.toDouble / buckets)
       val boundRows = nn.groupBy("event_type")
@@ -416,14 +425,19 @@ object Relational {
     * `approx_percentile` with a 10⁴ accuracy parameter (≤0.01% rank
     * error). rows-only check — sketch internals are engine-specific; the
     * spec bounds its error against the exact operator instead. */
-  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    // same finite-values domain as the exact operator (NaN would poison
+    // the t-digest's compare-based merge; Inf its interpolation)
+    val v = when(!isnan(col("value")) &&
+      abs(col("value")) <= lit(Double.MaxValue), col("value"))
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-        approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
-        approx_percentile(col("value"), lit(0.99), lit(10000)).as("p99_approx"),
+        approx_percentile(v, lit(0.5), lit(10000)).as("p50_approx"),
+        approx_percentile(v, lit(0.9), lit(10000)).as("p90_approx"),
+        approx_percentile(v, lit(0.99), lit(10000)).as("p99_approx"),
         count("*").as("n_events"))
+  }
 
   /** As-of join: each event annotated with the user's most recent strictly
     * earlier error event — the "what was already broken when this

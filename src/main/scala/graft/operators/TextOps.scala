@@ -78,16 +78,23 @@ object TextOps {
     val digit = TextFns.charClassCount(t, "[0-9]").cast("double")
     val space = TextFns.charClassCount(t, "\\s").cast("double")
     val stop = TextFns.stopwordHits(t).cast("double")
+    // NULL on a zero denominator, matching DuckDB's x/0 → NULL — under
+    // ANSI a plain divide ABORTS the job on the first empty-string doc.
+    // nChars is 0 exactly for "" (nWs can't be: split of an empty trim
+    // yields one empty token), so the char ratios and the quality score
+    // are NULL for empty docs in both engines.
+    def div0(n: Column, d: Column): Column =
+      when(d === lit(0.0), lit(null).cast("double")).otherwise(n / d)
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      round(alpha / nChars, 4).as("alpha_ratio"),
-      round(upper / nChars, 4).as("upper_ratio"),
-      round(digit / nChars, 4).as("digit_ratio"),
-      round(space / nChars, 4).as("space_ratio"),
-      round(stop / nWs, 4).as("stop_ratio"),
-      round(nChars / nWs, 4).as("avg_token_len"),
-      round(lit(0.4) * (alpha / nChars) + lit(0.3) * least(lit(1.0), nWs / lit(50.0)) +
-        lit(0.3) * (stop / nWs), 4).as("quality_score"))
+      round(div0(alpha, nChars), 4).as("alpha_ratio"),
+      round(div0(upper, nChars), 4).as("upper_ratio"),
+      round(div0(digit, nChars), 4).as("digit_ratio"),
+      round(div0(space, nChars), 4).as("space_ratio"),
+      round(div0(stop, nWs), 4).as("stop_ratio"),
+      round(div0(nChars, nWs), 4).as("avg_token_len"),
+      round(lit(0.4) * div0(alpha, nChars) + lit(0.3) * least(lit(1.0), nWs / lit(50.0)) +
+        lit(0.3) * div0(stop, nWs), 4).as("quality_score"))
   }
 
   /** Stopword inventories for the n-gram/stopword language-ID heuristic.
@@ -115,7 +122,15 @@ object TextOps {
         size(regexp_extract_all(lo, lit(stopRe(stops)), lit(0))).as("score"),
         lit(LangStops.size - i).as("prio"), lit(lang).as("lang"))
     }
-    when(cjk / length(text).cast("double") > 0.3, lit("zh"))
+    // empty text: an ANSI 0/0 divide would abort the job; force the
+    // ratio to 0 so the stopword branch decides (all scores 0 → tie →
+    // priority order → "en"). Identical to the oracle, where DuckDB's
+    // 0/0 yields NULL, NULL > 0.3 is not true, and its CASE falls
+    // through the same way. CaseWhen branches evaluate lazily per row,
+    // so the divide can't fire on the empty-text rows.
+    val cjkRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(cjk / length(text).cast("double"))
+    when(cjkRatio > 0.3, lit("zh"))
       .otherwise(greatest(scored: _*).getField("lang"))
   }
 

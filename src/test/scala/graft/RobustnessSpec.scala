@@ -77,5 +77,32 @@ class RobustnessSpec extends AnyFunSuite {
     assert(r.getString(0) != null) // some deterministic label, no crash
     assert(one(TextOps.langIdCol(col("text")), null).isNullAt(0) ||
       one(TextOps.langIdCol(col("text")), null).getString(0) != null)
+    // "" is the ANSI landmine: length 0 means the CJK ratio is 0/0 — the
+    // guarded branch must fall through to the stopword tie → "en" (the
+    // oracle path: DuckDB 0/0 → NULL, NULL > 0.3 not true, same ELSE)
+    assert(one(TextOps.langIdCol(col("text")), "").getString(0) == "en")
+  }
+
+  test("value percentiles rank only the finite values; NaN/Inf still count rows") {
+    import spark.implicits._
+    // 1..100 plus planted NaN/±Inf/out-of-range: percentiles must equal
+    // the finite subset's (both engines exclude non-finite from the rank
+    // base — Spark would sort NaN greatest, DuckDB drops NaN but keeps
+    // Inf, so neither native behavior can match the other), n_events
+    // counts every row, and the job must not abort under ANSI
+    val finite = (1 to 100).map(i => ("a", i.toDouble))
+    val weird = Seq(("a", Double.NaN), ("a", Double.PositiveInfinity),
+      ("a", Double.NegativeInfinity))
+    val out = graft.operators.Relational.valuePercentilesFrom(
+        (finite ++ weird).toDF("event_type", "value"))
+      .collect().head
+    val ref = graft.operators.Relational.valuePercentilesFrom(
+        finite.toDF("event_type", "value"))
+      .collect().head
+    Seq(1, 2, 3).foreach { i =>   // columns: (event_type, p50, p90, p99, avg_value, n_events)
+      assert(out.getDouble(i) == ref.getDouble(i),
+        s"percentile col $i: ${out.getDouble(i)} vs finite-only ${ref.getDouble(i)}")
+    }
+    assert(out.getLong(5) == 103L, s"n_events counts all rows: ${out.getLong(5)}")
   }
 }
