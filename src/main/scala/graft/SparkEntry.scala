@@ -294,7 +294,7 @@ object SparkEntry {
       namespace: String = ""): String = {
     val nsPred =
       if (namespace.isEmpty) ""
-      else "\n  AND contains(lower(json_extract_string(props, '$.k')), '" +
+      else "\n  AND contains(lower(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '" +
         namespace.toLowerCase(java.util.Locale.ROOT) + "')"
     s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
        |       user_id, event_type, props
@@ -577,9 +577,9 @@ object SparkEntry {
 
     "props_parse" ->
       """SELECT event_type, count(*) AS n_events,
-        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |       round(avg(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)), 4) AS avg_k,
+        |       min(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS min_k,
+        |       max(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
 
     "distinct_users" ->
@@ -640,9 +640,9 @@ object SparkEntry {
         |  SELECT event_id,
         |         printf('- %s | user_%d | %s',
         |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type) ||
-        |         CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-        |                   AND json_extract_string(props, '$.k') != ''
-        |              THEN ' | ' || json_extract_string(props, '$.k') ELSE '' END ||
+        |         CASE WHEN CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END IS NOT NULL
+        |                   AND CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END != ''
+        |              THEN ' | ' || CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END ELSE '' END ||
         |         ' | ' ||
         |         regexp_replace(
         |           regexp_replace(
