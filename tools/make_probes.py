@@ -1,0 +1,257 @@
+#!/usr/bin/env python3
+"""Build every probe replica of a testdata dir (driver-side tooling).
+
+Each probe copies the source dir and perturbs it along ONE failure axis
+(the COMBINED probe composes the two NULL axes). Axes and their catches
+are documented in .claude/skills/verify/SKILL.md; the gate for every
+replica is the same:
+
+    sbt -batch "runMain graft.Verify <replica> /tmp/out"
+    python3 tools/local_verify.py <replica> /tmp/out   # expect "81 pass, 0 fail"
+
+Usage:  python3 tools/make_probes.py [src_dir] [dst_root] [axis ...]
+        default: /root/testdata/sf0.01 /tmp all axes
+Axes:   null tsnull combined empty tiny shuffled unicode dup extreme json
+
+All rewrites preserve the source arrow schema (round-tripping through
+another engine changes physical types and breaks the Tables readers —
+that would be a probe artifact, not a product bug).
+"""
+import os
+import random
+import shutil
+import sys
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def copy_all(src, dst):
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+
+def rewrite(dst, name, build):
+    """Rewrite one table via build(table) -> dict of replaced columns."""
+    path = f"{dst}/{name}.parquet"
+    t = pq.read_table(path)
+    repl = build(t)
+    cols = {n: repl.get(n, t.column(n)) for n in t.schema.names}
+    out = pa.table({n: (pa.array(v, type=t.schema.field(n).type)
+                        if not isinstance(v, (pa.Array, pa.ChunkedArray)) else v)
+                    for n, v in cols.items()}, schema=t.schema)
+    pq.write_table(out, path)
+
+
+def null_where(t, col, key, mod, rem):
+    ids = t.column(key).to_pylist()
+    vals = t.column(col).to_pylist()
+    return [None if (d is not None and d % mod == rem) else v
+            for d, v in zip(ids, vals)]
+
+
+def probe_null(src, dst):
+    """Column-NULL axis: every events/documents column except ts."""
+    copy_all(src, dst)
+    rewrite(dst, "events", lambda t: {
+        "value": null_where(t, "value", "event_id", 10, 3),
+        "user_id": null_where(t, "user_id", "event_id", 7, 2),
+        "props": null_where(t, "props", "event_id", 11, 5),
+        "event_type": null_where(t, "event_type", "event_id", 13, 4)})
+    rewrite(dst, "documents", lambda t: {
+        "text": null_where(t, "text", "doc_id", 10, 3),
+        "lang": null_where(t, "lang", "doc_id", 7, 2),
+        "source": null_where(t, "source", "doc_id", 11, 5)})
+
+
+def probe_tsnull(src, dst):
+    """ts-NULL axis: NULL timestamps hit the time-ordered operators."""
+    copy_all(src, dst)
+    rewrite(dst, "events", lambda t: {
+        "ts": null_where(t, "ts", "event_id", 17, 6)})
+
+
+def probe_combined(src, dst):
+    probe_null(src, dst)
+    rewrite(dst, "events", lambda t: {
+        "ts": null_where(t, "ts", "event_id", 17, 6)})
+
+
+def probe_empty(src, dst):
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t.slice(0, 0), f"{dst}/{name}.parquet")
+
+
+def probe_tiny(src, dst):
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t.slice(0, 3), f"{dst}/{name}.parquet")
+
+
+def probe_shuffled(src, dst):
+    os.makedirs(dst, exist_ok=True)
+    rng = random.Random(42)
+    for name in TABLES:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        idx = list(range(t.num_rows))
+        rng.shuffle(idx)
+        pq.write_table(t.take(idx), f"{dst}/{name}.parquet")
+
+
+UNICODE_PAY = [
+    "日本語のテキスト 分散処理 高速 データ",
+    "👩🏽‍💻🚀🔥 data 📊 emoji stream",
+    "café résumé naïve coöperate",
+    "مرحبا بالعالم شلوم عولم نص عربي",
+    "שלום עולם טקסט עברי",
+    "zero​width‍joined‌tokens",
+    "İstanbul ığüşöç DİYARBAKIR ẞharp",
+    "𝕸𝖆𝖙𝖍 𝒰𝓃𝒾𝒸ℴ𝒹ℯ 𓀀𓀁 𐍈𐍉",
+    "ΟΔΥΣΣΕΥΣ ΘΑΛΑΣΣΑ Σ ΣΟΦΙΑΣ τέλος",
+]
+
+
+def probe_unicode(src, dst):
+    copy_all(src, dst)
+
+    def docs(t):
+        ids = t.column("doc_id").to_pylist()
+        text = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        for i, d in enumerate(ids):
+            if d % 19 == 11:
+                p = UNICODE_PAY[d % len(UNICODE_PAY)]
+                if d % 3 == 0 or text[i] is None:
+                    text[i] = p + " " + UNICODE_PAY[(d + 1) % len(UNICODE_PAY)]
+                else:
+                    text[i] = (p + " " + text[i] + " "
+                               + UNICODE_PAY[(d + 3) % len(UNICODE_PAY)])
+            if d % 29 == 13 and srcs[i] is not None:
+                srcs[i] = f"srç-ünï{d % 3}"
+        return {"text": text, "source": srcs,
+                "n_chars": [len(x) if x is not None else None for x in text]}
+
+    def events(t):
+        ids = t.column("event_id").to_pylist()
+        props = t.column("props").to_pylist()
+        for i, d in enumerate(ids):
+            if d % 23 == 9 and props[i] is not None:
+                if d % 2 == 0:
+                    props[i] = '{"k": %d, "note": "αβγ 🚀 日本語 ت"}' % (d % 100)
+                else:
+                    props[i] = ('{"k": %d, "note": "\\u00e9\\ud83d\\ude00 esc"}'
+                                % (d % 100))
+        return {"props": props}
+
+    rewrite(dst, "documents", docs)
+    rewrite(dst, "events", events)
+
+
+def probe_dup(src, dst):
+    """Byte-identical duplicate rows: the at-least-once delivery model."""
+    copy_all(src, dst)
+
+    def dup(name, key, mod=31, rem=17):
+        t = pq.read_table(f"{dst}/{name}.parquet")
+        ids = t.column(key).to_pylist()
+        mask = pa.array([x is not None and x % mod == rem for x in ids])
+        pq.write_table(pa.concat_tables([t, t.filter(mask)]),
+                       f"{dst}/{name}.parquet")
+
+    dup("events", "event_id")
+    dup("documents", "doc_id")
+    dup("embeddings", "vec_id")
+    dup("orders", "o_orderkey")
+    dup("lineitem", "l_orderkey")
+    # a TRIPLE-duplicated slice catches "exactly two" assumptions
+    t = pq.read_table(f"{dst}/events.parquet")
+    base = pq.read_table(f"{src}/events.parquet")
+    ids = base.column("event_id").to_pylist()
+    tri = base.filter(pa.array([x is not None and x % 101 == 53 for x in ids]))
+    pq.write_table(pa.concat_tables([t, tri, tri]), f"{dst}/events.parquet")
+
+
+def probe_extreme(src, dst):
+    copy_all(src, dst)
+
+    def events(t):
+        ids = t.column("event_id").to_pylist()
+        val = t.column("value").to_pylist()
+        ts = t.column("ts").to_pylist()
+        for i, d in enumerate(ids):
+            if d % 37 == 5:
+                val[i] = float("nan")
+            elif d % 41 == 7:
+                val[i] = float("inf")
+            elif d % 43 == 11:
+                val[i] = float("-inf")
+            elif d % 47 == 13:
+                val[i] = -1.7e308
+            if d % 61 == 29 and ts[i] is not None:
+                ts[i] = datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)
+        return {"value": val, "ts": ts}
+
+    def docs(t):
+        ids = t.column("doc_id").to_pylist()
+        text = t.column("text").to_pylist()
+        for i, d in enumerate(ids):
+            if d % 53 == 19:
+                text[i] = ""
+            elif d % 59 == 23:
+                text[i] = "   \t  "
+            elif d % 67 == 31:
+                text[i] = "x" * 10000
+        return {"text": text,
+                "n_chars": [len(x) if x is not None else None for x in text]}
+
+    rewrite(dst, "events", events)
+    rewrite(dst, "documents", docs)
+
+
+JSON_FORMS = ['not json', '{"k": }', '{"k": 5', '', '[1, 2', '{"K": 3}',
+              '{}', '{"k": null}']
+
+
+def probe_json(src, dst):
+    copy_all(src, dst)
+
+    def events(t):
+        ids = t.column("event_id").to_pylist()
+        props = t.column("props").to_pylist()
+        for i, d in enumerate(ids):
+            if d % 73 == 37 and props[i] is not None:
+                props[i] = JSON_FORMS[d % len(JSON_FORMS)]
+        return {"props": props}
+
+    rewrite(dst, "events", events)
+
+
+AXES = {
+    "null": probe_null, "tsnull": probe_tsnull, "combined": probe_combined,
+    "empty": probe_empty, "tiny": probe_tiny, "shuffled": probe_shuffled,
+    "unicode": probe_unicode, "dup": probe_dup, "extreme": probe_extreme,
+    "json": probe_json,
+}
+
+
+def main():
+    args = sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    root = args[1] if len(args) > 1 else "/tmp"
+    axes = args[2:] if len(args) > 2 else list(AXES)
+    for ax in axes:
+        dst = f"{root}/probe_{ax}"
+        AXES[ax](src, dst)
+        print(f"built {dst}")
+
+
+if __name__ == "__main__":
+    main()
