@@ -162,8 +162,19 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     import spark.implicits._
     for (seed <- 71 to 75) {
       val evs = randomEvents(seed)
-      val out = graft.operators.EventFlows.clickAttributionFrom(evs.toDF())
-        .collect().map(r => r.getLong(0) ->
+      // redeliver a random quarter of the rows (at-least-once delivery):
+      // attribution is per purchase ENTITY, so the reference — keyed by
+      // event_id over the ORIGINAL rows — must be reproduced exactly
+      val rnd = new scala.util.Random(seed + 1000)
+      val world = evs ++ rnd.shuffle(evs).take(evs.length / 4)
+      val rows = graft.operators.EventFlows.clickAttributionFrom(world.toDF())
+        .collect()
+      // exactly one row per purchase ENTITY — a map compare alone would
+      // mask duplicated output rows (later keys overwrite identically)
+      assert(rows.length == evs.count(_.event_type == "purchase"),
+        s"seed=$seed: ${rows.length} rows for " +
+          s"${evs.count(_.event_type == "purchase")} purchases")
+      val out = rows.map(r => r.getLong(0) ->
           ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
             if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
       val windowMs = 3600000L
