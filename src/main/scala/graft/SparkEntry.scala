@@ -900,7 +900,9 @@ object SparkEntry {
     // keeps every train verdict
     "decontaminate_semantic_exact" ->
       """WITH c AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |n AS (
         |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
         |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e
@@ -1073,7 +1075,9 @@ object SparkEntry {
     // to keep the same floating-point evaluation order.
     "ann_cosine_topk" ->
       """WITH c AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |n AS (
         |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
         |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e
@@ -1090,7 +1094,9 @@ object SparkEntry {
 
     "vector_knn" ->
       """WITH c AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 32),
         |s AS (
         |  SELECT q.qid, c.vec_id, c.label,
@@ -1105,7 +1111,9 @@ object SparkEntry {
 
     "knn_label_vote" ->
       """WITH c0 AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |n AS (
         |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
         |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst kernels over array<double> columns: dense-vector
   * scoring, plus sorted-array search ([[BucketIndex]], the quantile
@@ -231,4 +231,63 @@ object BitInterleave {
     x
   }
   def morton(a: Int, b: Int): Long = spread(a) | (spread(b) << 1)
+}
+
+/** Validity gate for similarity vectors: exact index dimension, every
+  * element non-NULL and finite. A corrupt embedding (NaN/Inf element,
+  * NULL cell, truncated or empty list) crashes the ML k-means fit and
+  * poisons distance ranks, so the scan filters it out — and this kernel
+  * keeps that filter inside whole-stage codegen (an `forall` lambda would
+  * drop the whole corpus scan out of codegen, the exact regression
+  * PlanShapeSpec pins against). Works on the RAW array<float> column so
+  * the float→double cast only pays for vectors that survive.
+  */
+case class VecIsValid(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return java.lang.Boolean.FALSE
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return java.lang.Boolean.FALSE
+      val v = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        return java.lang.Boolean.FALSE
+      i += 1
+    }
+    java.lang.Boolean.TRUE
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val ok = ctx.freshName("ok")
+      val v = ctx.freshName("v")
+      val getter = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |boolean $ok = $a.numElements() == $dim;
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  if ($a.isNullAt($i)) { $ok = false; } else {
+         |    double $v = $getter;
+         |    if (Double.isNaN($v) || Double.isInfinite($v)) { $ok = false; }
+         |  }
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecIsValid =
+    copy(child = newChild)
 }

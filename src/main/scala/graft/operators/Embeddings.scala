@@ -61,8 +61,29 @@ object Embeddings {
           transform(col("embedding"), x => round(x, 6).cast("string")), ",")).as("emb_sig"))
   }
 
+  /** The index dimensionality — explicit config, mirroring the reference's
+    * `faiss.IndexFlatL2(dimension)` (faiss_db.py:37-40): FAISS refuses
+    * off-dimension vectors at add() time, and so do we, at scan time.
+    * Same dimension the embedder emits ([[Dim]]) — one model, one index. */
+  private[graft] val EmbeddingDim = Dim
+
+  /** A vector participates in similarity/clustering iff it has the index
+    * dimensionality and every element is a finite non-NULL number. A
+    * corrupt embedding (NaN/Inf element, NULL element, truncated or empty
+    * list) would otherwise CRASH the ML k-means fit ("Vector values MUST
+    * NOT be NaN or Infinity") or poison distance ranks — and the oracle's
+    * list kernels reject it outright. One native codegen'd pass at the
+    * scan ([[graft.expressions.VecIsValid]]): no extra job, and the
+    * corpus scan stays inside whole-stage codegen. The oracle twin is the
+    * identical WHERE over len() + list_filter(isnan/isfinite/IS NULL). */
+  private[graft] def validEmb(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VecIsValid(
+        org.apache.spark.sql.graft.Bridge.expression(c), EmbeddingDim))
+
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      .where(col("embedding").isNotNull && validEmb(col("embedding")))
       .select(col("vec_id"), VecFns.toDouble(col("embedding")).as("emb"), col("label"))
 
   /** FAISS IndexFlatL2 search semantics (faiss_db.py:49-62): exact top-k by

@@ -83,6 +83,31 @@ class RobustnessSpec extends AnyFunSuite {
     assert(one(TextOps.langIdCol(col("text")), "").getString(0) == "en")
   }
 
+  test("validEmb admits exactly the finite full-dimension vectors") {
+    import spark.implicits._
+    val dim = Embeddings.EmbeddingDim
+    val good = Seq.fill(dim)(0.5)
+    val cases: Seq[(Seq[Double], Boolean, String)] = Seq(
+      (good, true, "clean"),
+      (Seq.fill(dim)(0.0), true, "all-zero is VALID (zero-norm guards handle it downstream)"),
+      (good.updated(0, Double.NaN), false, "NaN element"),
+      (good.updated(dim - 1, Double.PositiveInfinity), false, "Inf element"),
+      (Seq.empty[Double], false, "empty"),
+      (good.take(dim / 2), false, "truncated"))
+    cases.foreach { case (v, expect, why) =>
+      val got = Seq(Tuple1(v)).toDF("embedding")
+        .select(Embeddings.validEmb(col("embedding")).as("ok"))
+        .head().getBoolean(0)
+      assert(got == expect, why)
+    }
+    // a NULL element invalidates the vector (nullable list cells)
+    val withNull = Seq(Tuple1(good.init.map(Option(_)) :+ Option.empty[Double]))
+      .toDF("embedding")
+      .select(Embeddings.validEmb(col("embedding")).as("ok"))
+      .head()
+    assert(withNull.isNullAt(0) || !withNull.getBoolean(0), "NULL element")
+  }
+
   test("value percentiles rank only the finite values; NaN/Inf still count rows") {
     import spark.implicits._
     // 1..100 plus planted NaN/±Inf/out-of-range: percentiles must equal

@@ -216,6 +216,32 @@ def probe_extreme(src, dst):
     rewrite(dst, "documents", docs)
 
 
+def probe_vec(src, dst):
+    """Corrupt embeddings: NaN element, NULL element, empty, truncated,
+    all-zero. The valid-vector contract must drop all but the zero one."""
+    copy_all(src, dst)
+
+    def emb(t):
+        ids = t.column("vec_id").to_pylist()
+        e = t.column("embedding").to_pylist()
+        for i, d in enumerate(ids):
+            if e[i] is None:
+                continue
+            if d % 13 == 4:
+                e[i] = [float("nan")] + e[i][1:]
+            elif d % 17 == 8:
+                e[i] = []
+            elif d % 19 == 12:
+                e[i] = e[i][:len(e[i]) // 2]
+            elif d % 23 == 15:
+                e[i] = [0.0] * len(e[i])
+            elif d % 29 == 21:
+                e[i] = e[i][:-1] + [None]
+        return {"embedding": e}
+
+    rewrite(dst, "embeddings", emb)
+
+
 JSON_FORMS = ['not json', '{"k": }', '{"k": 5', '', '[1, 2', '{"K": 3}',
               '{}', '{"k": null}']
 
@@ -238,7 +264,7 @@ AXES = {
     "null": probe_null, "tsnull": probe_tsnull, "combined": probe_combined,
     "empty": probe_empty, "tiny": probe_tiny, "shuffled": probe_shuffled,
     "unicode": probe_unicode, "dup": probe_dup, "extreme": probe_extreme,
-    "json": probe_json,
+    "json": probe_json, "vec": probe_vec,
 }
 
 
