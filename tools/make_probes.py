@@ -218,13 +218,17 @@ def probe_extreme(src, dst):
 
 def probe_vec(src, dst):
     """Corrupt embeddings: NaN element, NULL element, empty, truncated,
-    all-zero. The valid-vector contract must drop all but the zero one."""
+    all-zero — the valid-vector contract must drop all but the zero one —
+    plus NULL labels (vote/grouping metadata, untouched by the NULL axis)."""
     copy_all(src, dst)
 
     def emb(t):
         ids = t.column("vec_id").to_pylist()
         e = t.column("embedding").to_pylist()
+        lab = t.column("label").to_pylist()
         for i, d in enumerate(ids):
+            if d % 31 == 27:
+                lab[i] = None
             if e[i] is None:
                 continue
             if d % 13 == 4:
@@ -237,7 +241,7 @@ def probe_vec(src, dst):
                 e[i] = [0.0] * len(e[i])
             elif d % 29 == 21:
                 e[i] = e[i][:-1] + [None]
-        return {"embedding": e}
+        return {"embedding": e, "label": lab}
 
     rewrite(dst, "embeddings", emb)
 
