@@ -264,11 +264,37 @@ def probe_json(src, dst):
     rewrite(dst, "events", events)
 
 
+def probe_tpchnull(src, dst):
+    """NULLs across the relational tables (group keys, join keys, measures,
+    dates) — the column-NULL axis only ever touched events/documents."""
+    copy_all(src, dst)
+
+    def nullify(name, key, cols_mods):
+        t = pq.read_table(f"{src}/{name}.parquet")
+        ids = t.column(key).to_pylist()
+        repl = {}
+        for colname, (mod, rem) in cols_mods.items():
+            vals = t.column(colname).to_pylist()
+            repl[colname] = [None if (d is not None and d % mod == rem) else v
+                             for d, v in zip(ids, vals)]
+        cols = {n: (pa.array(repl[n], type=t.schema.field(n).type)
+                    if n in repl else t.column(n)) for n in t.schema.names}
+        pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+
+    nullify("lineitem", "l_orderkey", {
+        "l_returnflag": (10, 3), "l_linestatus": (13, 4), "l_quantity": (7, 2),
+        "l_discount": (11, 5), "l_extendedprice": (17, 9), "l_shipdate": (19, 11)})
+    nullify("orders", "o_orderkey", {
+        "o_orderdate": (13, 4), "o_custkey": (7, 2), "o_totalprice": (11, 5)})
+    nullify("customer", "c_custkey", {
+        "c_mktsegment": (7, 3), "c_nationkey": (11, 6), "c_acctbal": (13, 8)})
+
+
 AXES = {
     "null": probe_null, "tsnull": probe_tsnull, "combined": probe_combined,
     "empty": probe_empty, "tiny": probe_tiny, "shuffled": probe_shuffled,
     "unicode": probe_unicode, "dup": probe_dup, "extreme": probe_extreme,
-    "json": probe_json, "vec": probe_vec,
+    "json": probe_json, "vec": probe_vec, "tpchnull": probe_tpchnull,
 }
 
 
