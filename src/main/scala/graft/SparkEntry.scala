@@ -899,9 +899,9 @@ object SparkEntry {
     // vector via rank-1, rendered as a left join so an empty eval split
     // keeps every train verdict
     "decontaminate_semantic_exact" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
         |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |n AS (
         |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
@@ -1074,9 +1074,9 @@ object SparkEntry {
     // exactly (zip−subtract−dot), NOT the expanded a·a − 2a·b + b·b form,
     // to keep the same floating-point evaluation order.
     "ann_cosine_topk" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
         |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |n AS (
         |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
@@ -1093,9 +1093,9 @@ object SparkEntry {
         |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin,
 
     "vector_knn" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
         |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 32),
         |s AS (
@@ -1110,9 +1110,9 @@ object SparkEntry {
         |SELECT qid, rk, vec_id, distance, label FROM r WHERE rk <= 5""".stripMargin,
 
     "knn_label_vote" ->
-      """WITH c0 AS (
+      s"""WITH c0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
         |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
         |n AS (
         |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e

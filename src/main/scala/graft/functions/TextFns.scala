@@ -62,7 +62,13 @@ object TextFns {
     * one context-sensitive one at the source — and touches nothing
     * else: an input that already contains a final ς stays ς in both
     * engines (lower() is the identity on it). For every character whose
-    * simple and full mappings agree this IS plain `lower`. */
+    * simple and full mappings agree this IS plain `lower`.
+    *
+    * Applies at EVERY site whose lowered text meets a DuckDB `lower` —
+    * tokenizers, shingles/fingerprints, stopword scoring, lang-id, and
+    * keyword `contains` haystacks — not just the token paths: a JVM
+    * lower of "İt" is i+U+0307+t, which `\bit\b` and contains("it")
+    * silently fail to match while the oracle's simple lower matches. */
   def foldCase(c: Column): Column =
     lower(translate(c, "İΣ", "iσ"))
 
@@ -76,5 +82,5 @@ object TextFns {
     size(regexp_extract_all(c, lit(clsRe), lit(0))).cast("long")
 
   def stopwordHits(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit(EnStopRe), lit(0))).cast("long")
+    size(regexp_extract_all(foldCase(c), lit(EnStopRe), lit(0))).cast("long")
 }

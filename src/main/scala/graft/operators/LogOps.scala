@@ -294,7 +294,7 @@ object LogOps {
     */
   def searchKeyword(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .where(col("lang") === "en" && lower(col("text")).contains("spark"))
+      .where(col("lang") === "en" && TextFns.foldCase(col("text")).contains("spark"))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
   /** Full dashboard search (app.py:66-88): every filter attribute at once —
@@ -315,14 +315,14 @@ object LogOps {
     Tables.events(spark, dir)
       .where(col("event_type") === level &&
         col("user_id").cast("string").like(userLike) &&
-        lower(col("props")).contains(keyword.toLowerCase(java.util.Locale.ROOT)) &&
+        TextFns.foldCase(col("props")).contains(keyword.toLowerCase(java.util.Locale.ROOT)) &&
         col("ts") >= lit(sinceTs).cast("timestamp") &&
         // namespace is its OWN substring attribute (app.py:70-72), distinct
         // from the entry-wide keyword: it matches only the extracted
         // namespace field (props.k stands in per SURVEY §3), not the raw
         // payload. Empty = filter off, like the dashboard's blank form box.
         (if (namespace.isEmpty) lit(true)
-         else lower(get_json_object(col("props"), "$.k"))
+         else TextFns.foldCase(get_json_object(col("props"), "$.k"))
            .contains(namespace.toLowerCase(java.util.Locale.ROOT))))
       .orderBy(col("ts").desc, col("event_id"))
       .limit(limit)
@@ -353,7 +353,7 @@ object LogOps {
         when(col("report").isNotNull,
           format_string("RCA pending for %d incidents (batch digest %s)",
             col("n_incidents"), md5(col("report")))))
-      .where(lower(concat_ws(" ", col("day"), col("report"), col("rca")))
+      .where(TextFns.foldCase(concat_ws(" ", col("day"), col("report"), col("rca")))
         .contains(keyword.toLowerCase(java.util.Locale.ROOT)))
       .select(col("day"), col("n_incidents"), col("report"), col("rca"))
 

@@ -26,7 +26,7 @@ object NearDup {
 
   /** Distinct character n-grams (native kernel). */
   def charShingles(text: Column, n: Int): Column =
-    Bridge.column(CharShingles(Bridge.expression(lower(text)), n))
+    Bridge.column(CharShingles(Bridge.expression(TextFns.foldCase(text)), n))
 
   /** MinHash signature (native kernel; one hash per shingle + affine perms). */
   def minhashSig(shingles: Column, numPerm: Int): Column =
@@ -242,7 +242,7 @@ object NearDup {
       k: Int = 5, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val fpsCol = Bridge.column(graft.expressions.WinnowFingerprints(
-      Bridge.expression(lower(col("text"))), k, w))
+      Bridge.expression(TextFns.foldCase(col("text"))), k, w))
     val base = docs.select(col("doc_id").as("id"), fpsCol.as("fps"))
       .withColumn("n_fps", size(col("fps")).cast("long"))
     val ex = base.select(col("id"), explode(col("fps")).as("fp"))

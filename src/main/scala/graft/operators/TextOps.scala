@@ -53,7 +53,7 @@ object TextOps {
       size(kept).cast("long").as("n_lines_kept"),
       array_join(kept, "\n").as("clean_text"),
       coalesce(size(kept) >= 1 &&
-        !lower(col("text")).contains("lorem ipsum") &&
+        !TextFns.foldCase(col("text")).contains("lorem ipsum") &&
         !col("text").contains("{"), lit(false)).as("is_kept"))
   }
 
@@ -115,7 +115,7 @@ object TextOps {
     * semantics to the SQL oracle.
     */
   def langIdCol(text: Column): Column = {
-    val lo = lower(text)
+    val lo = TextFns.foldCase(text)
     val cjk = TextFns.charClassCount(text, "[\\x{4e00}-\\x{9fff}]").cast("double")
     val scored = LangStops.zipWithIndex.map { case ((lang, stops), i) =>
       struct(
@@ -174,7 +174,7 @@ object TextOps {
   def docFingerprint(spark: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val fps = Bridge.column(graft.expressions.WinnowFingerprints(
-      Bridge.expression(lower(col("text"))), k, w))
+      Bridge.expression(TextFns.foldCase(col("text"))), k, w))
     Tables.documents(spark, dir)
       .select(col("doc_id"), fps.as("fps"))
       .select(col("doc_id"),

@@ -11,7 +11,8 @@ replica is the same:
 
 Usage:  python3 tools/make_probes.py [src_dir] [dst_root] [axis ...]
         default: /root/testdata/sf0.01 /tmp all axes
-Axes:   null tsnull combined empty tiny shuffled unicode dup extreme json
+Axes:   null tsnull combined empty tiny shuffled unicode dup extreme
+        json vec tpchnull   (the full list is AXES at the bottom)
 
 All rewrites preserve the source arrow schema (round-tripping through
 another engine changes physical types and breaks the Tables readers —
@@ -116,6 +117,9 @@ UNICODE_PAY = [
     "İstanbul ığüşöç DİYARBAKIR ẞharp",
     "𝕸𝖆𝖙𝖍 𝒰𝓃𝒾𝒸ℴ𝒹ℯ 𓀀𓀁 𐍈𐍉",
     "ΟΔΥΣΣΕΥΣ ΘΑΛΑΣΣΑ Σ ΣΟΦΙΑΣ τέλος",
+    # İ-initial stopword shapes + dotted-I lorem-ipsum: exercise the
+    # fold at the COMPARISON sites (stopword scoring, lang-id, contains)
+    "İt İs the İn İT LOREM İPSUM",
 ]
 
 
@@ -303,6 +307,9 @@ def main():
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     root = args[1] if len(args) > 1 else "/tmp"
     axes = args[2:] if len(args) > 2 else list(AXES)
+    unknown = [a for a in axes if a not in AXES]
+    if unknown:
+        sys.exit(f"unknown axes {unknown}; valid: {' '.join(AXES)}")
     for ax in axes:
         dst = f"{root}/probe_{ax}"
         AXES[ax](src, dst)
