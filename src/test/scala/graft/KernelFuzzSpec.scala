@@ -100,6 +100,55 @@ class KernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("VecIsValid: codegen, interpreted eval, and a Scala reference agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // the kernel has TWO implementations (nullSafeEval + doGenCode); a
+    // silent divergence between them is the classic native-kernel bug.
+    // Seeded random vectors cover every branch: NaN/±Inf cells, NULL
+    // cells, empty, short, long, exact-dim clean.
+    val dim = Embeddings.EmbeddingDim
+    val rnd = new scala.util.Random(7)
+    def randVec(): Seq[Option[Double]] = {
+      val n = Seq(0, 1, dim / 2, dim, dim, dim, dim, dim + 1)(rnd.nextInt(8))
+      Seq.fill(n) {
+        rnd.nextInt(24) match {
+          case 0 => Some(Double.NaN)
+          case 1 => Some(Double.PositiveInfinity)
+          case 2 => Some(Double.NegativeInfinity)
+          case 3 => None
+          case _ => Some(rnd.nextDouble() - 0.5)
+        }
+      }
+    }
+    val vecs = Seq.fill(400)(randVec())
+    def ref(v: Seq[Option[Double]]): Boolean =
+      v.length == dim && v.forall(_.exists(d => !d.isNaN && !d.isInfinite))
+    // codegen path: whole-stage projection over a DataFrame
+    val got = vecs.toDF("v")
+      .select(Embeddings.validEmb(col("v")).as("ok")).as[Boolean].collect()
+    got.lazyZip(vecs).foreach { (g, v) =>
+      assert(g == ref(v), s"codegen path: ${v.take(4)}... len=${v.length}")
+    }
+    // interpreted path: direct eval on Literals, double AND float element
+    // types (the raw table column is float; specs feed double)
+    vecs.foreach { v =>
+      val asDouble = Literal.create(
+        v.map(_.map(Double.box).orNull): Seq[Any],
+        ArrayType(DoubleType, containsNull = true))
+      assert(graft.expressions.VecIsValid(asDouble, dim).eval(null) ==
+        ref(v), s"interpreted double: ${v.take(4)}... len=${v.length}")
+      val asFloat = Literal.create(
+        v.map(_.map(d => Float.box(d.toFloat)).orNull): Seq[Any],
+        ArrayType(FloatType, containsNull = true))
+      val refF = v.length == dim &&
+        v.forall(_.exists(d => !d.toFloat.isNaN && !d.toFloat.isInfinite))
+      assert(graft.expressions.VecIsValid(asFloat, dim).eval(null) ==
+        refF, s"interpreted float: ${v.take(4)}... len=${v.length}")
+    }
+  }
+
   test("minhash signatures are element-wise monotone under document growth") {
     import spark.implicits._
     val pairs = generated.take(60).zipWithIndex
