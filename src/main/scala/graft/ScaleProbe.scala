@@ -192,6 +192,14 @@ object ScaleProbe {
     def med3U(name: String)(f: => Unit): Double = {
       val ts = Seq.fill(3)(timeU(name)(f)).sorted; ts(1)
     }
+    // pre-merge once OFF-timer so every timed attempt measures the same
+    // operation — a RE-merge (winners already present; mergeBatch is
+    // idempotent). Without this, attempt 1 is a first-time merge and
+    // attempts 2-3 re-merges, and the median mixes the two populations.
+    // Re-merge I/O equals first-merge I/O (same leaves read, re-ranked,
+    // rewritten), and the 1x/Nx ratio is what the probe asserts.
+    graft.streaming.StreamJoins.mergeBatch(ltBatch, lt1Store)
+    graft.streaming.StreamJoins.mergeBatch(ltBatch, ltNStore)
     val lt1 = med3U("lasttouch_merge 1x")(
       graft.streaming.StreamJoins.mergeBatch(ltBatch, lt1Store))
     val ltN = med3U(s"lasttouch_merge ${factor}x")(

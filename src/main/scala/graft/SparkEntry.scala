@@ -295,13 +295,13 @@ object SparkEntry {
     val nsPred =
       if (namespace.isEmpty) ""
       else "\n  AND contains(lower(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '" +
-        namespace.toLowerCase(java.util.Locale.ROOT) + "')"
+        graft.functions.TextFns.foldCase(namespace) + "')"
     s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
        |       user_id, event_type, props
        |FROM events
        |WHERE event_type = '$level'
        |  AND CAST(user_id AS VARCHAR) LIKE '$userLike'
-       |  AND contains(lower(props), '${keyword.toLowerCase(java.util.Locale.ROOT)}')
+       |  AND contains(lower(props), '${graft.functions.TextFns.foldCase(keyword)}')
        |  AND ts >= TIMESTAMP '$sinceTs'$nsPred
        |ORDER BY ts DESC, event_id
        |LIMIT $limit""".stripMargin
@@ -348,7 +348,7 @@ object SparkEntry {
        |  FROM c LEFT JOIN r USING (day))
        |SELECT day, n_incidents, report, rca
        |FROM e2
-       |WHERE contains(lower(concat_ws(' ', day, report, rca)), '${keyword.toLowerCase(java.util.Locale.ROOT)}')""".stripMargin
+       |WHERE contains(lower(concat_ws(' ', day, report, rca)), '${graft.functions.TextFns.foldCase(keyword)}')""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -751,7 +751,10 @@ object SparkEntry {
         |j AS (
         |  SELECT p.purchase_id, p.user_id, p.ts, v.view_id, v.vts,
         |         row_number() OVER (PARTITION BY p.purchase_id
-        |                            ORDER BY v.vts DESC) AS rk
+        |                            ORDER BY v.vts DESC NULLS LAST,
+        |                              v.view_id DESC NULLS LAST,
+        |                              p.ts DESC NULLS LAST,
+        |                              p.user_id DESC NULLS LAST) AS rk
         |  FROM p LEFT JOIN v
         |    ON p.user_id = v.user_id AND v.vts <= p.ts
         |   AND v.vts >= p.ts - INTERVAL 1 HOUR)
@@ -774,7 +777,10 @@ object SparkEntry {
         |j AS (
         |  SELECT p.purchase_id, p.user_id, p.ts, v.view_id, v.vts,
         |         row_number() OVER (PARTITION BY p.purchase_id
-        |                            ORDER BY v.vts DESC) AS rk
+        |                            ORDER BY v.vts DESC NULLS LAST,
+        |                              v.view_id DESC NULLS LAST,
+        |                              p.ts DESC NULLS LAST,
+        |                              p.user_id DESC NULLS LAST) AS rk
         |  FROM p LEFT JOIN v
         |    ON p.user_id = v.user_id AND v.vts <= p.ts
         |   AND v.vts >= p.ts - INTERVAL 5 MINUTE)

@@ -72,6 +72,16 @@ object TextFns {
   def foldCase(c: Column): Column =
     lower(translate(c, "İΣ", "iσ"))
 
+  /** Driver-side twin of [[foldCase]] for search NEEDLES. A needle
+    * lowered with the JVM full mapping (İ → i+U+0307, word-final Σ → ς)
+    * can never match a simple-folded haystack; pre-translating the two
+    * divergent capitals makes `toLowerCase` coincide with the simple
+    * mapping, so needle and haystack fold identically. Embed THIS form
+    * in the oracle SQL too — both engines then compare the same bytes. */
+  def foldCase(s: String): String =
+    s.replace('İ', 'i').replace('Σ', 'σ')
+      .toLowerCase(java.util.Locale.ROOT)
+
   def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
 
   def bpeTokenCount(c: Column): Column =

@@ -159,26 +159,44 @@ object EventFlows {
 
   private def attributionCore(events: DataFrame, windowUs: Long): DataFrame = {
     val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    // distinct: attribution is per purchase ENTITY, not per delivered row.
-    // An at-least-once event stream redelivers the same purchase row, and
-    // both the oracle (rank per purchase_id) and the streaming twin (the
-    // winner store keyed by purchase_id) already collapse redeliveries —
-    // the batch side must match. Three narrow columns, purchases are the
-    // small side, so the dedup shuffle is the cheapest point in the plan.
+    // Attribution is per purchase ENTITY, not per delivered row. An
+    // at-least-once stream can redeliver a purchase byte-identical OR
+    // mutated (same purchase_id, drifted ts/user from a producer retry);
+    // the oracle (rank per purchase_id) and the streaming twin (winner
+    // store keyed by purchase_id) both collapse either kind, so the
+    // batch side ranks per purchase_id AFTER the asof match — latest
+    // matched view wins across all delivered variants, the exact rule
+    // the winner store applies — instead of a pre-join distinct() that
+    // only collapses byte-identical rows. One purchase-keyed shuffle
+    // either way (rank here vs distinct before), purchases are the
+    // small side, so the plan cost is unchanged.
     val p = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-      .distinct()
     val v = events.where(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("view_id"))
     val gapUs = unix_micros(col("ts")) - unix_micros(col("attr.ts"))
     val within = gapUs <= lit(windowUs)
-    JoinOps.asofJoin(p, v, "user_id", "ts", "ts", "attr")
+    val candidates = JoinOps.asofJoin(p, v, "user_id", "ts", "ts", "attr")
+      .select(col("purchase_id"), col("user_id"), col("ts"),
+        when(within, col("attr.view_id")).as("vid"),
+        when(within, col("attr.ts")).as("vts"),
+        when(within, gapUs).as("gap_us"))
+    // Same ordering as StreamJoins.mergeBatch's winner rank, extended
+    // with (ts, user_id) so a dead tie between mutated variants is still
+    // deterministic; byte-identical redeliveries produce identical
+    // candidate rows and collapse here too.
+    val best = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("vts").desc_nulls_last, col("vid").desc_nulls_last,
+        col("ts").desc_nulls_last, col("user_id").desc_nulls_last)
+    candidates
+      .withColumn("rk", row_number().over(best))
+      .where(col("rk") === 1)
       .select(col("purchase_id"), col("user_id"),
         date_format(col("ts"), tsUs).as("purchase_ts"),
-        when(within, col("attr.view_id")).as("view_id"),
-        when(within, date_format(col("attr.ts"), tsUs)).as("view_ts"),
-        when(within, gapUs).as("gap_us"))
+        col("vid").as("view_id"),
+        date_format(col("vts"), tsUs).as("view_ts"),
+        col("gap_us"))
   }
 
   /** (from_type, to_type) pairs → counts + conditional probabilities.

@@ -315,7 +315,7 @@ object LogOps {
     Tables.events(spark, dir)
       .where(col("event_type") === level &&
         col("user_id").cast("string").like(userLike) &&
-        TextFns.foldCase(col("props")).contains(keyword.toLowerCase(java.util.Locale.ROOT)) &&
+        TextFns.foldCase(col("props")).contains(TextFns.foldCase(keyword)) &&
         col("ts") >= lit(sinceTs).cast("timestamp") &&
         // namespace is its OWN substring attribute (app.py:70-72), distinct
         // from the entry-wide keyword: it matches only the extracted
@@ -323,7 +323,7 @@ object LogOps {
         // payload. Empty = filter off, like the dashboard's blank form box.
         (if (namespace.isEmpty) lit(true)
          else TextFns.foldCase(get_json_object(col("props"), "$.k"))
-           .contains(namespace.toLowerCase(java.util.Locale.ROOT))))
+           .contains(TextFns.foldCase(namespace))))
       .orderBy(col("ts").desc, col("event_id"))
       .limit(limit)
       .select(col("event_id"),
@@ -354,7 +354,7 @@ object LogOps {
           format_string("RCA pending for %d incidents (batch digest %s)",
             col("n_incidents"), md5(col("report")))))
       .where(TextFns.foldCase(concat_ws(" ", col("day"), col("report"), col("rca")))
-        .contains(keyword.toLowerCase(java.util.Locale.ROOT)))
+        .contains(TextFns.foldCase(keyword)))
       .select(col("day"), col("n_incidents"), col("report"), col("rca"))
 
   /** Semi-structured props parsing: extract typed fields from the JSON

@@ -21,9 +21,27 @@ case class GraftConfig(
     embedDim: Int = Embeddings.Dim,           // EMBEDDING_MODEL dim analog
     embedFields: String = "text,source",      // EMBEDDING_FIELDS (embedder.py:14)
     ragTopK: Int = 5,                         // RAG_TOP_K
-    batchSize: Int = 5)                       // main.py --batch-size
+    batchSize: Int = 5) {                     // main.py --batch-size
+  // The incident batch is BROADCAST against the corpus (ragBatch,
+  // Embeddings.ragContext) and collected for prompt assembly — both are
+  // safe only because the batch is config-bounded. Enforce the bound at
+  // construction so a misconfigured "full day" batch fails loudly here,
+  // not as a multi-GB broadcast OOM three stages later.
+  require(batchSize > 0 && batchSize <= GraftConfig.MaxBatchSize,
+    s"batchSize=$batchSize outside (0, ${GraftConfig.MaxBatchSize}]: " +
+      "the incident batch is broadcast + collected and must stay query-sized")
+  require(ragTopK > 0 && ragTopK <= GraftConfig.MaxRagTopK,
+    s"ragTopK=$ragTopK outside (0, ${GraftConfig.MaxRagTopK}]: " +
+      "ragTopK*batchSize context lines are collected for the prompt")
+}
 
 object GraftConfig {
+  /** Broadcast/collect safety bound on the incident batch: 10k rows ×
+    * (embedding Dim doubles + a log line) is single-digit MB — far under
+    * any broadcast threshold — while 100× the reference's own batch. */
+  val MaxBatchSize = 10000
+  /** Prompt assembly collects ragTopK×batchSize context lines. */
+  val MaxRagTopK = 1000
   /** Env-style lookup with defaults (config.py get_config semantics). */
   def from(get: String => Option[String]): GraftConfig = {
     val d = GraftConfig()

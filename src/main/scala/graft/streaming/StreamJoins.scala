@@ -166,8 +166,11 @@ object StreamJoins {
         // so the union below can never alias two sides of the same plan
         val merged0 = prunedPrior(spark, storePath, touched.toIndexedSeq)
           .map(_.unionByName(b)).getOrElse(b.toDF())
+        // same ordering (and tie-breaks) as the batch twin's entity rank
+        // in EventFlows.attributionCore — one contract, two engines
         val best = Window.partitionBy(col("purchase_id"))
-          .orderBy(col("vts").desc_nulls_last, col("view_id").desc_nulls_last)
+          .orderBy(col("vts").desc_nulls_last, col("view_id").desc_nulls_last,
+            col("ts").desc_nulls_last, col("user_id").desc_nulls_last)
         merged0
           .withColumn("rk", row_number().over(best))
           .where(col("rk") === 1).drop("rk")

@@ -93,6 +93,18 @@ class CoreSpec extends AnyFunSuite {
       .select((TextFns.foldCase(col("text")) === lower(col("text"))).as("eq"))
       .as[Boolean].head()
     assert(asciiEq)
+    // NEEDLE twin: a keyword folded on the driver must fold to the same
+    // bytes as the haystack column fold — a JVM-lowered "İT" is i+U+0307+t
+    // and can never match a simple-folded haystack; the String overload
+    // pre-translates the two divergent capitals first.
+    assert(TextFns.foldCase("İT") == "it")
+    assert(TextFns.foldCase("ΟΔΥΣΣΕΥΣ") == "οδυσσευσ")
+    assert(TextFns.foldCase("Quick BROWN42") == "quick brown42")
+    val hay = Seq("ERROR İTEM missing").toDF("text")
+      .select(TextFns.foldCase(col("text")).as("t"))
+      .as[String].head()
+    assert(hay.contains(TextFns.foldCase("İTEM")),
+      s"needle and haystack folds must meet: '$hay'")
   }
 
   test("sessionize splits on >30min gaps per user") {

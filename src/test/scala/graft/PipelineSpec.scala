@@ -19,6 +19,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.levelFilter == "error" && cfg.batchSize == 5)
   }
 
+  test("config rejects a broadcast-unsafe batch at construction") {
+    // the incident batch is broadcast + collected downstream; a
+    // misconfigured full-day batch must fail HERE, not as an OOM later
+    intercept[IllegalArgumentException](GraftConfig(batchSize = 1000000))
+    intercept[IllegalArgumentException](GraftConfig(batchSize = 0))
+    intercept[IllegalArgumentException](GraftConfig(ragTopK = 100000))
+    intercept[IllegalArgumentException](GraftConfig.from {
+      case "GRAFT_BATCH_SIZE" => Some("5000000"); case _ => None
+    })
+    assert(GraftConfig(batchSize = GraftConfig.MaxBatchSize).batchSize == 10000)
+  }
+
   test("embed fields are config-driven: non-default list changes the signature") {
     import graft.operators.Embeddings
     // EMBEDDING_FIELDS semantics (embedder.py:14,20-21): the embedded text

@@ -347,6 +347,36 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(out.head.getLong(3) == 1L && out.head.getLong(5) == 1800L * 1000000L)
   }
 
+  test("click_attribution collapses MUTATED redeliveries of one purchase_id") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // a producer retry can redeliver the same purchase_id with a drifted
+    // ts — NOT byte-identical. Attribution is still per entity: the
+    // variants compete and the one whose asof match has the latest view
+    // wins (the winner-store rule), so the output is ONE row per id
+    val ev = Seq(
+      (1L, 1L, t("2024-07-01 11:30:00"), "view"),
+      (2L, 1L, t("2024-07-01 12:30:00"), "view"),
+      // purchase 9 delivered twice with drifted ts: variant A matches
+      // view 1 (vts 11:30), variant B matches view 2 (vts 12:30) — B's
+      // match is later, so B's row is the entity's row
+      (9L, 1L, t("2024-07-01 12:00:00"), "purchase"),
+      (9L, 1L, t("2024-07-01 12:50:00"), "purchase"),
+      // purchase 7 delivered twice: one variant matches, one is out of
+      // window — the MATCHED variant must win (nulls rank last)
+      (7L, 1L, t("2024-07-01 12:10:00"), "purchase"),
+      (7L, 1L, t("2024-07-01 14:50:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.EventFlows.clickAttributionFrom(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(2)))).toMap
+    assert(out.size == 2, s"one row per purchase_id: $out")
+    assert(out(9L) == ((Some(2L), "2024-07-01 12:50:00.000000")),
+      s"latest matched view across variants wins: ${out(9L)}")
+    assert(out(7L) == ((Some(1L), "2024-07-01 12:10:00.000000")),
+      s"matched variant beats out-of-window variant: ${out(7L)}")
+  }
+
   test("streaming attribution interval join pairs only in-window views") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
