@@ -232,9 +232,13 @@ object Embeddings {
     * Recall loss here comes solely from probe misses; with the corpus
     * unit-norm (embedCol L2-normalizes), L2-nearest centroids ARE the
     * cosine-nearest directions, so the probe geometry is already aligned
-    * with the ranking metric. The recall lever that remains is `nprobe`.
+    * with the ranking metric. The recall lever that remains is `nprobe`:
+    * measured against the exact scan at sf0.01 (RecallFloorSpec),
+    * recall@10 is 0.55 at nprobe=4 and 0.79 at nprobe=8, so the default
+    * is 8 — still ~nprobe/√N of the corpus per query at scale, and the
+    * fit (not the probe join) dominates the operator's cost.
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 0, nprobe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 0, nprobe: Int = 8): DataFrame = {
     val (assigned, centDf) = ivfAssign(spark, dir, k)
     val q = assigned.where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))

@@ -116,10 +116,11 @@ class VectorSpec extends AnyFunSuite {
       (ivf.getOrElse(qid, Set.empty) & truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    // nprobe=4 of ~22 sqrt(N) buckets reads ~20% of the corpus; genuinely
-    // near vectors cluster into the probed buckets, so recall must be well
-    // above that random-read floor
-    assert(mean > 0.5, f"mean recall@10 $mean%.3f must exceed 0.5")
+    // nprobe=8 (the default) of ~22 sqrt(N) buckets; genuinely near
+    // vectors cluster into the probed buckets, so recall must sit well
+    // above the random-read floor (the full nprobe curve is pinned in
+    // RecallFloorSpec at sf0.01)
+    assert(mean > 0.65, f"mean recall@10 $mean%.3f must exceed 0.65")
   }
 
   test("ann_lsh retrieves planted near-duplicates as top hit") {
