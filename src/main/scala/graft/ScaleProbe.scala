@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 16
+    // optional point filter (args 1..): run only the named RATIO points —
+    // the 64x deep probe targets the near-linear kernel-bound points
+    // (embed / decontaminate / ivf_dedup) without paying for the 64M-row
+    // skew join or the 6.4M-node component graph every run
+    val only = args.drop(1).toSet
+    def want(name: String): Boolean = only.isEmpty || only(name)
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -96,18 +102,20 @@ object ScaleProbe {
     // disabling auto-broadcast so the plain join is a shuffle join with
     // one melting reducer (AQE skew split still allowed: the comparison is
     // against Spark's own best mitigation)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // median of 3: a single-shot skew comparison flips sign under host
-    // contention (observed 0.6x–1.5x for the same code)
-    def median3(name: String)(df: => DataFrame): Double = {
-      val ts = Seq.fill(3)(time(name)(df)).sorted
-      ts(1)
+    if (want("skew")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // median of 3: a single-shot skew comparison flips sign under host
+      // contention (observed 0.6x–1.5x for the same code)
+      def median3(name: String)(df: => DataFrame): Double = {
+        val ts = Seq.fill(3)(time(name)(df)).sorted
+        ts(1)
+      }
+      val tPlain = median3(s"skew_plain ${factor}M")(skewLeft(skewN).join(dim, "k"))
+      val tSalted = median3(s"skew_salted ${factor}M")(
+        graft.operators.JoinOps.saltedJoin(skewLeft(skewN), dim, "k", 32))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      println(f"SKEW  salted/plain ${tSalted / tPlain}%5.2fx at ${skewN / 1000000}M rows, 50%% on one key")
     }
-    val tPlain = median3(s"skew_plain ${factor}M")(skewLeft(skewN).join(dim, "k"))
-    val tSalted = median3(s"skew_salted ${factor}M")(
-      graft.operators.JoinOps.saltedJoin(skewLeft(skewN), dim, "k", 32))
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    println(f"SKEW  salted/plain ${tSalted / tPlain}%5.2fx at ${skewN / 1000000}M rows, 50%% on one key")
 
     // distributed exact percentiles (range-partition + offset ranks) —
     // the plan that replaced the per-stratum single-reducer window
@@ -139,10 +147,14 @@ object ScaleProbe {
     def report(df: DataFrame): DataFrame =
       graft.operators.LogOps.incidentReportFrom(df)
 
-    val corpus1 = incrSigs(doc1).persist()
-    val corpusN = incrSigs(docN).persist()
-    val batch = incrSigs(doc1.where(pmod(xxhash64(col("doc_id")), lit(10)) === 0)).persist()
-    Seq(corpus1, corpusN, batch).foreach(_.count()) // index built off-timer
+    val incrWanted = want("incr_dedup") || want("incr_durable")
+    val (corpus1, corpusN, batch) = if (incrWanted) {
+      val c1 = incrSigs(doc1).persist()
+      val cN = incrSigs(docN).persist()
+      val b = incrSigs(doc1.where(pmod(xxhash64(col("doc_id")), lit(10)) === 0)).persist()
+      Seq(c1, cN, b).foreach(_.count()) // index built off-timer
+      (c1, cN, b)
+    } else (null, null, null)
     def incr(corpus: DataFrame): DataFrame =
       graft.operators.NearDup.dedupIncrementalFrom(batch, corpus)
 
@@ -153,11 +165,14 @@ object ScaleProbe {
     // increment-sized; growth should sit far below the corpus factor
     val idx1 = "/tmp/graft_probe_idx1"
     val idxN = "/tmp/graft_probe_idxN"
-    graft.operators.NearDup.writeSignatureIndexFrom(corpus1, idx1) // off-timer
-    graft.operators.NearDup.writeSignatureIndexFrom(corpusN, idxN)
-    val tinyBatch = doc1.where(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
-      .select(col("doc_id"), col("text")).persist()
-    tinyBatch.count()
+    val tinyBatch = if (want("incr_durable")) {
+      graft.operators.NearDup.writeSignatureIndexFrom(corpus1, idx1) // off-timer
+      graft.operators.NearDup.writeSignatureIndexFrom(corpusN, idxN)
+      val t = doc1.where(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+        .select(col("doc_id"), col("text")).persist()
+      t.count()
+      t
+    } else null
     def incrDisk(idx: String): DataFrame =
       graft.operators.NearDup.dedupIncrementalAgainst(spark, idx, tinyBatch)
 
@@ -180,30 +195,33 @@ object ScaleProbe {
           pmod(col("id"), lit(epochs.toLong)) * 86400000000L).as("vts"))
     val lt1Store = "/tmp/graft_probe_lt1"
     val ltNStore = "/tmp/graft_probe_ltN"
-    Seq(lt1Store, ltNStore).foreach(pth =>
-      new scala.reflect.io.Directory(new java.io.File(pth)).deleteRecursively())
-    // stores built off-timer: 4 epoch days vs 4×N — winner count AND leaf
-    // count (epochs × 64 buckets) both grow by the factor
-    graft.streaming.StreamJoins.mergeBatch(candBatch(4, 4000, 0L), lt1Store)
-    graft.streaming.StreamJoins.mergeBatch(candBatch(4 * factor, 4000, 0L), ltNStore)
-    // the fixed batch lands in epoch day 0, which exists in BOTH stores
-    val ltBatch = candBatch(1, 500, 10000000L).persist()
-    ltBatch.count()
     def med3U(name: String)(f: => Unit): Double = {
       val ts = Seq.fill(3)(timeU(name)(f)).sorted; ts(1)
     }
-    // pre-merge once OFF-timer so every timed attempt measures the same
-    // operation — a RE-merge (winners already present; mergeBatch is
-    // idempotent). Without this, attempt 1 is a first-time merge and
-    // attempts 2-3 re-merges, and the median mixes the two populations.
-    // Re-merge I/O equals first-merge I/O (same leaves read, re-ranked,
-    // rewritten), and the 1x/Nx ratio is what the probe asserts.
-    graft.streaming.StreamJoins.mergeBatch(ltBatch, lt1Store)
-    graft.streaming.StreamJoins.mergeBatch(ltBatch, ltNStore)
-    val lt1 = med3U("lasttouch_merge 1x")(
-      graft.streaming.StreamJoins.mergeBatch(ltBatch, lt1Store))
-    val ltN = med3U(s"lasttouch_merge ${factor}x")(
-      graft.streaming.StreamJoins.mergeBatch(ltBatch, ltNStore))
+    val (ltBatch, lt1, ltN) = if (want("lasttouch_store")) {
+      Seq(lt1Store, ltNStore).foreach(pth =>
+        new scala.reflect.io.Directory(new java.io.File(pth)).deleteRecursively())
+      // stores built off-timer: 4 epoch days vs 4×N — winner count AND leaf
+      // count (epochs × 64 buckets) both grow by the factor
+      graft.streaming.StreamJoins.mergeBatch(candBatch(4, 4000, 0L), lt1Store)
+      graft.streaming.StreamJoins.mergeBatch(candBatch(4 * factor, 4000, 0L), ltNStore)
+      // the fixed batch lands in epoch day 0, which exists in BOTH stores
+      val lb = candBatch(1, 500, 10000000L).persist()
+      lb.count()
+      // pre-merge once OFF-timer so every timed attempt measures the same
+      // operation — a RE-merge (winners already present; mergeBatch is
+      // idempotent). Without this, attempt 1 is a first-time merge and
+      // attempts 2-3 re-merges, and the median mixes the two populations.
+      // Re-merge I/O equals first-merge I/O (same leaves read, re-ranked,
+      // rewritten), and the 1x/Nx ratio is what the probe asserts.
+      graft.streaming.StreamJoins.mergeBatch(lb, lt1Store)
+      graft.streaming.StreamJoins.mergeBatch(lb, ltNStore)
+      val a = med3U("lasttouch_merge 1x")(
+        graft.streaming.StreamJoins.mergeBatch(lb, lt1Store))
+      val b = med3U(s"lasttouch_merge ${factor}x")(
+        graft.streaming.StreamJoins.mergeBatch(lb, ltNStore))
+      (lb, a, b)
+    } else (null, 0.0, 0.0)
 
     // tf-idf: two linear pair-relation shuffles + rank-limit window; the
     // df aggregate+join and top-k must not hide a super-linear stage
@@ -237,27 +255,32 @@ object ScaleProbe {
     def trans(df: DataFrame): DataFrame =
       graft.operators.EventFlows.eventTransitionsFrom(df)
 
+    def point(name: String)(a: => Double, b: => Double)
+        : Option[(String, Double, Double)] =
+      if (want(name)) Some((name, a, b)) else None
     val r = Seq(
-      ("tfidf", time("tfidf 1x")(tfidf(doc1)), time(s"tfidf ${factor}x")(tfidf(docN))),
-      ("tfidf_hotterm", time("tfidf_hot 1x")(tfidfHot(doc1)), time(s"tfidf_hot ${factor}x")(tfidfHot(docN))),
-      ("dedup_lines", time("dlines 1x")(dlines(doc1)), time(s"dlines ${factor}x")(dlines(docN))),
-      ("transitions", time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
-      ("incr_dedup", time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
-      ("incr_durable", time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
-      ("lasttouch_store", lt1, ltN),
-      ("sessionize", time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
-      ("windowed_agg", time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
-      ("minhash_keys", time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
-      ("embed", time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))),
-      ("ivf_dedup", time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))),
-      ("exact_pctl", time("exact_pctl 1x")(pctl(ev1)), time(s"exact_pctl ${factor}x")(pctl(evN))),
-      ("decontaminate", time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
-      ("capped_report", time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
-      ("connected_comp", time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor))))
+      point("tfidf")(time("tfidf 1x")(tfidf(doc1)), time(s"tfidf ${factor}x")(tfidf(docN))),
+      point("tfidf_hotterm")(time("tfidf_hot 1x")(tfidfHot(doc1)), time(s"tfidf_hot ${factor}x")(tfidfHot(docN))),
+      point("dedup_lines")(time("dlines 1x")(dlines(doc1)), time(s"dlines ${factor}x")(dlines(docN))),
+      point("transitions")(time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
+      point("incr_dedup")(time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
+      point("incr_durable")(time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
+      point("lasttouch_store")(lt1, ltN),
+      point("sessionize")(time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
+      point("windowed_agg")(time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
+      point("minhash_keys")(time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
+      point("embed")(time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))),
+      point("ivf_dedup")(time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))),
+      point("exact_pctl")(time("exact_pctl 1x")(pctl(ev1)), time(s"exact_pctl ${factor}x")(pctl(evN))),
+      point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
+      point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
+      point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor)))
+    ).flatten
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }
-    Seq(corpus1, corpusN, batch, tinyBatch, ltBatch).foreach(_.unpersist())
+    Seq(corpus1, corpusN, batch, tinyBatch, ltBatch)
+      .filter(_ != null).foreach(_.unpersist())
     spark.stop()
   }
 }

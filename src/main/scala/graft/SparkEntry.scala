@@ -331,6 +331,66 @@ object SparkEntry {
        |           ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS report
        |  FROM k WHERE rn <= $maxLines GROUP BY 1)""".stripMargin
 
+  /** The ann_lsh / ann_lsh_multiprobe oracle (mirror of
+    * [[graft.operators.Embeddings.annLsh]]): the hyperplanes are
+    * driver-computed constants shared with the Spark kernel
+    * (Embeddings.lshPlanes), so the oracle embeds them as DuckDB list
+    * literals and recomputes the band words from the RAW vectors —
+    * sign(dot(v, p)) is normalization-invariant, so the words match the
+    * kernel's normalized-side bits exactly. The xxhash64 band KEY is an
+    * equality surrogate for (band, word), so the oracle joins on the pair
+    * directly; the per-key keep-first-1024 cap and the query-side
+    * Hamming flip masks are mirrored one-to-one. Sims re-rank candidates
+    * with the same rounded dot the ann_cosine_topk oracle hash-matches. */
+  private def annLshSql(hammingProbes: Int): String = {
+    val nBits = 32
+    val bands = 4
+    val rowsPerBand = nBits / bands
+    val planes = graft.operators.Embeddings.lshPlanes(nBits)
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    def wordExpr(band: Int): String = (0 until rowsPerBand).map { r =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(planes(band * rowsPerBand + r))}) > 0 " +
+        s"THEN ${1L << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val words = (0 until bands).map(wordExpr).mkString(",\n        ")
+    val masks = (0L +: (0 until hammingProbes).map(r => 1L << r))
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, words[${b + 1}] AS word FROM w")
+      .mkString("\n  UNION ALL ")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
+       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
+       |n AS (
+       |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+       |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e
+       |  FROM c),
+       |w AS (SELECT vec_id, [$words] AS words FROM c),
+       |x AS ($bandRows),
+       |cap AS (
+       |  SELECT vec_id, band, word FROM (
+       |    SELECT vec_id, band, word,
+       |           row_number() OVER (PARTITION BY band, word ORDER BY vec_id) AS bn
+       |    FROM x) WHERE bn <= ${graft.operators.Embeddings.MaxIvfBucket}),
+       |q AS (
+       |  SELECT x.vec_id AS qid, x.band, xor(x.word, m.mask) AS word
+       |  FROM x, (SELECT unnest($masks) AS mask) m
+       |  WHERE x.vec_id < 100),
+       |p AS (
+       |  SELECT DISTINCT q.qid, cap.vec_id
+       |  FROM q JOIN cap USING (band, word)
+       |  WHERE cap.vec_id <> q.qid),
+       |s AS (
+       |  SELECT p.qid, p.vec_id, round(list_dot_product(nq.e, nc.e), 6) AS sim
+       |  FROM p JOIN n nq ON nq.vec_id = p.qid JOIN n nc ON nc.vec_id = p.vec_id),
+       |r AS (
+       |  SELECT qid, vec_id, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+       |  FROM s)
+       |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin
+  }
+
   private def incidentReportSql(maxLines: Int): String =
     reportCtes(maxLines) +
     """
@@ -1097,6 +1157,11 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
         |  FROM s)
         |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin,
+
+    // blocked LSH paths, hash-green (r12): the hyperplanes are shared
+    // driver constants, so the banding geometry is fully SQL-expressible
+    "ann_lsh" -> annLshSql(hammingProbes = 0),
+    "ann_lsh_multiprobe" -> annLshSql(hammingProbes = 8),
 
     "vector_knn" ->
       s"""WITH c AS (

@@ -128,7 +128,7 @@ object Embeddings {
     * bucket makes within-bucket work quadratic; candidates beyond the cap
     * are dropped deterministically (by vec_id). Expected bucket size at
     * k=√N is √N, so the cap only engages on pathological skew. */
-  private val MaxIvfBucket = 1024
+  private[graft] val MaxIvfBucket = 1024
 
   /** K-means coarse quantizer shared by the IVF operators. `k <= 0` picks
     * √N centroids (floored at 16) from a cheap metadata count; training
@@ -292,6 +292,18 @@ object Embeddings {
       bands: Int = 4, topK: Int = 10, hammingProbes: Int = 0): DataFrame =
     lshSearch(lshSigs(corpusDf, nBits, bands), topK, nBits / bands, hammingProbes)
 
+  /** The deterministic hyperplanes as plain numbers: hash-seeded uniform
+    * in [-1, 1]. Shared by [[lshSigs]] (as column literals) and the
+    * ann_lsh oracle SQL (as DuckDB list literals) — one definition, two
+    * engines, so the banding geometry can never drift between them. */
+  private[graft] def lshPlanes(nBits: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until nBits).map { b =>
+      (0 until Dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, d, 42))
+        h.toDouble / Int.MaxValue
+      }
+    }
+
   private def lshSigs(corpusDf: DataFrame, nBits: Int, bands: Int): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rowsPerBand = nBits / bands
@@ -299,12 +311,7 @@ object Embeddings {
       .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"), col("label"))
     // deterministic hyperplanes: hash-seeded uniform in [-1, 1] — unit
     // norm is irrelevant for the sign test
-    val planes: Seq[Column] = (0 until nBits).map { b =>
-      typedLit(Seq.tabulate(Dim) { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, d, 42))
-        h.toDouble / Int.MaxValue
-      })
-    }
+    val planes: Seq[Column] = lshPlanes(nBits).map(p => typedLit(p))
     // per-band RAW bit words, not hashed keys: the search derives keys
     // from the words, and multi-probe needs the words to flip bits in
     def bandBits(v: Column): Column = array((0 until bands).map { k =>
