@@ -97,7 +97,7 @@ object NearDup {
   /** LSH candidate pairs with exact similarity — shared by the per-doc
     * summaries and the cluster operator. `base` must be persisted by the
     * caller (it is referenced ~6 times downstream). */
-  private def scoredPairs(base: DataFrame,
+  private[graft] def scoredPairs(base: DataFrame,
       simExpr: (Column, Column) => Column): DataFrame = {
     val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
     val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
@@ -123,7 +123,7 @@ object NearDup {
 
   /** `base` must already be persisted (callers go through [[memoBase]] —
     * it is referenced several times downstream). */
-  private def lshSummary(base: DataFrame, simExpr: (Column, Column) => Column,
+  private[graft] def lshSummary(base: DataFrame, simExpr: (Column, Column) => Column,
       thr: Double): DataFrame = {
     val scored = scoredPairs(base, simExpr)
     // fold pairs into per-doc rows (both directions), keep the best match

@@ -263,4 +263,71 @@ class SignatureLawsSpec extends AnyFunSuite {
     assert(graft.expressions.BucketIndex.upperBound(dup, 5.0) == 3)
     assert(graft.expressions.BucketIndex.upperBound(dup, 4.9) == 1)
   }
+
+  test("adversarial boilerplate corpus: candidate pairs stay bounded, clones still found") {
+    import spark.implicits._
+    // the degenerate key distribution that turns an uncapped LSH band
+    // join quadratic: 30% of docs share ONE template (identical body,
+    // unique suffix) and 5% are byte-identical. An uncapped self-join on
+    // the template's band keys alone emits C(300,2) = 44,850 pairs; the
+    // hot-bucket cap (kn <= MaxBucket=64 keep-first) must drop those
+    // keys while the kn >= 2 prefilter keeps the mostly-unique rest off
+    // the join entirely. The byte-identical clones (50 docs, all keys
+    // kn=50 <= 64) stay IN: C(50,2) = 1,225 pairs, every one a true dup.
+    val boiler = Seq.fill(3)("release checklist all systems nominal " +
+      "heartbeat check completed status green no anomalies detected in " +
+      "the last collection window escalation not required on call " +
+      "rotation unchanged dashboards quiet").mkString(" ")
+    val clone = "identical boilerplate banner line repeated verbatim " +
+      "across the whole fleet every shard every zone"
+    val r = rng(7)
+    def uniqueText(i: Int): String =
+      Seq.fill(30)(s"w${r.nextInt(100000)}").mkString(" ")
+    val docs = (0 until 1000).map { i =>
+      val text =
+        if (i % 20 == 7) clone
+        else if (i % 10 < 3) s"$boiler unit $i of fleet ${i % 7}"
+        else uniqueText(i)
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val sh = NearDup.wordShingles(col("text"), 3)
+    val base = docs.select(col("id"),
+      NearDup.minhashSig(sh, 128).as("sig"),
+      NearDup.minhashBandKeys(sh, 32, 4).as("keys")).persist()
+    try {
+      val pairs = NearDup.scoredPairs(base, NearDup.minhashJaccard).persist()
+      val nPairs = pairs.count()
+      // bound: clone pairs (1,225) + whatever the capped template keys
+      // admit (keep-first-64 per key -> <= C(64,2) per band) + noise.
+      // An uncapped join would exceed 44,850 from the template alone.
+      assert(nPairs <= 10000,
+        s"candidate pairs must stay bounded under boilerplate skew: $nPairs")
+      assert(nPairs >= 1225, s"clone pairs must survive the caps: $nPairs")
+      // recall on the planted byte-identical clones: every clone doc is
+      // flagged with estimated similarity 1.0 (identical signatures)
+      val summary = NearDup.lshSummary(base, NearDup.minhashJaccard, 0.8)
+      val cloneFlags = summary.where(col("doc_id") % 20 === 7)
+      assert(cloneFlags.count() == 50)
+      assert(cloneFlags.where(col("is_dup") && col("best_sim") === 1.0).count() == 50,
+        "every byte-identical clone must be flagged at sim 1.0")
+      // the 65% unique docs must produce NO false dup flags — random
+      // 30-token texts share no 3-shingles, and the kn >= 2 prefilter
+      // keeps their singleton keys off the join entirely
+      val uniqFlags = summary.where(col("doc_id") % 20 =!= 7 && col("doc_id") % 10 >= 3)
+      assert(uniqFlags.where(col("is_dup")).count() == 0,
+        "unique docs must not be dragged into dup flags by hot-bucket noise")
+      // DOCUMENTED TRADE, asserted so it can't drift silently: the
+      // 300-doc template cluster's band keys are hot (kn > MaxBucket=64)
+      // and DROPPED — pairwise LSH deliberately refuses the quadratic
+      // cluster; a corpus like this is the dedup_lines / dedup_exact
+      // path's job (boilerplate line removal + byte-identical grouping).
+      // If keep-first capping replaces drop-hot someday, this bound and
+      // the nPairs bound above are the numbers to re-derive.
+      val tmplPairs = pairs
+        .where(col("id_a") % 10 < 3 && col("id_a") % 20 =!= 7 &&
+          col("id_b") % 10 < 3 && col("id_b") % 20 =!= 7).count()
+      assert(tmplPairs < 44850L,
+        s"template cluster must not pair quadratically: $tmplPairs")
+    } finally { base.unpersist(); () }
+  }
 }

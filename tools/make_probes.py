@@ -294,11 +294,51 @@ def probe_tpchnull(src, dst):
         "c_mktsegment": (7, 3), "c_nationkey": (11, 6), "c_acctbal": (13, 8)})
 
 
+def probe_boiler(src, dst):
+    """Adversarial near-dup corpus (r12, the thirteenth axis): 30% of
+    documents share ONE boilerplate template (identical long body, tiny
+    per-doc suffix) and 5% are byte-identical copies of one banner —
+    the degenerate key distribution that turns an uncapped LSH band join
+    quadratic: every template doc shares every template band key, so a
+    naive self-join emits C(0.3N, 2) pairs. The engine's hot-bucket caps
+    (kn <= MaxBucket keep-first) and kn >= 2 prefilters must keep the
+    candidate set bounded AND the oracle gate green (the SQL oracles are
+    text-agnostic, so any divergence is an engine artifact). The
+    pair-count bound itself is pinned in-suite by SignatureLawsSpec's
+    adversarial-corpus test; this replica proves the full 107-query gate
+    survives the same distribution end-to-end."""
+    copy_all(src, dst)
+
+    boiler = ("release checklist all systems nominal heartbeat check "
+              "completed status green no anomalies detected in the last "
+              "collection window escalation not required on call rotation "
+              "unchanged dashboards quiet deploy freeze lifted ") * 3
+    clone = ("identical boilerplate banner line repeated verbatim across "
+             "the whole fleet every shard every zone")
+
+    def docs(t):
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for d, txt in zip(ids, texts):
+            if d is not None and d % 20 == 7:        # 5% byte-identical
+                out.append(clone)
+            elif d is not None and d % 10 < 3:       # 30% one template
+                out.append(f"{boiler}unit {d} of fleet {d % 7}")
+            else:
+                out.append(txt)
+        return {"text": out,
+                "n_chars": [None if x is None else len(x) for x in out]}
+
+    rewrite(dst, "documents", docs)
+
+
 AXES = {
     "null": probe_null, "tsnull": probe_tsnull, "combined": probe_combined,
     "empty": probe_empty, "tiny": probe_tiny, "shuffled": probe_shuffled,
     "unicode": probe_unicode, "dup": probe_dup, "extreme": probe_extreme,
     "json": probe_json, "vec": probe_vec, "tpchnull": probe_tpchnull,
+    "boiler": probe_boiler,
 }
 
 
