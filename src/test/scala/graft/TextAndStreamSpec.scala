@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{MediaRecord, Multimodal, TextOps}
@@ -502,6 +502,66 @@ class TextAndStreamSpec extends AnyFunSuite {
       // malformed record → NULL event_type → dropped by ingestRedact's filter
       assert(out == Set(("2024-01-01 10:00:00.0", "error", 2L)),
         s"expected one window with the two parsed records: $out")
+    } finally q.stop()
+  }
+
+  test("kafka contract holds against a file-backed source with the broker's exact shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // No broker in the sandbox (no spark-sql-kafka on the classpath), so
+    // the deployment shape is driven by a REAL on-disk streaming source
+    // carrying the Kafka source's EXACT output schema — binary key/value,
+    // topic/partition/offset bookkeeping, broker timestamp — with planted
+    // garbage the MemoryStream spec can't express: invalid UTF-8 value
+    // bytes, a NULL value, empty bytes. Contract under test
+    // (parseKafkaJson): schema-first PERMISSIVE parse — every record
+    // surfaces exactly once with ingest_ts, malformed values as NULL
+    // columns, and the stream never dies; extra bookkeeping columns ride
+    // through unharmed.
+    val kafkaSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    val payloadSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_files").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString
+    def rec(off: Long, v: Array[Byte]) = Row(
+      s"k$off".getBytes("UTF-8"), v, "events", (off % 3).toInt, off,
+      java.sql.Timestamp.valueOf(s"2024-01-01 10:0${off % 10}:00"), 0)
+    def writeBatch(name: String, rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), kafkaSchema)
+        .write.parquet(s"$dir/$name")
+    writeBatch("b1", Seq(
+      rec(0L, """{"ts":"2024-01-01T10:00:00Z","event_type":"error","value":1.5,"props":"a"}""".getBytes("UTF-8")),
+      rec(1L, Array[Byte](0xff.toByte, 0xfe.toByte, 0x01)), // invalid UTF-8
+      rec(2L, null),                                        // tombstone
+      rec(3L, Array.emptyByteArray),                        // empty value
+      rec(4L, """{"ts": broken""".getBytes("UTF-8"))))      // truncated JSON
+    val raw = spark.readStream.schema(kafkaSchema)
+      .option("basePath", dir).parquet(s"$dir/*")
+    val parsed = StreamPipeline.parseKafkaJson(raw, payloadSchema)
+    assert(parsed.isStreaming, "the contract test must drive a streaming plan")
+    val q = parsed.writeStream.format("memory").queryName("kafka_file_test")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out1 = spark.table("kafka_file_test").collect()
+      assert(out1.length == 5, s"PERMISSIVE surfaces every record once: ${out1.length}")
+      assert(out1.forall(!_.isNullAt(0)), "ingest_ts must survive every record")
+      val good = out1.filter(r => !r.isNullAt(2) && r.getString(2) == "error")
+      assert(good.length == 1 && good.head.getDouble(3) == 1.5)
+      // all four garbage shapes -> NULL parsed columns, not a dead query
+      assert(out1.count(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(4)) == 4)
+      // a later file = a later micro-batch: the contract holds batch-over-batch
+      writeBatch("b2", Seq(
+        rec(5L, """{"ts":"2024-01-01T10:05:00Z","event_type":"purchase","value":9.0,"props":"b"}""".getBytes("UTF-8"))))
+      q.processAllAvailable()
+      val out2 = spark.table("kafka_file_test").collect()
+      assert(out2.length == 6)
+      assert(out2.exists(r => !r.isNullAt(2) && r.getString(2) == "purchase"))
     } finally q.stop()
   }
 
