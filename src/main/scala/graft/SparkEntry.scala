@@ -1206,6 +1206,34 @@ object SparkEntry {
         |  FROM v)
         |SELECT qid, true_label, label AS predicted_label, n_votes FROM w WHERE vrk = 1""".stripMargin,
 
+    // the embedding itself, rebuilt token-for-token in SQL: slot/sign come
+    // from DuckDB's own md5_number halves (the Spark kernel pins the same
+    // bytes — Kernels.featureHashCounts), the count vector is
+    // integer-exact, and the only float step (Σ|c|/√Σc²) is mirrored
+    // one-for-one, so l1_mass and the md5 signature are hash-exact twins
+    "embed_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(concat_ws(' ', text, source))), '\s+')) AS tok
+        |  FROM documents),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         CAST(md5_number_lower(tok) % 64 AS BIGINT) AS slot,
+        |         CASE WHEN (md5_number_upper(tok) & 1) = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM toks WHERE length(tok) > 0),
+        |slots AS (SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS c FROM contrib GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, g.slot, COALESCE(s.c, 0) AS c
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(64)) AS slot) g
+        |  LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.slot = g.slot)
+        |SELECT doc_id,
+        |       CAST(64 AS INTEGER) AS dim,
+        |       CASE WHEN sum(c*c) > 0
+        |            THEN round(CAST(sum(abs(c)) AS DOUBLE) / sqrt(CAST(sum(c*c) AS DOUBLE)), 6)
+        |            ELSE 0.0 END AS l1_mass,
+        |       md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY slot)) AS emb_sig
+        |FROM grid GROUP BY doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

@@ -14,25 +14,64 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
-  def featureHashEmbed(toks: ArrayData, dim: Int): ArrayData = {
-    val acc = new Array[Double](dim)
+  /** Per-thread MD5 instance: MessageDigest is stateful (reset + update),
+    * and getInstance per token would dominate the hash itself. */
+  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian uint64 of MD5 digest bytes 8..15 — bit-for-bit the
+    * oracle engine's `md5_number_lower(tok)`, so the slot assignment is
+    * recomputable in plain SQL on the oracle side. The sign bit is
+    * digest byte 0's LSB = `md5_number_upper(tok) & 1`. MD5 here is a
+    * deterministic mixer, not a security primitive. */
+  private def md5Bytes(t: UTF8String): Array[Byte] = {
+    val md = md5TL.get()
+    md.reset()
+    md.digest(t.getBytes)
+  }
+
+  private def md5Lower(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Raw feature-hash slot counts (pre-normalization): counts(slot) =
+    * (#tokens hashing there with +1 sign) − (#with −1). Integer-exact, so
+    * every derived statistic an oracle recomputes from these counts is
+    * free of float-summation-order concerns. */
+  def featureHashCounts(toks: ArrayData, dim: Int): ArrayData = {
+    val acc = new Array[Long](dim)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
         val t = toks.getUTF8String(i)
         if (t.numBytes > 0) { // empty tokens (e.g. split of "") carry no signal
-          val slot = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
-          val sign = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 77L)
-          val idx = java.lang.Math.floorMod(slot, dim.toLong).toInt
-          acc(idx) += (if ((sign & 1L) == 0L) 1.0 else -1.0)
+          val d = md5Bytes(t)
+          val idx = java.lang.Long.remainderUnsigned(md5Lower(d), dim.toLong).toInt
+          acc(idx) += (if ((d(0) & 1) == 0) 1L else -1L)
         }
       }
       i += 1
     }
+    new GenericArrayData(acc)
+  }
+
+  def featureHashEmbed(toks: ArrayData, dim: Int): ArrayData = {
+    val counts = featureHashCounts(toks, dim).asInstanceOf[GenericArrayData]
+    val acc = new Array[Double](dim)
     var ss = 0.0
     var j = 0
-    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    while (j < dim) {
+      val c = counts.getLong(j).toDouble
+      acc(j) = c
+      ss += c * c
+      j += 1
+    }
     if (ss > 0.0) {
       val inv = 1.0 / java.lang.Math.sqrt(ss)
       j = 0

@@ -35,6 +35,17 @@ object Embeddings {
         org.apache.spark.sql.graft.Bridge.expression(toks), dim))
   }
 
+  /** [[embedCol]]'s pre-normalization integer slot counts — the form an
+    * SQL oracle can rebuild exactly (slot = md5_number_lower(tok) mod dim,
+    * sign = md5_number_upper(tok) & 1) and the form exact-rank consumers
+    * use so their float expressions mirror the oracle's one-for-one. */
+  def embedCounts(text: Column, dim: Int = Dim): Column = {
+    val toks = TextFns.wsTokens(TextFns.foldCase(text))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FeatureHashCounts(
+        org.apache.spark.sql.graft.Bridge.expression(toks), dim))
+  }
+
   /** embedder.embed_logs: encode the configured fields, keep the id for
     * metadata join-back. The field list comes from config exactly like the
     * reference's `EMBEDDING_FIELDS` comma-list (embedder.py:14,20-21) —
@@ -43,9 +54,12 @@ object Embeddings {
     * contributes nothing, it doesn't NULL the row).
     *
     * Output is driver-hashable scalars — dim, rounded L1 mass, and a
-    * stable digest of the rounded vector — not the raw array (the driver's
-    * row-sort can't order array cells). The raw embedding column is
-    * [[embedCol]], which every downstream ANN operator consumes directly.
+    * stable digest of the integer count vector — not the raw array (the
+    * driver's row-sort can't order array cells). The raw embedding column
+    * is [[embedCol]], which every downstream ANN operator consumes
+    * directly. The digest is md5 over the comma-joined slot counts and
+    * l1_mass is Σ|c|/√(Σc²) — both integer-derived with one mirrored
+    * float step, so the DuckDB oracle reproduces them hash-exactly.
     */
   def embedText(spark: SparkSession, dir: String,
       cfg: graft.pipeline.GraftConfig = graft.pipeline.GraftConfig()): DataFrame = {
@@ -53,12 +67,16 @@ object Embeddings {
     require(fields.nonEmpty, s"embedFields must name at least one column: '${cfg.embedFields}'")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        embedCol(concat_ws(" ", fields.map(col).toIndexedSeq: _*), cfg.embedDim).as("embedding"))
+        embedCounts(concat_ws(" ", fields.map(col).toIndexedSeq: _*), cfg.embedDim).as("c"))
+      .select(col("doc_id"), col("c"),
+        aggregate(col("c"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"),
+        aggregate(col("c"), lit(0L), (acc, x) => acc + x * x).as("sum_sq"))
       .select(col("doc_id"),
-        size(col("embedding")).as("dim"),
-        round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_mass"),
-        xxhash64(array_join(
-          transform(col("embedding"), x => round(x, 6).cast("string")), ",")).as("emb_sig"))
+        size(col("c")).as("dim"),
+        when(col("sum_sq") > 0,
+          round(col("sum_abs").cast("double") / sqrt(col("sum_sq").cast("double")), 6))
+          .otherwise(lit(0.0)).as("l1_mass"),
+        md5(array_join(transform(col("c"), x => x.cast("string")), ",")).as("emb_sig"))
   }
 
   /** The index dimensionality — explicit config, mirroring the reference's

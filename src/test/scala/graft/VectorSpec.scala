@@ -54,6 +54,24 @@ class VectorSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Double](1) != rows(2).getSeq[Double](1))
   }
 
+  test("embedCounts pins the oracle's md5_number slot/sign contract") {
+    import spark.implicits._
+    // fixtures computed independently (python hashlib + duckdb 1.0.0):
+    // slot = LE-uint64(md5 bytes 8..15) % 64 = md5_number_lower(tok) % 64
+    // sign = +1 iff (md5 byte 0 & 1) == 0    = md5_number_upper(tok) & 1
+    val expected = Seq(
+      ("hello", 57, -1L), ("error", 45, -1L), ("the", 59, -1L),
+      ("über", 36, 1L), ("x", 53, -1L))
+    val got = expected.map(_._1).toDF("text")
+      .select(col("text"), Embeddings.embedCounts(col("text")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    expected.foreach { case (tok, slot, sgn) =>
+      val c = got(tok)
+      assert(c(slot) == sgn, s"'$tok' slot $slot: got ${c(slot)}, want $sgn")
+      assert(c.map(math.abs).sum == 1L, s"'$tok' must contribute exactly one slot")
+    }
+  }
+
   test("vector_knn returns 5 ranked neighbors per query, self first") {
     val knn = Embeddings.vectorKnn(spark, Sf)
     val counts = knn.groupBy("qid").count().select("count").distinct().collect()
