@@ -410,6 +410,88 @@ object SparkEntry {
        |FROM e2
        |WHERE contains(lower(concat_ws(' ', day, report, rca)), '${graft.functions.TextFns.foldCase(keyword)}')""".stripMargin
 
+  /** Shared CTE prefix of the two RAG oracles: rebuild the md5
+    * feature-hash embeddings of the DISTINCT document set and the
+    * DISTINCT earliest-5 error batch in SQL, dot them via an integer
+    * slot join, and rank top-5 docs per incident. The one float
+    * expression (dot/(√Σc²·√Σq²)) mirrors the Spark side
+    * token-for-token, so ranks are bit-identical. */
+  private def ragCtes: String =
+    """WITH inc AS (
+      |  SELECT event_id AS incident_id, ts, user_id, event_type, props,
+      |         regexp_split_to_array(trim(lower(concat_ws(' ', props, event_type))), '\s+') AS qt
+      |  FROM (SELECT DISTINCT event_id, ts, user_id, event_type, props
+      |        FROM events WHERE event_type = 'error' AND ts IS NOT NULL)
+      |  ORDER BY ts, event_id LIMIT 5),
+      |docs AS (SELECT DISTINCT doc_id, text, source FROM documents),
+      |islots AS (
+      |  SELECT incident_id, CAST(md5_number_lower(tok) % 64 AS BIGINT) AS slot,
+      |         CAST(sum(CASE WHEN (md5_number_upper(tok) & 1) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS c
+      |  FROM (SELECT incident_id, unnest(qt) AS tok FROM inc)
+      |  WHERE length(tok) > 0 GROUP BY 1, 2),
+      |inorm AS (
+      |  SELECT i.incident_id, COALESCE(s.sq, 0) AS sq
+      |  FROM inc i LEFT JOIN (SELECT incident_id, sum(c*c) AS sq FROM islots GROUP BY 1) s
+      |    USING (incident_id)),
+      |dslots AS (
+      |  SELECT doc_id, CAST(md5_number_lower(tok) % 64 AS BIGINT) AS slot,
+      |         CAST(sum(CASE WHEN (md5_number_upper(tok) & 1) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(concat_ws(' ', text, source))), '\s+')) AS tok
+      |        FROM docs)
+      |  WHERE length(tok) > 0 GROUP BY 1, 2),
+      |dnorm AS (
+      |  SELECT d.doc_id, COALESCE(s.sq, 0) AS sd
+      |  FROM (SELECT doc_id FROM docs) d
+      |  LEFT JOIN (SELECT doc_id, sum(c*c) AS sq FROM dslots GROUP BY 1) s USING (doc_id)),
+      |dots AS (
+      |  SELECT d.doc_id, i.incident_id, sum(d.c * i.c) AS dot
+      |  FROM dslots d JOIN islots i ON d.slot = i.slot GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT dn.doc_id, q.incident_id,
+      |         CASE WHEN dn.sd > 0 AND q.sq > 0 AND dt.dot IS NOT NULL
+      |              THEN CAST(dt.dot AS DOUBLE) / (sqrt(CAST(dn.sd AS DOUBLE)) * sqrt(CAST(q.sq AS DOUBLE)))
+      |              ELSE 0.0 END AS sim
+      |  FROM dnorm dn CROSS JOIN inorm q
+      |  LEFT JOIN dots dt ON dt.doc_id = dn.doc_id AND dt.incident_id = q.incident_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY incident_id ORDER BY sim DESC, doc_id) AS rk
+      |  FROM pairs),
+      |ctx AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(incident_id) AS first_incident,
+      |         round(max(sim), 4) AS best_sim
+      |  FROM rk WHERE rk <= 5 GROUP BY doc_id)""".stripMargin
+
+  private def ragContextSql: String = ragCtes + "\nSELECT * FROM ctx"
+
+  private def ragPromptSql: String = ragCtes +
+    """,
+      |blines AS (
+      |  SELECT incident_id,
+      |         printf('- %s | user_%d | %s | %s',
+      |                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type,
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(props, '[\w.-]+@[\w.-]+', '[REDACTED_EMAIL]', 'g'),
+      |                    '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
+      |                  '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g')) AS line
+      |  FROM inc),
+      |batch AS (SELECT string_agg(line, chr(10) ORDER BY incident_id) AS batch_txt FROM blines),
+      |slines AS (
+      |  SELECT d.doc_id,
+      |         printf('- doc_%d | %s | %s', d.doc_id, d.source,
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(d.text, '[\w.-]+@[\w.-]+', '[REDACTED_EMAIL]', 'g'),
+      |                    '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
+      |                  '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g')) AS line
+      |  FROM docs d JOIN (SELECT DISTINCT doc_id FROM ctx) s USING (doc_id)),
+      |sims AS (SELECT string_agg(line, chr(10) ORDER BY doc_id) AS sim_txt FROM slines)
+      |SELECT 'Given the following logs and similar past incidents, summarize the root cause and suggest a fix.'
+      |       || chr(10) || chr(10) || 'Current Logs:' || chr(10) || batch_txt
+      |       || chr(10) || chr(10) || 'Similar Past Incidents:' || chr(10) || sim_txt
+      |       || chr(10) || chr(10) || 'RCA and Fix Suggestion:' AS prompt
+      |FROM batch CROSS JOIN sims""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
     "ingest_errors" -> ingestErrorsSql(
@@ -1206,15 +1288,19 @@ object SparkEntry {
         |  FROM v)
         |SELECT qid, true_label, label AS predicted_label, n_votes FROM w WHERE vrk = 1""".stripMargin,
 
+    "rag_context" -> ragContextSql,
+    "rag_prompt" -> ragPromptSql,
+
     // the embedding itself, rebuilt token-for-token in SQL: slot/sign come
     // from DuckDB's own md5_number halves (the Spark kernel pins the same
     // bytes — Kernels.featureHashCounts), the count vector is
     // integer-exact, and the only float step (Σ|c|/√Σc²) is mirrored
     // one-for-one, so l1_mass and the md5 signature are hash-exact twins
     "embed_text" ->
-      """WITH toks AS (
+      """WITH docs AS (SELECT DISTINCT doc_id, text, source FROM documents),
+        |toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(concat_ws(' ', text, source))), '\s+')) AS tok
-        |  FROM documents),
+        |  FROM docs),
         |contrib AS (
         |  SELECT doc_id,
         |         CAST(md5_number_lower(tok) % 64 AS BIGINT) AS slot,
@@ -1223,7 +1309,7 @@ object SparkEntry {
         |slots AS (SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS c FROM contrib GROUP BY 1, 2),
         |grid AS (
         |  SELECT d.doc_id, g.slot, COALESCE(s.c, 0) AS c
-        |  FROM (SELECT doc_id FROM documents) d
+        |  FROM (SELECT doc_id FROM docs) d
         |  CROSS JOIN (SELECT unnest(range(64)) AS slot) g
         |  LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.slot = g.slot)
         |SELECT doc_id,

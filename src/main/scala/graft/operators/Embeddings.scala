@@ -66,6 +66,10 @@ object Embeddings {
     val fields = cfg.embedFields.split(",").map(_.trim).filter(_.nonEmpty)
     require(fields.nonEmpty, s"embedFields must name at least one column: '${cfg.embedFields}'")
     Tables.documents(spark, dir)
+      // at-least-once delivery collapses to the distinct document entity
+      // before embedding (same contract as the RAG consumers) — one
+      // embedding row per document, not per delivered copy
+      .select(col("doc_id") +: fields.map(col).toIndexedSeq: _*).distinct()
       .select(col("doc_id"),
         embedCounts(concat_ws(" ", fields.map(col).toIndexedSeq: _*), cfg.embedDim).as("c"))
       .select(col("doc_id"), col("c"),
@@ -592,21 +596,40 @@ object Embeddings {
   /** RAG context assembly (llm_processor.py:44-60): embed the incident
     * batch, top-5 similar docs per incident, union, dedup.
     *
-    * embedCol output is unit-norm, so cosine = dot.
+    * Cosine is computed from the INTEGER slot counts as
+    * dot/(√Σc²·√Σq²): the integer dot and norms are exact, the one
+    * float expression is mirrored token-for-token by the SQL oracle, so
+    * similarity ranks (not just rounded scores) are bit-identical across
+    * engines. A timeless entry cannot rank among the earliest five
+    * incidents (same NULL-ts contract as the Slack share batch), and
+    * both inputs are full-row DISTINCTed at entry: at-least-once
+    * delivery collapses before any similarity math (same entity
+    * contract as click attribution — conflicting same-id rows are out
+    * of contract).
     */
   def ragContext(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        embedCol(concat_ws(" ", col("text"), col("source"))).as("emb"))
+      .select(col("doc_id"), col("text"), col("source")).distinct()
+      .select(col("doc_id"),
+        embedCounts(concat_ws(" ", col("text"), col("source"))).as("c"))
+      .withColumn("sd", aggregate(col("c"), lit(0L), (a, x) => a + x * x))
     val incidents = Tables.events(spark, dir)
-      .where(col("event_type") === "error")
+      .where(col("event_type") === "error" && col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("props"), col("event_type")).distinct()
       .orderBy(col("ts"), col("event_id"))
       .limit(5)
       .select(col("event_id").as("incident_id"),
-        embedCol(concat_ws(" ", col("props"), col("event_type"))).as("qemb"))
+        embedCounts(concat_ws(" ", col("props"), col("event_type"))).as("qc"))
+      .withColumn("sq", aggregate(col("qc"), lit(0L), (a, x) => a + x * x))
     val byInc = Window.partitionBy("incident_id").orderBy(col("sim").desc, col("doc_id"))
     docs.crossJoin(broadcast(incidents))
-      .withColumn("sim", VecFns.dot(col("emb"), col("qemb")))
+      .withColumn("dot",
+        aggregate(zip_with(col("c"), col("qc"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+      .withColumn("sim",
+        when(col("sd") > 0 && col("sq") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("sd").cast("double")) * sqrt(col("sq").cast("double"))))
+          .otherwise(lit(0.0)))
       .withColumn("rk", row_number().over(byInc))
       .where(col("rk") <= 5)
       .groupBy(col("doc_id"))
@@ -617,10 +640,22 @@ object Embeddings {
 
   /** Full build_prompt assembly (llm_processor.py:30-42): one RCA prompt
     * for the incident batch — current log lines + RAG context lines +
-    * instruction header/footer — assembled distributively. */
+    * instruction header/footer — assembled distributively.
+    *
+    * Empty-input contract mirrors SQL aggregation (string_agg over zero
+    * rows is NULL, `||` propagates): either section empty → NULL prompt,
+    * one row either way. A line with a NULL field is NULL and is skipped
+    * by both engines' joins — same contract as the Slack share. */
   def ragPrompt(spark: SparkSession, dir: String): DataFrame = {
+    def joined(sortKey: Column): Column =
+      when(count(col("line")) > 0,
+        array_join(transform(
+          sort_array(collect_list(struct(sortKey, col("line")))),
+          x => x.getField("line")), "\n"))
     val incidents = Tables.events(spark, dir)
-      .where(col("event_type") === "error")
+      .where(col("event_type") === "error" && col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("props"))
+      .distinct()
       .orderBy(col("ts"), col("event_id"))
       .limit(5)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -630,18 +665,15 @@ object Embeddings {
         format_string("- %s | user_%d | %s | %s",
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
           col("user_id"), col("event_type"), col("msg")).as("line"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("event_id"), col("line")))),
-        x => x.getField("line")), "\n").as("batch_txt"))
+      .agg(joined(col("event_id")).as("batch_txt"))
     val simLines = ragContext(spark, dir)
-      .join(Tables.documents(spark, dir), "doc_id")
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")).distinct(), "doc_id")
       .select(col("doc_id"),
         format_string("- doc_%d | %s | %s",
           col("doc_id"), col("source"),
           TextFns.redactSecrets(col("text"))).as("line"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("doc_id"), col("line")))),
-        x => x.getField("line")), "\n").as("sim_txt"))
+      .agg(joined(col("doc_id")).as("sim_txt"))
     batchLines.crossJoin(simLines)
       .select(concat(
         lit("Given the following logs and similar past incidents, summarize the root cause and suggest a fix.\n\nCurrent Logs:\n"),
