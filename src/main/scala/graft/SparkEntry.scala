@@ -1291,6 +1291,27 @@ object SparkEntry {
     "rag_context" -> ragContextSql,
     "rag_prompt" -> ragPromptSql,
 
+    // greedy first-fit replayed in SQL: packing is blocked by 32-doc id
+    // ranges, so the recursion steps through per-block row numbers
+    // (depth <= 32) with every block advancing in parallel per iteration.
+    // NOTE doc_id >= 0 is the id contract (DuckDB // truncates, Spark
+    // shiftright floors — they agree on the non-negative domain).
+    "pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT DISTINCT doc_id, doc_id // 32 AS grp,
+        |         CAST(COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM t),
+        |packed AS (
+        |  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.grp, r.rn, r.doc_id, r.n_tokens,
+        |         CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 512 THEN r.n_tokens ELSE p.fill + r.n_tokens END
+        |  FROM packed p JOIN r ON r.grp = p.grp AND r.rn = p.rn + 1)
+        |SELECT doc_id, n_tokens, grp * 64 + bin AS bin_id FROM packed""".stripMargin,
+
     // the embedding itself, rebuilt token-for-token in SQL: slot/sign come
     // from DuckDB's own md5_number halves (the Spark kernel pins the same
     // bytes — Kernels.featureHashCounts), the count vector is

@@ -98,34 +98,50 @@ object Corpus {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("split"))
 
   /** Sequence packing: greedy first-fit of documents into token-budget
-    * bins (training-batch construction). Packing is per-partition after a
-    * range partition on doc_id — deterministic, no shuffle beyond the
-    * range exchange, and bins never span partitions (bin ids are
-    * partition-prefixed). Oversized docs get a bin of their own.
+    * bins (training-batch construction), blocked by 32-doc id ranges.
+    *
+    * Each id block (grp = doc_id >> 5, ≤ 32 distinct ids) is packed
+    * independently in doc_id order, and bins never span blocks
+    * (bin_id = grp·64 + bin-within-block). Unlike the earlier
+    * per-partition scan, bin boundaries are DATA-INDEPENDENT of
+    * partitioning: the output is byte-identical at any parallelism,
+    * which makes the operator deterministic at 1000 executors and lets
+    * a plain-SQL oracle replay the greedy scan (bounded-depth recursion
+    * over per-block row numbers). Cost of the block boundary: at most
+    * one partially-filled bin per 32 docs. Oversized docs get a bin of
+    * their own. Scale shape: one uniform hash shuffle on grp (dense id
+    * blocks — no skew), bounded per-group state, no global sort.
     */
   def packSequences(spark: SparkSession, dir: String,
+      maxTokens: Int = 512): DataFrame =
+    packSequencesFrom(Tables.documents(spark, dir), maxTokens)
+
+  private[graft] def packSequencesFrom(documents: DataFrame,
       maxTokens: Int = 512): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    documents
       // NULL text = zero tokens: the doc still gets a bin slot (encoder
       // would otherwise throw NOT_NULL on the bare Long field)
       .select(col("doc_id"),
-        coalesce(TextFns.wsTokenCount(col("text")), lit(0L)).as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        coalesce(TextFns.wsTokenCount(col("text")), lit(0L)).as("n_tokens"),
+        shiftright(col("doc_id"), 5).as("grp"))
+      // at-least-once delivery collapses to the distinct document entity
+      // (the shared engine contract) — and bounds bins per block at 32,
+      // so the ·64 bin encoding can never collide with the next block
+      .distinct()
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (grp: Long, it: Iterator[(Long, Long, Long)]) =>
+        // ≤ 32 distinct ids per block — sorting in memory is bounded by
+        // construction, not by data volume
+        val docs = it.toArray.sortBy(_._1)
         var bin = 0L
         var fill = 0L
-        it.map { case (docId, nTok) =>
+        docs.iterator.map { case (docId, nTok, _) =>
           if (fill > 0 && fill + nTok > maxTokens) { bin += 1; fill = 0 }
           fill += nTok
-          // (pid << 40) | bin: collision-free by construction up to 2^40
-          // bins per partition and 2^23 partitions — a decimal prefix
-          // (pid * 10^6 + bin) silently merges bins past 10^6/partition,
-          // which a 100 TB corpus reaches easily
-          (docId, nTok, (pid << 40) | bin)
+          (docId, nTok, grp * 64L + bin)
         }
       }
       .toDF("doc_id", "n_tokens", "bin_id")

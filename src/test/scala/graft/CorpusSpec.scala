@@ -48,22 +48,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(overs.count() == 0, "multi-doc bins must fit the budget")
   }
 
-  test("pack_sequences bin ids never collide across partitions") {
-    // (pid << 40) | bin: a bin's docs are contiguous in doc_id (packing is
-    // a sorted per-partition scan), so if two partitions shared a bin id
-    // the bin's doc range would be non-contiguous across partition bounds
+  test("pack_sequences bins are blocked by id range and partition-invariant") {
+    // bin_id = (doc_id >> 5)·64 + bin-within-block: every doc's bin lives
+    // in its own 32-doc id block, and bins never span blocks
     val packed = Corpus.packSequences(spark, Sf, maxTokens = 64)
-    val pids = packed.select(shiftright(col("bin_id"), 40).as("pid"),
-        col("bin_id"))
-      .groupBy("bin_id").agg(countDistinct("pid").as("n_pids"))
-      .where(col("n_pids") > 1)
-    assert(pids.count() == 0, "a bin id must map to exactly one partition")
-    // and the encoding is lossless: low 40 bits recover the local bin
-    val bins = packed.select(col("bin_id")).distinct().count()
-    val pairs = packed.select(shiftright(col("bin_id"), 40).as("pid"),
-      col("bin_id").bitwiseAND(lit((1L << 40) - 1)).as("local"))
-      .distinct().count()
-    assert(bins == pairs)
+    val stray = packed.where(
+      shiftright(col("bin_id"), 6) =!= shiftright(col("doc_id"), 5))
+    assert(stray.count() == 0, "a doc's bin must sit in its own id block")
+    // data-independent of parallelism: the same packing at 1 partition
+    val one = Corpus.packSequencesFrom(
+      graft.sources.Tables.documents(spark, Sf).repartition(1), maxTokens = 64)
+    assert(packed.exceptAll(one).count() == 0 && one.exceptAll(packed).count() == 0,
+      "bin assignment must not depend on partitioning")
   }
 
   test("chunk_documents covers every token with the declared overlap") {
