@@ -410,6 +410,134 @@ object SparkEntry {
        |FROM e2
        |WHERE contains(lower(concat_ws(' ', day, report, rca)), '${graft.functions.TextFns.foldCase(keyword)}')""".stripMargin
 
+  /** The 128 affine min-wise coefficients as a SQL VALUES list — computed
+    * from the SAME SigUtil functions the kernel uses, so the oracle
+    * literals cannot drift from the engine. */
+  private lazy val minhashPermValues: String =
+    (0 until 128).map(j =>
+      s"($j, ${graft.expressions.SigUtil.coefA(j)}, ${graft.expressions.SigUtil.coefB(j)})")
+      .mkString(", ")
+
+  /** LSH near-dup summary replayed in SQL: `shingleCte` must yield
+    * sh(doc_id, shingle) from t(doc_id, text); minima come from the
+    * md5 + mod-(2^61−1) affine family (same coefficients as the kernel),
+    * band keys group `rowsPerBand` consecutive minima (optionally over a
+    * key-signature prefix), candidates go through the kn∈[2,64] hot-
+    * bucket cap, and similarity is the 128-perm agreement fraction. */
+  private def lshSummarySql(shingleCte: String, rowsPerBand: Int,
+      keyPerms: Int, thr: String): String =
+    s"""WITH t AS (SELECT DISTINCT doc_id, text FROM documents),
+       |$shingleCte,
+       |perms(j, a, b) AS (VALUES $minhashPermValues),
+       |mins AS (SELECT doc_id, j,
+       |    min(CAST((CAST(a AS HUGEINT)*(md5_number_lower(shingle)%2305843009213693951)+b)%2305843009213693951 AS BIGINT)) AS s
+       |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+       |keys AS (SELECT doc_id, CAST(j//$rowsPerBand AS VARCHAR) || '|' || string_agg(CAST(s AS VARCHAR), ',' ORDER BY j) AS key
+       |  FROM mins WHERE j < $keyPerms GROUP BY doc_id, j//$rowsPerBand),
+       |kc AS (SELECT key, count(*) AS kn FROM keys GROUP BY 1),
+       |ek AS (SELECT k.doc_id, k.key FROM keys k JOIN kc USING (key) WHERE kn >= 2 AND kn <= 64),
+       |prs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |        FROM ek l JOIN ek r ON l.key = r.key AND l.doc_id < r.doc_id),
+       |sims AS (SELECT p.id_a, p.id_b,
+       |         round(CAST(sum(CASE WHEN ma.s = mb.s THEN 1 ELSE 0 END) AS DOUBLE)/128, 6) AS sim
+       |         FROM prs p JOIN mins ma ON ma.doc_id = p.id_a
+       |                    JOIN mins mb ON mb.doc_id = p.id_b AND mb.j = ma.j
+       |         GROUP BY 1, 2),
+       |dirs AS (SELECT id_a AS id, id_b AS other, sim FROM sims
+       |         UNION ALL SELECT id_b, id_a, sim FROM sims),
+       |best AS (SELECT id, other, sim,
+       |                row_number() OVER (PARTITION BY id ORDER BY sim DESC, other DESC) AS rk,
+       |                count(*) OVER (PARTITION BY id) AS n FROM dirs)
+       |SELECT t.doc_id, COALESCE(b.n, 0) AS n_candidates, b.other AS best_match_id,
+       |       b.sim AS best_sim, COALESCE(b.sim >= $thr, false) AS is_dup
+       |FROM t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = t.doc_id""".stripMargin
+
+  /** Word 3-shingles (distinct, short docs collapse to one shingle). */
+  private def word3ShingleCte: String =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |        FROM t WHERE text IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+      |         ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS shingle
+      |    FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-1, 2))) AS i FROM tok)))""".stripMargin
+
+  /** Character 5-grams (code-point positions, distinct, short docs whole). */
+  private def char5ShingleCte: String =
+    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, CASE WHEN length(lt) < 5 THEN lt ELSE substr(lt, i, 5) END AS shingle
+      |    FROM (SELECT doc_id, lower(text) AS lt,
+      |                 unnest(range(1, greatest(length(lower(text))-3, 2))) AS i
+      |          FROM t WHERE text IS NOT NULL)))""".stripMargin
+
+  private def dedupSimhashSql: String =
+    """WITH t AS (SELECT DISTINCT doc_id, text FROM documents),
+      |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |        FROM t WHERE text IS NOT NULL),
+      |th AS (SELECT doc_id, md5_number_lower(w) AS h FROM tok),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |         FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY 1, 2),
+      |sigbits AS (SELECT doc_id, b, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS bit FROM bits),
+      |keys AS (SELECT doc_id, CAST(b//16 AS VARCHAR) || '|' ||
+      |                CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER))) AS VARCHAR) AS key
+      |         FROM sigbits GROUP BY doc_id, b//16),
+      |kc AS (SELECT key, count(*) AS kn FROM keys GROUP BY 1),
+      |ek AS (SELECT k.doc_id, k.key FROM keys k JOIN kc USING (key) WHERE kn >= 2 AND kn <= 64),
+      |prs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |        FROM ek l JOIN ek r ON l.key = r.key AND l.doc_id < r.doc_id),
+      |sims AS (SELECT p.id_a, p.id_b,
+      |         round(1.0 - CAST(sum(CASE WHEN sa.bit != sb.bit THEN 1 ELSE 0 END) AS DOUBLE)/64.0, 6) AS sim
+      |         FROM prs p JOIN sigbits sa ON sa.doc_id = p.id_a
+      |                    JOIN sigbits sb ON sb.doc_id = p.id_b AND sb.b = sa.b
+      |         GROUP BY 1, 2),
+      |dirs AS (SELECT id_a AS id, id_b AS other, sim FROM sims
+      |         UNION ALL SELECT id_b, id_a, sim FROM sims),
+      |best AS (SELECT id, other, sim,
+      |                row_number() OVER (PARTITION BY id ORDER BY sim DESC, other DESC) AS rk,
+      |                count(*) OVER (PARTITION BY id) AS n FROM dirs)
+      |SELECT t.doc_id, COALESCE(b.n, 0) AS n_candidates, b.other AS best_match_id,
+      |       b.sim AS best_sim, COALESCE(b.sim >= 0.95, false) AS is_dup
+      |FROM t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = t.doc_id""".stripMargin
+
+  private def dedupContainmentSql: String =
+    """WITH t AS (SELECT DISTINCT doc_id, text FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN length(lt) < 5 THEN md5_number_lower(lt) % 2305843009213693951
+      |              ELSE md5_number_lower(substr(lt, i, 5)) % 2305843009213693951 END AS g
+      |  FROM (SELECT doc_id, lower(text) AS lt,
+      |               unnest(range(1, greatest(length(lower(text))-3, 2))) AS i
+      |        FROM t WHERE text IS NOT NULL)),
+      |winmins AS (
+      |  SELECT doc_id, CASE WHEN cnt <= 4 THEN gmin ELSE min_g END AS fp
+      |  FROM (SELECT doc_id, i, g,
+      |               count(*) OVER (PARTITION BY doc_id) AS cnt,
+      |               min(g) OVER (PARTITION BY doc_id) AS gmin,
+      |               min(g) OVER (PARTITION BY doc_id ORDER BY i
+      |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS min_g
+      |        FROM grams)
+      |  WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM winmins),
+      |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY 1),
+      |fc AS (SELECT fp, count(*) AS fn FROM fps GROUP BY 1),
+      |cappedn AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fps_capped
+      |            FROM fps f JOIN fc USING (fp) WHERE fn <= 64 GROUP BY 1),
+      |pairable AS (SELECT f.doc_id, f.fp FROM fps f JOIN fc USING (fp) WHERE fn >= 2 AND fn <= 64),
+      |shared AS (
+      |  SELECT l.doc_id AS id, r.doc_id AS container_id, count(*) AS n_shared
+      |  FROM pairable l JOIN pairable r ON l.fp = r.fp AND l.doc_id != r.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT s.id, s.container_id,
+      |         round(CAST(s.n_shared AS DOUBLE) / CAST(c.n_fps_capped AS DOUBLE), 6) AS containment
+      |  FROM shared s JOIN cappedn c ON c.doc_id = s.id),
+      |top AS (SELECT id, container_id, containment,
+      |               row_number() OVER (PARTITION BY id ORDER BY containment DESC, container_id) AS rk
+      |        FROM scored)
+      |SELECT t.doc_id, nf.n_fps, b.container_id AS best_container_id,
+      |       b.containment, COALESCE(b.containment >= 0.8, false) AS is_contained
+      |FROM t LEFT JOIN nf ON nf.doc_id = t.doc_id
+      |       LEFT JOIN (SELECT * FROM top WHERE rk = 1) b ON b.id = t.doc_id""".stripMargin
+
   /** Shared CTE prefix of the two RAG oracles: rebuild the md5
     * feature-hash embeddings of the DISTINCT document set and the
     * DISTINCT earliest-5 error batch in SQL, dot them via an integer
@@ -1290,6 +1418,15 @@ object SparkEntry {
 
     "rag_context" -> ragContextSql,
     "rag_prompt" -> ragPromptSql,
+
+    // the full LSH near-dup family replayed in SQL (md5 + mod-(2^61-1)
+    // min-wise family, same coefficients as the kernel — see SigUtil)
+    "dedup_minhash" -> lshSummarySql(word3ShingleCte,
+      rowsPerBand = 4, keyPerms = 128, thr = "0.8"),
+    "ngram_jaccard" -> lshSummarySql(char5ShingleCte,
+      rowsPerBand = 8, keyPerms = 64, thr = "0.7"),
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_containment" -> dedupContainmentSql,
 
     // greedy first-fit replayed in SQL: packing is blocked by 32-doc id
     // ranges, so the recursion steps through per-block row numbers

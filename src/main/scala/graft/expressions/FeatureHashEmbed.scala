@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** One-pass feature-hashing text embedding (the hashing trick):
   * each token MD5-hashes to a slot with a ±1 sign; the accumulated
@@ -71,5 +71,33 @@ case class FeatureHashCounts(child: Expression, dim: Int) extends UnaryExpressio
       s"${ev.value} = graft.expressions.Kernels.featureHashCounts($c, $dim);")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureHashCounts =
+    copy(child = newChild)
+}
+
+/** One-pass derived statistics of the feature-hash embedding:
+  * struct(sum_abs, sum_sq, counts_csv) — see [[Kernels.featureHashMeta]].
+  * Exists so embed_text's projection needs no higher-order functions and
+  * stays inside whole-stage codegen. */
+case class FeatureHashMeta(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("counts_csv", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"feature_hash_meta expects array<string> tokens, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.featureHashMeta(input.asInstanceOf[ArrayData], dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.featureHashMeta($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashMeta =
     copy(child = newChild)
 }

@@ -2,7 +2,6 @@ package graft.expressions
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,6 +38,18 @@ object Kernels {
     v
   }
 
+  /** md5_number_lower of a string — the shared cross-engine 64-bit mixer. */
+  private[graft] def md5LowerOf(s: UTF8String): Long = md5Lower(md5Bytes(s))
+
+  /** md5_number_lower of a byte subrange (char-gram hashing without a
+    * per-gram string allocation). */
+  private[expressions] def md5LowerOfRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5TL.get()
+    md.reset()
+    md.update(bytes, off, len)
+    md5Lower(md.digest())
+  }
+
   /** Raw feature-hash slot counts (pre-normalization): counts(slot) =
     * (#tokens hashing there with +1 sign) − (#with −1). Integer-exact, so
     * every derived statistic an oracle recomputes from these counts is
@@ -59,6 +70,29 @@ object Kernels {
       i += 1
     }
     new GenericArrayData(acc)
+  }
+
+  /** Derived embedding statistics in one kernel pass: Σ|c|, Σc², and the
+    * comma-joined count vector (the md5-signature payload). Keeping these
+    * in the kernel — instead of `aggregate()` higher-order functions —
+    * keeps the embed_text projection inside whole-stage codegen: HOF
+    * lambdas are interpreted and evict their whole stage. */
+  def featureHashMeta(toks: ArrayData, dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = featureHashCounts(toks, dim).asInstanceOf[GenericArrayData]
+    var sumAbs = 0L
+    var sumSq = 0L
+    val sb = new java.lang.StringBuilder(dim * 3)
+    var j = 0
+    while (j < dim) {
+      val c = counts.getLong(j)
+      sumAbs += java.lang.Math.abs(c)
+      sumSq += c * c
+      if (j > 0) sb.append(',')
+      sb.append(c)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sumAbs, sumSq, UTF8String.fromString(sb.toString)))
   }
 
   def featureHashEmbed(toks: ArrayData, dim: Int): ArrayData = {
@@ -146,10 +180,10 @@ object Kernels {
     var i = 0
     while (i < m) {
       if (!sh.isNullAt(i)) {
-        val h = SigUtil.hash(sh.getUTF8String(i), 42L)
+        val h = SigUtil.baseHash(sh.getUTF8String(i))
         var j = 0
         while (j < numPerm) {
-          val p = as(j) * h + bs(j)
+          val p = SigUtil.permHash(as(j), bs(j), h)
           if (p < sig(j)) sig(j) = p
           j += 1
         }
@@ -185,7 +219,7 @@ object Kernels {
     var i = 0
     while (i < m) {
       if (!toks.isNullAt(i)) {
-        val h = SigUtil.hash(toks.getUTF8String(i), 42L)
+        val h = md5LowerOf(toks.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -204,12 +238,13 @@ object Kernels {
     val bytes = s.getBytes
     val offs = codePointOffsets(bytes)
     val m = offs.length - 1
+    // grams in [0, P): non-negative as signed longs, so the window-min
+    // and sort below order identically to the oracle's UBIGINT compare
     val grams: Array[Long] =
-      if (m < k) Array(SigUtil.hash(s, 42L))
+      if (m < k) Array(SigUtil.baseHash(s))
       else Array.tabulate(m - k + 1)(i =>
-        XXH64.hashUnsafeBytes(bytes,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
-          offs(i + k) - offs(i), 42L))
+        java.lang.Long.remainderUnsigned(
+          md5LowerOfRange(bytes, offs(i), offs(i + k) - offs(i)), SigUtil.P))
     val mins =
       if (grams.length <= w) Array(grams.min)
       else Array.tabulate(grams.length - w + 1) { i =>

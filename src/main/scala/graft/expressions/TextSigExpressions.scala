@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -18,12 +18,43 @@ import org.apache.spark.unsafe.types.UTF8String
   *    extending CodegenFallback, which would kick the whole stage out of
   *    whole-stage codegen.
   */
-private[expressions] object SigUtil {
-  def hash(s: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-  /** Deterministic per-permutation affine coefficients. */
-  def coefA(j: Int): Long = java.lang.Long.rotateLeft(0x9E3779B97F4A7C15L * (2 * j + 1), j) | 1L
-  def coefB(j: Int): Long = java.lang.Long.rotateLeft(0xC2B2AE3D27D4EB4FL * (j + 1), j * 7 % 63)
+/** The min-wise hash family behind every signature kernel, pinned to an
+  * oracle-recomputable contract: base hash = md5_number_lower(feature)
+  * mod P, permutations = (a_j·h + b_j) mod P with P = 2^61 − 1. The
+  * Mersenne modulus keeps every value in [0, P) — positive as a signed
+  * JVM long AND as a SQL UBIGINT, so min/ordering agree across engines —
+  * and makes the 128-bit modular product one fold (2^64 ≡ 8 mod P) on
+  * the JVM while staying a plain HUGEINT `%` in SQL. */
+private[graft] object SigUtil {
+  /** 2^61 − 1: modulus of the affine min-wise family. */
+  val P: Long = (1L << 61) - 1
+
+  /** Feature base hash in [0, P): `md5_number_lower(s) % P` exactly. */
+  def baseHash(s: UTF8String): Long =
+    java.lang.Long.remainderUnsigned(Kernels.md5LowerOf(s), P)
+
+  /** (a·h + b) mod P for a, b, h in [0, P): 128-bit product folded via
+    * 2^64 ≡ 8 (mod P). multiplyHigh is exact here — both operands are
+    * < 2^61, hence non-negative as signed longs. */
+  def permHash(a: Long, b: Long, h: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, h) // < 2^58
+    val lo = a * h                             // wrapped low 64 bits
+    var m = (lo & P) + (lo >>> 61)             // lo mod P, ≤ P + 6
+    if (m >= P) m -= P
+    var x = (hi << 3) + m                      // ≡ product (mod P), < 2^62
+    x = (x & P) + (x >>> 61)
+    if (x >= P) x -= P
+    x += b
+    if (x >= P) x -= P
+    x
+  }
+
+  /** Deterministic per-permutation affine coefficients, themselves md5-
+    * derived so the oracle can embed the identical literals. */
+  def coefA(j: Int): Long =
+    java.lang.Long.remainderUnsigned(Kernels.md5LowerOf(UTF8String.fromString("a:" + j)), P - 1) + 1
+  def coefB(j: Int): Long =
+    java.lang.Long.remainderUnsigned(Kernels.md5LowerOf(UTF8String.fromString("b:" + j)), P)
 }
 
 private[expressions] abstract class KernelExpression extends UnaryExpression {
@@ -95,7 +126,7 @@ case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
 }
 
 /** 64-bit SimHash packed into one long: per token, the 64 bits of one
-  * XXH64 hash vote ±1 per position; sign of each sum is the sig bit. */
+  * md5 hash vote ±1 per position; sign of each sum is the sig bit. */
 case class SimHashSig(child: Expression) extends KernelExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =

@@ -71,16 +71,18 @@ object Embeddings {
       // embedding row per document, not per delivered copy
       .select(col("doc_id") +: fields.map(col).toIndexedSeq: _*).distinct()
       .select(col("doc_id"),
-        embedCounts(concat_ws(" ", fields.map(col).toIndexedSeq: _*), cfg.embedDim).as("c"))
-      .select(col("doc_id"), col("c"),
-        aggregate(col("c"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"),
-        aggregate(col("c"), lit(0L), (acc, x) => acc + x * x).as("sum_sq"))
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.FeatureHashMeta(
+            org.apache.spark.sql.graft.Bridge.expression(
+              TextFns.wsTokens(TextFns.foldCase(
+                concat_ws(" ", fields.map(col).toIndexedSeq: _*)))),
+            cfg.embedDim)).as("m"))
       .select(col("doc_id"),
-        size(col("c")).as("dim"),
-        when(col("sum_sq") > 0,
-          round(col("sum_abs").cast("double") / sqrt(col("sum_sq").cast("double")), 6))
+        lit(cfg.embedDim).as("dim"),
+        when(col("m.sum_sq") > 0,
+          round(col("m.sum_abs").cast("double") / sqrt(col("m.sum_sq").cast("double")), 6))
           .otherwise(lit(0.0)).as("l1_mass"),
-        md5(array_join(transform(col("c"), x => x.cast("string")), ",")).as("emb_sig"))
+        md5(col("m.counts_csv")).as("emb_sig"))
   }
 
   /** The index dimensionality — explicit config, mirroring the reference's

@@ -167,6 +167,10 @@ object NearDup {
     memoBase(spark, s"word3:$dir") {
       val sh = wordShingles(col("text"), 3)
       Tables.documents(spark, dir)
+        // at-least-once delivery collapses to the distinct document
+        // entity before signatures — a redelivered copy must not inflate
+        // band-key counts against the hot-bucket cap
+        .select(col("doc_id"), col("text")).distinct()
         .select(col("doc_id").as("id"),
           minhashSig(sh, 128).as("sig"),
           minhashBandKeys(sh, 32, 4).as("keys"))
@@ -178,9 +182,17 @@ object NearDup {
   def dedupSimhash(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame = {
     val base = memoBase(spark, s"simhash:$dir") {
       Tables.documents(spark, dir)
+        // same distinct-entity contract as the word-3 base
+        .select(col("doc_id"), col("text")).distinct()
         .select(col("doc_id").as("id"),
           simhashSig(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("sig"))
-        .withColumn("keys", simhashChunkKeys(col("sig")))
+        // xxhash64 HASH-SKIPS a NULL argument rather than returning NULL,
+        // so unguarded chunk keys would give every NULL-text doc the same
+        // four keys and pair the whole NULL set at NaN similarity; the
+        // signature-less contract is "no signature, no candidates", same
+        // as the minhash paths' null-intolerant kernels
+        .withColumn("keys",
+          when(col("sig").isNotNull, simhashChunkKeys(col("sig"))))
     }
     lshSummary(base,
       (a, b) => lit(1.0) - hamming(a, b).cast("double") / lit(64.0), thr)
@@ -243,7 +255,10 @@ object NearDup {
     import org.apache.spark.sql.graft.Bridge
     val fpsCol = Bridge.column(graft.expressions.WinnowFingerprints(
       Bridge.expression(TextFns.foldCase(col("text"))), k, w))
-    val base = docs.select(col("doc_id").as("id"), fpsCol.as("fps"))
+    val base = docs
+      // same distinct-entity contract as the signature bases
+      .select(col("doc_id"), col("text")).distinct()
+      .select(col("doc_id").as("id"), fpsCol.as("fps"))
       .withColumn("n_fps", size(col("fps")).cast("long"))
     val ex = base.select(col("id"), explode(col("fps")).as("fp"))
     val fpCounts = ex.groupBy("fp").agg(count("*").as("fn"))
@@ -504,6 +519,8 @@ object NearDup {
     val base = memoBase(spark, s"char5:$dir") {
       val sh = charShingles(col("text"), 5)
       Tables.documents(spark, dir)
+        // same distinct-entity contract as the word-3 base
+        .select(col("doc_id"), col("text")).distinct()
         .select(col("doc_id").as("id"),
           minhashSig(sh, 128).as("sig"),
           minhashBandKeys(sh, 8, 8).as("keys"))
