@@ -48,6 +48,7 @@ object GraftFunctions {
     "simhash_sig" -> (es => SimHashSig(es(0))),
     "winnow_fingerprints" -> (es =>
       WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
+    "md5_number_lower" -> (es => Md5Lower(es(0))),
     "bucket_index" -> (es => BucketIndex(es(0), es(1))),
     "bit_interleave" -> (es => BitInterleave(es(0), es(1))))
 

@@ -418,31 +418,39 @@ object SparkEntry {
       s"($j, ${graft.expressions.SigUtil.coefA(j)}, ${graft.expressions.SigUtil.coefB(j)})")
       .mkString(", ")
 
-  /** LSH near-dup summary replayed in SQL: `shingleCte` must yield
-    * sh(doc_id, shingle) from t(doc_id, text); minima come from the
-    * md5 + mod-(2^61−1) affine family (same coefficients as the kernel),
-    * band keys group `rowsPerBand` consecutive minima (optionally over a
-    * key-signature prefix), candidates go through the kn∈[2,64] hot-
-    * bucket cap, and similarity is the 128-perm agreement fraction. */
-  private def lshSummarySql(shingleCte: String, rowsPerBand: Int,
-      keyPerms: Int, thr: String): String =
-    s"""WITH t AS (SELECT DISTINCT doc_id, text FROM documents),
+  /** Signature-building CTEs shared by every minhash oracle: `shingleCte`
+    * must yield sh(doc_id, shingle) from t(doc_id, text); minima come
+    * from the md5 + mod-(2^61−1) affine family (same coefficients as the
+    * kernel), band keys group `rowsPerBand` consecutive minima over the
+    * first `keyPerms` permutations. */
+  private def sigCtes(shingleCte: String, rowsPerBand: Int, keyPerms: Int): String =
+    s"""t AS (SELECT DISTINCT doc_id, text FROM documents),
        |$shingleCte,
        |perms(j, a, b) AS (VALUES $minhashPermValues),
        |mins AS (SELECT doc_id, j,
        |    min(CAST((CAST(a AS HUGEINT)*(md5_number_lower(shingle)%2305843009213693951)+b)%2305843009213693951 AS BIGINT)) AS s
        |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
        |keys AS (SELECT doc_id, CAST(j//$rowsPerBand AS VARCHAR) || '|' || string_agg(CAST(s AS VARCHAR), ',' ORDER BY j) AS key
-       |  FROM mins WHERE j < $keyPerms GROUP BY doc_id, j//$rowsPerBand),
-       |kc AS (SELECT key, count(*) AS kn FROM keys GROUP BY 1),
-       |ek AS (SELECT k.doc_id, k.key FROM keys k JOIN kc USING (key) WHERE kn >= 2 AND kn <= 64),
-       |prs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |        FROM ek l JOIN ek r ON l.key = r.key AND l.doc_id < r.doc_id),
-       |sims AS (SELECT p.id_a, p.id_b,
-       |         round(CAST(sum(CASE WHEN ma.s = mb.s THEN 1 ELSE 0 END) AS DOUBLE)/128, 6) AS sim
-       |         FROM prs p JOIN mins ma ON ma.doc_id = p.id_a
-       |                    JOIN mins mb ON mb.doc_id = p.id_b AND mb.j = ma.j
-       |         GROUP BY 1, 2),
+       |  FROM mins WHERE j < $keyPerms GROUP BY doc_id, j//$rowsPerBand)""".stripMargin
+
+  /** Self-join candidate CTEs: kn∈[2,64] hot-bucket cap, distinct pairs,
+    * similarity = 128-perm agreement fraction. */
+  private def simsCtes: String =
+    """kc AS (SELECT key, count(*) AS kn FROM keys GROUP BY 1),
+      |ek AS (SELECT k.doc_id, k.key FROM keys k JOIN kc USING (key) WHERE kn >= 2 AND kn <= 64),
+      |prs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |        FROM ek l JOIN ek r ON l.key = r.key AND l.doc_id < r.doc_id),
+      |sims AS (SELECT p.id_a, p.id_b,
+      |         round(CAST(sum(CASE WHEN ma.s = mb.s THEN 1 ELSE 0 END) AS DOUBLE)/128, 6) AS sim
+      |         FROM prs p JOIN mins ma ON ma.doc_id = p.id_a
+      |                    JOIN mins mb ON mb.doc_id = p.id_b AND mb.j = ma.j
+      |         GROUP BY 1, 2)""".stripMargin
+
+  /** LSH near-dup summary replayed in SQL. */
+  private def lshSummarySql(shingleCte: String, rowsPerBand: Int,
+      keyPerms: Int, thr: String): String =
+    s"""WITH ${sigCtes(shingleCte, rowsPerBand, keyPerms)},
+       |$simsCtes,
        |dirs AS (SELECT id_a AS id, id_b AS other, sim FROM sims
        |         UNION ALL SELECT id_b, id_a, sim FROM sims),
        |best AS (SELECT id, other, sim,
@@ -451,6 +459,95 @@ object SparkEntry {
        |SELECT t.doc_id, COALESCE(b.n, 0) AS n_candidates, b.other AS best_match_id,
        |       b.sim AS best_sim, COALESCE(b.sim >= $thr, false) AS is_dup
        |FROM t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = t.doc_id""".stripMargin
+
+  /** Connected-component labels of the word-3 dup graph (sim ≥ 0.8):
+    * a recursive reachability closure — reach(x) accumulates the ids of
+    * every node that can reach x over symmetric dup edges, so min(lbl)
+    * is exactly the component minimum the iterative Spark CC converges
+    * to. Closure size is Σ|component|² — bounded because the hot-bucket
+    * cap bounds component fan-in. */
+  private def word3LabelCtes: String =
+    s"""${sigCtes(word3ShingleCte, 4, 128)},
+       |$simsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM sims WHERE sim >= 0.8
+       |          UNION ALL SELECT id_b, id_a FROM sims WHERE sim >= 0.8),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM t
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1)""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $word3LabelCtes,
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.id AS doc_id, l.cluster AS cluster_id, s.cluster_size, l.id = l.cluster AS is_canonical
+       |FROM lab l JOIN sz s ON s.cluster = l.cluster""".stripMargin
+
+  private def trainTestSplitSql: String =
+    s"""WITH RECURSIVE $word3LabelCtes
+       |SELECT id AS doc_id, cluster AS cluster_id,
+       |       CASE WHEN md5_number_lower(CAST(cluster AS VARCHAR)) % 100 < 80
+       |            THEN 'train' ELSE 'test' END AS split
+       |FROM lab""".stripMargin
+
+  private def dedupIncrementalSql: String =
+    s"""WITH ${sigCtes(word3ShingleCte, 4, 128)},
+       |mem AS (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0 AS is_batch FROM t),
+       |bkeys AS (SELECT k.doc_id, k.key FROM keys k JOIN mem USING (doc_id) WHERE is_batch),
+       |ckeys AS (SELECT k.doc_id, k.key FROM keys k JOIN mem USING (doc_id) WHERE NOT is_batch),
+       |matched AS (SELECT c.doc_id, c.key FROM ckeys c WHERE c.key IN (SELECT DISTINCT key FROM bkeys)),
+       |hot AS (SELECT key, count(*) AS kn FROM matched GROUP BY 1),
+       |cok AS (SELECT m.key, m.doc_id AS corpus_id FROM matched m JOIN hot USING (key) WHERE kn <= 64),
+       |prs AS (SELECT DISTINCT b.doc_id AS id, c.corpus_id
+       |        FROM bkeys b JOIN cok c ON b.key = c.key AND b.doc_id != c.corpus_id),
+       |sims AS (SELECT p.id, p.corpus_id,
+       |         round(CAST(sum(CASE WHEN ma.s = mb.s THEN 1 ELSE 0 END) AS DOUBLE)/128, 6) AS sim
+       |         FROM prs p JOIN mins ma ON ma.doc_id = p.id
+       |                    JOIN mins mb ON mb.doc_id = p.corpus_id AND mb.j = ma.j
+       |         GROUP BY 1, 2),
+       |perdoc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_candidates,
+       |                  min(CASE WHEN sim >= 0.8 THEN corpus_id END) AS min_dup_id
+       |           FROM sims GROUP BY 1),
+       |best AS (SELECT id, corpus_id, sim,
+       |                row_number() OVER (PARTITION BY id ORDER BY sim DESC, corpus_id DESC) AS rk
+       |         FROM sims)
+       |SELECT m.doc_id, COALESCE(pd.n_candidates, 0) AS n_candidates,
+       |       b.corpus_id AS best_match_id, b.sim AS best_sim,
+       |       COALESCE(b.sim >= 0.8, false) AS is_dup, pd.min_dup_id
+       |FROM (SELECT doc_id FROM mem WHERE is_batch) m
+       |LEFT JOIN perdoc pd ON pd.id = m.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = m.doc_id""".stripMargin
+
+  private def docFingerprintSql: String =
+    """WITH t AS (SELECT DISTINCT doc_id, text FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN length(lt) < 5 THEN md5_number_lower(lt) % 2305843009213693951
+      |              ELSE md5_number_lower(substr(lt, i, 5)) % 2305843009213693951 END AS g
+      |  FROM (SELECT doc_id, lower(text) AS lt,
+      |               unnest(range(1, greatest(length(lower(text))-3, 2))) AS i
+      |        FROM t WHERE text IS NOT NULL)),
+      |winmins AS (
+      |  SELECT doc_id, CASE WHEN cnt <= 4 THEN gmin ELSE min_g END AS fp
+      |  FROM (SELECT doc_id, i, g,
+      |               count(*) OVER (PARTITION BY doc_id) AS cnt,
+      |               min(g) OVER (PARTITION BY doc_id) AS gmin,
+      |               min(g) OVER (PARTITION BY doc_id ORDER BY i
+      |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS min_g
+      |        FROM grams)
+      |  WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM winmins),
+      |agg AS (SELECT doc_id, md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fingerprint,
+      |               CAST(count(*) AS BIGINT) AS n_fingerprints
+      |        FROM fps GROUP BY 1)
+      |SELECT t.doc_id, a.fingerprint, a.n_fingerprints
+      |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  private def sampleStratifiedSql: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
+      |       user_id, event_type, value, props
+      |FROM events
+      |WHERE md5_number_lower('42:' || CAST(event_id AS VARCHAR)) % 1000 < 100""".stripMargin
 
   /** Word 3-shingles (distinct, short docs collapse to one shingle). */
   private def word3ShingleCte: String =
@@ -1427,6 +1524,11 @@ object SparkEntry {
       rowsPerBand = 8, keyPerms = 64, thr = "0.7"),
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "train_test_split" -> trainTestSplitSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "sample_stratified" -> sampleStratifiedSql,
 
     // greedy first-fit replayed in SQL: packing is blocked by 32-doc id
     // ranges, so the recursion steps through per-block row numbers

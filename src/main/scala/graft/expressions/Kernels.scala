@@ -38,12 +38,16 @@ object Kernels {
     v
   }
 
-  /** md5_number_lower of a string — the shared cross-engine 64-bit mixer. */
-  private[graft] def md5LowerOf(s: UTF8String): Long = md5Lower(md5Bytes(s))
+  /** md5_number_lower of a string — the shared cross-engine 64-bit mixer.
+    * Public (not qualified-private): generated code calls it through the
+    * object's STATIC FORWARDER, which scalac only emits for public
+    * members — a private[graft] here compiles but breaks codegen at
+    * runtime (silent fallback to interpreted predicates). */
+  def md5LowerOf(s: UTF8String): Long = md5Lower(md5Bytes(s))
 
   /** md5_number_lower of a byte subrange (char-gram hashing without a
     * per-gram string allocation). */
-  private[expressions] def md5LowerOfRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+  def md5LowerOfRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = md5TL.get()
     md.reset()
     md.update(bytes, off, len)
@@ -232,6 +236,23 @@ object Kernels {
     var b = 0
     while (b < 64) { if (acc(b) >= 0) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  /** Winnow fingerprints as struct(fps_csv, n_fps) in one kernel pass —
+    * the md5-signature payload form, kept kernel-side for the same
+    * codegen reason as [[featureHashMeta]]. */
+  def winnowMeta(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val fps = winnowFingerprints(s, k, w).asInstanceOf[GenericArrayData]
+    val n = fps.numElements()
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(fps.getLong(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), n.toLong))
   }
 
   def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {

@@ -34,3 +34,33 @@ case class Md5Lower(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Md5Lower =
     copy(child = newChild)
 }
+
+/** UNSIGNED `md5_number_lower(s) mod m` — the selection predicate form.
+  * The kernel's remainderUnsigned matches the oracle's native UBIGINT
+  * `%` exactly, so neither side needs signed-reinterpretation gymnastics
+  * (a DuckDB CAST(ubigint AS BIGINT) raises on values ≥ 2^63 rather
+  * than reinterpreting). */
+case class Md5LowerMod(child: Expression, m: Long) extends UnaryExpression {
+
+  require(m > 0, s"modulus must be positive, got $m")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_number_lower_mod expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.remainderUnsigned(
+      Kernels.md5LowerOf(input.asInstanceOf[UTF8String]), m)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.lang.Long.remainderUnsigned(" +
+        s"graft.expressions.Kernels.md5LowerOf($c), ${m}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5LowerMod =
+    copy(child = newChild)
+}

@@ -188,6 +188,26 @@ case class MinHashJaccard(left: Expression, right: Expression) extends BinaryExp
 
 /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling k-gram
   * hashes, per-window minima, distinct sorted minima set — one pass. */
+/** Winnow fingerprints as struct(fps_csv, n_fps) — the md5-signature
+  * payload of doc_fingerprint, computed in one kernel pass so the
+  * projection stays inside whole-stage codegen (no interpreted HOFs). */
+case class WinnowMeta(child: Expression, k: Int, w: Int) extends KernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("fps_csv", StringType, nullable = false),
+    StructField("n_fps", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_meta expects string, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnowMeta(input.asInstanceOf[UTF8String], k, w)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.Kernels.winnowMeta($c, $k, $w)"
+  override protected def withNewChildInternal(newChild: Expression): WinnowMeta =
+    copy(child = newChild)
+}
+
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends KernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -92,8 +92,13 @@ object Corpus {
   def trainTestSplit(spark: SparkSession, dir: String,
       trainPct: Int = 80): DataFrame =
     NearDup.clusterLabels(spark, dir)
+      // md5-based split hash (not xxhash64): the assignment is replayable
+      // by the SQL oracle — unsigned md5_number_lower(cluster) mod 100,
+      // which is the oracle's native UBIGINT %
       .withColumn("split",
-        when(pmod(xxhash64(col("cluster")), lit(100)) < trainPct, "train")
+        when(org.apache.spark.sql.graft.Bridge.column(
+            graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
+              col("cluster").cast("string")), 100)) < trainPct, "train")
           .otherwise("test"))
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("split"))
 
@@ -367,15 +372,27 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
-  /** Stratified sample: equal fractions per level so rare event types
-    * survive sampling (seeded → deterministic). The distinct-types collect
-    * is a dimension-sized driver read, same as broadcasting a dim table. */
+  /** Stratified sample: the same fraction applies uniformly within every
+    * event_type level, so rare types survive sampling in expectation.
+    * Membership is a seeded hash threshold on the row key —
+    * md5_number_lower(seed:event_id) mod 1000 < fraction·1000 (unsigned) — which
+    * is (a) deterministic and ENGINE-INDEPENDENT (the SQL oracle replays
+    * the exact member set, unlike Spark's internal Bernoulli sampler),
+    * (b) a pure codegen'd scan predicate with no shuffle, and (c) free of
+    * the distinct-types driver collect the sampleBy formulation needed.
+    * ts is emitted as formatted text so the sampled relation is directly
+    * hash-comparable. */
   def stratifiedSample(spark: SparkSession, dir: String,
       fraction: Double = 0.1, seed: Long = 42L): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val types = ev.select("event_type").distinct()
-      .collect().map(_.getString(0))
-    ev.stat.sampleBy("event_type", types.map(_ -> fraction).toMap, seed)
+    val member = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
+        concat(lit(s"$seed:"), col("event_id").cast("string"))), 1000)) <
+      (fraction * 1000).toInt
+    Tables.events(spark, dir)
+      .where(member)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
   /** Deterministic sharded corpus shuffle — the global reorder a training

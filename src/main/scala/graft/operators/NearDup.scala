@@ -335,8 +335,11 @@ object NearDup {
       batchMod: Int = 10): DataFrame = {
     val base = word3Base(spark, dir)
     // deterministic batch membership (~1/batchMod of the corpus), so the
-    // query is reproducible and the "index" is the same rows every run
-    val isBatch = pmod(xxhash64(col("id")), lit(batchMod)) === 0
+    // query is reproducible and the "index" is the same rows every run;
+    // md5-based so the SQL oracle replays the exact member set
+    val isBatch = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
+        col("id").cast("string")), batchMod.toLong)) === 0
     dedupIncrementalFrom(base.where(isBatch), base.where(!isBatch), thr)
   }
 

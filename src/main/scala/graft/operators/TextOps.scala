@@ -173,13 +173,18 @@ object TextOps {
     */
   def docFingerprint(spark: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val fps = Bridge.column(graft.expressions.WinnowFingerprints(
+    val meta = Bridge.column(graft.expressions.WinnowMeta(
       Bridge.expression(TextFns.foldCase(col("text"))), k, w))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), fps.as("fps"))
+      // distinct-entity delivery contract, like every signature operator
+      .select(col("doc_id"), col("text")).distinct()
+      .select(col("doc_id"), meta.as("m"))
+      // md5 of the sorted fingerprint CSV — a digest both engines can
+      // recompute (xxhash64 of an ARRAY hashes Spark's internal layout,
+      // which no SQL oracle can mirror)
       .select(col("doc_id"),
-        xxhash64(col("fps")).as("fingerprint"),
-        size(col("fps")).cast("long").as("n_fingerprints"))
+        md5(col("m.fps_csv")).as("fingerprint"),
+        col("m.n_fps").as("n_fingerprints"))
   }
 
   /** Per-source PII exposure profile — the audit a corpus needs BEFORE

@@ -59,17 +59,17 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("native kernel projections stay inside whole-stage codegen") {
-    // embed_text now carries the distinct-entity exchange, so its plan is
+    // both queries carry the distinct-entity exchange, so their plans are
     // adaptive — codegen spans only render on the FINAL plan; execute
     // first, then assert the kernel projection landed inside a span
-    val df = SparkEntry.queries("embed_text")(spark, Sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("*("), s"embed projection must be codegen'd:\n$p")
-    assert(!p.contains("lambdafunction"),
-      s"embed stats must be kernel-computed, not interpreted HOFs:\n$p")
-    val fp = plan("doc_fingerprint")
-    assert(fp.contains("*("), s"fingerprint projection must be codegen'd:\n$fp")
+    Seq("embed_text", "doc_fingerprint").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q projection must be codegen'd:\n$p")
+      assert(!p.contains("lambdafunction"),
+        s"$q stats must be kernel-computed, not interpreted HOFs:\n$p")
+    }
   }
 
   test("search_entries plans a distributed TakeOrdered with pushed filters") {
