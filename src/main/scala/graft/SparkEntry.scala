@@ -359,7 +359,9 @@ object SparkEntry {
       s"SELECT vec_id, $b AS band, words[${b + 1}] AS word FROM w")
       .mkString("\n  UNION ALL ")
     s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  -- distinct vector entity: redelivered copies collapse BEFORE
+       |  -- banding/capping (mirrors lshSigs' distinctEntities)
+       |  SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
        |n AS (

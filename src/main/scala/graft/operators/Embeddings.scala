@@ -65,11 +65,13 @@ object Embeddings {
       cfg: graft.pipeline.GraftConfig = graft.pipeline.GraftConfig()): DataFrame = {
     val fields = cfg.embedFields.split(",").map(_.trim).filter(_.nonEmpty)
     require(fields.nonEmpty, s"embedFields must name at least one column: '${cfg.embedFields}'")
-    Tables.documents(spark, dir)
-      // at-least-once delivery collapses to the distinct document entity
-      // before embedding (same contract as the RAG consumers) — one
-      // embedding row per document, not per delivered copy
-      .select(col("doc_id") +: fields.map(col).toIndexedSeq: _*).distinct()
+    // at-least-once delivery collapses to the distinct document entity
+    // before embedding (same contract as the RAG consumers) — one
+    // embedding row per document, not per delivered copy; distinctEntities
+    // so the feature-hash kernel below fans out (Shuffles.scala)
+    graft.operators.Shuffles.distinctEntities(
+        Tables.documents(spark, dir)
+          .select(col("doc_id") +: fields.map(col).toIndexedSeq: _*))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.Bridge.column(
           graft.expressions.FeatureHashMeta(
@@ -331,7 +333,16 @@ object Embeddings {
   private def lshSigs(corpusDf: DataFrame, nBits: Int, bands: Int): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rowsPerBand = nBits / bands
-    val c = corpusDf
+    // at-least-once delivery collapses to the distinct vector entity
+    // BEFORE banding: a redelivered copy must not consume a hot-bucket
+    // cap slot (both engines cap keep-first-N by vec_id) or pollute the
+    // pair ranks the oracle derives from an id join — the Spark side's
+    // (qid, vec_id) groupBy collapses copies that the oracle's rank
+    // would otherwise count as separate neighbors. Same contract as the
+    // text signature bases. The exact-scan paths stay shuffle-free: their
+    // duplicate effects are order-deterministic and mirrored row-for-row
+    // by their oracles, so collapse there buys nothing.
+    val c = Shuffles.distinctEntities(corpusDf)
       .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"), col("label"))
     // deterministic hyperplanes: hash-seeded uniform in [-1, 1] — unit
     // norm is irrelevant for the sign test
@@ -610,8 +621,9 @@ object Embeddings {
     * of contract).
     */
   def ragContext(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source")).distinct()
+    val docs = graft.operators.Shuffles.distinctEntities(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source")))
       .select(col("doc_id"),
         embedCounts(concat_ws(" ", col("text"), col("source"))).as("c"))
       .withColumn("sd", aggregate(col("c"), lit(0L), (a, x) => a + x * x))

@@ -81,11 +81,39 @@ object NearDup {
   private val baseMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
+  /** Docs per cached-base partition (sig+keys ≈ 1.3 KB/doc, so this is
+    * ~64 MB partitions). The base is re-read ~6× per summary (key
+    * explode, count filter, two sig joins, left-join spine) and every
+    * re-read launches one task per cached partition — so the CACHE
+    * layout must track data volume, not the session's shuffle fan-out:
+    * a fixed 32-way layout makes each downstream stage pay full-fan
+    * task-launch overhead even for a few thousand docs, while one giant
+    * partition would serialize the signature kernels at build time. */
+  private val DocsPerBasePartition = 50000L
+
   private def memoBase(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // evict entries of stopped sessions — otherwise a long-lived JVM that
     // cycles sessions (test suites, notebooks) pins them forever
     baseMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    baseMemo.getOrElseUpdate((spark, key), build.persist())
+    baseMemo.getOrElseUpdate((spark, key), {
+      // Build wide, cache narrow: the kernel projection runs at full
+      // session parallelism (distinctEntities), then the persisted copy
+      // is compacted to a size-proportionate partition count. The count
+      // doubles as the cache's materialization action, and the compaction
+      // shuffle moves signatures, not text — ~1% of corpus bytes. At
+      // cluster scale (docs ≫ DocsPerBasePartition × parallelism) the
+      // compaction is a no-op and no second cache is built.
+      val wide = build.persist()
+      val n = wide.count()
+      val conf = spark.sessionState.conf.numShufflePartitions
+      val parts = math.max(1L, math.min(conf.toLong, n / DocsPerBasePartition + 1L)).toInt
+      if (parts < wide.rdd.getNumPartitions) {
+        val compact = wide.repartition(parts).persist()
+        compact.count()
+        wide.unpersist()
+        compact
+      } else wide
+    })
   }
 
   /** Unpersist and drop every signature base cached for `spark`. */
@@ -166,11 +194,14 @@ object NearDup {
   private def word3Base(spark: SparkSession, dir: String): DataFrame =
     memoBase(spark, s"word3:$dir") {
       val sh = wordShingles(col("text"), 3)
-      Tables.documents(spark, dir)
-        // at-least-once delivery collapses to the distinct document
-        // entity before signatures — a redelivered copy must not inflate
-        // band-key counts against the hot-bucket cap
-        .select(col("doc_id"), col("text")).distinct()
+      // at-least-once delivery collapses to the distinct document entity
+      // before signatures — a redelivered copy must not inflate band-key
+      // counts against the hot-bucket cap. distinctEntities, not a bare
+      // .distinct(): the signature kernels (and the persisted base every
+      // family member re-reads) must not inherit a byte-coalesced
+      // single-partition layout.
+      Shuffles.distinctEntities(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id").as("id"),
           minhashSig(sh, 128).as("sig"),
           minhashBandKeys(sh, 32, 4).as("keys"))
@@ -181,9 +212,10 @@ object NearDup {
     * (0.95 ≈ ≤3 differing bits). */
   def dedupSimhash(spark: SparkSession, dir: String, thr: Double = 0.95): DataFrame = {
     val base = memoBase(spark, s"simhash:$dir") {
-      Tables.documents(spark, dir)
-        // same distinct-entity contract as the word-3 base
-        .select(col("doc_id"), col("text")).distinct()
+      // same distinct-entity contract (and parallelism rationale) as the
+      // word-3 base
+      Shuffles.distinctEntities(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id").as("id"),
           simhashSig(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("sig"))
         // xxhash64 HASH-SKIPS a NULL argument rather than returning NULL,
@@ -248,18 +280,32 @@ object NearDup {
     */
   def dedupContainment(spark: SparkSession, dir: String, thr: Double = 0.8,
       k: Int = 5, w: Int = 4): DataFrame =
-    dedupContainmentFrom(Tables.documents(spark, dir), thr, k, w)
+    // the corpus path memoizes its fingerprint base like every other
+    // signature family member — the base is re-read ~5× downstream
+    containmentSummary(
+      memoBase(spark, s"winnow$k-$w:$dir") {
+        winnowBase(Tables.documents(spark, dir), k, w)
+      }, thr)
 
   private[graft] def dedupContainmentFrom(docs: DataFrame, thr: Double = 0.8,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4): DataFrame =
+    containmentSummary(winnowBase(docs, k, w), thr)
+
+  /** (id, fps, n_fps) winnow-fingerprint relation over distinct doc
+    * entities — the containment family's signature base. */
+  private def winnowBase(docs: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val fpsCol = Bridge.column(graft.expressions.WinnowFingerprints(
       Bridge.expression(TextFns.foldCase(col("text"))), k, w))
-    val base = docs
-      // same distinct-entity contract as the signature bases
-      .select(col("doc_id"), col("text")).distinct()
+    // same distinct-entity contract (and parallelism rationale) as the
+    // signature bases
+    Shuffles.distinctEntities(
+        docs.select(col("doc_id"), col("text")))
       .select(col("doc_id").as("id"), fpsCol.as("fps"))
       .withColumn("n_fps", size(col("fps")).cast("long"))
+  }
+
+  private def containmentSummary(base: DataFrame, thr: Double): DataFrame = {
     val ex = base.select(col("id"), explode(col("fps")).as("fp"))
     val fpCounts = ex.groupBy("fp").agg(count("*").as("fn"))
     val capped = ex.join(fpCounts.where(col("fn") <= MaxBucket), "fp")
@@ -521,9 +567,12 @@ object NearDup {
   def ngramJaccard(spark: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
     val base = memoBase(spark, s"char5:$dir") {
       val sh = charShingles(col("text"), 5)
-      Tables.documents(spark, dir)
-        // same distinct-entity contract as the word-3 base
-        .select(col("doc_id"), col("text")).distinct()
+      // same distinct-entity contract (and parallelism rationale) as the
+      // word-3 base — and the heaviest kernel of the family (~60× more
+      // grams per doc than word-3 shingles), so single-partition layout
+      // hurts most here
+      Shuffles.distinctEntities(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id").as("id"),
           minhashSig(sh, 128).as("sig"),
           minhashBandKeys(sh, 8, 8).as("keys"))

@@ -175,9 +175,11 @@ object TextOps {
     import org.apache.spark.sql.graft.Bridge
     val meta = Bridge.column(graft.expressions.WinnowMeta(
       Bridge.expression(TextFns.foldCase(col("text"))), k, w))
-    Tables.documents(spark, dir)
-      // distinct-entity delivery contract, like every signature operator
-      .select(col("doc_id"), col("text")).distinct()
+    // distinct-entity delivery contract, like every signature operator —
+    // with the same kernel-parallelism rationale as the NearDup bases
+    // (the winnow kernel grinds every char 5-gram of every doc)
+    graft.operators.Shuffles.distinctEntities(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), meta.as("m"))
       // md5 of the sorted fingerprint CSV — a digest both engines can
       // recompute (xxhash64 of an ARRAY hashes Spark's internal layout,
