@@ -273,6 +273,105 @@ object SparkEntry {
       |                false) AS is_spike
       |FROM w""".stripMargin.replace("SIGMA_LIT", sigma.toString)
 
+  /** Shared CTE prefix of the four multimodal oracles: the media-table
+    * twin (payload = utf-8 bytes of documents.text), the FNV-1a stub
+    * decode, and the real container-header branches — replayed over the
+    * hex rendering of the payload, since `CAST('0x…' AS BIGINT)` is the
+    * one blob-byte accessor DuckDB and a plain-SQL reading share.
+    *
+    * Only the GIF and RIFF/WAVE branches are replayed: a PNG payload
+    * starts 0x89 and a JPEG payload 0xFF, and neither byte can LEAD a
+    * valid UTF-8 sequence — a payload derived from a parquet string can
+    * therefore never enter those branches, in either engine (the Scala
+    * twins stay, for real binary media sources; spec-pinned with planted
+    * binary payloads in TextAndStreamSpec). The RIFF chunk walk is the
+    * Scala loop as a recursive CTE, including the clamp-to-end cursor
+    * and the fmt/data stop condition; the FNV seed is the engine's
+    * (1469598103934665603, [[graft.operators.Multimodal]]), folded
+    * unsigned mod 2^64 with the xor applied to the low byte only (h is
+    * always < 2^64 and the byte < 2^8, so the xor never reaches higher
+    * bits — HUGEINT has no native 64-bit xor). */
+  private def multimodalCtes: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+      |         encode(text) AS payload
+      |  FROM documents WHERE text IS NOT NULL),
+      |b AS (
+      |  SELECT media_id, kind, octet_length(payload) AS n, hex(payload) AS hx FROM m),
+      |f AS (
+      |  SELECT media_id,
+      |         list_reduce(
+      |           list_prepend(1469598103934665603::HUGEINT,
+      |             list_transform(range(0, n::INT),
+      |               i -> CAST('0x' || substr(hx, (i*2+1)::INT, 2) AS BIGINT)::HUGEINT)),
+      |           (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)) * 1099511628211)
+      |                     % 18446744073709551616::HUGEINT) AS hu
+      |  FROM b),
+      |s AS (
+      |  SELECT media_id, hu,
+      |         CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |              THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
+      |  FROM f),
+      |stub AS (
+      |  SELECT media_id, hu, hs,
+      |         (hs - ((hs % 1024 + 1024) % 1024)) / 1024 AS fd10,
+      |         (hs - ((hs % 1048576 + 1048576) % 1048576)) / 1048576 AS fd20
+      |  FROM s),
+      |riff AS (
+      |  SELECT media_id, n, hx, 12::BIGINT AS i, 0::BIGINT AS byte_rate, -1::BIGINT AS data_size
+      |  FROM b
+      |  WHERE n >= 12 AND substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+      |  UNION ALL
+      |  SELECT media_id, n, hx,
+      |         least(n::BIGINT, i + 8 + sz + (sz % 2)) AS i,
+      |         CASE WHEN is_fmt AND i + 20 <= n THEN br ELSE byte_rate END AS byte_rate,
+      |         CASE WHEN NOT is_fmt AND is_data THEN sz ELSE data_size END AS data_size
+      |  FROM (
+      |    SELECT *,
+      |           substr(hx, (i*2+1)::INT, 8) = '666D7420' AS is_fmt,
+      |           substr(hx, (i*2+1)::INT, 8) = '64617461' AS is_data,
+      |           CAST('0x' || substr(hx, ((i+4)*2+1)::INT, 2) AS BIGINT)
+      |             + 256 * CAST('0x' || substr(hx, ((i+5)*2+1)::INT, 2) AS BIGINT)
+      |             + 65536 * CAST('0x' || substr(hx, ((i+6)*2+1)::INT, 2) AS BIGINT)
+      |             + 16777216 * CAST('0x' || substr(hx, ((i+7)*2+1)::INT, 2) AS BIGINT) AS sz,
+      |           CASE WHEN i + 20 <= n THEN
+      |             CAST('0x' || substr(hx, ((i+16)*2+1)::INT, 2) AS BIGINT)
+      |               + 256 * CAST('0x' || substr(hx, ((i+17)*2+1)::INT, 2) AS BIGINT)
+      |               + 65536 * CAST('0x' || substr(hx, ((i+18)*2+1)::INT, 2) AS BIGINT)
+      |               + 16777216 * CAST('0x' || substr(hx, ((i+19)*2+1)::INT, 2) AS BIGINT)
+      |           ELSE 0 END AS br
+      |    FROM riff WHERE i + 8 <= n AND (byte_rate = 0 OR data_size < 0)) t),
+      |riff_fin AS (
+      |  SELECT media_id, byte_rate, data_size
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY media_id ORDER BY i DESC) AS rn FROM riff)
+      |  WHERE rn = 1),
+      |hdr AS (
+      |  SELECT b.media_id,
+      |         CASE
+      |           WHEN b.n >= 10 AND substr(b.hx, 1, 8) = '47494638' THEN struct_pack(
+      |             w := (CAST('0x' || substr(b.hx, 13, 2) AS BIGINT)
+      |                   + 256 * CAST('0x' || substr(b.hx, 15, 2) AS BIGINT))::INT,
+      |             h := (CAST('0x' || substr(b.hx, 17, 2) AS BIGINT)
+      |                   + 256 * CAST('0x' || substr(b.hx, 19, 2) AS BIGINT))::INT,
+      |             dur := 0::INT, fr := 1::INT)
+      |           WHEN r.byte_rate > 0 AND r.data_size >= 0 THEN struct_pack(
+      |             w := 0::INT, h := 0::INT,
+      |             dur := ((r.data_size * 1000) // r.byte_rate)::INT, fr := 0::INT)
+      |           ELSE NULL END AS hp
+      |  FROM b LEFT JOIN riff_fin r USING (media_id)),
+      |mm AS (
+      |  SELECT b.media_id, b.kind, b.n AS n_bytes, b.hx,
+      |         coalesce(hp.w, (64 + (stub.hu % 1024))::INT) AS width,
+      |         coalesce(hp.h, (64 + ((stub.fd10 % 1024 + 1024) % 1024))::INT) AS height,
+      |         coalesce(hp.dur, CASE WHEN b.kind = 'image' THEN 0
+      |              ELSE (1000 + ((stub.fd20 % 60000 + 60000) % 60000))::INT END) AS duration_ms,
+      |         coalesce(hp.fr, CASE b.kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+      |              ELSE 1 + CASE WHEN b.kind = 'image' THEN 0
+      |                   ELSE (1000 + ((stub.fd20 % 60000 + 60000) % 60000))::INT END // 1000 END) AS n_frames
+      |  FROM b JOIN stub USING (media_id)
+      |  LEFT JOIN (SELECT media_id, hp.* FROM hdr WHERE hp IS NOT NULL) hp USING (media_id))""".stripMargin
+
   private def ingestErrorsSql(sinceTs: String, untilTs: String,
       userLike: String, limit: Int): String =
     s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_us,
@@ -1530,6 +1629,62 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncrementalSql,
     "train_test_split" -> trainTestSplitSql,
     "doc_fingerprint" -> docFingerprintSql,
+
+    // multimodal family, hash-green (r12): byte-exact header-parse +
+    // FNV-stub twins over hex(payload) — see multimodalCtes
+    "multimodal_meta" -> (multimodalCtes + """
+      |SELECT media_id, kind, n_bytes, width, height, duration_ms, n_frames
+      |FROM mm""".stripMargin),
+
+    "multimodal_frames" -> (multimodalCtes + """,
+      |fx AS (
+      |  SELECT media_id, kind, duration_ms, n_frames,
+      |         unnest(range(0, n_frames)) AS frame_idx
+      |  FROM mm WHERE n_frames > 0)
+      |SELECT media_id, kind, frame_idx::INT AS frame_idx,
+      |       CASE WHEN n_frames > 1
+      |            THEN trunc((frame_idx * duration_ms) / (n_frames - 1))::BIGINT
+      |            ELSE 0::BIGINT END AS offset_ms
+      |FROM fx""".stripMargin),
+
+    // resizeStub arithmetic: Java int division on positive values = //;
+    // an empty payload truncates to Arrays.copyOf(payload, 1) = one NUL
+    // byte, hence the '00' hex fallback
+    "multimodal_resize" -> (multimodalCtes + """,
+      |rz AS (
+      |  SELECT media_id, kind, n_bytes, hx,
+      |         width AS w0, height AS h0,
+      |         greatest(1, greatest(width, height) // 256) AS scale
+      |  FROM mm),
+      |rz2 AS (
+      |  SELECT media_id, kind, w0, h0, hx, scale,
+      |         greatest(1, n_bytes // (scale * scale)) AS keep,
+      |         n_bytes AS orig_n
+      |  FROM rz)
+      |SELECT media_id, kind,
+      |       greatest(1, w0 // scale)::INT AS width,
+      |       greatest(1, h0 // scale)::INT AS height,
+      |       keep AS n_bytes,
+      |       md5(CASE WHEN orig_n = 0 THEN '00'
+      |                ELSE substr(hx, 1, (keep * 2)::INT) END) AS thumb_sig
+      |FROM rz2""".stripMargin),
+
+    "multimodal_features" -> (multimodalCtes + """,
+      |bl AS (
+      |  SELECT media_id, kind,
+      |         list_transform(range(0, n::INT),
+      |           i -> CAST('0x' || substr(hx, (i*2+1)::INT, 2) AS BIGINT)) AS bytes
+      |  FROM b),
+      |cnt AS (
+      |  SELECT media_id, kind,
+      |         list_transform(range(0, 64),
+      |           j -> len(list_filter(bytes, x -> x % 64 = j))::BIGINT) AS counts
+      |  FROM bl)
+      |SELECT media_id, kind,
+      |       len(list_filter(counts, c -> c > 0))::BIGINT AS n_nonzero_bins,
+      |       (list_position(counts, list_max(counts)) - 1)::BIGINT AS top_bin,
+      |       md5(array_to_string(counts, ',')) AS feat_sig
+      |FROM cnt""".stripMargin),
     "sample_stratified" -> sampleStratifiedSql,
 
     // greedy first-fit replayed in SQL: packing is blocked by 32-doc id

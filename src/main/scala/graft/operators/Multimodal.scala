@@ -182,8 +182,9 @@ object Multimodal {
   }
 
   /** Thumbnail pipeline: decode metadata + resize-stub in one batched
-    * per-partition pass; emits the reduced payload with updated dims. */
-  def multimodalResize(spark: SparkSession, dir: String, maxDim: Int = 256): DataFrame = {
+    * per-partition pass; emits the reduced payload with updated dims.
+    * Library API — the query wrapper below digests the binary column. */
+  def multimodalResizeRaw(spark: SparkSession, dir: String, maxDim: Int = 256): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
@@ -193,6 +194,16 @@ object Multimodal {
       }))
       .toDF("media_id", "kind", "width", "height", "n_bytes", "thumb")
   }
+
+  /** multimodal_resize query: raw thumbnail bytes folded to a driver-
+    * hashable digest — md5 over the UPPERCASE hex rendering, the one
+    * binary→text path both engines share byte-for-byte (an md5 over raw
+    * BLOB isn't portable SQL). The bytes themselves stay available via
+    * [[multimodalResizeRaw]]. */
+  def multimodalResize(spark: SparkSession, dir: String, maxDim: Int = 256): DataFrame =
+    multimodalResizeRaw(spark, dir, maxDim)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_bytes"), md5(hex(col("thumb"))).as("thumb_sig"))
 
   /** Feature vector for a payload: 64-bin byte histogram, L1-normalized —
     * the deterministic stand-in for an image/audio feature network, on the
@@ -208,31 +219,37 @@ object Multimodal {
   }
 
   /** Feature extraction over the binary payload. The query output is
-    * driver-hashable scalars — nonzero-bin count, dominant bin, and a
-    * stable FNV digest of the rounded vector — rather than the raw array
-    * (the driver's row-sort can't order array cells). */
+    * driver-hashable scalars — nonzero-bin count, dominant bin, and an
+    * md5 digest of the RAW INTEGER bin counts — rather than the raw
+    * array (the driver's row-sort can't order array cells). Counts, not
+    * the normalized doubles: integer-exact, so the digest is free of
+    * float-formatting concerns (Java's %.6f rounds HALF_UP, C printf
+    * rounds half-even — a digest over formatted doubles diverges between
+    * engines exactly on ties) and an SQL oracle recomputes it verbatim.
+    * The L1-normalized vector itself remains [[byteHistogram]]. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val hist = byteHistogram(m.payload)
+        val counts = new Array[Long](64)
+        var i = 0
+        while (i < m.payload.length) { counts((m.payload(i) & 0xff) % 64) += 1L; i += 1 }
         var nonzero = 0
         var top = 0
-        var sig = 1469598103934665603L
+        val sb = new java.lang.StringBuilder(64 * 3)
         var j = 0
         while (j < 64) {
-          if (hist(j) > 0) nonzero += 1
-          if (hist(j) > hist(top)) top = j
-          // Locale.ROOT: default-locale %f would digest "0,015625" on
-          // comma-decimal JVMs and break cross-env reproducibility
-          val s = String.format(java.util.Locale.ROOT, "%.6f", Double.box(hist(j)))
-          var c = 0
-          while (c < s.length) { sig = (sig ^ s.charAt(c)) * 1099511628211L; c += 1 }
+          if (counts(j) > 0) nonzero += 1
+          if (counts(j) > counts(top)) top = j
+          if (j > 0) sb.append(',')
+          sb.append(counts(j))
           j += 1
         }
-        (m.media_id, m.kind, nonzero.toLong, top.toLong, sig)
+        (m.media_id, m.kind, nonzero.toLong, top.toLong, sb.toString)
       }))
-      .toDF("media_id", "kind", "n_nonzero_bins", "top_bin", "feat_sig")
+      .toDF("media_id", "kind", "n_nonzero_bins", "top_bin", "counts_csv")
+      .select(col("media_id"), col("kind"), col("n_nonzero_bins"), col("top_bin"),
+        md5(col("counts_csv")).as("feat_sig"))
   }
 
   /** Frame sampling: explode the decode plan into per-frame rows with
