@@ -293,7 +293,10 @@ object SparkEntry {
     * bits — HUGEINT has no native 64-bit xor). */
   private def multimodalCtes: String =
     """WITH RECURSIVE m AS (
-      |  SELECT doc_id AS media_id,
+      |  -- distinct media entity: redelivered blobs collapse before decode
+      |  -- (mirrors mediaTable's distinctEntities; without it the
+      |  -- per-media_id joins below would MULTIPLY delivered copies)
+      |  SELECT DISTINCT doc_id AS media_id,
       |         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
       |         encode(text) AS payload
       |  FROM documents WHERE text IS NOT NULL),

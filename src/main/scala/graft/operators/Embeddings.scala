@@ -183,7 +183,15 @@ object Embeddings {
       : (DataFrame, DataFrame) = {
     // evict entries of stopped sessions (see NearDup.memoBase)
     ivfMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
-    ivfMemo.getOrElseUpdate((spark, dir, k), ivfAssignFrom(corpus(spark, dir), k))
+    // distinct vector entity before the fit (same delivery contract as
+    // lshSigs): a redelivered copy would otherwise weight the k-means
+    // sample, shift bucket means under embedding_outliers, and emit one
+    // output row per delivered copy in every IVF consumer. The id-equality
+    // guards downstream already prevent false dup FLAGS; this collapses
+    // the duplicate rows themselves. Fit + assignment are byte-identical
+    // on a clean corpus (distinct of unique rows is the identity).
+    ivfMemo.getOrElseUpdate((spark, dir, k),
+      ivfAssignFrom(Shuffles.distinctEntities(corpus(spark, dir)), k))
   }
 
   /** Direct (non-memoized) fit over an arbitrary corpus. The returned

@@ -104,15 +104,22 @@ object Multimodal {
   /** Synthesizes a media table from the corpus: utf-8 bytes stand in for
     * encoded media; kind cycles image/audio/video. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
-      // a NULL payload has nothing to decode: drop it at the scan, the
-      // batch-pipeline analog of a corrupt-object skip list — without
-      // this, the typed decode NPEs on the first missing blob
-      .where(col("payload").isNotNull)
+    // at-least-once delivery collapses to the distinct media entity
+    // before decode (the engine-wide contract): a redelivered blob must
+    // not decode twice — and the oracle's per-media_id joins would
+    // multiply delivered copies (2 copies → 4 joined rows) where the
+    // per-row pipeline emits 2. distinctEntities also gives the batched
+    // decode kernel-grade parallelism (Shuffles.scala).
+    graft.operators.Shuffles.distinctEntities(
+      Tables.documents(spark, dir).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+        // a NULL payload has nothing to decode: drop it at the scan, the
+        // batch-pipeline analog of a corrupt-object skip list — without
+        // this, the typed decode NPEs on the first missing blob
+        .where(col("payload").isNotNull))
 
   /** STUB decode fallback for payloads with no recognized container
     * signature — replace with a real JNI/native decoder in production.
