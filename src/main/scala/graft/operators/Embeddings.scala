@@ -183,15 +183,7 @@ object Embeddings {
       : (DataFrame, DataFrame) = {
     // evict entries of stopped sessions (see NearDup.memoBase)
     ivfMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
-    // distinct vector entity before the fit (same delivery contract as
-    // lshSigs): a redelivered copy would otherwise weight the k-means
-    // sample, shift bucket means under embedding_outliers, and emit one
-    // output row per delivered copy in every IVF consumer. The id-equality
-    // guards downstream already prevent false dup FLAGS; this collapses
-    // the duplicate rows themselves. Fit + assignment are byte-identical
-    // on a clean corpus (distinct of unique rows is the identity).
-    ivfMemo.getOrElseUpdate((spark, dir, k),
-      ivfAssignFrom(Shuffles.distinctEntities(corpus(spark, dir)), k))
+    ivfMemo.getOrElseUpdate((spark, dir, k), ivfAssignFrom(corpus(spark, dir), k))
   }
 
   /** Direct (non-memoized) fit over an arbitrary corpus. The returned
@@ -232,9 +224,19 @@ object Embeddings {
     val model = new KMeans().setK(kk).setSeed(42).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("bucket").fit(train)
     // consumers reference the assignment several times (probe join sides,
-    // near-dup pair sides) — persist so assignment runs once
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("emb"), col("label"), col("bucket"))
+    // near-dup pair sides) — persist so assignment runs once.
+    // distinctEntities: at-least-once delivery collapses to ONE assignment
+    // row per vector entity (a redelivered copy would otherwise emit one
+    // output row per delivered copy in every IVF consumer — the
+    // id-equality guards already prevent false dup flags). The collapse
+    // sits in the assignment, not before the FIT: an approximate
+    // quantizer tolerates redelivery weighting its sample, and collapsing
+    // here rides the persisted plan for free instead of forcing an extra
+    // persist/materialize cycle around the ~12 k-means jobs (which
+    // re-read their input per job). Byte-identical on a clean corpus.
+    val assigned = Shuffles.distinctEntities(
+        model.transform(feat)
+          .select(col("vec_id"), col("emb"), col("label"), col("bucket")))
       .persist()
     val cents = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     val centDf = spark.createDataFrame(cents).toDF("bucket", "cemb")
