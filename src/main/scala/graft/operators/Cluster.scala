@@ -21,16 +21,62 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** Edge-count gate below which components are solved with a driver-side
+    * union-find instead of the iterative propagation loop. The loop costs
+    * O(diameter) driver-synchronized rounds of two jobs each — pure
+    * latency when the dup GRAPH (edges above threshold, not the corpus)
+    * is small, which it almost always is: a mostly-unique corpus yields
+    * few verified near-dup pairs. A union-find over E edges is O(E·α(E))
+    * driver work and ONE collect of graph-sized data (1M edges ≈ 16 MB —
+    * the same class of driver bound as a broadcast threshold, and
+    * explicitly capped, unlike a corpus-sized collect). Graphs above the
+    * cap take the distributed loop; the labels are identical either way
+    * (min id of the component). */
+  val MaxDriverEdges: Long = 1000000L
+
   /** @param edges (id_a, id_b) undirected pairs
     * @param nodes one `id` column — universe of nodes (members of no edge
     *              become singleton clusters)
+    * @param driverEdgeCap override of [[MaxDriverEdges]] (specs force the
+    *                      distributed loop with 0)
     * @return (id, cluster) with cluster = min id of the component
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverEdgeCap: Long = MaxDriverEdges): DataFrame = {
+    val spark0 = edges.sparkSession
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // the count doubles as sym's cache materialization (the loop's first
+    // join would pay the same job), so the gate costs no extra pass
+    val nSym = sym.count()
+    if (nSym / 2 <= driverEdgeCap) {
+      val pairs = edges.select(col("id_a"), col("id_b")).collect()
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      pairs.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN ROOT, so the final root of every component is its
+        // smallest member — the same canonical label the loop converges to
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelRows = parent.keysIterator.map(id => (id, find(id))).toSeq
+      import spark0.implicits._
+      val labels = labelRows.toDF("id", "cluster")
+      val singletons = nodes.select(col("id")).distinct()
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("cluster", col("id"))
+      sym.unpersist()
+      return labels.unionAll(singletons)
+    }
     // Iterate over edge endpoints only: non-endpoint nodes are singleton
     // clusters by definition and would just ride through every round's
     // join unchanged — at corpus scale the propagation loop then costs
