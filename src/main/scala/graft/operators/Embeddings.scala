@@ -234,9 +234,15 @@ object Embeddings {
     // here rides the persisted plan for free instead of forcing an extra
     // persist/materialize cycle around the ~12 k-means jobs (which
     // re-read their input per job). Byte-identical on a clean corpus.
+    // Cache compacted to a size-proportionate partition count (same
+    // policy and rationale as NearDup.memoBase — every consumer re-read
+    // pays one task per cached partition); n is already counted above.
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(conf.toLong, n / 50000L + 1L)).toInt
     val assigned = Shuffles.distinctEntities(
         model.transform(feat)
           .select(col("vec_id"), col("emb"), col("label"), col("bucket")))
+      .repartition(parts)
       .persist()
     val cents = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     val centDf = spark.createDataFrame(cents).toDF("bucket", "cemb")
