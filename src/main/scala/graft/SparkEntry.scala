@@ -360,7 +360,7 @@ object SparkEntry {
       |             dur := 0::INT, fr := 1::INT)
       |           WHEN r.byte_rate > 0 AND r.data_size >= 0 THEN struct_pack(
       |             w := 0::INT, h := 0::INT,
-      |             dur := ((r.data_size * 1000) // r.byte_rate)::INT, fr := 0::INT)
+      |             dur := least((r.data_size * 1000) // r.byte_rate, 2147483647)::INT, fr := 0::INT)
       |           ELSE NULL END AS hp
       |  FROM b LEFT JOIN riff_fin r USING (media_id)),
       |mm AS (

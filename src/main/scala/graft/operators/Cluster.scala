@@ -37,8 +37,10 @@ object Cluster {
   /** @param edges (id_a, id_b) undirected pairs
     * @param nodes one `id` column — universe of nodes (members of no edge
     *              become singleton clusters)
-    * @param driverEdgeCap override of [[MaxDriverEdges]] (specs force the
-    *                      distributed loop with 0)
+    * @param driverEdgeCap override of [[MaxDriverEdges]]; a NEGATIVE cap
+    *                      means "always take the distributed loop" (the
+    *                      spec hook — 0 would still admit an EMPTY graph
+    *                      to the driver path, so it can't force the loop)
     * @return (id, cluster) with cluster = min id of the component
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
@@ -50,8 +52,18 @@ object Cluster {
     // the count doubles as sym's cache materialization (the loop's first
     // join would pay the same job), so the gate costs no extra pass
     val nSym = sym.count()
-    if (nSym / 2 <= driverEdgeCap) {
-      val pairs = edges.select(col("id_a"), col("id_b")).collect()
+    if (driverEdgeCap >= 0 && nSym / 2 <= driverEdgeCap) {
+      // collect from the MATERIALIZED sym cache, not the bare `edges`
+      // subtree: CacheManager matches plans structurally, so an
+      // edges.collect() would re-execute the whole upstream edge-producing
+      // pipeline (e.g. the near-dup pair verification join) a third time.
+      // sym carries each edge twice (both directions) — duplicates and
+      // reversed pairs are no-ops to the union-find. NULL endpoints are
+      // dropped to match the loop path, where a NULL id simply never
+      // joins (getLong on a NULL would NPE here, a failure mode the
+      // distributed path doesn't have).
+      val pairs = sym.where(col("src").isNotNull && col("dst").isNotNull)
+        .collect()
       val parent = new scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -237,13 +237,18 @@ object Embeddings {
     // Cache compacted to a size-proportionate partition count (same
     // policy and rationale as NearDup.memoBase — every consumer re-read
     // pays one task per cached partition); n is already counted above.
+    // CONDITIONAL, like memoBase: distinctEntities already leaves the
+    // relation at `conf` partitions, so when the corpus is big enough
+    // that parts == conf, a second repartition would be a full extra
+    // shuffle of the corpus-sized assignment that changes nothing.
     val conf = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(conf.toLong, n / 50000L + 1L)).toInt
-    val assigned = Shuffles.distinctEntities(
-        model.transform(feat)
-          .select(col("vec_id"), col("emb"), col("label"), col("bucket")))
-      .repartition(parts)
-      .persist()
+    val distinctAssigned = Shuffles.distinctEntities(
+      model.transform(feat)
+        .select(col("vec_id"), col("emb"), col("label"), col("bucket")))
+    val assigned =
+      (if (parts < conf) distinctAssigned.repartition(parts)
+       else distinctAssigned).persist()
     val cents = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     val centDf = spark.createDataFrame(cents).toDF("bucket", "cemb")
     (assigned, centDf)

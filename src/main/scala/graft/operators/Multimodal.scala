@@ -96,7 +96,13 @@ object Multimodal {
           i = if (next > p.length) p.length else next.toInt
         }
         if (byteRate > 0L && dataSize >= 0L)
-          Some((0, 0, (dataSize * 1000L / byteRate).toInt, 0))
+          // clamp, don't wrap: an adversarial data-chunk size near 2^32
+          // puts data_size*1000/byte_rate past Int.MaxValue, where a bare
+          // .toInt would wrap (possibly negative) and the SQL twin's ::INT
+          // cast would ERROR — both engines clamp to Int.MaxValue instead,
+          // one shared saturation rule for garbage headers
+          Some((0, 0, math.min(dataSize * 1000L / byteRate,
+            Int.MaxValue.toLong).toInt, 0))
         else None
       } else None
     } catch { case _: ArrayIndexOutOfBoundsException => None }

@@ -117,7 +117,11 @@ class TextAndStreamSpec extends AnyFunSuite {
       (4L, "audio", wav(16000, 32000)),       // 32000 B at 16 kB/s = 2000 ms
       (5L, "image", "not a container".getBytes("UTF-8")),
       (6L, "image", png(640, 480).take(20)),  // truncated: fallback, no throw
-      (7L, "audio", wavHuge)).                // corrupt size: fallback, no hang
+      (7L, "audio", wavHuge),                 // corrupt size: fallback, no hang
+      // duration overflow: 2^31-1 bytes at 1 B/s → 2.1e12 ms, past INT32.
+      // Both engines CLAMP to Int.MaxValue (the SQL twin's ::INT cast
+      // would error on the raw value; a bare .toInt would wrap negative)
+      (8L, "audio", wav(1, Int.MaxValue))).
       toDF("media_id", "kind", "payload")
     val meta = Multimodal.decodeMetaFrom(spark, media)
       .collect().map(m => m.media_id -> m).toMap
@@ -125,6 +129,8 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert((meta(2L).width, meta(2L).height) == ((800, 600)), s"jpeg: ${meta(2L)}")
     assert((meta(3L).width, meta(3L).height) == ((320, 200)), s"gif: ${meta(3L)}")
     assert(meta(4L).duration_ms == 2000 && meta(4L).n_frames == 0, s"wav: ${meta(4L)}")
+    assert(meta(8L).duration_ms == Int.MaxValue && meta(8L).n_frames == 0,
+      s"overflowing wav duration must clamp to Int.MaxValue: ${meta(8L)}")
     // unrecognized, truncated, and corrupt payloads take the fallback
     Seq(5L, 6L, 7L).foreach { id =>
       val m = media.where(col("media_id") === id).collect().head

@@ -417,13 +417,15 @@ class VectorSpec extends AnyFunSuite {
     // a 30-node chain has diameter 29: min-label propagation needs 29
     // rounds, so maxIter=20 must THROW (silent wrong labels would leak
     // near-dups across train_test_split), and maxIter=35 must converge.
-    // driverEdgeCap = 0 forces the distributed loop — the default gate
-    // would solve this graph driver-side and never iterate
+    // driverEdgeCap = -1 forces the distributed loop — the default gate
+    // would solve this graph driver-side and never iterate (0 is not the
+    // sentinel: an empty graph satisfies 0 <= 0 and would still take the
+    // driver path)
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val nodes = (0L to 29L).toDF("id")
     intercept[IllegalStateException] {
       graft.operators.Cluster.connectedComponents(chain, nodes,
-        maxIter = 20, driverEdgeCap = 0L).collect()
+        maxIter = 20, driverEdgeCap = -1L).collect()
     }
     // the DEFAULT path union-finds the same chain driver-side: same
     // labels, no iteration budget to exhaust
@@ -432,7 +434,7 @@ class VectorSpec extends AnyFunSuite {
     assert(ufLabels.values.toSet == Set(0L), s"union-find path: got $ufLabels")
     val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val cc = graft.operators.Cluster.connectedComponents(chain, nodes,
-        maxIter = 35, driverEdgeCap = 0L)
+        maxIter = 35, driverEdgeCap = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet == Set(0L), s"one component labeled 0, got $cc")
     // 29 propagation rounds must not leave 29 checkpointed label copies:
