@@ -223,6 +223,76 @@ object ScaleProbe {
       (lb, a, b)
     } else (null, 0.0, 0.0)
 
+    // IVF recall under corpus growth — the measured basis of the nprobe
+    // policy (Embeddings.autoNprobe): at each scale, recall@10 vs the
+    // exact scan for fixed nprobe=8 and for the fraction-of-k auto
+    // policy. Replicated vectors are JITTERED (deterministic per-element
+    // noise keyed on the new vec_id) — verbatim clones would hand every
+    // query N-1 trivial cosine-1.0 neighbors inside its own bucket and
+    // recall would measure nothing. Expectation: fixed-8 DECAYS as k
+    // grows (probes a shrinking fraction), auto holds roughly flat.
+    def jitter(df: DataFrame): DataFrame =
+      df.withColumn("emb", transform(col("emb"), (x, i) =>
+        x + lit(0.25) * sin(col("vec_id").cast("double") * lit(0.37) +
+          i.cast("double") * lit(1.13))))
+    def ivfRecall(c: DataFrame, tag: String): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val cc = c.persist(); cc.count()
+      // 100 hash-spread queries (ids < 100 of a replicated corpus would
+      // be jittered copies of a handful of originals — no diversity)
+      val q = cc.orderBy(pmod(xxhash64(col("vec_id")), lit(999983L)), col("vec_id"))
+        .limit(100)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb")).persist()
+      q.count()
+      val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      def sets(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("qid"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+      val exact = sets(cc.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(graft.functions.VecFns.cosine(col("emb"), col("qemb")), 6))
+        .withColumn("rk", row_number().over(byQ))
+        .where(col("rk") <= 10))
+      val (assigned, cents) = graft.operators.Embeddings.ivfAssignFrom(cc)
+      def recallOf(nprobe: Int): Double = {
+        val got = sets(graft.operators.Embeddings.ivfSearchOn(assigned, cents, q, nprobe))
+        val rs = exact.toSeq.map { case (qid, rel) =>
+          rel.count(got.getOrElse(qid, Set.empty)).toDouble / rel.size }
+        rs.sum / rs.size
+      }
+      println(f"PROBE ivf_recall $tag%-12s fixed8=${recallOf(8)}%.3f auto=${recallOf(0)}%.3f")
+      assigned.unpersist(); q.unpersist(); cc.unpersist()
+      ()
+    }
+    if (want("ivf_recall")) {
+      ivfRecall(emb1, "1x")
+      ivfRecall(jitter(embN), s"${factor}x")
+    }
+
+    // DURABLE IVF serving: a fixed query batch against 1x and Nx
+    // persisted indexes at fixed nprobe=8 — no fit on the timer (the
+    // index is persisted; that's the contract). Candidate volume per
+    // query is nprobe·(N/k) = nprobe·√N, so expected growth for Nx data
+    // is ~√N (≈4x at 16x), NOT linear — and nothing re-fits or rescans
+    // the un-probed buckets.
+    val ivfIdx1 = "/tmp/graft_probe_ivfidx1"
+    val ivfIdxN = "/tmp/graft_probe_ivfidxN"
+    val ivfQ = if (want("ivf_durable")) {
+      def buildIdx(c: DataFrame, path: String): Unit = {
+        val (assigned, cents) = graft.operators.Embeddings.ivfAssignFrom(c)
+        try graft.operators.Embeddings.writeIvfIndexFrom(assigned, cents, path)
+        finally { assigned.unpersist(); () }
+      }
+      buildIdx(emb1, ivfIdx1) // off-timer: built once, served many times
+      buildIdx(jitter(embN), ivfIdxN)
+      val qq = emb1.where(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb")).persist()
+      qq.count()
+      qq
+    } else null
+    def ivfServe(idx: String): DataFrame =
+      graft.operators.Embeddings.annIvfAgainst(spark, idx, ivfQ, nprobe = 8)
+
     // tf-idf: two linear pair-relation shuffles + rank-limit window; the
     // df aggregate+join and top-k must not hide a super-linear stage
     def tfidf(df: DataFrame): DataFrame =
@@ -265,6 +335,7 @@ object ScaleProbe {
       point("transitions")(time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       point("incr_dedup")(time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
       point("incr_durable")(time("incr_durable 1x")(incrDisk(idx1)), time(s"incr_durable ${factor}x")(incrDisk(idxN))),
+      point("ivf_durable")(time("ivf_durable 1x")(ivfServe(ivfIdx1)), time(s"ivf_durable ${factor}x")(ivfServe(ivfIdxN))),
       point("lasttouch_store")(lt1, ltN),
       point("sessionize")(time("sessionize 1x")(sess(ev1)), time(s"sessionize ${factor}x")(sess(evN))),
       point("windowed_agg")(time("windowed 1x")(windowed(ev1)), time(s"windowed ${factor}x")(windowed(evN))),
@@ -279,7 +350,7 @@ object ScaleProbe {
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }
-    Seq(corpus1, corpusN, batch, tinyBatch, ltBatch)
+    Seq(corpus1, corpusN, batch, tinyBatch, ltBatch, ivfQ)
       .filter(_ != null).foreach(_.unpersist())
     spark.stop()
   }

@@ -46,8 +46,15 @@ object Cluster {
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 20, driverEdgeCap: Long = MaxDriverEdges): DataFrame = {
     val spark0 = edges.sparkSession
+    // NULL endpoints are dropped HERE, once, so both solver paths see the
+    // same graph by construction: a NULL id can never name a component
+    // member — the loop's equi-joins would silently never match it (while
+    // still emitting a meaningless (NULL, NULL) label row), and the
+    // driver path's getLong would NPE. One filter, one contract, and
+    // small- and large-graph paths fail (or rather: don't) identically.
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .persist()
     // the count doubles as sym's cache materialization (the loop's first
     // join would pay the same job), so the gate costs no extra pass
@@ -58,12 +65,8 @@ object Cluster {
       // edges.collect() would re-execute the whole upstream edge-producing
       // pipeline (e.g. the near-dup pair verification join) a third time.
       // sym carries each edge twice (both directions) — duplicates and
-      // reversed pairs are no-ops to the union-find. NULL endpoints are
-      // dropped to match the loop path, where a NULL id simply never
-      // joins (getLong on a NULL would NPE here, a failure mode the
-      // distributed path doesn't have).
-      val pairs = sym.where(col("src").isNotNull && col("dst").isNotNull)
-        .collect()
+      // reversed pairs are no-ops to the union-find.
+      val pairs = sym.collect()
       val parent = new scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -333,10 +333,18 @@ object Embeddings {
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 0, nprobe: Int = 0): DataFrame = {
     val (assigned, centDf) = ivfAssign(spark, dir, k)
-    val eff = if (nprobe > 0) nprobe else autoNprobe(centDf.count())
     val q = assigned.where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-    rankProbed(assigned, probesOf(q, centDf, eff), topK = 10)
+    ivfSearchOn(assigned, centDf, q, nprobe)
+  }
+
+  /** The search core over an existing assignment — queries are explicit
+    * (qid, qemb); `nprobe <= 0` = the [[autoNprobe]] policy. Exposed for
+    * the scale probes, which fit once and search at several settings. */
+  private[graft] def ivfSearchOn(assigned: DataFrame, centDf: DataFrame,
+      q: DataFrame, nprobe: Int = 0, topK: Int = 10): DataFrame = {
+    val eff = if (nprobe > 0) nprobe else autoNprobe(centDf.count())
+    rankProbed(assigned, probesOf(q, centDf, eff), topK)
   }
 
   // ---- durable IVF index ----------------------------------------------

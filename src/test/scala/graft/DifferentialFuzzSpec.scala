@@ -436,4 +436,63 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       assert(out == ref, s"seed=$seed:\n spark=$out\n ref=$ref")
     }
   }
+
+  test("connected components: driver union-find and distributed loop agree " +
+      "byte-for-byte on adversarial graphs") {
+    import spark.implicits._
+    // The oracle gate pins the driver path on ONE fixed corpus; this
+    // varies the graph shape — chain diameters at the iteration budget,
+    // cliques, duplicate/reversed edges, self-loops, forests — and
+    // asserts the two solvers produce IDENTICAL (id, cluster) labels.
+    // A divergence here is silent train/eval leakage downstream
+    // (train_test_split groups by these labels).
+    def labelsOf(edges: Seq[(Long, Long)], nodes: Seq[Long],
+        cap: Long): Map[Long, Long] =
+      graft.operators.Cluster.connectedComponents(
+        edges.toDF("id_a", "id_b"), nodes.toDF("id"),
+        maxIter = 60, driverEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def check(name: String, edges: Seq[(Long, Long)], nodes: Seq[Long]): Unit = {
+      val uf = labelsOf(edges, nodes, cap = Long.MaxValue)
+      val loop = labelsOf(edges, nodes, cap = -1L)
+      assert(uf == loop, s"$name: solvers disagree\n uf=$uf\n loop=$loop")
+      // and straddle the gate itself: a cap exactly at / just under the
+      // edge count routes the same graph down different paths
+      if (edges.nonEmpty) {
+        val at = labelsOf(edges, nodes, cap = edges.size.toLong)
+        val under = labelsOf(edges, nodes, cap = math.max(0L, edges.size.toLong - 1))
+        assert(at == uf && under == uf, s"$name: cap-straddling paths disagree")
+      }
+      ()
+    }
+    check("chain40", (0L until 40L).map(i => (i, i + 1)), 0L to 41L)
+    check("clique12",
+      for { a <- 0L until 12L; b <- 0L until 12L if a < b } yield (a, b),
+      0L until 12L)
+    check("dups+reversed+selfloops",
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (4L, 3L), (2L, 3L),
+        (5L, 5L), (6L, 6L)),
+      0L to 7L)
+    check("empty", Seq.empty, 0L to 4L)
+    for (seed <- 31 to 35) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(40)
+      val edges = Seq.fill(10 + rnd.nextInt(50))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      check(s"random$seed", edges, 0L until n.toLong)
+    }
+    // NULL endpoints: dropped identically by both paths (a NULL id can't
+    // name a component member); the NULL-involving real ids fall back to
+    // singletons unless another edge connects them
+    val nullEdges = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+      (Some(4L), None), (Some(4L), Some(5L)))
+      .toDF("id_a", "id_b")
+    Seq(Long.MaxValue, -1L).foreach { cap =>
+      val out = graft.operators.Cluster.connectedComponents(
+        nullEdges, (0L to 5L).toDF("id"), maxIter = 60, driverEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L,
+        4L -> 4L, 5L -> 4L), s"cap=$cap: $out")
+    }
+  }
 }

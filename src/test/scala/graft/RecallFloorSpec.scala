@@ -10,8 +10,17 @@ import graft.sources.Tables
 
 /** Corpus-wide recall floors for every BLOCKED similarity path, measured
   * against the exact twin at sf0.01 (500 vectors / 500 documents — the
-  * all-pairs ground truth is cheap here and the blocking parameters are
-  * scale-free probabilities, so a floor measured at this size transfers).
+  * all-pairs ground truth is cheap here).
+  *
+  * Transfer caveat: the LSH/MinHash/SimHash floors DO transfer with
+  * corpus growth (per-pair band-collision probability is a function of
+  * the pair's similarity alone — corpus-free), but the IVF floor does
+  * NOT: √N centroids grow with the corpus while a fixed nprobe probes a
+  * shrinking fraction of them, so IVF recall at a fixed setting decays
+  * as the corpus grows. The sf0.1 test below measures that decay
+  * directly and pins the fraction-of-k nprobe policy
+  * ([[graft.operators.Embeddings.autoNprobe]]) that holds recall
+  * roughly constant in corpus size.
   *
   * Why this spec exists: the blocked paths (IVF probing, LSH banding,
   * MinHash banding, SimHash chunking) are rows-only in the oracle gate —
@@ -27,20 +36,23 @@ import graft.sources.Tables
 class RecallFloorSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   private val Sf = "/root/testdata/sf0.01"
+  private val SfBig = "/root/testdata/sf0.1"
 
   /** The operators' own corpus contract (Embeddings.corpus): valid
     * embeddings only, doubled. */
-  private def corpusDf: DataFrame =
-    Tables.embeddings(spark, Sf)
+  private def corpusAt(dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .where(col("embedding").isNotNull && Embeddings.validEmb(col("embedding")))
       .select(col("vec_id"), VecFns.toDouble(col("embedding")).as("emb"),
         col("label"))
 
+  private def corpusDf: DataFrame = corpusAt(Sf)
+
   /** Exact cosine top-k per query under the SAME candidate contract as
     * the approximate operators (queries = vec_id < 100, candidates =
     * whole corpus minus self, sim rounded to 6, ties on vec_id asc). */
-  private def exactCosineTop(k: Int): Map[Long, Seq[(Long, Double)]] = {
-    val c = corpusDf
+  private def exactCosineTop(k: Int, dir: String = Sf): Map[Long, Seq[(Long, Double)]] = {
+    val c = corpusAt(dir)
     val q = c.where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
@@ -61,24 +73,57 @@ class RecallFloorSpec extends AnyFunSuite {
       .groupBy(_.getLong(0))
       .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
 
+  private def ivfRecallAt(dir: String, nprobe: Int,
+      exact: Map[Long, Seq[(Long, Double)]]): Double = {
+    val ivf = retrievedSets(Embeddings.annIvf(spark, dir, nprobe = nprobe))
+    val recalls = exact.toSeq.map { case (qid, top) =>
+      val got = ivf.getOrElse(qid, Set.empty)
+      top.count(t => got(t._1)).toDouble / top.size
+    }
+    assert(recalls.size == 100, "every query must be measured")
+    recalls.sum / recalls.size
+  }
+
   test("ann_ivf recall@10 vs the exact scan holds its floor") {
     val exact = exactCosineTop(10)
-    def recallAt(nprobe: Int): Double = {
-      val ivf = retrievedSets(Embeddings.annIvf(spark, Sf, nprobe = nprobe))
-      val recalls = exact.toSeq.map { case (qid, top) =>
-        val got = ivf.getOrElse(qid, Set.empty)
-        top.count(t => got(t._1)).toDouble / top.size
-      }
-      assert(recalls.size == 100, "every query must be measured")
-      recalls.sum / recalls.size
-    }
-    val r4 = recallAt(4)
-    val r8 = recallAt(8) // the registry default
-    info(f"ann_ivf mean recall@10: nprobe=4 -> $r4%.4f, nprobe=8 -> $r8%.4f")
-    // measured r12: 0.548 / 0.789 — the curve that set the default to 8
+    val r4 = ivfRecallAt(Sf, 4, exact)
+    val r8 = ivfRecallAt(Sf, 8, exact)
+    // nprobe=0 = the fraction-of-k auto policy (the registry default);
+    // at sf0.01 k≈22 so auto resolves to the floor of 8 — identical
+    // retrieval, asserted rather than assumed
+    val rAuto = ivfRecallAt(Sf, 0, exact)
+    info(f"ann_ivf mean recall@10 at sf0.01: nprobe=4 -> $r4%.4f, " +
+      f"nprobe=8 -> $r8%.4f, auto -> $rAuto%.4f")
+    // measured r12: 0.548 / 0.789 — the curve that set the floor to 8
     assert(r8 >= r4, f"recall must be monotone in nprobe: $r8%.4f < $r4%.4f")
     assert(r4 >= 0.45, f"IVF recall@10 (nprobe=4) regressed: $r4%.4f")
-    assert(r8 >= 0.70, f"IVF recall@10 (nprobe=8, the default) regressed: $r8%.4f")
+    assert(r8 >= 0.70, f"IVF recall@10 (nprobe=8) regressed: $r8%.4f")
+    assert(rAuto >= r8, f"the auto policy must not retrieve less than " +
+      f"nprobe=8 at this scale: $rAuto%.4f < $r8%.4f")
+  }
+
+  test("ann_ivf at sf0.1: fixed nprobe decays with corpus growth, the " +
+      "fraction-of-k policy holds the floor") {
+    // THE measurement the sf0.01 floor cannot give: at sf0.1 the fit
+    // picks k≈71 centroids (√5000), so fixed nprobe=8 probes ~11% of the
+    // index where it probed ~36% at sf0.01 — recall at a FIXED setting
+    // must be expected to fall, and this quantifies by how much. The
+    // auto policy (⌈k/4⌉ = 18 here) probes the same ~25% fraction at
+    // every scale and must hold the sf0.01-class floor.
+    val exact = exactCosineTop(10, SfBig)
+    val rFixed = ivfRecallAt(SfBig, 8, exact)
+    val rAuto = ivfRecallAt(SfBig, 0, exact)
+    info(f"ann_ivf mean recall@10 at sf0.1: nprobe=8 (fixed) -> $rFixed%.4f, " +
+      f"auto (fraction-of-k) -> $rAuto%.4f")
+    assert(rAuto >= rFixed,
+      f"fraction-of-k must dominate the fixed setting it generalizes: " +
+        f"$rAuto%.4f < $rFixed%.4f")
+    // the auto policy's floor at 10x the corpus — the recall-stability
+    // claim itself. Fixed-8 gets a lower floor: it is the documented
+    // latency-stable mode, not the quality default, but a collapse would
+    // still mean the bucket geometry broke.
+    assert(rAuto >= 0.70, f"auto-nprobe recall@10 regressed at sf0.1: $rAuto%.4f")
+    assert(rFixed >= 0.40, f"fixed-nprobe recall@10 collapsed at sf0.1: $rFixed%.4f")
   }
 
   test("ann_lsh recall on close neighbors holds; multiprobe dominates exact banding") {
