@@ -330,4 +330,66 @@ class SignatureLawsSpec extends AnyFunSuite {
         s"template cluster must not pair quadratically: $tmplPairs")
     } finally { base.unpersist(); () }
   }
+
+  test("boilerplate pair bound holds at bench scale (10x corpus)") {
+    import spark.implicits._
+    // The 1,000-doc bound above is asserted at sf0.01 size; bucket COUNT
+    // grows with the corpus while the hot-bucket cap is per-bucket, so
+    // this replays the same executed-plan assertion on an sf0.1-sized
+    // replica (10,000 docs, same 30% template / 5% clone mix). Two
+    // things change at this size, both by design:
+    //  - the clone cluster is now 500 byte-identical docs, so its band
+    //    keys cross MaxBucket=64 and are DROPPED like the template's —
+    //    pairwise LSH refuses EVERY quadratic cluster regardless of
+    //    whether it's boilerplate or clones; identical docs are
+    //    dedup_exact's job, which runs first in the pipeline.
+    //  - genuine near-dup PAIRS (the workload LSH exists for) must still
+    //    be found: 100 planted pairs with ~1-token diffs, keys kn=2.
+    // The pair bound itself must NOT scale with the corpus: same 10k
+    // ceiling as the 1x test.
+    val boiler = Seq.fill(3)("release checklist all systems nominal " +
+      "heartbeat check completed status green no anomalies detected in " +
+      "the last collection window escalation not required on call " +
+      "rotation unchanged dashboards quiet").mkString(" ")
+    val clone = "identical boilerplate banner line repeated verbatim " +
+      "across the whole fleet every shard every zone"
+    val r = rng(17)
+    val pairBase = (0 until 100).map(g =>
+      g -> Seq.fill(30)(s"p${g}x${r.nextInt(100000)}").mkString(" ")).toMap
+    val docs = (0 until 10000).map { i =>
+      val text =
+        if (i % 100 == 13) pairBase(i / 100)
+        else if (i % 100 == 14) pairBase(i / 100) + " tail"
+        else if (i % 20 == 7) clone
+        else if (i % 10 < 3) s"$boiler unit $i of fleet ${i % 7}"
+        else Seq.fill(30)(s"w${r.nextInt(1000000)}").mkString(" ")
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val sh = NearDup.wordShingles(col("text"), 3)
+    val base = docs.repartition(4).select(col("id"),
+      NearDup.minhashSig(sh, 128).as("sig"),
+      NearDup.minhashBandKeys(sh, 32, 4).as("keys")).persist()
+    try {
+      val nPairs = NearDup.scoredPairs(base, NearDup.minhashJaccard).count()
+      info(s"10x boiler corpus: $nPairs candidate pairs (bound 10000; " +
+        "uncapped template cluster alone would be C(3000,2) = 4,498,500)")
+      assert(nPairs <= 10000,
+        s"pair bound must not scale with the corpus: $nPairs at 10x")
+      assert(nPairs >= 100, s"planted pairs must survive: $nPairs")
+      val summary = NearDup.lshSummary(base, NearDup.minhashJaccard, 0.8)
+      val planted = summary.where(col("doc_id") % 100 === 13 ||
+        col("doc_id") % 100 === 14)
+      assert(planted.count() == 200)
+      assert(planted.where(col("is_dup")).count() == 200,
+        "every planted near-dup pair member must be flagged")
+      // the oversized clone cluster is REFUSED (hot keys dropped) — the
+      // documented escalation boundary to dedup_exact, asserted so it
+      // can't silently change shape
+      val cloneFlags = summary.where(col("doc_id") % 20 === 7 &&
+        col("doc_id") % 100 =!= 13 && col("doc_id") % 100 =!= 14)
+      assert(cloneFlags.where(col("n_candidates") > 0).count() == 0,
+        "a 500-copy clone cluster crosses the cap and must be refused " +
+          "(dedup_exact's job), not partially paired")
+    } finally { base.unpersist(); () }
+  }
 }
