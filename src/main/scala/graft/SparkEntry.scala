@@ -151,6 +151,10 @@ object SparkEntry {
     "rag_context"           -> (Embeddings.ragContext _),
     "ann_cosine_topk"       -> (Embeddings.annCosineTopK _),
     "ann_ivf"               -> ((s: SparkSession, d: String) => Embeddings.annIvf(s, d)),
+    // the seeded-quantizer IVF: same probe/cap/rank machinery with
+    // deterministically sampled centroids — the one IVF path whose
+    // BLOCKING geometry the oracle replays value-for-value
+    "ann_ivf_seeded"        -> ((s: SparkSession, d: String) => Embeddings.annIvfSeeded(s, d)),
     "ann_lsh"               -> ((s: SparkSession, d: String) => Embeddings.annLsh(s, d)),
     "ann_lsh_multiprobe"    -> ((s: SparkSession, d: String) =>
                                   Embeddings.annLsh(s, d, hammingProbes = 8)),
@@ -178,8 +182,9 @@ object SparkEntry {
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
-    // the embedding-space complement (paraphrase leakage); rows-only —
-    // rides the k-means fit — with a planted-leak spec
+    // the embedding-space complement (paraphrase leakage); blocked on
+    // the SEEDED quantizer since r13, so the whole screen — seed choice,
+    // argmin assignment, cap, verdicts — is oracle-hash-verified
     "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
       Embeddings.decontaminateSemantic(s, d)),
     // the exact-scan escalation of the above (no k-means blocking, so no
@@ -432,6 +437,46 @@ object SparkEntry {
        |  SELECT day, string_agg(line, chr(10)
        |           ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS report
        |  FROM k WHERE rn <= $maxLines GROUP BY 1)""".stripMargin
+
+  /** VecFns.cosine mirrored token-for-token: the norm product computed
+    * ONCE and compared to zero (a zero vector scores 0.0, never 0/0),
+    * sqrt(dot)·sqrt(dot) in the kernel's exact op order — bit-identical
+    * doubles, like the other exact vector oracles. */
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 " +
+      s"THEN 0.0 ELSE list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"
+
+  /** Shared CTE chain of the seeded-quantizer oracles (mirror of
+    * [[graft.operators.Embeddings.seededAssign]]): valid corpus →
+    * k = min(n, max(16, ⌈√n⌉)) → seeds = the k ids smallest by
+    * md5 mod 2^61−1 (the unsigned-mod form, so both engines order
+    * identically) → argmin-L2 assignment with zip−subtract−dot mirroring
+    * VecL2Sq's op order and ties to the smaller bucket, exactly like the
+    * min-struct argmin. */
+  private def seededAssignCte: String =
+    s"""c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
+      |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
+      |kk AS (
+      |  SELECT least(count(*), greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM c),
+      |seeds AS (
+      |  SELECT bucket, ce FROM (
+      |    SELECT CAST(row_number() OVER (
+      |             ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)) % 2305843009213693951,
+      |                      vec_id) AS INT) - 1 AS bucket,
+      |           e AS ce
+      |    FROM c) WHERE bucket < (SELECT k FROM kk)),
+      |a0 AS (
+      |  SELECT c.vec_id, c.e, c.label, s.bucket,
+      |         list_dot_product(list_transform(list_zip(c.e, s.ce), x -> x[1] - x[2]),
+      |                          list_transform(list_zip(c.e, s.ce), x -> x[1] - x[2])) AS cdist
+      |  FROM c, seeds s),
+      |assign AS (
+      |  SELECT vec_id, e, label, bucket FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, bucket) AS ark FROM a0)
+      |  WHERE ark = 1)""".stripMargin
 
   /** The ann_lsh / ann_lsh_multiprobe oracle (mirror of
     * [[graft.operators.Embeddings.annLsh]]): the hyperplanes are
@@ -1573,6 +1618,55 @@ object SparkEntry {
     // driver constants, so the banding geometry is fully SQL-expressible
     "ann_lsh" -> annLshSql(hammingProbes = 0),
     "ann_lsh_multiprobe" -> annLshSql(hammingProbes = 8),
+
+    // the seeded-quantizer IVF paths, hash-green (r13): centroids are a
+    // deterministic md5-ordered corpus sample, so the ENTIRE pipeline —
+    // seed choice, argmin assignment, probe selection, hot-bucket cap,
+    // in-bucket cosine rank — replays in SQL (the k-means paths stay
+    // rows-only by nature; this is the same machinery on verifiable
+    // centroids)
+    "ann_ivf_seeded" ->
+      s"""WITH $seededAssignCte,
+        |np AS (SELECT greatest(8, CAST(ceil(k * 0.25) AS BIGINT)) AS nprobe FROM kk),
+        |q0 AS (SELECT vec_id AS qid, e AS qe FROM assign WHERE vec_id < 100),
+        |p0 AS (
+        |  SELECT q.qid, q.qe, s.bucket,
+        |         list_dot_product(list_transform(list_zip(q.qe, s.ce), x -> x[1] - x[2]),
+        |                          list_transform(list_zip(q.qe, s.ce), x -> x[1] - x[2])) AS cdist
+        |  FROM q0 q, seeds s),
+        |probes AS (
+        |  SELECT qid, qe, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, bucket) AS crk FROM p0)
+        |  WHERE crk <= (SELECT nprobe FROM np)),
+        |capped AS (
+        |  SELECT vec_id, e, bucket FROM (
+        |    SELECT vec_id, e, bucket, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+        |    FROM assign) WHERE bn <= 1024),
+        |s1 AS (
+        |  SELECT p.qid, a.vec_id, round(${cosSql("a.e", "p.qe")}, 6) AS sim
+        |  FROM capped a JOIN probes p USING (bucket) WHERE a.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s1)
+        |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin,
+
+    "decontaminate_semantic" ->
+      s"""WITH $seededAssignCte,
+        |evr AS (
+        |  SELECT eval_id, er, bucket FROM (
+        |    SELECT vec_id AS eval_id, e AS er, bucket,
+        |           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+        |    FROM assign WHERE vec_id % 10 = 0) WHERE bn <= 1024),
+        |tr AS (SELECT vec_id, e, bucket FROM assign WHERE vec_id % 10 <> 0),
+        |s1 AS (
+        |  SELECT t.vec_id, ev.eval_id, round(${cosSql("t.e", "ev.er")}, 6) AS sim
+        |  FROM tr t JOIN evr ev USING (bucket) WHERE t.vec_id <> ev.eval_id),
+        |best AS (
+        |  SELECT vec_id, eval_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk
+        |    FROM s1) WHERE rk = 1)
+        |SELECT t.vec_id, t.bucket, b.eval_id, b.sim AS eval_sim,
+        |       coalesce(b.sim >= 0.95, false) AS is_contaminated
+        |FROM tr t LEFT JOIN best b USING (vec_id)""".stripMargin,
 
     "vector_knn" ->
       s"""WITH c AS (

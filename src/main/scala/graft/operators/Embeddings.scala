@@ -174,6 +174,9 @@ object Embeddings {
     ivfMemo.filterInPlace { case ((s, _, _), (assigned, _)) =>
       if (s eq spark) { assigned.unpersist(); false } else true
     }
+    seededMemo.filterInPlace { case ((s, _), (assigned, _)) =>
+      if (s eq spark) { assigned.unpersist(); false } else true
+    }
     lshMemo.filterInPlace { case ((s, _), df) =>
       if (s eq spark) { df.unpersist(); false } else true
     }
@@ -345,6 +348,76 @@ object Embeddings {
       q: DataFrame, nprobe: Int = 0, topK: Int = 10): DataFrame = {
     val eff = if (nprobe > 0) nprobe else autoNprobe(centDf.count())
     rankProbed(assigned, probesOf(q, centDf, eff), topK)
+  }
+
+  // ---- deterministic seeded quantizer ---------------------------------
+
+  /** Seeded-sample coarse quantizer: IVF with deterministically SAMPLED
+    * centroids instead of a k-means fit — equivalently, k-means at zero
+    * iterations. Centroids are the k corpus vectors with the smallest
+    * md5(vec_id) (a seeded uniform sample BOTH engines can name;
+    * density-adaptive, since dense regions contribute proportionally
+    * more sample points), bucket id = md5 rank. Everything downstream —
+    * probe selection, hot-bucket cap, in-bucket cosine rank — is the
+    * SAME machinery as the fitted path, but the whole operator is now a
+    * pure function of the corpus, so the DuckDB oracle replays it
+    * value-for-value where the k-means path is rows-only by nature.
+    *
+    * The trade is centroid quality: a sample doesn't minimize
+    * within-bucket variance, so recall at equal nprobe sits a few points
+    * below the fitted quantizer (measured side-by-side in
+    * RecallFloorSpec). The fitted path stays the ANN quality default;
+    * this is the reproducibility/verifiability point on the same curve —
+    * and at 100 TB it also skips the k-means fit entirely (the seed
+    * selection is one distributed top-k, no iterations).
+    */
+  private[graft] def seededAssign(c: DataFrame, k: Int = 0): (DataFrame, DataFrame) = {
+    val spark = c.sparkSession
+    val n = c.count()
+    if (n == 0L) {
+      val assigned = c.select(col("vec_id"), col("emb"), col("label"),
+        lit(0).as("bucket")).persist()
+      return (assigned, spark.createDataFrame(
+        Seq.empty[(Int, Array[Double])]).toDF("bucket", "cemb"))
+    }
+    val kk = if (k > 0) math.min(k.toLong, n).toInt
+      else math.min(n, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    // md5 mod 2^61-1 (the signature family's modulus), NOT the raw
+    // md5_number_lower: the kernel returns the SIGNED reinterpretation
+    // while the oracle's native value is unsigned, so a raw ORDER BY
+    // would disagree for digests ≥ 2^63 — the unsigned-mod form orders
+    // identically on both engines (all values < 2^61)
+    val md5OfId = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
+        col("vec_id").cast("string")), graft.expressions.SigUtil.P))
+    // distributed TakeOrdered picks the k seeds; the rank window then
+    // runs on a k-row relation (dimension-sized, like a broadcast dim)
+    val cents = c.select(col("vec_id"), col("emb"), md5OfId.as("m"))
+      .orderBy(col("m"), col("vec_id")).limit(kk)
+      .select((row_number().over(Window.orderBy(col("m"), col("vec_id"))) - 1)
+        .as("bucket"), col("emb").as("cemb"))
+    val assigned = assignAgainst(c, cents).persist()
+    (assigned, cents)
+  }
+
+  /** Session memo of the seeded assignment (decontaminate_semantic and
+    * ann_ivf_seeded share it), mirroring [[ivfAssign]]. */
+  private val seededMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]
+
+  private def seededAssignFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    seededMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    seededMemo.getOrElseUpdate((spark, dir), seededAssign(corpus(spark, dir)))
+  }
+
+  /** IVF ANN over the seeded quantizer — same probe/cap/rank machinery
+    * as [[annIvf]], oracle-hash-verified end to end (the one ANN path
+    * where even the BLOCKING geometry is replayed in SQL). */
+  def annIvfSeeded(spark: SparkSession, dir: String, nprobe: Int = 0): DataFrame = {
+    val (assigned, cents) = seededAssignFor(spark, dir)
+    val q = assigned.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    ivfSearchOn(assigned, cents, q, nprobe)
   }
 
   // ---- durable IVF index ----------------------------------------------
@@ -707,17 +780,26 @@ object Embeddings {
     * share no 8-grams but land adjacent in embedding space). Same eval
     * split convention as the n-gram pass (id % 10 == 0).
     *
-    * Scale shape = [[dedupEmbedding]]'s: IVF-blocked pairwise scoring on
-    * the session-memoized fit (same-bucket pairs only, N²/k work), the
-    * eval side per-bucket capped, one row per TRAIN vector with its best
-    * eval match. Blocking blind spot (an eval twin assigned to a
-    * neighboring bucket is missed) is the documented IVF trade — raise k
-    * probes via the exact [[annCosineTopK]] when auditing a specific
-    * release. Kernel-dependent (k-means) → rows-only with a
-    * planted-leak spec. */
+    * Scale shape = [[dedupEmbedding]]'s: IVF-blocked pairwise scoring,
+    * the eval side per-bucket capped, one row per TRAIN vector with its
+    * best eval match. Blocking blind spot (an eval twin assigned to a
+    * neighboring bucket is missed) is the documented IVF trade — the
+    * exact twin ([[decontaminateSemanticExact]]) is the audit-grade
+    * escalation.
+    *
+    * Blocked on the SEEDED quantizer ([[seededAssign]]), not the k-means
+    * fit, since r13: a decontamination screen should be reproducible —
+    * the same corpus must yield the same verdicts on every run and
+    * engine, which also makes this operator fully oracle-verifiable
+    * (the DuckDB twin replays the seed choice, the argmin assignment,
+    * the cap, and the verdict relation value-for-value). A near-
+    * identical train/eval pair shares its argmin bucket under any
+    * reasonable quantizer, so the screen's recall is quantizer-robust;
+    * k-means blocking remains available via [[decontaminateSemanticFrom]]
+    * for parity with the ANN default. */
   def decontaminateSemantic(spark: SparkSession, dir: String,
       thr: Double = 0.95): DataFrame =
-    decontaminateSemanticOn(ivfAssign(spark, dir)._1, thr)
+    decontaminateSemanticOn(seededAssignFor(spark, dir)._1, thr)
 
   private[graft] def decontaminateSemanticFrom(c: DataFrame,
       thr: Double = 0.95, k: Int = 0): DataFrame =

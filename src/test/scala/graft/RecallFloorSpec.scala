@@ -92,14 +92,23 @@ class RecallFloorSpec extends AnyFunSuite {
     // at sf0.01 k≈22 so auto resolves to the floor of 8 — identical
     // retrieval, asserted rather than assumed
     val rAuto = ivfRecallAt(Sf, 0, exact)
+    // the oracle-verifiable seeded quantizer: same machinery, sampled
+    // centroids — the documented trade is a few recall points vs the fit
+    val rSeeded = {
+      val got = retrievedSets(Embeddings.annIvfSeeded(spark, Sf))
+      exact.toSeq.map { case (qid, top) =>
+        top.count(t => got.getOrElse(qid, Set.empty)(t._1)).toDouble / top.size
+      }.sum / exact.size
+    }
     info(f"ann_ivf mean recall@10 at sf0.01: nprobe=4 -> $r4%.4f, " +
-      f"nprobe=8 -> $r8%.4f, auto -> $rAuto%.4f")
+      f"nprobe=8 -> $r8%.4f, auto -> $rAuto%.4f, seeded quantizer -> $rSeeded%.4f")
     // measured r12: 0.548 / 0.789 — the curve that set the floor to 8
     assert(r8 >= r4, f"recall must be monotone in nprobe: $r8%.4f < $r4%.4f")
     assert(r4 >= 0.45, f"IVF recall@10 (nprobe=4) regressed: $r4%.4f")
     assert(r8 >= 0.70, f"IVF recall@10 (nprobe=8) regressed: $r8%.4f")
     assert(rAuto >= r8, f"the auto policy must not retrieve less than " +
       f"nprobe=8 at this scale: $rAuto%.4f < $r8%.4f")
+    assert(rSeeded >= 0.55, f"seeded-quantizer recall collapsed: $rSeeded%.4f")
   }
 
   test("ann_ivf at sf0.1: fixed nprobe decays with corpus growth, the " +
