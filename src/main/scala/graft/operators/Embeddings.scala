@@ -370,7 +370,14 @@ object Embeddings {
     * this is the reproducibility/verifiability point on the same curve —
     * and at 100 TB it also skips the k-means fit entirely (the seed
     * selection is one distributed top-k, no iterations).
-    */
+    *
+    * Degeneracy to know: a pair where BOTH members are sampled as seeds
+    * always splits (each is its own zero-distance centroid) — where
+    * k-means would merge them into one center. At k=√N the probability
+    * for a given pair is k²/N² = 1/N (vanishing at scale, and nprobe>1
+    * re-finds such neighbors in the ANN path anyway), but on toy corpora
+    * where k approaches n the quantizer degrades toward no-blocking —
+    * specs pass an explicit small k. */
   private[graft] def seededAssign(c: DataFrame, k: Int = 0): (DataFrame, DataFrame) = {
     val spark = c.sparkSession
     val n = c.count()
@@ -801,9 +808,16 @@ object Embeddings {
       thr: Double = 0.95): DataFrame =
     decontaminateSemanticOn(seededAssignFor(spark, dir)._1, thr)
 
+  /** k-means-blocked variant (the ANN default's quantizer) — kept for
+    * parity; the registry path blocks on [[seededAssign]]. */
   private[graft] def decontaminateSemanticFrom(c: DataFrame,
       thr: Double = 0.95, k: Int = 0): DataFrame =
     decontaminateSemanticOn(ivfAssignFrom(c, k)._1, thr)
+
+  /** The registry path's quantizer over an arbitrary corpus (specs). */
+  private[graft] def decontaminateSemanticSeededFrom(c: DataFrame,
+      thr: Double = 0.95, k: Int = 0): DataFrame =
+    decontaminateSemanticOn(seededAssign(c, k)._1, thr)
 
   private def decontaminateSemanticOn(assigned: DataFrame, thr: Double): DataFrame = {
     val isEval = pmod(col("vec_id"), lit(10)) === 0

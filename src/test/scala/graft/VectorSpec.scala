@@ -339,6 +339,19 @@ class VectorSpec extends AnyFunSuite {
     val clean = out.removed(11L).values.filter(_.getBoolean(4))
     assert(clean.isEmpty, s"jittered cluster mates stay clean: $clean")
     assert(out.size == rows.size - 1, "one verdict per train vector")
+    // the REGISTRY path blocks on the seeded quantizer (r13) — the same
+    // planted leak must be caught there: a near-identical train/eval
+    // pair shares its argmin bucket whenever at most one of them is a
+    // seed (k=2 here; the default k=max(16,√n) on a 20-vector toy world
+    // would make BOTH plants seeds — each its own bucket, the documented
+    // k≈n degeneracy that vanishes at k=√N ≪ N)
+    val seeded = Embeddings.decontaminateSemanticSeededFrom(c, thr = 0.999, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(seeded(11L).getBoolean(4) && seeded(11L).getLong(2) == 10L,
+      s"seeded blocking must flag the paraphrase: ${seeded(11L)}")
+    assert(seeded.removed(11L).values.forall(!_.getBoolean(4)),
+      "seeded blocking: cluster mates stay clean")
+    assert(seeded.size == rows.size - 1)
   }
 
   test("exact decontamination catches the cross-bucket paraphrase IVF misses") {
