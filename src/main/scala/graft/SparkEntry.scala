@@ -155,6 +155,10 @@ object SparkEntry {
     // deterministically sampled centroids — the one IVF path whose
     // BLOCKING geometry the oracle replays value-for-value
     "ann_ivf_seeded"        -> ((s: SparkSession, d: String) => Embeddings.annIvfSeeded(s, d)),
+    // product quantization (FAISS IndexPQ shape): 8-byte codes, ADC scan,
+    // exact re-rank — seeded codebook, so the compression pipeline itself
+    // is oracle-hash-verified
+    "ann_pq"                -> ((s: SparkSession, d: String) => Embeddings.annPq(s, d)),
     "ann_lsh"               -> ((s: SparkSession, d: String) => Embeddings.annLsh(s, d)),
     "ann_lsh_multiprobe"    -> ((s: SparkSession, d: String) =>
                                   Embeddings.annLsh(s, d, hammingProbes = 8)),
@@ -477,6 +481,69 @@ object SparkEntry {
       |  SELECT vec_id, e, label, bucket FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, bucket) AS ark FROM a0)
       |  WHERE ark = 1)""".stripMargin
+
+  /** The ann_pq oracle (mirror of [[graft.operators.Embeddings.annPq]]):
+    * seeded codebook → per-(vector, subspace) first-min argmin codes →
+    * per-query LUT → fixed-order ADC → top-50 → exact re-rank. The
+    * subspace distance mirrors PqKernels' sequential (a−b)² accumulation
+    * as zip−subtract−dot over 1-based inclusive slices; the ADC sum is
+    * an explicit left-associative 8-term chain, the kernel's ascending-s
+    * accumulation — bit-identical doubles end to end, so the ADC cut at
+    * 50 selects the same survivors. */
+  private def annPqSql: String = {
+    val m = graft.operators.Embeddings.PqM
+    val codes = graft.operators.Embeddings.PqCodes
+    val d = graft.operators.Embeddings.EmbeddingDim / m
+    def dist(a: String, b: String): String = {
+      val diff = s"list_transform(list_zip($a[(s.s*$d+1):(s.s*$d+$d)], " +
+        s"$b[(s.s*$d+1):(s.s*$d+$d)]), x -> x[1] - x[2])"
+      s"list_dot_product($diff, $diff)"
+    }
+    val ts = (0 until m).map(s =>
+      s"max(CASE WHEN l.s = $s THEN l.qdist END) AS t$s").mkString(",\n      |         ")
+    val adcSum = (0 until m).map(s => s"t$s").mkString(" + ")
+    s"""WITH c AS (
+      |  SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
+      |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
+      |cb AS (
+      |  SELECT code, ce FROM (
+      |    SELECT CAST(row_number() OVER (
+      |             ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)) % 2305843009213693951,
+      |                      vec_id) AS INT) - 1 AS code,
+      |           e AS ce
+      |    FROM c) WHERE code < $codes),
+      |sub AS (SELECT CAST(unnest(range($m)) AS INT) AS s),
+      |enc0 AS (
+      |  SELECT c.vec_id, s.s, cb.code, ${dist("c.e", "cb.ce")} AS dist
+      |  FROM c, sub s, cb),
+      |enc AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+      |    FROM enc0) WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 100),
+      |lutq AS (
+      |  SELECT q.qid, s.s, cb.code, ${dist("q.qe", "cb.ce")} AS qdist
+      |  FROM q, sub s, cb),
+      |adc0 AS (
+      |  SELECT l.qid, en.vec_id,
+      |         $ts
+      |  FROM enc en JOIN lutq l ON l.s = en.s AND l.code = en.code
+      |  WHERE en.vec_id <> l.qid
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |           row_number() OVER (PARTITION BY qid ORDER BY $adcSum, vec_id) AS crk
+      |    FROM adc0) WHERE crk <= 50),
+      |s1 AS (
+      |  SELECT cand.qid, cand.vec_id, round(${cosSql("cv.e", "q.qe")}, 6) AS sim
+      |  FROM cand JOIN c cv USING (vec_id) JOIN q USING (qid)),
+      |r AS (SELECT qid, vec_id, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+      |      FROM s1)
+      |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin
+  }
 
   /** The ann_lsh / ann_lsh_multiprobe oracle (mirror of
     * [[graft.operators.Embeddings.annLsh]]): the hyperplanes are
@@ -1648,6 +1715,13 @@ object SparkEntry {
         |r AS (SELECT qid, vec_id, sim,
         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s1)
         |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin,
+
+    // PQ replayed end-to-end: seeded codebook (md5 sample), per-subspace
+    // first-min argmin codes, per-query LUT, fixed-order ADC sums
+    // (explicit left-associative t0+..+t7 chain = the kernel's ascending-s
+    // accumulation, bit-identical doubles), top-50 ADC survivors, exact
+    // cosine re-rank
+    "ann_pq" -> annPqSql,
 
     "decontaminate_semantic" ->
       s"""WITH $seededAssignCte,

@@ -427,6 +427,85 @@ object Embeddings {
     ivfSearchOn(assigned, cents, q, nprobe)
   }
 
+  // ---- product quantization -------------------------------------------
+
+  /** PQ geometry: [[Dim]] splits into PqM subspaces of Dim/PqM dims, each
+    * quantized against a ≤PqCodes-entry codebook → PqM small ints per
+    * vector (8 bytes vs 512 for raw float64s — the 64× compression that
+    * lets a 100 TB corpus's ANN index live in executor memory). */
+  private[graft] val PqM = 8
+  private[graft] val PqCodes = 256
+
+  /** The seeded PQ codebook: the `codes` corpus vectors smallest by
+    * md5(vec_id) mod 2⁶¹−1 (the [[seededAssign]] sampling rule), flat
+    * row-major [code][dim], DRIVER-COLLECTED — dimension-sized (256×64
+    * doubles = 128 KB), the frozen-quantile-bounds precedent, and what
+    * makes the whole PQ pipeline an embedded-constant pure function of
+    * the corpus that the SQL oracle replays. Sorted driver-side so the
+    * code order never depends on collect order. */
+  private def pqCodebook(c: DataFrame, codes: Int): Array[Double] = {
+    val md5OfId = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
+        col("vec_id").cast("string")), graft.expressions.SigUtil.P))
+    c.select(col("emb"), md5OfId.as("m0"), col("vec_id"))
+      .orderBy(col("m0"), col("vec_id")).limit(codes)
+      .collect()
+      .sortBy(r => (r.getLong(1), r.getLong(2)))
+      .flatMap(_.getSeq[Double](0))
+  }
+
+  /** PQ ANN (FAISS IndexPQ shape): encode the corpus to m-byte codes,
+    * score candidates by asymmetric distance (m table lookups against a
+    * per-query LUT — never a dim-element kernel on the scan side), keep
+    * the ADC top-`topC`, then exact-cosine re-rank those survivors with
+    * the full vectors (re-rank is where PQ recovers the recall its lossy
+    * codes cost — measured in RecallFloorSpec). Every stage is
+    * deterministic (seeded codebook, first-min argmin, fixed-order ADC
+    * sums), so the DuckDB oracle hash-verifies the whole pipeline,
+    * compression included.
+    *
+    * Scale shape: encoding is a pure scan (embedded-constant kernel, no
+    * shuffle); the ADC pass moves only (qid, vec_id, adc) skinny rows —
+    * the corpus-side payload is the m-int code array, which is the point;
+    * the exact re-rank touches |q|·topC full vectors. Compose with the
+    * IVF bucket join upstream for sub-linear candidate generation
+    * (IVFPQ) when even the ADC scan is too much. */
+  def annPq(spark: SparkSession, dir: String, topC: Int = 50): DataFrame =
+    annPqFrom(corpus(spark, dir), topC)
+
+  private[graft] def annPqFrom(c0: DataFrame, topC: Int = 50,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.expressions.{PqAdcDist, PqEncode, PqLut}
+    // at-least-once delivery collapses before ranks (the engine-wide
+    // entity contract for id-join/rank paths; oracle mirrors with
+    // SELECT DISTINCT)
+    val c = Shuffles.distinctEntities(
+      c0.select(col("vec_id"), col("emb"), col("label")))
+    val cb = pqCodebook(c, PqCodes)
+    val codesDf = c.select(col("vec_id"),
+      Bridge.column(PqEncode(Bridge.expression(col("emb")), cb, PqM, Dim)).as("codes"))
+    val q = c.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"),
+        Bridge.column(PqLut(Bridge.expression(col("emb")), cb, PqM, Dim)).as("lut"),
+        col("emb").as("qemb"))
+    val byAdc = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val cand = codesDf.crossJoin(broadcast(q.select(col("qid"), col("lut"))))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", Bridge.column(PqAdcDist(
+        Bridge.expression(col("codes")), Bridge.expression(col("lut")))))
+      .withColumn("crk", row_number().over(byAdc))
+      .where(col("crk") <= topC)
+      .select(col("qid"), col("vec_id"))
+    val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand.join(c.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qemb"))), "qid")
+      .withColumn("sim", round(VecFns.cosine(col("emb"), col("qemb")), 6))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+  }
+
   // ---- durable IVF index ----------------------------------------------
   // The on-disk form of the session memo — the ANN twin of
   // NearDup.writeSignatureIndex, and this engine's analog of the

@@ -164,4 +164,52 @@ class KernelFuzzSpec extends AnyFunSuite {
       .count()
     assert(bad == 0, s"$bad rows violate element-wise monotonicity")
   }
+
+  test("PQ kernels: encode/lut/adc agree with a brute-force reference") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.expressions.PqKernels
+    val dim = 64; val m = 8; val d = dim / m
+    val rnd = new scala.util.Random(23)
+    val codebook = Array.fill(16 * dim)(rnd.nextGaussian())
+    val codesN = 16
+    def l2sq(v: Array[Double], s: Int, code: Int): Double = {
+      var acc = 0.0
+      (0 until d).foreach { j =>
+        val diff = v(s * d + j) - codebook(code * dim + s * d + j)
+        acc += diff * diff
+      }
+      acc
+    }
+    (1 to 50).foreach { _ =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val enc = PqKernels.encode(ArrayData.toArrayData(v), codebook, m, dim)
+      assert(enc.numElements() == m)
+      (0 until m).foreach { s =>
+        // law: the code IS the first argmin over the codebook
+        val dists = (0 until codesN).map(c => l2sq(v, s, c))
+        val want = dists.indexOf(dists.min)
+        assert(enc.getInt(s) == want, s"subspace $s: ${enc.getInt(s)} != $want")
+      }
+      val lut = PqKernels.lut(ArrayData.toArrayData(v), codebook, m, dim)
+      assert(lut.numElements() == m * codesN)
+      (0 until m).foreach { s => (0 until codesN).foreach { c =>
+        assert(lut.getDouble(s * codesN + c) == l2sq(v, s, c)) } }
+      // law: adc(codes, lut) == the s-ascending sum of looked-up cells
+      val codes2 = Array.fill(m)(rnd.nextInt(codesN))
+      var ref = 0.0
+      (0 until m).foreach(s => ref += lut.getDouble(s * codesN + codes2(s)))
+      assert(PqKernels.adc(ArrayData.toArrayData(codes2), lut) == ref)
+      // self-consistency: a vector's ADC against its own LUT at its own
+      // codes equals the sum of its per-subspace quantization errors —
+      // and is MINIMAL over any other code assignment
+      val own = PqKernels.adc(enc, lut)
+      assert(own <= PqKernels.adc(ArrayData.toArrayData(codes2), lut) + 1e-12)
+      // a codebook vector encodes to itself with zero error everywhere
+      val cvec = Array.tabulate(dim)(j => codebook(3 * dim + j))
+      val cenc = PqKernels.encode(ArrayData.toArrayData(cvec), codebook, m, dim)
+      val clut = PqKernels.lut(ArrayData.toArrayData(cvec), codebook, m, dim)
+      assert(PqKernels.adc(cenc, clut) == 0.0,
+        "a codebook member must quantize losslessly")
+    }
+  }
 }

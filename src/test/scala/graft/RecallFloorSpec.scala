@@ -111,6 +111,23 @@ class RecallFloorSpec extends AnyFunSuite {
     assert(rSeeded >= 0.55, f"seeded-quantizer recall collapsed: $rSeeded%.4f")
   }
 
+  test("ann_pq recall@10 vs the exact scan holds its floor") {
+    // PQ is LOSSY by construction (8-byte codes); the exact re-rank of
+    // the top-50 ADC survivors is where recall comes back — this
+    // measures the net of both. A miss here means a true neighbor's ADC
+    // rank fell outside the re-rank window.
+    val exact = exactCosineTop(10)
+    val got = retrievedSets(Embeddings.annPq(spark, Sf))
+    val recalls = exact.toSeq.map { case (qid, top) =>
+      top.count(t => got.getOrElse(qid, Set.empty)(t._1)).toDouble / top.size
+    }
+    assert(recalls.size == 100, "every query must be measured")
+    val r = recalls.sum / recalls.size
+    info(f"ann_pq (ADC top-50 + exact re-rank) mean recall@10 = $r%.4f")
+    // measured r13: 0.946
+    assert(r >= 0.85, f"PQ recall@10 regressed: $r%.4f")
+  }
+
   test("ann_ivf at sf0.1: fixed nprobe decays with corpus growth, the " +
       "fraction-of-k policy holds the floor") {
     // THE measurement the sf0.01 floor cannot give: at sf0.1 the fit
