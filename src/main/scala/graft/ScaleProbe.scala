@@ -342,6 +342,11 @@ object ScaleProbe {
       point("minhash_keys")(time("minhash 1x")(dedupK(doc1)), time(s"minhash ${factor}x")(dedupK(docN))),
       point("embed")(time("embed 1x")(embed(doc1)), time(s"embed ${factor}x")(embed(docN))),
       point("ivf_dedup")(time("ivf_dedup 1x")(ivfDedup(emb1)), time(s"ivf_dedup ${factor}x")(ivfDedup(embN))),
+      // PQ ANN end-to-end (codebook collect + encode scan + ADC + re-rank):
+      // every stage is linear in the corpus — growth must track the factor,
+      // no quadratic pair stage hiding behind the toy scale
+      point("pq")(time("pq 1x")(graft.operators.Embeddings.annPqFrom(emb1)),
+        time(s"pq ${factor}x")(graft.operators.Embeddings.annPqFrom(jitter(embN)))),
       point("exact_pctl")(time("exact_pctl 1x")(pctl(ev1)), time(s"exact_pctl ${factor}x")(pctl(evN))),
       point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
       point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),

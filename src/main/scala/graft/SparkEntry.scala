@@ -159,6 +159,9 @@ object SparkEntry {
     // exact re-rank — seeded codebook, so the compression pipeline itself
     // is oracle-hash-verified
     "ann_pq"                -> ((s: SparkSession, d: String) => Embeddings.annPq(s, d)),
+    // the production composition: seeded IVF buckets prune, PQ codes
+    // score, exact re-rank — oracle-verified end to end
+    "ann_ivfpq"             -> ((s: SparkSession, d: String) => Embeddings.annIvfPq(s, d)),
     "ann_lsh"               -> ((s: SparkSession, d: String) => Embeddings.annLsh(s, d)),
     "ann_lsh_multiprobe"    -> ((s: SparkSession, d: String) =>
                                   Embeddings.annLsh(s, d, hammingProbes = 8)),
@@ -460,7 +463,7 @@ object SparkEntry {
     * min-struct argmin. */
   private def seededAssignCte: String =
     s"""c AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+      |  SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
       |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
       |kk AS (
@@ -490,18 +493,33 @@ object SparkEntry {
     * an explicit left-associative 8-term chain, the kernel's ascending-s
     * accumulation — bit-identical doubles end to end, so the ADC cut at
     * 50 selects the same survivors. */
+  private def pqM = graft.operators.Embeddings.PqM
+  private def pqSubDim = graft.operators.Embeddings.EmbeddingDim / pqM
+
+  /** Subspace L2² between 1-based inclusive slices of two DOUBLE[]
+    * columns, zip−subtract−dot — PqKernels' sequential accumulation
+    * order exactly. Expects a subspace relation aliased `s`. */
+  private def pqDistSql(a: String, b: String): String = {
+    val d = pqSubDim
+    val diff = s"list_transform(list_zip($a[(s.s*$d+1):(s.s*$d+$d)], " +
+      s"$b[(s.s*$d+1):(s.s*$d+$d)]), x -> x[1] - x[2])"
+    s"list_dot_product($diff, $diff)"
+  }
+
+  /** The m conditional-aggregation ADC terms (one per subspace). */
+  private def pqTermsSql: String = (0 until pqM).map(s =>
+    s"max(CASE WHEN l.s = $s THEN l.qdist END) AS t$s").mkString(",\n      |         ")
+
+  /** The kernel's ascending-s ADC accumulation as an explicit
+    * left-associative sum chain. */
+  private def pqAdcSumSql: String = (0 until pqM).map(s => s"t$s").mkString(" + ")
+
   private def annPqSql: String = {
-    val m = graft.operators.Embeddings.PqM
     val codes = graft.operators.Embeddings.PqCodes
-    val d = graft.operators.Embeddings.EmbeddingDim / m
-    def dist(a: String, b: String): String = {
-      val diff = s"list_transform(list_zip($a[(s.s*$d+1):(s.s*$d+$d)], " +
-        s"$b[(s.s*$d+1):(s.s*$d+$d)]), x -> x[1] - x[2])"
-      s"list_dot_product($diff, $diff)"
-    }
-    val ts = (0 until m).map(s =>
-      s"max(CASE WHEN l.s = $s THEN l.qdist END) AS t$s").mkString(",\n      |         ")
-    val adcSum = (0 until m).map(s => s"t$s").mkString(" + ")
+    def dist(a: String, b: String): String = pqDistSql(a, b)
+    val ts = pqTermsSql
+    val adcSum = pqAdcSumSql
+    val m = pqM
     s"""WITH c AS (
       |  SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
       |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
@@ -535,6 +553,71 @@ object SparkEntry {
       |  SELECT qid, vec_id FROM (
       |    SELECT qid, vec_id,
       |           row_number() OVER (PARTITION BY qid ORDER BY $adcSum, vec_id) AS crk
+      |    FROM adc0) WHERE crk <= 50),
+      |s1 AS (
+      |  SELECT cand.qid, cand.vec_id, round(${cosSql("cv.e", "q.qe")}, 6) AS sim
+      |  FROM cand JOIN c cv USING (vec_id) JOIN q USING (qid)),
+      |r AS (SELECT qid, vec_id, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+      |      FROM s1)
+      |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin
+  }
+
+  /** The ann_ivfpq oracle (mirror of
+    * [[graft.operators.Embeddings.annIvfPq]]): the seeded-quantizer
+    * bucket assignment ([[seededAssignCte]]) restricts candidates to
+    * each query's nprobe probed buckets (with the inert-but-mirrored
+    * 1024 hot-bucket cap), PQ codes score them by the same fixed-order
+    * ADC as ann_pq, and the top-50 re-rank by exact cosine. */
+  private def annIvfPqSql: String = {
+    val codes = graft.operators.Embeddings.PqCodes
+    s"""WITH $seededAssignCte,
+      |np AS (SELECT greatest(8, CAST(ceil(k * 0.25) AS BIGINT)) AS nprobe FROM kk),
+      |cb AS (
+      |  SELECT code, ce FROM (
+      |    SELECT CAST(row_number() OVER (
+      |             ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)) % 2305843009213693951,
+      |                      vec_id) AS INT) - 1 AS code,
+      |           e AS ce
+      |    FROM c) WHERE code < $codes),
+      |sub AS (SELECT CAST(unnest(range($pqM)) AS INT) AS s),
+      |enc0 AS (
+      |  SELECT c.vec_id, s.s, cb.code, ${pqDistSql("c.e", "cb.ce")} AS dist
+      |  FROM c, sub s, cb),
+      |enc AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+      |    FROM enc0) WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM assign WHERE vec_id < 100),
+      |p0 AS (
+      |  SELECT q.qid, sd.bucket,
+      |         list_dot_product(list_transform(list_zip(q.qe, sd.ce), x -> x[1] - x[2]),
+      |                          list_transform(list_zip(q.qe, sd.ce), x -> x[1] - x[2])) AS cdist
+      |  FROM q, seeds sd),
+      |probes AS (
+      |  SELECT qid, bucket FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, bucket) AS crk FROM p0)
+      |  WHERE crk <= (SELECT nprobe FROM np)),
+      |capped AS (
+      |  SELECT vec_id, bucket FROM (
+      |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+      |    FROM assign) WHERE bn <= 1024),
+      |lutq AS (
+      |  SELECT q.qid, s.s, cb.code, ${pqDistSql("q.qe", "cb.ce")} AS qdist
+      |  FROM q, sub s, cb),
+      |adc0 AS (
+      |  SELECT p.qid, en.vec_id,
+      |         $pqTermsSql
+      |  FROM enc en
+      |  JOIN capped cp ON cp.vec_id = en.vec_id
+      |  JOIN probes p ON p.bucket = cp.bucket
+      |  JOIN lutq l ON l.qid = p.qid AND l.s = en.s AND l.code = en.code
+      |  WHERE en.vec_id <> p.qid
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |           row_number() OVER (PARTITION BY qid ORDER BY $pqAdcSumSql, vec_id) AS crk
       |    FROM adc0) WHERE crk <= 50),
       |s1 AS (
       |  SELECT cand.qid, cand.vec_id, round(${cosSql("cv.e", "q.qe")}, 6) AS sim
@@ -1722,6 +1805,7 @@ object SparkEntry {
     // accumulation, bit-identical doubles), top-50 ADC survivors, exact
     // cosine re-rank
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
 
     "decontaminate_semantic" ->
       s"""WITH $seededAssignCte,

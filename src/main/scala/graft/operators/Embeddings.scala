@@ -378,8 +378,14 @@ object Embeddings {
     * re-finds such neighbors in the ANN path anyway), but on toy corpora
     * where k approaches n the quantizer degrades toward no-blocking —
     * specs pass an explicit small k. */
-  private[graft] def seededAssign(c: DataFrame, k: Int = 0): (DataFrame, DataFrame) = {
-    val spark = c.sparkSession
+  private[graft] def seededAssign(c0: DataFrame, k: Int = 0): (DataFrame, DataFrame) = {
+    val spark = c0.sparkSession
+    // at-least-once delivery collapses BEFORE seed selection: a
+    // redelivered vector must not occupy two centroid (or, downstream,
+    // codebook) slots — the oracle mirrors with SELECT DISTINCT in the
+    // shared corpus CTE, and k counts entities, not delivered copies
+    val c = Shuffles.distinctEntities(
+      c0.select(col("vec_id"), col("emb"), col("label")))
     val n = c.count()
     if (n == 0L) {
       val assigned = c.select(col("vec_id"), col("emb"), col("label"),
@@ -403,7 +409,7 @@ object Embeddings {
       .orderBy(col("m"), col("vec_id")).limit(kk)
       .select((row_number().over(Window.orderBy(col("m"), col("vec_id"))) - 1)
         .as("bucket"), col("emb").as("cemb"))
-    val assigned = assignAgainst(c, cents).persist()
+    val assigned = assignDistinct(c, cents).persist()
     (assigned, cents)
   }
 
@@ -506,6 +512,48 @@ object Embeddings {
       .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
   }
 
+  /** IVFPQ — the production composition (FAISS's default at scale):
+    * seeded IVF buckets prune the candidate space to the probed
+    * ~nprobe/k fraction (sub-linear candidate generation), PQ codes
+    * score those survivors by ADC (8-byte reads, no full-vector math on
+    * the scan side), and the exact re-rank touches only |q|·topC full
+    * vectors. Shares the session-memoized seeded assignment with
+    * [[annIvfSeeded]]/[[decontaminateSemantic]] and the codebook rule
+    * with [[annPq]] — and, being seeded end to end, the whole composed
+    * pipeline is oracle-hash-verified. */
+  def annIvfPq(spark: SparkSession, dir: String, nprobe: Int = 0,
+      topC: Int = 50, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.expressions.{PqAdcDist, PqEncode, PqLut}
+    val (assigned, cents) = seededAssignFor(spark, dir)
+    val eff = if (nprobe > 0) nprobe else autoNprobe(cents.count())
+    val cb = pqCodebook(assigned, PqCodes)
+    val codesDf = assigned.select(col("vec_id"), col("bucket"),
+      Bridge.column(PqEncode(Bridge.expression(col("emb")), cb, PqM, Dim)).as("codes"))
+    val q = assigned.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"),
+        Bridge.column(PqLut(Bridge.expression(col("emb")), cb, PqM, Dim)).as("lut"),
+        col("emb").as("qemb"))
+    val probes = probesOf(q.select(col("qid"), col("qemb")), cents, eff)
+      .select(col("qid"), col("bucket"))
+      .join(q.select(col("qid"), col("lut")), "qid")
+    val byAdc = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val cand = capBucket(codesDf, "vec_id").join(broadcast(probes), "bucket")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", Bridge.column(PqAdcDist(
+        Bridge.expression(col("codes")), Bridge.expression(col("lut")))))
+      .withColumn("crk", row_number().over(byAdc))
+      .where(col("crk") <= topC)
+      .select(col("qid"), col("vec_id"))
+    val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand.join(assigned.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qemb"))), "qid")
+      .withColumn("sim", round(VecFns.cosine(col("emb"), col("qemb")), 6))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+  }
+
   // ---- durable IVF index ----------------------------------------------
   // The on-disk form of the session memo — the ANN twin of
   // NearDup.writeSignatureIndex, and this engine's analog of the
@@ -598,8 +646,13 @@ object Embeddings {
     * row per new vector; a window would shuffle all k distance rows).
     * Redelivered copies collapse before assignment (distinctEntities). */
   private[graft] def assignAgainst(newVecs: DataFrame, centDf: DataFrame): DataFrame =
-    Shuffles.distinctEntities(
-        newVecs.select(col("vec_id"), col("emb"), col("label")))
+    assignDistinct(Shuffles.distinctEntities(
+      newVecs.select(col("vec_id"), col("emb"), col("label"))), centDf)
+
+  /** [[assignAgainst]] minus the entity collapse — for callers whose
+    * input is already entity-distinct (one collapse, not two). */
+  private def assignDistinct(newVecs: DataFrame, centDf: DataFrame): DataFrame =
+    newVecs
       .crossJoin(broadcast(centDf))
       .withColumn("cdist", VecFns.l2sq(col("emb"), col("cemb")))
       .groupBy(col("vec_id"))

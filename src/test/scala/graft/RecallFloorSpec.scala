@@ -126,6 +126,16 @@ class RecallFloorSpec extends AnyFunSuite {
     info(f"ann_pq (ADC top-50 + exact re-rank) mean recall@10 = $r%.4f")
     // measured r13: 0.946
     assert(r >= 0.85, f"PQ recall@10 regressed: $r%.4f")
+    // IVFPQ: the bucket pruning stacks ITS miss probability on top of
+    // PQ's — recall sits between the seeded-IVF floor and plain PQ
+    val gotIvfPq = retrievedSets(Embeddings.annIvfPq(spark, Sf))
+    val rIvfPq = exact.toSeq.map { case (qid, top) =>
+      top.count(t => gotIvfPq.getOrElse(qid, Set.empty)(t._1)).toDouble / top.size
+    }.sum / exact.size
+    info(f"ann_ivfpq mean recall@10 = $rIvfPq%.4f")
+    assert(rIvfPq >= 0.50, f"IVFPQ recall@10 regressed: $rIvfPq%.4f")
+    assert(r >= rIvfPq,
+      f"bucket pruning cannot ADD recall over the full ADC scan: $r%.4f < $rIvfPq%.4f")
   }
 
   test("ann_ivf at sf0.1: fixed nprobe decays with corpus growth, the " +
