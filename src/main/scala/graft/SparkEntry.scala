@@ -162,6 +162,11 @@ object SparkEntry {
     // the production composition: seeded IVF buckets prune, PQ codes
     // score, exact re-rank — oracle-verified end to end
     "ann_ivfpq"             -> ((s: SparkSession, d: String) => Embeddings.annIvfPq(s, d)),
+    // SemDeDup-style semantic dedup groups: same-bucket cosine edges →
+    // connected components → keep-one canonical (the embedding twin of
+    // dedup_clusters), oracle-verified via the seeded quantizer
+    "dedup_semantic_clusters" -> ((s: SparkSession, d: String) =>
+      Embeddings.dedupSemanticClusters(s, d)),
     "ann_lsh"               -> ((s: SparkSession, d: String) => Embeddings.annLsh(s, d)),
     "ann_lsh_multiprobe"    -> ((s: SparkSession, d: String) =>
                                   Embeddings.annLsh(s, d, hammingProbes = 8)),
@@ -1806,6 +1811,31 @@ object SparkEntry {
     // cosine re-rank
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+
+    // SemDeDup clusters: seeded blocking + pair scoring + recursive
+    // label propagation (the dedup_clusters oracle pattern in embedding
+    // space)
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE $seededAssignCte,
+        |capped AS (
+        |  SELECT vec_id, e, bucket FROM (
+        |    SELECT vec_id, e, bucket, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+        |    FROM assign) WHERE bn <= 1024),
+        |prs AS (
+        |  SELECT l.vec_id AS src, r.vec_id AS dst
+        |  FROM capped l JOIN capped r
+        |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |  WHERE round(${cosSql("l.e", "r.e")}, 6) >= 0.95),
+        |edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lbl FROM assign
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT l.id AS vec_id, l.cluster AS cluster_id, s.cluster_size,
+        |       l.id = l.cluster AS is_canonical
+        |FROM lab l JOIN sz s ON s.cluster = l.cluster""".stripMargin,
 
     "decontaminate_semantic" ->
       s"""WITH $seededAssignCte,

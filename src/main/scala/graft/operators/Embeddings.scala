@@ -512,6 +512,52 @@ object Embeddings {
       .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
   }
 
+  /** Semantic dedup clusters — the embedding-space complement of the
+    * text path's [[NearDup.dedupClusters]], and the cluster form of the
+    * SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): same-bucket
+    * vector pairs at cosine ≥ `thr` become edges, connected components
+    * label every vector with its cluster (min vec_id canonical), and
+    * downstream keep-one dedup is `is_canonical`. Where
+    * [[dedupEmbedding]] reports each vector's single best neighbor,
+    * this yields the transitive GROUPS a curation pipeline drops
+    * together.
+    *
+    * Blocked on the seeded quantizer, so the whole operator — blocking
+    * geometry, pair scoring, component labels — replays in SQL
+    * (recursive label propagation, the dedup_clusters oracle pattern);
+    * the component solver is the shared [[Cluster.connectedComponents]]
+    * (driver union-find under the cap, checkpointed loop above it).
+    * Same N²/k bucketed pair work as dedupEmbedding; the k-means-blocked
+    * analog composes via [[dedupEmbeddingFrom]] + Cluster when centroid
+    * quality matters more than verifiability. */
+  def dedupSemanticClusters(spark: SparkSession, dir: String,
+      thr: Double = 0.95): DataFrame = {
+    val (assigned, _) = seededAssignFor(spark, dir)
+    dedupSemanticClustersOn(assigned, thr)
+  }
+
+  private[graft] def dedupSemanticClustersFrom(c: DataFrame,
+      thr: Double = 0.95, k: Int = 0): DataFrame =
+    dedupSemanticClustersOn(seededAssign(c, k)._1, thr)
+
+  private def dedupSemanticClustersOn(assigned: DataFrame, thr: Double): DataFrame = {
+    val capped = capBucket(
+      assigned.select(col("bucket"), col("vec_id"), col("emb")), "vec_id")
+    val pairs = capped.as("l")
+      .join(capped.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("sim", round(VecFns.cosine(col("l.emb"), col("r.emb")), 6))
+      .where(col("sim") >= thr)
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+    val labels = Cluster.connectedComponents(pairs,
+      assigned.select(col("vec_id").as("id")))
+    val sizes = labels.groupBy(col("cluster")).agg(count("*").as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("cluster")).as("is_canonical"))
+  }
+
   /** IVFPQ — the production composition (FAISS's default at scale):
     * seeded IVF buckets prune the candidate space to the probed
     * ~nprobe/k fraction (sub-linear candidate generation), PQ codes

@@ -354,6 +354,38 @@ class VectorSpec extends AnyFunSuite {
     assert(seeded.size == rows.size - 1)
   }
 
+  test("semantic dedup clusters group transitive near-dups, keep-one canonical") {
+    import spark.implicits._
+    // a transitive chain a~b~c where cos(a,c) may dip below thr must
+    // still land in ONE cluster (that's what the component pass adds
+    // over dedup_embedding's best-neighbor rows); unrelated vectors
+    // stay singletons and are their own canonicals
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Double], s: Double) =
+      base.map(_ + rnd.nextGaussian() * s)
+    val e1 = Array.fill(8)(1.0); val e2 = Array.fill(8)(-1.0)
+    val rows =
+      Seq((10L, jitter(e1, 0.01).toSeq, 0L), (11L, jitter(e1, 0.01).toSeq, 0L),
+        (12L, jitter(e1, 0.01).toSeq, 0L)) ++
+      (20L to 25L).map(i => (i, jitter(e2, 0.5).toSeq, 1L))
+    val out = Embeddings.dedupSemanticClustersFrom(
+        rows.toDF("vec_id", "emb", "label"), thr = 0.99, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq.sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == rows.size, "one row per vector")
+    // the planted trio is one cluster, canonical = min id
+    assert(Seq(10L, 11L, 12L).map(byId(_)._2).toSet == Set(10L),
+      s"chain must collapse to one cluster: $out")
+    assert(byId(10L)._4 && !byId(11L)._4 && !byId(12L)._4)
+    assert(byId(10L)._3 == 3L, s"cluster size: ${byId(10L)}")
+    // the diffuse vectors at 0.5 jitter stay singletons
+    (20L to 25L).foreach { i =>
+      assert(byId(i)._2 == i && byId(i)._4 && byId(i)._3 == 1L,
+        s"vector $i must stay a singleton canonical: ${byId(i)}")
+    }
+  }
+
   test("exact decontamination catches the cross-bucket paraphrase IVF misses") {
     import spark.implicits._
     // train 11 and its eval paraphrase 10 straddle the k=2 boundary: 11
