@@ -472,7 +472,8 @@ object SparkEntry {
       |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
       |kk AS (
-      |  SELECT least(count(*), greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM c),
+      |  SELECT least(${graft.operators.Embeddings.MaxSeeds},
+      |               count(*), greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM c),
       |seeds AS (
       |  SELECT bucket, ce FROM (
       |    SELECT CAST(row_number() OVER (

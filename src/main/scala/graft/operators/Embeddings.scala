@@ -378,39 +378,63 @@ object Embeddings {
     * re-finds such neighbors in the ANN path anyway), but on toy corpora
     * where k approaches n the quantizer degrades toward no-blocking —
     * specs pass an explicit small k. */
+  /** Seed-count ceiling: √N grows unbounded with the corpus, but the
+    * centroid relation must stay broadcast- and driver-sized (65536 ×
+    * 64 doubles ≈ 34 MB — the MaxExactEval class of explicit cap). At
+    * 100 TB this bounds per-bucket size growth to N/65536 instead of
+    * √N; raise k explicitly (sharded probing) when bucket volume
+    * matters more than centroid-relation size. Mirrored as `least(k,
+    * 65536)` in the oracle's kk CTE. */
+  private[graft] val MaxSeeds = 65536L
+
   private[graft] def seededAssign(c0: DataFrame, k: Int = 0): (DataFrame, DataFrame) = {
     val spark = c0.sparkSession
     // at-least-once delivery collapses BEFORE seed selection: a
     // redelivered vector must not occupy two centroid (or, downstream,
     // codebook) slots — the oracle mirrors with SELECT DISTINCT in the
-    // shared corpus CTE, and k counts entities, not delivered copies
+    // shared corpus CTE, and k counts entities, not delivered copies.
+    // Persisted for the BUILD only: the count, the seed TakeOrdered,
+    // and the assignment each reference it, and without the pin each
+    // would re-run the distinct shuffle; released once the assignment
+    // is materialized.
     val c = Shuffles.distinctEntities(
-      c0.select(col("vec_id"), col("emb"), col("label")))
-    val n = c.count()
-    if (n == 0L) {
-      val assigned = c.select(col("vec_id"), col("emb"), col("label"),
-        lit(0).as("bucket")).persist()
-      return (assigned, spark.createDataFrame(
-        Seq.empty[(Int, Array[Double])]).toDF("bucket", "cemb"))
-    }
-    val kk = if (k > 0) math.min(k.toLong, n).toInt
-      else math.min(n, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-    // md5 mod 2^61-1 (the signature family's modulus), NOT the raw
-    // md5_number_lower: the kernel returns the SIGNED reinterpretation
-    // while the oracle's native value is unsigned, so a raw ORDER BY
-    // would disagree for digests ≥ 2^63 — the unsigned-mod form orders
-    // identically on both engines (all values < 2^61)
-    val md5OfId = org.apache.spark.sql.graft.Bridge.column(
-      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
-        col("vec_id").cast("string")), graft.expressions.SigUtil.P))
-    // distributed TakeOrdered picks the k seeds; the rank window then
-    // runs on a k-row relation (dimension-sized, like a broadcast dim)
-    val cents = c.select(col("vec_id"), col("emb"), md5OfId.as("m"))
-      .orderBy(col("m"), col("vec_id")).limit(kk)
-      .select((row_number().over(Window.orderBy(col("m"), col("vec_id"))) - 1)
-        .as("bucket"), col("emb").as("cemb"))
-    val assigned = assignDistinct(c, cents).persist()
-    (assigned, cents)
+      c0.select(col("vec_id"), col("emb"), col("label"))).persist()
+    try {
+      val n = c.count()
+      if (n == 0L) {
+        val assigned = c.select(col("vec_id"), col("emb"), col("label"),
+          lit(0).as("bucket")).persist()
+        return (assigned, spark.createDataFrame(
+          Seq.empty[(Int, Array[Double])]).toDF("bucket", "cemb"))
+      }
+      val kk = if (k > 0) math.min(k.toLong, n).toInt
+        else math.min(MaxSeeds, math.min(n,
+          math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
+      // md5 mod 2^61-1 (the signature family's modulus), NOT the raw
+      // md5_number_lower: the kernel returns the SIGNED reinterpretation
+      // while the oracle's native value is unsigned, so a raw ORDER BY
+      // would disagree for digests ≥ 2^63 — the unsigned-mod form orders
+      // identically on both engines (all values < 2^61)
+      val md5OfId = org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge.expression(
+          col("vec_id").cast("string")), graft.expressions.SigUtil.P))
+      // distributed TakeOrdered picks the k seeds; they are COLLECTED
+      // into a LocalRelation (≤MaxSeeds rows — the pqCodebook / frozen-
+      // bounds class of driver bound, sorted driver-side so bucket ids
+      // never depend on collect order): every later centroid reference
+      // (probe joins, autoNprobe counts) is then free instead of
+      // re-running the distinct+TakeOrdered pipeline
+      val seedRows = c.select(col("vec_id"), col("emb"), md5OfId.as("m"))
+        .orderBy(col("m"), col("vec_id")).limit(kk)
+        .collect()
+        .sortBy(r => (r.getLong(2), r.getLong(0)))
+      val cents = spark.createDataFrame(
+        seedRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Double](1).toArray) }).toDF("bucket", "cemb")
+      val assigned = assignDistinct(c, cents).persist()
+      assigned.count() // materialize so the build scaffold can be freed
+      (assigned, cents)
+    } finally { c.unpersist(); () }
   }
 
   /** Session memo of the seeded assignment (decontaminate_semantic and
