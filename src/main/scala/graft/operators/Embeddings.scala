@@ -501,17 +501,25 @@ object Embeddings {
     * IVF bucket join upstream for sub-linear candidate generation
     * (IVFPQ) when even the ADC scan is too much. */
   def annPq(spark: SparkSession, dir: String, topC: Int = 50): DataFrame =
-    annPqFrom(corpus(spark, dir), topC)
+    // ride the seeded memo's PERSISTED entity-distinct relation (the
+    // bucket column is simply unused) instead of re-running the
+    // distinct shuffle this session already paid for
+    annPqOn(seededAssignFor(spark, dir)._1
+      .select(col("vec_id"), col("emb"), col("label")), topC)
 
   private[graft] def annPqFrom(c0: DataFrame, topC: Int = 50,
-      topK: Int = 10): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    import graft.expressions.{PqAdcDist, PqEncode, PqLut}
+      topK: Int = 10): DataFrame =
     // at-least-once delivery collapses before ranks (the engine-wide
     // entity contract for id-join/rank paths; oracle mirrors with
     // SELECT DISTINCT)
-    val c = Shuffles.distinctEntities(
-      c0.select(col("vec_id"), col("emb"), col("label")))
+    annPqOn(Shuffles.distinctEntities(
+      c0.select(col("vec_id"), col("emb"), col("label"))), topC, topK)
+
+  /** Core over an already entity-distinct corpus. */
+  private def annPqOn(c: DataFrame, topC: Int = 50,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.expressions.{PqAdcDist, PqEncode, PqLut}
     val cb = pqCodebook(c, PqCodes)
     val codesDf = c.select(col("vec_id"),
       Bridge.column(PqEncode(Bridge.expression(col("emb")), cb, PqM, Dim)).as("codes"))
@@ -698,12 +706,19 @@ object Embeddings {
       nprobe: Int = 0, topK: Int = 10): DataFrame = {
     val centDf = readCentroids(spark, indexPath)
     val eff = if (nprobe > 0) nprobe else autoNprobe(centDf.count())
-    val probes = probesOf(queries, centDf, eff)
-    val touched = probes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) // empty index or empty query batch
+    // the probe relation is COLLECTED once (|q|·nprobe rows — the same
+    // driver bound the touched-bucket pruning list needs anyway, plus
+    // the qemb payloads), so the CALLER's query plan — which may be an
+    // arbitrary derived relation — executes exactly once, not once for
+    // the pruning collect and again inside the rank join
+    val probesDf = probesOf(queries, centDf, eff)
+    val probeRows = probesDf.collect()
+    if (probeRows.isEmpty) // empty index or empty query batch
       return queries.select(col("qid"), lit(0L).as("rk"),
         col("qid").as("vec_id"), lit(0.0).as("sim")).limit(0)
+    val touched = probeRows.map(_.getAs[Int]("bucket")).distinct.sorted
+    import scala.jdk.CollectionConverters._
+    val probes = spark.createDataFrame(probeRows.toSeq.asJava, probesDf.schema)
     val assigned = Shuffles.distinctEntities(
       spark.read.parquet(s"$indexPath/assign")
         .where(col("bucket").isin(touched.map(Int.box).toIndexedSeq: _*)))
@@ -839,7 +854,11 @@ object Embeddings {
   private[graft] def lshPlanes(nBits: Int): IndexedSeq[IndexedSeq[Double]] =
     (0 until nBits).map { b =>
       (0 until Dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, d, 42))
+        // productHash is deprecated in favor of caseClassHash, but these
+        // exact values ARE the banding geometry — they're frozen as list
+        // literals inside the ann_lsh oracles, so the function must never
+        // change out from under them
+        val h: Int = (scala.util.hashing.MurmurHash3.productHash((b, d, 42)): @annotation.nowarn("cat=deprecation"))
         h.toDouble / Int.MaxValue
       }
     }

@@ -59,7 +59,7 @@ object JoinOps {
     Seq(payloadName, "__t", "__o").foreach { c =>
       require(!left.columns.contains(c), s"left already has a column named $c")
     }
-    val payload = struct(right.columns.filterNot(_ == key).map(col): _*)
+    val payload = struct(right.columns.filterNot(_ == key).map(col).toIndexedSeq: _*)
     // NULL keys never match in a SQL equi/ASOF join — drop NULL-key right
     // rows so NULL-key left rows see an empty partition and get a NULL
     // payload, not each other's. NULL right times would sort NULLS FIRST

@@ -450,7 +450,7 @@ object NearDup {
       .select(pmod(col("key"), lit(IndexBuckets.toLong)).as("kb"))
       .distinct().collect().map(_.getLong(0))
     spark.read.parquet(s"$indexPath/keys")
-      .where(col("kb").isin(touched: _*))
+      .where(col("kb").isin(touched.toIndexedSeq: _*))
       .select(col("id"), col("key"))
   }
 
