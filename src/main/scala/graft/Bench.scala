@@ -137,13 +137,18 @@ object Bench {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       import scala.jdk.CollectionConverters._
       files.iterator.flatMap { f =>
-        val parsed = mapper.readTree(f).path("parsed")
-        val usable = parsed.path("sf").asText() == sfName &&
-          !parsed.path("contended").asBoolean(false)
-        if (!usable) None
-        else Some(parsed.path("queries").properties().asScala
-          .filter(e => e.getValue.isNumber && e.getKey != "_others")
-          .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+        // one corrupt record must not abort the whole walk (that would
+        // silently disable the gate for every round) — skip to the next
+        // older file instead
+        scala.util.Try {
+          val parsed = mapper.readTree(f).path("parsed")
+          val usable = parsed.path("sf").asText() == sfName &&
+            !parsed.path("contended").asBoolean(false)
+          if (!usable) None
+          else Some(parsed.path("queries").properties().asScala
+            .filter(e => e.getValue.isNumber && e.getKey != "_others")
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+        }.toOption.flatten
       }.nextOption().getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val baseline = baselineQueries()

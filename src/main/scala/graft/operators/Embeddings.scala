@@ -664,6 +664,11 @@ object Embeddings {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(indexPath + "__index_tmp")
     graft.sources.IO.recoverStore(fs, p, tmp) // heal a crashed write first
+    // a crashed append's tmp was assigned against the OLD centroids;
+    // promoting it into the rebuilt index would mix generations — the
+    // full rebuild supersedes it (the caller replays increment batches)
+    val appTmp = new org.apache.hadoop.fs.Path(indexPath + "__append_tmp")
+    if (fs.exists(appTmp)) fs.delete(appTmp, true)
     centDf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     assigned.select(col("vec_id"), col("emb"), col("label"), col("bucket"))
       // one file per bucket directory (the repartition key IS the
@@ -674,15 +679,21 @@ object Embeddings {
     graft.sources.IO.swapInto(fs, tmp, p)
   }
 
-  /** The persisted centroid relation (k rows). Heals crashed full-index
-    * swaps AND crashed appends at entry, so every reader sees one
-    * consistent index generation. */
+  /** The persisted centroid relation (k rows). Readers heal ONLY the
+    * one state they cannot serve through — a mid-swap crash that left no
+    * live dir — and never delete: a tmp next to a live index may be a
+    * CONCURRENT writer's in-flight output (serving reads during a daily
+    * append are the expected pattern), so promoting complete appends and
+    * dropping partial debris happens at WRITER entries only
+    * ([[writeIvfIndex]]/[[appendIvfIndex]], where single-writer
+    * exclusion is already the contract). A crashed append is invisible
+    * to readers until the next writer entry promotes it — they simply
+    * serve the last complete generation. */
   private def readCentroids(spark: SparkSession, indexPath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.IO.recoverStore(fs, p,
+    graft.sources.IO.recoverStoreForRead(fs, p,
       new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
-    recoverIvfAppend(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids")),
       s"no IVF index at $indexPath (write one with writeIvfIndex)")
     spark.read.parquet(s"$indexPath/centroids")
@@ -706,23 +717,38 @@ object Embeddings {
       nprobe: Int = 0, topK: Int = 10): DataFrame = {
     val centDf = readCentroids(spark, indexPath)
     val eff = if (nprobe > 0) nprobe else autoNprobe(centDf.count())
-    // the probe relation is COLLECTED once (|q|·nprobe rows — the same
-    // driver bound the touched-bucket pruning list needs anyway, plus
-    // the qemb payloads), so the CALLER's query plan — which may be an
-    // arbitrary derived relation — executes exactly once, not once for
-    // the pruning collect and again inside the rank join
-    val probesDf = probesOf(queries, centDf, eff)
-    val probeRows = probesDf.collect()
-    if (probeRows.isEmpty) // empty index or empty query batch
-      return queries.select(col("qid"), lit(0L).as("rk"),
-        col("qid").as("vec_id"), lit(0.0).as("sim")).limit(0)
-    val touched = probeRows.map(_.getAs[Int]("bucket")).distinct.sorted
-    import scala.jdk.CollectionConverters._
-    val probes = spark.createDataFrame(probeRows.toSeq.asJava, probesDf.schema)
+    // localCheckpoint (eager) truncates the probe lineage, so the
+    // CALLER's query plan — which may be an arbitrary derived relation —
+    // executes exactly once, while the probe rows (and their dim-double
+    // qemb payloads) stay DISTRIBUTED on the executors. Only the
+    // distinct touched-bucket list — ≤ k ints, the pruning predicate's
+    // natural driver bound — is ever collected; a large query batch
+    // never ships its embeddings through the driver.
+    val probes = probesOf(queries, centDf, eff).localCheckpoint()
+    val touched = probes.select(col("bucket")).distinct()
+      .collect().map(_.getAs[Int]("bucket")).sorted
+    if (touched.isEmpty) // empty index or empty query batch
+      return emptyServeResult(spark, queries)
     val assigned = Shuffles.distinctEntities(
       spark.read.parquet(s"$indexPath/assign")
         .where(col("bucket").isin(touched.map(Int.box).toIndexedSeq: _*)))
     rankProbed(assigned, probes, topK)
+  }
+
+  /** Empty serving result with the SAME schema as the non-empty path:
+    * qid keeps the caller's type, but vec_id/rk/sim carry the index
+    * schema (long/long/double) — deriving them from the query relation
+    * would make the empty and non-empty paths disagree for a caller
+    * whose qid is not a long. */
+  private def emptyServeResult(spark: SparkSession, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      queries.schema("qid").copy(name = "qid"),
+      StructField("rk", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = true),
+      StructField("sim", DoubleType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Assign NEW vectors against persisted centroids — no fit, assignment
@@ -761,19 +787,30 @@ object Embeddings {
     * dir (job _SUCCESS = completeness marker), then its files move
     * bucket-by-bucket into the live store. File renames are atomic and
     * part-file names are job-unique, so a crashed move RESUMES
-    * idempotently ([[recoverIvfAppend]] at every reader/writer entry):
-    * remaining files move, already-moved files are no longer in tmp. A
-    * caller replaying a fully-promoted append writes duplicate entity
-    * rows; readers collapse them (see [[annIvfAgainst]]). */
+    * idempotently ([[recoverIvfAppend]] at the next WRITER entry —
+    * readers never mutate the store, so serving reads are safe
+    * concurrent with an in-flight append and simply don't see a crashed
+    * increment until a writer promotes it): remaining files move,
+    * already-moved files are no longer in tmp. A caller replaying a
+    * fully-promoted append writes duplicate entity rows; readers
+    * collapse them (see [[annIvfAgainst]]). Writers are single-flight:
+    * two concurrent appends to one index is caller error (the tmp dir
+    * is shared), matching every store here. */
   def appendIvfIndex(spark: SparkSession, indexPath: String,
       newVecs: DataFrame): Unit = {
-    val centDf = readCentroids(spark, indexPath) // heals prior crashes too
-    require(centDf.count() > 0,
-      s"cannot append to an empty IVF index at $indexPath — rebuild with writeIvfIndex")
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer entry: full healing — complete a crashed swap, promote a
+    // crashed append's COMPLETE increment (it was assigned against these
+    // same centroids; losing it would drop data the caller believes
+    // landed), then drop partial-write debris
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+    recoverIvfAppend(fs, p)
+    val centDf = readCentroids(spark, indexPath)
+    require(centDf.count() > 0,
+      s"cannot append to an empty IVF index at $indexPath — rebuild with writeIvfIndex")
     val tmp = new org.apache.hadoop.fs.Path(indexPath + "__append_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // partial-write debris
     assignAgainst(newVecs.where(col("emb").isNotNull &&
         validEmb(col("emb"))), centDf)
       .repartition(col("bucket"))
@@ -800,10 +837,12 @@ object Embeddings {
     fs.delete(tmp, true)
   }
 
-  /** Entry healing for a crashed [[appendIvfIndex]]: a tmp carrying the
-    * write job's _SUCCESS is a complete increment — resume its move; a
-    * tmp without one is partial-write debris — drop it (the caller
-    * replays the batch). */
+  /** WRITER-entry healing for a crashed [[appendIvfIndex]]: a tmp
+    * carrying the write job's _SUCCESS is a complete increment — resume
+    * its move; a tmp without one is partial-write debris — drop it (the
+    * caller replays the batch). Never runs from the read path: a reader
+    * cannot distinguish crash debris from a live writer's in-flight tmp,
+    * and deleting the latter would fail that writer's job. */
   private def recoverIvfAppend(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(p.toString + "__append_tmp")

@@ -69,6 +69,22 @@ object IO {
     } else if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
+  /** READER-side recovery for a [[swapInto]] store: heal only when the
+    * live dir is MISSING (mid-swap crash — the one state a reader cannot
+    * serve through), and never delete anything. A tmp next to a live
+    * store may be a concurrent writer's in-flight output, not crash
+    * debris; a reader that deletes it fails that writer's job. Deletion
+    * of genuine debris belongs to writer entries ([[recoverStore]]),
+    * where single-writer exclusion is the caller's contract anyway. */
+  def recoverStoreForRead(fs: FileSystem, p: Path, tmp: Path): Unit = {
+    if (fs.exists(p)) return
+    val old = oldPath(p)
+    def renameOrDie(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to)) sys.error(s"recover: cannot rename $from to $to")
+    if (fs.exists(new Path(tmp, "_SUCCESS"))) renameOrDie(tmp, p)
+    else if (fs.exists(old)) renameOrDie(old, p)
+  }
+
   /** NDJSON log batches (the shape the reference's API returns). */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

@@ -112,6 +112,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ranked.map(_.getLong(1)).sorted.toSeq == (1L to ranked.length).toSeq)
   }
 
+  test("an empty query batch serves the index result schema, not the caller's") {
+    val idx = "/tmp/graft_ivf_index"
+    if (!new java.io.File(s"$idx/centroids").exists())
+      Embeddings.writeIvfIndex(spark, Sf, idx)
+    // a caller whose qid is NOT a long: the empty and non-empty paths
+    // must still agree column-for-column (vec_id stays the index's long,
+    // qid keeps the caller's type)
+    val qs = queriesDf.select(col("qid").cast("string").as("qid"), col("qemb"))
+    val nonEmpty = Embeddings.annIvfAgainst(spark, idx, qs)
+    val empty = Embeddings.annIvfAgainst(spark, idx, qs.limit(0))
+    assert(empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      nonEmpty.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"empty=${empty.schema.simpleString} nonEmpty=${nonEmpty.schema.simpleString}")
+    assert(empty.count() == 0)
+    assert(nonEmpty.count() > 0)
+  }
+
   test("a crashed full-index swap heals to one complete generation") {
     import spark.implicits._
     val idx = "/tmp/graft_ivf_index_crash"
@@ -144,12 +161,17 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(healed.where(col("rk") === 1).collect().head.getDouble(3) > 0.9,
       "healed index must be the complete v2 generation (v1 vectors would " +
         "score far from a v2 query)")
-    // crash state: mid-tmp-write - a partial tmp (no root _SUCCESS) must
-    // be dropped and the live index served untouched
+    // a partial tmp (no root _SUCCESS) next to a live index: a READER
+    // serves the live index untouched and must NOT delete the tmp - it
+    // cannot tell crash debris from a concurrent writer's in-flight
+    // output. The next WRITER entry cleans it.
     val tmp2 = new org.apache.hadoop.fs.Path(idx + "__index_tmp")
     fs.mkdirs(new org.apache.hadoop.fs.Path(tmp2, "centroids"))
     assert(Embeddings.annIvfAgainst(spark, idx, q, nprobe = 4).count() > 0)
-    assert(!fs.exists(tmp2), "partial tmp debris must be cleaned")
+    assert(fs.exists(tmp2),
+      "a reader must never delete a tmp (it may be a live writer's)")
+    writeFrom(tinyCorpus(5.0), idx) // writer entry: heals + rebuilds
+    assert(!fs.exists(tmp2), "writer entry must clean partial tmp debris")
   }
 
   test("a crashed append resumes its move exactly once") {
@@ -170,14 +192,23 @@ class IvfIndexSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(idx + "__append_tmp")
     val q = vecs(Seq(1000L)).select(col("vec_id").as("qid"), col("emb").as("qemb"))
-    // first reader entry resumes the move; the increment becomes visible
-    val out = Embeddings.annIvfAgainst(spark, idx, q, nprobe = 4).collect()
-    assert(out.exists(r => r.getLong(2) == 1001L),
-      s"resumed append must surface the increment: ${out.mkString(";")}")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "__append_tmp")),
-      "promoted append tmp must be gone")
+    val appTmp = new org.apache.hadoop.fs.Path(idx + "__append_tmp")
+    // a READER is passive: it serves the last complete generation (no
+    // crashed increment visible) and leaves the tmp alone - it may be a
+    // concurrent writer's in-flight output
+    val served = Embeddings.annIvfAgainst(spark, idx, q, nprobe = 4).collect()
+    assert(!served.exists(r => r.getLong(2) == 1001L),
+      "a reader must not see (or promote) a crashed increment")
+    assert(fs.exists(appTmp), "a reader must never delete an append tmp")
+    // the next WRITER entry resumes the crashed move, then lands its own
+    // increment - both become visible at once
+    Embeddings.appendIvfIndex(spark, idx, vecs(Seq(2000L)))
+    val out = Embeddings.annIvfAgainst(spark, idx, q, nprobe = 4).collect()
+    assert(out.exists(r => r.getLong(2) == 1001L),
+      s"writer entry must promote the crashed increment: ${out.mkString(";")}")
+    assert(!fs.exists(appTmp), "promoted append tmp must be gone")
     // appending to a MISSING index fails loudly, it cannot invent one
     intercept[IllegalArgumentException] {
       Embeddings.appendIvfIndex(spark, "/tmp/graft_ivf_nonexistent", inc)
