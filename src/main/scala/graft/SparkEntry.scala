@@ -1258,6 +1258,88 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Deterministic HLL (Sketches.scala): register index = md5 % 4096,
+    // rho = 51 - bitlen(salted md5 % 2^50) via bin() string length (no
+    // floating log2), harmonic sum as an EXACT integer scaled by 2^51.
+    // The only float steps — the alpha*m^2*2^51 constant, one division,
+    // and the linear-counting ln — are written in the same literal order
+    // as the Spark side. Float literals carry e0: a bare 0.7213 is
+    // DECIMAL in this engine and would change the arithmetic.
+    "approx_distinct" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, 'u' AS tag, CAST(user_id AS VARCHAR) AS s
+        |  FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 'p', props FROM events WHERE props IS NOT NULL),
+        |reg AS (
+        |  SELECT g, tag, md5_number_lower(s) % 4096 AS b,
+        |         max(CASE WHEN md5_number_lower('rho:' || s) % 1125899906842624 = 0 THEN 51
+        |              ELSE 51 - length(bin(md5_number_lower('rho:' || s) % 1125899906842624)) END) AS mx
+        |  FROM v GROUP BY 1, 2, 3),
+        |gz AS (
+        |  SELECT g, tag,
+        |         CAST(SUM(CAST(1 AS BIGINT) << CAST(51 - mx AS INT))
+        |              + (4096 - count(*)) * 2251799813685248 AS BIGINT) AS z2,
+        |         4096 - count(*) AS vz
+        |  FROM reg GROUP BY 1, 2),
+        |est AS (
+        |  SELECT g, tag,
+        |    CAST(floor(CASE WHEN vz > 0 AND 0.7213e0/(1.0e0 + 1.079e0/4096.0e0)*4096.0e0*4096.0e0*2251799813685248.0e0/CAST(z2 AS DOUBLE) <= 10240.0e0
+        |          THEN 4096.0e0 * ln(4096.0e0 / CAST(vz AS DOUBLE))
+        |          ELSE 0.7213e0/(1.0e0 + 1.079e0/4096.0e0)*4096.0e0*4096.0e0*2251799813685248.0e0/CAST(z2 AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM gz),
+        |base AS (SELECT event_type AS g, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT b.g AS event_type,
+        |       COALESCE(u.est, 0) AS n_users_approx,
+        |       COALESCE(p.est, 0) AS n_props_approx,
+        |       b.n_events
+        |FROM base b
+        |LEFT JOIN est u ON u.tag = 'u' AND u.g IS NOT DISTINCT FROM b.g
+        |LEFT JOIN est p ON p.tag = 'p' AND p.g IS NOT DISTINCT FROM b.g""".stripMargin,
+
+    // Deterministic CMS (depth 4 x width 2048, md5 family with the row
+    // index as a literal salt) + the HLL key estimate (padded 5% UP) in
+    // the threshold denominator. Counters and estimates are exact
+    // integers, so only the threshold compare touches doubles.
+    "heavy_hitters_approx" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events WHERE user_id IS NOT NULL),
+        |tot AS (SELECT count(*) AS total FROM v),
+        |reg AS (
+        |  SELECT md5_number_lower(s) % 4096 AS b,
+        |         max(CASE WHEN md5_number_lower('rho:' || s) % 1125899906842624 = 0 THEN 51
+        |              ELSE 51 - length(bin(md5_number_lower('rho:' || s) % 1125899906842624)) END) AS mx
+        |  FROM v GROUP BY 1),
+        |gz AS (
+        |  -- HUGEINT + final DOUBLE: this UNGROUPED aggregate emits a row
+        |  -- even for an empty corpus, where count(*)=0 makes the
+        |  -- empty-register term 4096*2^51 = 2^63 — one past INT64. The
+        |  -- Spark twin never evaluates that row (empty input => empty
+        |  -- group-by), and for every non-empty corpus z2 < 2^63 converts
+        |  -- to the same double either way.
+        |  SELECT CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(51 - mx AS INT)), 0)
+        |              + (4096 - count(*)) * CAST(2251799813685248 AS HUGEINT) AS DOUBLE) AS z2,
+        |         4096 - count(*) AS vz
+        |  FROM reg),
+        |kest AS (
+        |  SELECT CAST(floor(CASE WHEN vz > 0 AND 0.7213e0/(1.0e0 + 1.079e0/4096.0e0)*4096.0e0*4096.0e0*2251799813685248.0e0/z2 <= 10240.0e0
+        |          THEN 4096.0e0 * ln(4096.0e0 / CAST(vz AS DOUBLE))
+        |          ELSE 0.7213e0/(1.0e0 + 1.079e0/4096.0e0)*4096.0e0*4096.0e0*2251799813685248.0e0/z2 END) AS BIGINT) AS k
+        |  FROM gz),
+        |sk AS (
+        |  SELECT r.i, md5_number_lower('cms' || CAST(r.i AS VARCHAR) || ':' || s) % 2048 AS h,
+        |         count(*) AS c
+        |  FROM v CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT s FROM v),
+        |est AS (
+        |  SELECT keys.s, min(sk.c) AS est
+        |  FROM keys CROSS JOIN range(4) r(i)
+        |  JOIN sk ON sk.i = r.i
+        |         AND sk.h = md5_number_lower('cms' || CAST(r.i AS VARCHAR) || ':' || keys.s) % 2048
+        |  GROUP BY 1)
+        |SELECT CAST(est.s AS BIGINT) AS user_id, est.est AS n_events_est
+        |FROM est, tot, kest
+        |WHERE est.est > 1.15e0 * CAST(total AS DOUBLE) / (CAST(k AS DOUBLE) * 1.05e0)""".stripMargin,
+
     "sessionize_stateful" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -381,16 +381,15 @@ object LogOps {
       .agg(countDistinct(col("user_id")).as("n_users"),
         count("*").as("n_events"))
 
-  /** HyperLogLog++ distinct counts — the constant-memory path for
+  /** HyperLogLog distinct counts — the constant-memory path for
     * cardinalities where exact distinct would shuffle 100 TB of keys.
-    * rows-only check (sketches are engine-specific); the spec bounds its
-    * error against the exact count. */
+    * Built on the engine's pinned md5 hash family ([[Sketches]]) instead
+    * of `approx_count_distinct`'s engine-private hash, so the whole
+    * sketch — registers to estimate — replays in the SQL oracle
+    * hash-identically; the spec additionally bounds its error against
+    * the exact count. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
-        approx_count_distinct(col("props"), 0.02).as("n_props_approx"),
-        count("*").as("n_events"))
+    Sketches.approxDistinctCounts(Tables.events(spark, dir))
 
   /** The `- ts | container | level | message` log line, with SQL printf
     * NULL-parity: NULL ts/user_id/props null the whole LINE (the oracle's

@@ -179,55 +179,40 @@ object Relational {
 
   /** Approximate heavy hitters: the constant-memory twin of
     * [[heavyHitters]], completing the sketch family (approx_distinct =
-    * HLL, value_percentiles_approx = t-digest, this = lossy counting +
-    * count-min). Two single-pass, partition-mergeable sketches and ZERO
-    * shuffles: `freqItems` (lossy counting — every key with frequency
-    * above the support threshold is guaranteed present) proposes the
-    * bounded candidate set, a count-min sketch estimates their counts
-    * (CMS alone cannot enumerate keys; freqItems alone carries no
-    * counts). Candidates are re-thresholded on the CMS estimate; CMS
-    * only ever OVER-estimates, so every true heavy hitter survives —
-    * recall 1 vs the exact operator, precision traded for memory.
-    * Driver-side work is bounded by 1/support items. NULL keys are
-    * excluded (the sketches don't track them); the exact operator
-    * remains the NULL-accounting path.
+    * HLL, value_percentiles_approx = t-digest, this = count-min). The
+    * sketch build is a single pass whose partial (map-side) state is
+    * bounded at d·w counters per partition — the distributed CMS merge,
+    * expressed declaratively; the probe joins the dimension-sized
+    * distinct-key relation against the BROADCAST d·w sketch and takes
+    * min over the d counters. CMS only ever OVER-estimates, so every
+    * true heavy hitter survives the re-threshold — recall 1 vs the
+    * exact operator, precision traded for memory. The threshold's key
+    * denominator is the deterministic HLL estimate padded UP by 5%
+    * (≈3σ at m=4096): an HLL UNDER-estimate would otherwise push thr
+    * above the exact operator's avg·1.15 bar and drop a borderline true
+    * heavy hitter. Everything is built on the pinned md5 family
+    * ([[Sketches]]) — counters and estimates are exact integers, so the
+    * whole operator replays hash-identically in the SQL oracle. NULL
+    * keys are excluded (the sketches don't track them); the exact
+    * operator remains the NULL-accounting path. Nothing ever collects
+    * to the driver.
     */
-  def heavyHittersApprox(spark: SparkSession, dir: String,
-      eps: Double = 1e-4, seed: Int = 42): DataFrame = {
-    import spark.implicits._
-    val ev = Tables.events(spark, dir)
+  def heavyHittersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
       .select(col("user_id")).where(col("user_id").isNotNull)
-    val s = ev.agg(count("*").as("n"),
-      approx_count_distinct("user_id", 0.02).as("k")).head()
-    val (total, keys) = (s.getLong(0), math.max(1L, s.getLong(1)))
-    // empty input: thr/total is 0/0 = NaN, which would poison the
-    // freqItems support — there are no heavy hitters in nothing
-    if (total == 0L) return Seq.empty[(Long, Long)].toDF("user_id", "n_events_est")
-    // pad the key estimate UP by the HLL error (rsd 0.02 → 5% ≈ 2.5σ)
-    // before it enters the threshold denominator: an HLL UNDER-estimate
-    // of n_keys would otherwise push thr above the exact operator's
-    // avg*1.15 bar and filter out a borderline true heavy hitter —
-    // breaking the recall-1 contract for a little precision
-    val thr = 1.15 * total.toDouble / (keys * 1.05)
-    // support strictly below thr/total so lossy counting cannot evict a
-    // true heavy hitter; floored at freqItems' 1e-4 minimum
-    val support = math.max(1e-4, thr / total / 2)
-    val cand = ev.stat.freqItems(Seq("user_id"), support)
-      .head().getSeq[Any](0).map {
-        case l: Long => l
-        case i: Int  => i.toLong
-        // integral-key restriction is part of the operator's contract
-        // (the output schema is (bigint, bigint)); fail with the contract
-        // spelled out instead of a bare MatchError
-        case other => throw new IllegalArgumentException(
-          s"heavyHittersApprox requires an integral key column; got " +
-          s"${if (other == null) "null" else other.getClass.getName} — " +
-          "use heavyHitters (exact) for non-integral keys")
-      }
-    val cms = ev.stat.countMinSketch(col("user_id"), eps, 0.99, seed)
-    cand.map(id => (id, cms.estimateCount(id)))
-      .filter(_._2 > thr)
-      .toDF("user_id", "n_events_est")
+      .select(col("user_id").cast("string").as("s"))
+    val est = Sketches.cmsEstimates(vals.distinct(), Sketches.cmsSketch(vals))
+    // one-row scalar relation (total, k) rides in as a broadcast —
+    // empty input keeps it empty (no keys), so the result is empty
+    // without a special case
+    val scalars = vals.agg(count(lit(1)).as("total"))
+      .crossJoin(Sketches.hllDistinct(vals, lit(1), col("s"), "k")
+        .select(col("k")))
+    val thr = lit(1.15) * col("total").cast("double") /
+      (col("k").cast("double") * lit(1.05))
+    est.crossJoin(broadcast(scalars))
+      .where(col("est") > thr)
+      .select(col("s").cast("long").as("user_id"), col("est").as("n_events_est"))
   }
 
   /** Key-skew profile: the pre-flight a 100 TB join/groupBy runs before

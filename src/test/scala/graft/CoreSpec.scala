@@ -147,6 +147,40 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic HLL estimates within rse bounds in both regimes") {
+    import spark.implicits._
+    // linear-counting regime (n << m=4096): real corpus, per-group
+    val exact = graft.sources.Tables.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nu"),
+        countDistinct(col("props")).as("np"), count("*").as("ne"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val est = graft.operators.LogOps.approxDistinct(spark, Sf)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (g, (nu, np, ne)) =>
+      val (eu, ep, en) = est(g)
+      assert(en == ne, s"$g: n_events must be exact")
+      // 3x the 1.6% rse, floored for tiny groups
+      def ok(e: Long, n: Long) = math.abs(e - n) <= math.max(3, 0.05 * n)
+      assert(ok(eu, nu), s"$g users: est $eu vs exact $nu")
+      assert(ok(ep, np), s"$g props: est $ep vs exact $np")
+    }
+    // raw-estimator regime (n > 2.5m): 20k distinct synthetic keys —
+    // the branch the real corpus never reaches
+    val big = spark.range(60000)
+      .select((col("id") % 20000).as("user_id"),
+        lit("t").as("event_type"), lit(null).cast("string").as("props"))
+    val bigEst = graft.operators.Sketches.approxDistinctCounts(big)
+      .collect().head
+    val e = bigEst.getLong(1)
+    assert(math.abs(e - 20000) <= 0.06 * 20000, // ~4x rse at m=4096
+      s"raw-regime estimate $e vs exact 20000")
+    assert(bigEst.getLong(3) == 60000)
+  }
+
   test("log_templates collapses variable parts into one template per shape") {
     import spark.implicits._
     val ev = Seq(
