@@ -124,6 +124,7 @@ object SparkEntry {
     "heavy_hitters_approx"  -> ((s: SparkSession, d: String) => Relational.heavyHittersApprox(s, d)),
     "value_percentiles"     -> (Relational.valuePercentiles _),
     "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
+    "value_percentiles_sampled" -> ((s: SparkSession, d: String) => Relational.valuePercentilesSampled(s, d)),
     "asof_prev_error"       -> (Relational.asofPrevError _),
     // last-touch attribution: bounded asof; the streaming interval-join
     // twin (StreamJoins.attributionCandidates) emits the eligible pairs
@@ -173,6 +174,7 @@ object SparkEntry {
     "knn_label_vote"        -> (Embeddings.knnLabelVote _),
     "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
     "embedding_outliers"    -> ((s: SparkSession, d: String) => Embeddings.embeddingOutliers(s, d)),
+    "embedding_outliers_seeded" -> ((s: SparkSession, d: String) => Embeddings.embeddingOutliersSeeded(s, d)),
     // — near-duplicate detection (rows-only) —
     "dedup_minhash"         -> ((s: SparkSession, d: String) => NearDup.dedupMinhash(s, d)),
     "dedup_clusters"        -> ((s: SparkSession, d: String) => NearDup.dedupClusters(s, d)),
@@ -487,7 +489,7 @@ object SparkEntry {
       |                          list_transform(list_zip(c.e, s.ce), x -> x[1] - x[2])) AS cdist
       |  FROM c, seeds s),
       |assign AS (
-      |  SELECT vec_id, e, label, bucket FROM (
+      |  SELECT vec_id, e, label, bucket, cdist FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, bucket) AS ark FROM a0)
       |  WHERE ark = 1)""".stripMargin
 
@@ -1570,6 +1572,33 @@ object SparkEntry {
         |ORDER BY n_rows DESC, key ASC NULLS FIRST
         |LIMIT 5""".stripMargin,
 
+    // bottom-k-by-md5 uniform sample (deterministic, mergeable), then
+    // DuckDB's native quantile_cont over the sample — Spark's
+    // rank-interpolation matches it exactly (proven by the exact twin).
+    // The sample filter (finite, non-NULL) must run BEFORE the rank cut
+    // or the two engines pick different rows.
+    "value_percentiles_sampled" ->
+      """WITH nn AS (
+        |  SELECT event_type, value, event_id,
+        |         md5_number_lower('sample:' || CAST(event_id AS VARCHAR)) % 2305843009213693951 AS hk
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value)),
+        |samp AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS srk
+        |    FROM nn) WHERE srk <= 4096),
+        |q AS (
+        |  SELECT event_type AS q_type,
+        |         round(quantile_cont(value, 0.5), 4) AS p50_sample,
+        |         round(quantile_cont(value, 0.9), 4) AS p90_sample,
+        |         round(quantile_cont(value, 0.99), 4) AS p99_sample,
+        |         count(*) AS n_sample
+        |  FROM samp GROUP BY 1),
+        |base AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT b.event_type, p50_sample, p90_sample, p99_sample,
+        |       COALESCE(n_sample, 0) AS n_sample, b.n_events
+        |FROM base b LEFT JOIN q ON q.q_type IS NOT DISTINCT FROM b.event_type""".stripMargin,
+
     "value_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5), 4) AS p50,
@@ -1863,6 +1892,32 @@ object SparkEntry {
     // in-bucket cosine rank — replays in SQL (the k-means paths stay
     // rows-only by nature; this is the same machinery on verifiable
     // centroids)
+    // outliers over the seeded quantizer: dist = sqrt of the assignment's
+    // own argmin distance; the bucket normalizer runs on µ-quantized
+    // INTEGER distances (di·n/Σdi) so no float aggregation order can
+    // shift a rank — the Spark side computes the identical quantity
+    "embedding_outliers_seeded" ->
+      s"""WITH $seededAssignCte,
+        |d AS (
+        |  SELECT vec_id, bucket, sqrt(cdist) AS dist,
+        |         CAST(round(sqrt(cdist) * 1.0e6) AS BIGINT) AS di
+        |  FROM assign),
+        |b AS (
+        |  SELECT vec_id, bucket, dist, di,
+        |         sum(di) OVER (PARTITION BY bucket) AS sum_di,
+        |         count(*) OVER (PARTITION BY bucket) AS nb
+        |  FROM d),
+        |r AS (
+        |  SELECT vec_id, bucket, round(dist, 6) AS dist,
+        |         CASE WHEN nb > 1 AND sum_di > 0
+        |              THEN round(CAST(di * nb AS DOUBLE) / CAST(sum_di AS DOUBLE), 6)
+        |              ELSE 0.0e0 END AS outlier_ratio,
+        |         nb = 1 AS singleton
+        |  FROM b)
+        |SELECT vec_id, bucket, dist, outlier_ratio, singleton
+        |FROM r ORDER BY singleton DESC, outlier_ratio DESC, vec_id
+        |LIMIT 100""".stripMargin,
+
     "ann_ivf_seeded" ->
       s"""WITH $seededAssignCte,
         |np AS (SELECT greatest(8, CAST(ceil(k * 0.25) AS BIGINT)) AS nprobe FROM kk),

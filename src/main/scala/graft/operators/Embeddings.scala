@@ -1178,20 +1178,50 @@ object Embeddings {
     assigned
       .join(broadcast(cents), "bucket")
       .withColumn("dist", sqrt(VecFns.l2sq(col("emb"), col("cemb"))))
-      .withColumn("bucket_mean", avg(col("dist")).over(byBucket))
-      .withColumn("singleton", count(lit(1)).over(byBucket) === 1)
+      // the bucket normalizer runs on µ-quantized INTEGER distances:
+      // a float avg() is summation-order dependent (ratio ≈ dist/mean
+      // could flip its 6th decimal between runs/engines), while integer
+      // sums are exact — ratio = di·n/Σdi is a pure function of the
+      // bucket's membership. di ≤ ~2e6 for unit vectors, so di·n stays
+      // in int64 up to trillion-row buckets.
+      .withColumn("di", round(col("dist") * lit(1.0e6), 0).cast("long"))
+      .withColumn("sum_di", sum(col("di")).over(byBucket))
+      .withColumn("nb", count(lit(1)).over(byBucket))
+      .withColumn("singleton", col("nb") === 1L)
       // a singleton defines its own mean (ratio vacuously 0 — the flag
-      // carries the signal); an all-identical bucket has mean 0: its
-      // members are no outliers
+      // carries the signal); an all-identical-at-centroid bucket has
+      // Σdi 0: its members are no outliers
       .withColumn("ratio",
-        when(!col("singleton") && col("bucket_mean") > 0,
-          col("dist") / col("bucket_mean")).otherwise(lit(0.0)))
+        when(!col("singleton") && col("sum_di") > 0L,
+          (col("di") * col("nb")).cast("double") / col("sum_di").cast("double"))
+          .otherwise(lit(0.0)))
       .select(col("vec_id"), col("bucket"),
         round(col("dist"), 6).as("dist"),
         round(col("ratio"), 6).as("outlier_ratio"),
         col("singleton"))
       .orderBy(col("singleton").desc, col("outlier_ratio").desc, col("vec_id"))
       .limit(topN)
+  }
+
+  /** [[embeddingOutliers]] over the deterministic seeded quantizer
+    * instead of the k-means fit — the oracle-verified member of the
+    * outlier family (same promotion pattern as ann_ivf_seeded): seed
+    * choice, argmin assignment, distances, and the integer-normalized
+    * ratio are all pure functions of the corpus, so the ranking replays
+    * in SQL end-to-end. Trade: seeded centroids are corpus samples, not
+    * fitted means, so within-bucket distances skew slightly larger —
+    * the ratio normalization absorbs that by construction. */
+  def embeddingOutliersSeeded(spark: SparkSession, dir: String,
+      topN: Int = 100): DataFrame = {
+    val (assigned, cents) = seededAssignFor(spark, dir)
+    embeddingOutliersOn(assigned,
+      cents.select(col("bucket"), col("cemb")), topN)
+  }
+
+  private[graft] def embeddingOutliersSeededFrom(c: DataFrame, k: Int = 0,
+      topN: Int = 100): DataFrame = {
+    val (assigned, cents) = seededAssign(c, k)
+    embeddingOutliersOn(assigned, cents.select(col("bucket"), col("cemb")), topN)
   }
 
   /** RAG context assembly (llm_processor.py:44-60): embed the incident

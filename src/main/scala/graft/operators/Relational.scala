@@ -424,6 +424,69 @@ object Relational {
         count("*").as("n_events"))
   }
 
+  /** Deterministic sampled percentiles — the oracle-verifiable member of
+    * the quantile family next to [[valuePercentiles]] (exact) and
+    * [[valuePercentilesApprox]] (t-digest, whose merge is inherently
+    * order-dependent and therefore rows-only forever). Per group, the k
+    * rows with the smallest salted md5(event_id) form a uniform sample —
+    * a real fixed-size distributed sketch (bottom-k of a union is the
+    * merge of bottom-k's; rank error ~√(p(1−p)/k) ≈ 0.8% at k=4096,
+    * INDEPENDENT of corpus size) that is also a pure function of the
+    * corpus, so the whole operator replays in SQL.
+    *
+    * Scale shape: the sample selection is a rank-≤k window that Spark
+    * rewrites to WindowGroupLimit — each map task ships at most k rows
+    * per group into the shuffle, never the corpus. The percentile math
+    * then runs on ≤k rows per group (bounded regardless of corpus), with
+    * the same interpolation + round(…,4) contract as the exact operator.
+    * Same finite-values domain as the exact twin; NULL group keys stay
+    * groups (null-safe joins). */
+  def valuePercentilesSampled(spark: SparkSession, dir: String,
+      k: Int = 4096): DataFrame =
+    valuePercentilesSampledFrom(Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id")), k)
+
+  private[graft] def valuePercentilesSampledFrom(ev: DataFrame,
+      k: Int = 4096): DataFrame = {
+    val finite = !isnan(col("value")) &&
+      abs(col("value")) <= lit(Double.MaxValue)
+    val counts = ev.groupBy("event_type").agg(count("*").as("n_events"))
+    val hk = Sketches.md5mod(
+      concat(lit("sample:"), col("event_id").cast("string")),
+      graft.expressions.SigUtil.P)
+    val wS = Window.partitionBy("event_type").orderBy(col("hk"), col("event_id"))
+    val sample = ev.where(col("value").isNotNull && finite)
+      .withColumn("hk", hk)
+      .withColumn("srk", row_number().over(wS))
+      .where(col("srk") <= k)
+    val wV = Window.partitionBy("event_type").orderBy(col("value"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(wV).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("event_type")))
+    // quantile_cont interpolation, the exact operator's formulation
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    def pos(p: Double): Column = (col("n_s") - 1).cast("double") * lit(p)
+    def vAt(idx: Column): Column = max(when(col("rn") === idx, col("value")))
+    val picks = ps.flatMap { case (p, nm) => Seq(
+      vAt(floor(pos(p)).cast("long") + 1).as(s"lo_$nm"),
+      vAt(ceil(pos(p)).cast("long") + 1).as(s"hi_$nm"))
+    }
+    val qs = ps.map { case (p, nm) =>
+      round(col(s"lo_$nm") +
+        (col(s"hi_$nm") - col(s"lo_$nm")) * (pos(p) - floor(pos(p))), 4)
+        .as(s"${nm}_sample")
+    }
+    val quant = ranked.groupBy(col("event_type"), col("n_s"))
+      .agg(picks.head, picks.tail: _*)
+      .select(col("event_type").as("q_type") +: col("n_s").as("n_sample") +: qs: _*)
+    // left + null-safe: all-NULL/non-finite groups surface with NULL
+    // percentiles and a 0 sample size, the NULL-type group with real ones
+    counts.join(quant, col("event_type") <=> col("q_type"), "left")
+      .select(col("event_type"), col("p50_sample"), col("p90_sample"),
+        col("p99_sample"), coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        col("n_events"))
+  }
+
   /** As-of join: each event annotated with the user's most recent strictly
     * earlier error event — the "what was already broken when this
     * happened" context an incident dashboard needs. One shuffle on

@@ -42,7 +42,7 @@ object Sketches {
     * depend on aggregation order. */
   private val Z2Scale = 1L << (RhoBits + 1) // 2251799813685248
 
-  private def md5mod(c: Column, m: Long): Column =
+  private[graft] def md5mod(c: Column, m: Long): Column =
     Bridge.column(graft.expressions.Md5LowerMod(Bridge.expression(c), m))
 
   /** HLL register coordinates of a (non-null, string-cast) value: the

@@ -222,6 +222,37 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled percentiles: exact when the sample covers, rank-bounded beyond") {
+    import spark.implicits._
+    // covering regime: every sf0.001 group is smaller than k=4096, so
+    // the sample IS the population and the sampled operator must equal
+    // the exact one value-for-value
+    val exact = Relational.valuePercentiles(spark, Sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.get(1), r.get(2), r.get(3))).toMap
+    val samp = Relational.valuePercentilesSampled(spark, Sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.get(1), r.get(2), r.get(3), r.getLong(4))).toMap
+    assert(samp.keySet == exact.keySet)
+    exact.foreach { case (g, (p50, p90, p99)) =>
+      val s = samp(g)
+      assert((s._1, s._2, s._3) == ((p50, p90, p99)),
+        s"$g: covering sample must be exact: $s vs ($p50,$p90,$p99)")
+    }
+    // subsample regime: 40k rows, k=4096 — the estimate's rank must sit
+    // within ~3 sigma of the target (sqrt(.25/4096) ~ 0.8% at p50)
+    val big = spark.range(40000).select(lit("t").as("event_type"),
+      (col("id") % 9973).cast("double").as("value"), col("id").as("event_id"))
+    val r = Relational.valuePercentilesSampledFrom(big).collect().head
+    assert(r.getLong(4) == 4096L, s"fixed-size sample: $r")
+    val p50 = r.getDouble(1)
+    val frac = big.where(col("value") <= p50).count().toDouble / 40000
+    assert(math.abs(frac - 0.5) < 0.03, s"p50 rank error: $frac via $p50")
+    val p99 = r.getDouble(3)
+    val frac99 = big.where(col("value") <= p99).count().toDouble / 40000
+    assert(math.abs(frac99 - 0.99) < 0.01, s"p99 rank error: $frac99 via $p99")
+  }
+
   test("asofJoin: inclusive vs strict semantics and no-match NULLs") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)

@@ -300,6 +300,39 @@ class VectorSpec extends AnyFunSuite {
       s"a singleton's within-bucket ratio is vacuously 0: ${flagged.toSeq}")
   }
 
+  test("seeded outliers surface a planted rogue and keep the ranking laws") {
+    import spark.implicits._
+    // same planted geometry as the k-means test, over the seeded
+    // quantizer: seeds are corpus SAMPLES, so the rogue either becomes a
+    // seed itself (then nothing assigns near it -> singleton, sorts
+    // first) or assigns to a sampled in-cluster seed at ~10x the
+    // in-cluster distances (ratio-dominant). Either way it must surface
+    // at the very top.
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val e1 = Array.fill(8)(1.0); val e2 = Array.fill(8)(-1.0)
+    val rogue = Array.fill(8)(3.0)
+    val rows =
+      (1L to 20L).map(i => (i, jitter(e1).toSeq, 0L)) ++
+      (21L to 40L).map(i => (i, jitter(e2).toSeq, 1L)) :+ ((99L, rogue.toSeq, 0L))
+    val out = Embeddings.embeddingOutliersSeededFrom(
+      rows.toDF("vec_id", "emb", "label"), k = 4, topN = 41).collect()
+    assert(out.length == 41, "every vector scored")
+    val top = out.take(3).map(_.getLong(0))
+    assert(top.contains(99L), s"planted rogue must surface at the top: ${out.take(5).toSeq}")
+    // ranking laws: non-negative ratios, singletons first, then ratio desc
+    assert(out.forall(_.getDouble(3) >= 0.0))
+    val (singles, rest) = out.partition(_.getBoolean(4))
+    assert(out.take(singles.length).forall(_.getBoolean(4)),
+      "singleton rows sort before ratio-ranked rows")
+    assert(rest.map(_.getDouble(3)).sliding(2).forall(
+      p => p.length < 2 || p(0) >= p(1)), "ratio-ordered tail")
+    // determinism: a second run is row-identical
+    val again = Embeddings.embeddingOutliersSeededFrom(
+      rows.toDF("vec_id", "emb", "label"), k = 4, topN = 41).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("IVF fit clamps k to the corpus size on tiny inputs") {
     import spark.implicits._
     // 3 vectors < the 16-center floor: the ML fit crashes outright when
