@@ -448,6 +448,17 @@ object Relational {
 
   private[graft] def valuePercentilesSampledFrom(ev: DataFrame,
       k: Int = 4096): DataFrame = {
+    // InsertWindowGroupLimit only fires for limits up to
+    // spark.sql.optimizer.windowGroupLimitThreshold (default 1000) —
+    // below k=4096, so without this the sample cut would shuffle the
+    // WHOLE fact table just to keep 4096 rows per group. Raising the
+    // threshold to cover k restores the map-side ≤k-per-group bound
+    // (the entire scale story of this operator); plan-pinned in
+    // PlanShapeSpec. Same in-library conf precedent as Tables.events'
+    // nanosAsLong.
+    val spark = ev.sparkSession
+    val thKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if (spark.conf.get(thKey).toLong < k) spark.conf.set(thKey, k)
     val finite = !isnan(col("value")) &&
       abs(col("value")) <= lit(Double.MaxValue)
     val counts = ev.groupBy("event_type").agg(count("*").as("n_events"))

@@ -104,6 +104,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank window must partition by (event_type, bucket):\n$p")
   }
 
+  test("sampled percentiles bound the sample cut via WindowGroupLimit") {
+    // the bottom-k-by-hash cut must ship <= k rows per group per map
+    // task into the shuffle; losing the rank-limit rewrite would shuffle
+    // the whole fact table just to pick 4096 rows per group
+    val p = plan("value_percentiles_sampled")
+    assert(p.contains("WindowGroupLimit"),
+      s"sample selection must plan as WindowGroupLimit:\n$p")
+  }
+
+  test("sketch builds aggregate partially before their one exchange") {
+    // HLL registers and CMS counters are classic partial-agg shapes: a
+    // plan without map-side combine would shuffle raw keys — the exact
+    // thing a sketch exists to avoid at 100 TB
+    for (q <- Seq("approx_distinct", "heavy_hitters_approx")) {
+      val p = plan(q)
+      assert(p.contains("partial_"),
+        s"$q's sketch build must map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
+  }
+
   test("corpus_shuffle's position window is sharded, never one reducer") {
     // the permutation op must not plan a global window: the position
     // numbering partitions on the shard key (hashpartitioning), not a
