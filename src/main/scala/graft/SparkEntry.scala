@@ -97,6 +97,12 @@ object SparkEntry {
     "props_parse"           -> (LogOps.propsParse _),
     "distinct_users"        -> (LogOps.distinctUsers _),
     "approx_distinct"       -> (LogOps.approxDistinct _),
+    // streaming HLL twin (the sessionize_stateful pairing): batch mode
+    // reproduces the column pipeline's registers bit-for-bit -> same oracle
+    "approx_distinct_stateful" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StatefulSketch(
+        graft.streaming.StatefulSketch.fromEvents(
+          graft.sources.Tables.events(s, d))).toDF()),
     "sessionize_stateful"   -> ((s: SparkSession, d: String) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -1267,7 +1273,14 @@ object SparkEntry {
     // and the linear-counting ln — are written in the same literal order
     // as the Spark side. Float literals carry e0: a bare 0.7213 is
     // DECIMAL in this engine and would change the arithmetic.
-    "approx_distinct" ->
+    "approx_distinct" -> approxDistinctSql,
+    // the streaming twin's batch mode produces the identical registers
+    // and estimate (one group invocation = the whole corpus) -> the
+    // same oracle checks both (the sessionize_stateful pairing)
+    "approx_distinct_stateful" -> approxDistinctSql,
+  ) ++ oracleSqlRest
+
+  private def approxDistinctSql: String =
       """WITH v AS (
         |  SELECT event_type AS g, 'u' AS tag, CAST(user_id AS VARCHAR) AS s
         |  FROM events WHERE user_id IS NOT NULL
@@ -1297,8 +1310,9 @@ object SparkEntry {
         |       b.n_events
         |FROM base b
         |LEFT JOIN est u ON u.tag = 'u' AND u.g IS NOT DISTINCT FROM b.g
-        |LEFT JOIN est p ON p.tag = 'p' AND p.g IS NOT DISTINCT FROM b.g""".stripMargin,
+        |LEFT JOIN est p ON p.tag = 'p' AND p.g IS NOT DISTINCT FROM b.g""".stripMargin
 
+  private def oracleSqlRest: Map[String, String] = Map(
     // Deterministic CMS (depth 4 x width 2048, md5 family with the row
     // index as a literal salt) + the HLL key estimate (padded 5% UP) in
     // the threshold denominator. Counters and estimates are exact

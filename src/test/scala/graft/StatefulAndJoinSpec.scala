@@ -87,6 +87,66 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch stateful HLL sketch is bit-identical to the column pipeline") {
+    val batch = graft.operators.LogOps.approxDistinct(spark, Sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val stateful = graft.streaming.StatefulSketch(
+      graft.streaming.StatefulSketch.fromEvents(
+        graft.sources.Tables.events(spark, Sf))).collect()
+      .map(o => o.event_type -> (o.n_users_approx, o.n_props_approx, o.n_events)).toMap
+    assert(stateful == batch,
+      s"state registers must reproduce the column registers exactly:\n" +
+        s"only-batch=${(batch.toSet -- stateful.toSet).take(3)}\n" +
+        s"only-stateful=${(stateful.toSet -- batch.toSet).take(3)}")
+  }
+
+  test("streaming HLL converges to the batch estimate; replays don't move it") {
+    import spark.implicits._
+    import graft.streaming.{SketchEvent, StatefulSketch}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SketchEvent]
+    val q = StatefulSketch(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode("append").start()
+    def ev(u: Long) = SketchEvent(Some("t"), Some(u.toString), None)
+    def latest(): (Long, Long) = {
+      val rows = spark.table("hll_test").collect()
+      val r = rows.last
+      (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_events"))
+    }
+    try {
+      mem.addData((1L to 40L).map(ev): _*)
+      q.processAllAvailable()
+      val (e1, n1) = latest()
+      assert(n1 == 40L)
+      assert(math.abs(e1 - 40L) <= 3, s"40 keys in linear-counting regime: $e1")
+      // trigger 2: 40 NEW keys — the running estimate must track ~80
+      mem.addData((41L to 80L).map(ev): _*)
+      q.processAllAvailable()
+      val (e2, n2) = latest()
+      assert(n2 == 80L)
+      assert(math.abs(e2 - 80L) <= 5, s"80 keys after second trigger: $e2")
+      // trigger 3: an at-least-once REPLAY of trigger 1 — register max
+      // is idempotent, so the distinct estimate must not move at all
+      // (n, a row count, honestly counts the redelivered rows)
+      mem.addData((1L to 40L).map(ev): _*)
+      q.processAllAvailable()
+      val (e3, n3) = latest()
+      assert(e3 == e2, s"replayed keys must not move the estimate: $e2 -> $e3")
+      assert(n3 == 120L)
+      // convergence: the final streaming estimate equals the batch
+      // operator over the same logical corpus (dup rows and all)
+      val batchDf = ((1L to 80L) ++ (1L to 40L)).map(u =>
+        (Some("t"): Option[String], Some(u): Option[Long], None: Option[String]))
+        .toDF("event_type", "user_id", "props")
+      val b = graft.operators.Sketches.approxDistinctCounts(batchDf).collect().head
+      assert(b.getLong(1) == e3 && b.getLong(3) == n3,
+        s"streaming end-state must equal batch: ${b.toSeq} vs ($e3, $n3)")
+    } finally q.stop()
+  }
+
   test("batch stateful spike detector matches the window-function operator") {
     import graft.streaming.StatefulSpikes
     val ev = graft.sources.Tables.events(spark, Sf)
