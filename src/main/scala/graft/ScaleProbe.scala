@@ -348,6 +348,20 @@ object ScaleProbe {
       point("pq")(time("pq 1x")(graft.operators.Embeddings.annPqFrom(emb1)),
         time(s"pq ${factor}x")(graft.operators.Embeddings.annPqFrom(jitter(embN)))),
       point("exact_pctl")(time("exact_pctl 1x")(pctl(ev1)), time(s"exact_pctl ${factor}x")(pctl(evN))),
+      // deterministic sketches (r14): replicate keeps the VALUE domain, so
+      // 16x data = 16x register/counter updates over the same cardinality —
+      // growth must track the scan (map-side state is m / d·w bounded, the
+      // shuffle never carries raw keys); the sampled-percentile cut ships
+      // <= k rows per group per task (WindowGroupLimit)
+      point("hll_sketch")(
+        time("hll 1x")(graft.operators.Sketches.approxDistinctCounts(ev1)),
+        time(s"hll ${factor}x")(graft.operators.Sketches.approxDistinctCounts(evN))),
+      point("cms_hitters")(
+        time("cms 1x")(graft.operators.Relational.heavyHittersApproxFrom(ev1)),
+        time(s"cms ${factor}x")(graft.operators.Relational.heavyHittersApproxFrom(evN))),
+      point("sampled_pctl")(
+        time("spctl 1x")(graft.operators.Relational.valuePercentilesSampledFrom(ev1)),
+        time(s"spctl ${factor}x")(graft.operators.Relational.valuePercentilesSampledFrom(evN))),
       point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
       point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
       point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor)))

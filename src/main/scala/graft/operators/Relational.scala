@@ -197,8 +197,11 @@ object Relational {
     * operator remains the NULL-accounting path. Nothing ever collects
     * to the driver.
     */
-  def heavyHittersApprox(spark: SparkSession, dir: String): DataFrame = {
-    val vals = Tables.events(spark, dir)
+  def heavyHittersApprox(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersApproxFrom(Tables.events(spark, dir))
+
+  private[graft] def heavyHittersApproxFrom(events: DataFrame): DataFrame = {
+    val vals = events
       .select(col("user_id")).where(col("user_id").isNotNull)
       .select(col("user_id").cast("string").as("s"))
     val est = Sketches.cmsEstimates(vals.distinct(), Sketches.cmsSketch(vals))
