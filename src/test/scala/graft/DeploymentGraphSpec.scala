@@ -49,6 +49,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
     new Directory(new java.io.File(base)).deleteRecursively()
     val evDir = s"$base/topic_events"; val docDir = s"$base/topic_docs"
     val idx = s"$base/sig_index"; val store = s"$base/winner_store"
+    val tile = s"$base/hll_tile"
     new java.io.File(evDir).mkdirs(); new java.io.File(docDir).mkdirs()
 
     // ---- the graph ----------------------------------------------------
@@ -59,6 +60,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     def startGraph(): (org.apache.spark.sql.streaming.StreamingQuery,
+        org.apache.spark.sql.streaming.StreamingQuery,
         org.apache.spark.sql.streaming.StreamingQuery) = {
       val evRaw = spark.readStream.schema(kafkaSchema)
         .option("maxFilesPerTrigger", 1).option("basePath", evDir)
@@ -70,6 +72,14 @@ class DeploymentGraphSpec extends AnyFunSuite {
       val attrQ = StreamJoins.lastTouchSink(
         StreamJoins.attributionCandidates(events, events),
         store, s"$base/ckpt_attr")
+      // the live distinct-users tile: HLL registers in checkpointed
+      // state, running estimates appended to a durable log — the latest
+      // row per type (max n_events, monotone per group) IS the tile
+      val hllQ = graft.streaming.StatefulSketch(
+        graft.streaming.StatefulSketch.fromEvents(events))
+        .toDF().writeStream.format("parquet")
+        .option("path", tile).option("checkpointLocation", s"$base/ckpt_hll")
+        .outputMode("append").start()
       val docRaw = spark.readStream.schema(kafkaSchema)
         .option("maxFilesPerTrigger", 1).option("basePath", docDir)
         .parquet(s"$docDir/*")
@@ -79,7 +89,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
         // reference's preprocessor step in stream position
         .withColumn("text", graft.functions.TextFns.redactPii(col("text")))
       val dedupQ = StreamPipeline.dedupingIndexSink(docs, idx, s"$base/ckpt_dedup")
-      (attrQ, dedupQ)
+      (attrQ, dedupQ, hllQ)
     }
 
     // ---- the feed -----------------------------------------------------
@@ -103,13 +113,14 @@ class DeploymentGraphSpec extends AnyFunSuite {
       writeBatch(docDir, name, rows.zipWithIndex.map { case ((id, tx), i) =>
         rec(id * 10 + i, docJson(id, tx)) })
 
-    val (attr1, dedup1) = startGraph()
+    val (attr1, dedup1, hll1) = startGraph()
     try {
       // batch 1
       feedEvents("b1", Seq((101L, 1L, "2024-07-01 11:40:00", "view"),
         (10L, 1L, "2024-07-01 12:00:00", "purchase")))
       feedDocs("b1", Seq((1L, bodyA), (2L, bodyB), (3L, bodyA + " tail1 tail2")))
       attr1.processAllAvailable(); dedup1.processAllAvailable()
+      hll1.processAllAvailable()
       // batch 2: a late-but-in-threshold upgrade view for p10, a matched
       // purchase p11, and a doc near-duplicating the INDEX (4) plus a
       // fresh doc carrying PII (5)
@@ -118,7 +129,8 @@ class DeploymentGraphSpec extends AnyFunSuite {
         (11L, 2L, "2024-07-01 12:10:00", "purchase")))
       feedDocs("b2", Seq((4L, bodyA + " tail3"), (5L, bodyC)))
       attr1.processAllAvailable(); dedup1.processAllAvailable()
-    } finally { attr1.stop(); dedup1.stop() }
+      hll1.processAllAvailable()
+    } finally { attr1.stop(); dedup1.stop(); hll1.stop() }
 
     assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 5L), "pre-crash index: intra-batch and vs-index dups dropped")
@@ -147,10 +159,11 @@ class DeploymentGraphSpec extends AnyFunSuite {
     feedEvents("b4", Seq((105L, 5L, "2024-07-01 16:20:00", "view"),
       (14L, 5L, "2024-07-01 16:30:00", "purchase")))
 
-    val (attr2, dedup2) = startGraph()
+    val (attr2, dedup2, hll2) = startGraph()
     try {
       attr2.processAllAvailable(); dedup2.processAllAvailable()
-    } finally { attr2.stop(); dedup2.stop() }
+      hll2.processAllAvailable()
+    } finally { attr2.stop(); dedup2.stop(); hll2.stop() }
 
     // ---- the proof ----------------------------------------------------
     // 1) no crash debris survives anywhere
@@ -198,5 +211,22 @@ class DeploymentGraphSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(stored(5L) != unredacted,
       "doc 5's raw (unredacted) text must NOT be what got signed")
+
+    // 5) the live HLL tile: registers rode the checkpoint across the
+    //    crash, so the LATEST row per type (max n_events — monotone per
+    //    group) must equal the batch sketch over everything fed
+    val tileRows = spark.read.parquet(tile).collect()
+      .map(r => (Option(r.getAs[String]("event_type")),
+        r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_events")))
+    val latest = tileRows.groupBy(_._1).map { case (t, rs) =>
+      val r = rs.maxBy(_._3); t -> (r._2, r._3) }
+    val batchTile = graft.operators.Sketches.approxDistinctCounts(
+      fedEvents.toDF("event_id", "user_id", "ts", "event_type")
+        .withColumn("props", concat(lit("p"), col("event_id"))))
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(3)))).toMap
+    assert(latest == batchTile,
+      s"live tile must equal the batch sketch over all fed events:\n" +
+        s" tile =$latest\n batch=$batchTile")
   }
 }
