@@ -84,18 +84,75 @@ object Sketches {
       extra.map(e => col(e._2)): _*)
   }
 
-  /** Deterministic HLL distinct count of `value` per `group`:
-    * `(g, <out> bigint)`, NULL values ignored, NULL group keys kept
-    * as groups (SQL semantics). One scan, two map-side-combinable
-    * aggregations; shuffled state is ≤ m register rows per group. */
-  def hllDistinct(df: DataFrame, group: Column, value: Column,
-      out: String): DataFrame = {
+  /** The occupied-register relation `(g, b, mx)` of a per-group HLL
+    * sketch — the MERGEABLE form of a cardinality count: register max
+    * is associative, commutative, and idempotent, so max-merging any
+    * set of these relations yields the union corpus's registers
+    * BIT-identically (no approximation stacking, no double counting of
+    * slices that overlap or replay). */
+  private def hllRegisters(df: DataFrame, group: Column,
+      value: Column): DataFrame = {
     val s = value.cast("string")
     val (bucket, rho) = hllRegister(s)
     df.where(s.isNotNull)
       .select(group.as("g"), bucket.as("b"), rho.as("rho"))
       .groupBy(col("g"), col("b")).agg(max(col("rho")).as("mx"))
-      .transform(hllEstimate(_, Seq("g"), out))
+  }
+
+  /** Deterministic HLL distinct count of `value` per `group`:
+    * `(g, <out> bigint)`, NULL values ignored, NULL group keys kept
+    * as groups (SQL semantics). One scan, two map-side-combinable
+    * aggregations; shuffled state is ≤ m register rows per group. */
+  def hllDistinct(df: DataFrame, group: Column, value: Column,
+      out: String): DataFrame =
+    hllEstimate(hllRegisters(df, group, value), Seq("g"), out)
+
+  // ---- durable cardinality sketches -----------------------------------
+  // The third durable store next to the signature index (NearDup
+  // .writeSignatureIndex) and the IVF index (Embeddings.writeIvfIndex):
+  // persist each corpus SLICE's register relation once (e.g. one job per
+  // day), answer any-range distinct counts later by max-merging the
+  // touched slices — O(slices · m) rows of merge work, never a rescan of
+  // 100 TB of raw keys. Same crash contract as the other stores: tmp +
+  // _SUCCESS + rename-aside swap, writer-entry healing only.
+
+  /** Persist the register relation of one corpus slice. */
+  def writeHllSketch(df: DataFrame, group: Column, value: Column,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__sketch_tmp")
+    graft.sources.IO.recoverStore(fs, p, tmp) // writer-entry healing
+    hllRegisters(df, group, value)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    graft.sources.IO.swapInto(fs, tmp, p)
+  }
+
+  /** Read one persisted slice sketch (reader-passive: heals only a
+    * missing-live-dir crash, never deletes — the IVF reader contract). */
+  def readHllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStoreForRead(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__sketch_tmp"))
+    spark.read.parquet(path)
+  }
+
+  /** Distinct-count estimates over the UNION of any set of persisted
+    * slices: union the register relations, max-merge per (g, b), run the
+    * same estimator. Because register max is idempotent, overlapping or
+    * replayed slices cannot double-count — merging N daily sketches
+    * gives exactly the sketch (and therefore exactly the estimate) a
+    * single pass over the concatenated days would have produced. */
+  def mergeHllEstimate(slices: Seq[DataFrame], out: String): DataFrame = {
+    require(slices.nonEmpty, "mergeHllEstimate needs at least one slice")
+    hllEstimate(
+      slices.reduce(_ unionByName _)
+        .groupBy(col("g"), col("b")).agg(max(col("mx")).as("mx")),
+      Seq("g"), out)
   }
 
   /** The approx_distinct operator body: per event_type, HLL distinct

@@ -181,6 +181,50 @@ class CoreSpec extends AnyFunSuite {
     assert(bigEst.getLong(3) == 60000)
   }
 
+  test("durable HLL sketches: slice merge equals the one-pass sketch exactly") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    def wipe(p: String) = {
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
+    }
+    val base = "/tmp/graft_hll_store"
+    Seq("", "_a", "_b", "_a__sketch_tmp").foreach(s => wipe(base + s))
+    // two overlapping daily slices (ids 1..600 and 400..1000): idempotent
+    // register max must make the overlap free, not double-counted
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(lit("t").as("g0"), col("id").as("v"))
+    Sketches.writeHllSketch(slice(1, 600), col("g0"), col("v"), base + "_a")
+    Sketches.writeHllSketch(slice(400, 1000), col("g0"), col("v"), base + "_b")
+    val merged = Sketches.mergeHllEstimate(
+      Seq(Sketches.readHllSketch(spark, base + "_a"),
+        Sketches.readHllSketch(spark, base + "_b")), "n").collect()
+    val onePass = Sketches.hllDistinct(
+      slice(1, 600).union(slice(400, 1000)), col("g0"), col("v"), "n").collect()
+    assert(merged.map(_.toSeq).toSeq == onePass.map(_.toSeq).toSeq,
+      s"merge must be BIT-identical to the one-pass sketch: " +
+        s"${merged.toSeq} vs ${onePass.toSeq}")
+    // the estimate is also accurate (1000 true distinct)
+    val est = merged.head.getLong(1)
+    assert(math.abs(est - 1000) <= 0.05 * 1000, s"estimate $est vs 1000")
+    // replaying a slice into the merge changes nothing (idempotence)
+    val replayed = Sketches.mergeHllEstimate(
+      Seq(Sketches.readHllSketch(spark, base + "_a"),
+        Sketches.readHllSketch(spark, base + "_b"),
+        Sketches.readHllSketch(spark, base + "_a")), "n").collect()
+    assert(replayed.map(_.toSeq).toSeq == merged.map(_.toSeq).toSeq)
+    // crash walk: a half-written tmp (no _SUCCESS) next to a live store
+    // is ignored by readers and healed by the next writer entry
+    val fs = new org.apache.hadoop.fs.Path(base + "_a")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base + "_a__sketch_tmp"))
+    assert(Sketches.readHllSketch(spark, base + "_a").count() > 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base + "_a__sketch_tmp")),
+      "a reader must not delete a writer's tmp")
+    Sketches.writeHllSketch(slice(1, 600), col("g0"), col("v"), base + "_a")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "_a__sketch_tmp")),
+      "writer entry heals tmp debris")
+  }
+
   test("log_templates collapses variable parts into one template per shape") {
     import spark.implicits._
     val ev = Seq(
