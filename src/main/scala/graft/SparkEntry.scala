@@ -181,6 +181,7 @@ object SparkEntry {
     "dedup_embedding"       -> ((s: SparkSession, d: String) => Embeddings.dedupEmbedding(s, d)),
     "embedding_outliers"    -> ((s: SparkSession, d: String) => Embeddings.embeddingOutliers(s, d)),
     "embedding_outliers_seeded" -> ((s: SparkSession, d: String) => Embeddings.embeddingOutliersSeeded(s, d)),
+    "dedup_embedding_seeded" -> ((s: SparkSession, d: String) => Embeddings.dedupEmbeddingSeeded(s, d)),
     // — near-duplicate detection (rows-only) —
     "dedup_minhash"         -> ((s: SparkSession, d: String) => NearDup.dedupMinhash(s, d)),
     "dedup_clusters"        -> ((s: SparkSession, d: String) => NearDup.dedupClusters(s, d)),
@@ -1906,6 +1907,28 @@ object SparkEntry {
     // in-bucket cosine rank — replays in SQL (the k-means paths stay
     // rows-only by nature; this is the same machinery on verifiable
     // centroids)
+    // the pair-flag dedup over the seeded quantizer: best same-bucket
+    // neighbor by rounded cosine (capped candidates, tie to smaller id),
+    // NULL-propagating is_dup for candidate-less vectors (left join) —
+    // the dedupEmbeddingOn scaffold replayed value-for-value
+    "dedup_embedding_seeded" ->
+      s"""WITH $seededAssignCte,
+        |capped AS (
+        |  SELECT bucket, nn_id, er FROM (
+        |    SELECT bucket, vec_id AS nn_id, e AS er,
+        |           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+        |    FROM assign) WHERE bn <= 1024),
+        |s1 AS (
+        |  SELECT a.vec_id, c.nn_id, round(${cosSql("a.e", "c.er")}, 6) AS sim
+        |  FROM assign a JOIN capped c USING (bucket) WHERE a.vec_id <> c.nn_id),
+        |best AS (
+        |  SELECT vec_id, nn_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+        |    FROM s1) WHERE rk = 1)
+        |SELECT a.vec_id, a.bucket, b.nn_id, b.sim AS nn_sim,
+        |       b.sim >= 0.95 AS is_dup
+        |FROM assign a LEFT JOIN best b USING (vec_id)""".stripMargin,
+
     // outliers over the seeded quantizer: dist = sqrt of the assignment's
     // own argmin distance; the bucket normalizer runs on µ-quantized
     // INTEGER distances (di·n/Σdi) so no float aggregation order can

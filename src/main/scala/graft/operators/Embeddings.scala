@@ -1005,6 +1005,17 @@ object Embeddings {
   private[graft] def dedupEmbeddingFrom(c: DataFrame, thr: Double = 0.95): DataFrame =
     dedupEmbeddingOn(ivfAssignFrom(c)._1, thr)
 
+  /** [[dedupEmbedding]] blocked on the seeded quantizer — the
+    * oracle-verified member of the pair-flag form (the last k-means
+    * consumer to gain a seeded twin; shares the memoized assignment
+    * with ann_ivf_seeded and the outlier/decontamination twins). A
+    * near-identical pair shares its argmin bucket under any reasonable
+    * quantizer, so flag recall is quantizer-robust; the fitted path
+    * stays the quality default. */
+  def dedupEmbeddingSeeded(spark: SparkSession, dir: String,
+      thr: Double = 0.95): DataFrame =
+    dedupEmbeddingOn(seededAssignFor(spark, dir)._1, thr)
+
   /** Best same-bucket neighbor of each LEFT vector among the RIGHT side:
     * one row per left vector with its top match by rounded cosine,
     * deterministic tie-break on the right id; the right side is
