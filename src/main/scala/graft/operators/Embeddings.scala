@@ -664,11 +664,15 @@ object Embeddings {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(indexPath + "__index_tmp")
     graft.sources.IO.recoverStore(fs, p, tmp) // heal a crashed write first
-    // a crashed append's tmp was assigned against the OLD centroids;
-    // promoting it into the rebuilt index would mix generations — the
-    // full rebuild supersedes it (the caller replays increment batches)
-    val appTmp = new org.apache.hadoop.fs.Path(indexPath + "__append_tmp")
-    if (fs.exists(appTmp)) fs.delete(appTmp, true)
+    // a crashed append's COMPLETE tmp is promoted into the OLD
+    // generation BEFORE the rebuild starts (it was assigned against
+    // those centroids, so this is the correct home): if the rebuild
+    // then fails, the old index is live WITH the increment — deleting
+    // the tmp up front would lose data the caller believes landed while
+    // leaving the pre-increment index serving. A successful rebuild
+    // supersedes the whole store either way, and promoting first means
+    // no append tmp can survive into the new generation (no mixing).
+    recoverIvfAppend(fs, p)
     centDf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     assigned.select(col("vec_id"), col("emb"), col("label"), col("bucket"))
       // one file per bucket directory (the repartition key IS the
@@ -788,9 +792,11 @@ object Embeddings {
     * bucket-by-bucket into the live store. File renames are atomic and
     * part-file names are job-unique, so a crashed move RESUMES
     * idempotently ([[recoverIvfAppend]] at the next WRITER entry —
-    * readers never mutate the store, so serving reads are safe
-    * concurrent with an in-flight append and simply don't see a crashed
-    * increment until a writer promotes it): remaining files move,
+    * readers never delete and never touch a store with a live dir (the
+    * one reader-side mutation is completing a crashed swap's final
+    * rename when NO live dir exists, race-tolerantly), so serving reads
+    * are safe concurrent with an in-flight append and simply don't see
+    * a crashed increment until a writer promotes it): remaining files move,
     * already-moved files are no longer in tmp. A caller replaying a
     * fully-promoted append writes duplicate entity rows; readers
     * collapse them (see [[annIvfAgainst]]). Writers are single-flight:

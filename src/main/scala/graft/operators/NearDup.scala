@@ -481,10 +481,13 @@ object NearDup {
       batch.count() // materialize while the plan is this narrow
       val root = new org.apache.hadoop.fs.Path(indexPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // heal a crashed writeSignatureIndex swap BEFORE deciding on layout:
-      // a complete tmp promotes, a set-aside old restores — the docs/keys
-      // pair this read sees is always one consistent index generation
-      graft.sources.IO.recoverStore(fs, root,
+      // READER-passive healing (the IVF/HLL store contract): complete a
+      // crashed swap only when no live dir exists, never delete — a tmp
+      // next to a live index may be a concurrent writeSignatureIndex's
+      // in-flight output, and a reader that deletes it fails that
+      // writer's job. Destructive cleanup belongs to writer entries
+      // (writeSignatureIndexFrom's recoverStore).
+      graft.sources.IO.recoverStoreForRead(fs, root,
         new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
       val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
       val verdicts =

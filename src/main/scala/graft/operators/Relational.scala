@@ -204,13 +204,13 @@ object Relational {
     val vals = events
       .select(col("user_id")).where(col("user_id").isNotNull)
       .select(col("user_id").cast("string").as("s"))
-    val est = Sketches.cmsEstimates(vals.distinct(), Sketches.cmsSketch(vals))
-    // one-row scalar relation (total, k) rides in as a broadcast —
-    // empty input keeps it empty (no keys), so the result is empty
-    // without a special case
-    val scalars = vals.agg(count(lit(1)).as("total"))
-      .crossJoin(Sketches.hllDistinct(vals, lit(1), col("s"), "k")
-        .select(col("k")))
+    // one combined pass builds the CMS counters, the HLL key estimate,
+    // and the exact total (Sketches.cmsWithThreshold); the only other
+    // fact-relation scan is the distinct-key probe side. The scalar
+    // relation rides in as a broadcast — empty input keeps it empty
+    // (no key estimate), so the result is empty without a special case.
+    val (sketch, scalars) = Sketches.cmsWithThreshold(vals)
+    val est = Sketches.cmsEstimates(vals.distinct(), sketch)
     val thr = lit(1.15) * col("total").cast("double") /
       (col("k").cast("double") * lit(1.05))
     est.crossJoin(broadcast(scalars))

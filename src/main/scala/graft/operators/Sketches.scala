@@ -203,18 +203,55 @@ object Sketches {
           CmsWidth.toLong).as("h"))
       .groupBy(col("i"), col("h")).agg(count(lit(1)).as("c"))
 
+  /** ONE-scan combined build of everything the heavy-hitters threshold
+    * needs: each value explodes into its d CMS cells plus one HLL
+    * register coordinate, and a single map-side-combined groupBy leaves
+    * ≤ d·w + m rows carrying both sketches AND the exact total (the
+    * tag-0 cells sum to it — every value lands in exactly one).
+    * Returns (sketch `(i, h, c)`, scalars `(total, k)` — one row, or
+    * empty on empty input). The derivations reference one aggregated
+    * subtree, which AQE's exchange reuse executes once — the old shape
+    * scanned the fact relation separately for the CMS build, the total,
+    * and the key estimate. */
+  private[graft] def cmsWithThreshold(vals: DataFrame): (DataFrame, DataFrame) = {
+    val cells = (0 until CmsDepth).map(i => struct(lit(i).as("tag"),
+      md5mod(concat(lit("cms"), lit(i.toString), lit(":"), col("s")),
+        CmsWidth.toLong).as("k1"),
+      lit(0L).as("v")))
+    val (bucket, rho) = hllRegister(col("s"))
+    val hrow = struct(lit(-1).as("tag"), bucket.as("k1"), rho.cast("long").as("v"))
+    val base = vals.select(explode(array(cells :+ hrow: _*)).as("x"))
+      .select(col("x.tag").as("tag"), col("x.k1").as("k1"), col("x.v").as("v"))
+      .groupBy(col("tag"), col("k1"))
+      .agg(count(lit(1)).as("c"), max(col("v")).as("mx"))
+    val sketch = base.where(col("tag") >= 0)
+      .select(col("tag").as("i"), col("k1").as("h"), col("c"))
+    val totals = base.where(col("tag") === 0)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("total"))
+    val kest = hllEstimate(base.where(col("tag") === -1)
+      .select(lit(1).as("g"), col("k1").as("b"), col("mx")), Seq("g"), "k")
+      .select(col("k"))
+    (sketch, totals.crossJoin(kest))
+  }
+
   /** Point-query the sketch for each key in `keys` (a distinct `(s)`
     * relation): the estimate is min over the d counters the key hashes
     * to — never an under-count, over by ≤ ε·total with prob 1−δ. The
     * d·w-row sketch broadcasts; only the dimension-sized key relation
     * shuffles for the final min. All-integer arithmetic — the estimates
-    * are scan-order free by construction. */
+    * are scan-order free by construction.
+    *
+    * The sketch relation stores only OCCUPIED cells, so the probe is a
+    * LEFT join with absent cells read as 0: a key the sketched corpus
+    * never saw has at least one empty cell and correctly estimates 0
+    * (an inner join would drop the empty cells and report whatever its
+    * colliding cells hold — a huge over-estimate, or no row at all). */
   def cmsEstimates(keys: DataFrame, sketch: DataFrame): DataFrame =
     keys.select(col("s"),
         explode(array((0 until CmsDepth).map(i => lit(i)): _*)).as("i"))
       .select(col("s"), col("i"),
         md5mod(concat(lit("cms"), col("i").cast("string"), lit(":"), col("s")),
           CmsWidth.toLong).as("h"))
-      .join(broadcast(sketch), Seq("i", "h"))
-      .groupBy(col("s")).agg(min(col("c")).as("est"))
+      .join(broadcast(sketch), Seq("i", "h"), "left")
+      .groupBy(col("s")).agg(min(coalesce(col("c"), lit(0L))).as("est"))
 }

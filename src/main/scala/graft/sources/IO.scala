@@ -34,8 +34,14 @@ object IO {
     if (fs.exists(old)) fs.delete(old, true) // debris from a healed crash
     if (fs.exists(p) && !fs.rename(p, old))
       sys.error(s"swap: cannot set aside $p")
-    if (!fs.rename(tmp, p))
-      sys.error(s"swap: cannot promote $tmp to $p")
+    if (!fs.rename(tmp, p)) {
+      // a reader landing in the mid-swap window (p set aside, tmp
+      // complete) may have healed the store by promoting tmp itself
+      // (recoverStoreForRead) — the swap then ALREADY happened and this
+      // writer must not report a successful publish as failed
+      if (!(fs.exists(p) && !fs.exists(tmp)))
+        sys.error(s"swap: cannot promote $tmp to $p")
+    }
     fs.delete(old, true)
   }
 
@@ -79,10 +85,16 @@ object IO {
   def recoverStoreForRead(fs: FileSystem, p: Path, tmp: Path): Unit = {
     if (fs.exists(p)) return
     val old = oldPath(p)
-    def renameOrDie(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to)) sys.error(s"recover: cannot rename $from to $to")
-    if (fs.exists(new Path(tmp, "_SUCCESS"))) renameOrDie(tmp, p)
-    else if (fs.exists(old)) renameOrDie(old, p)
+    // losing a rename race is SUCCESS here, not failure: another reader
+    // healing the same crash, or the mid-swap writer itself completing
+    // its promote, leaves the live dir in place — which is all a reader
+    // needs. Only a failed rename with the live dir STILL missing is a
+    // real fault (the store is genuinely unreadable).
+    def renameOrHealed(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to) && !fs.exists(p))
+        sys.error(s"recover: cannot rename $from to $to")
+    if (fs.exists(new Path(tmp, "_SUCCESS"))) renameOrHealed(tmp, p)
+    else if (fs.exists(old)) renameOrHealed(old, p)
   }
 
   /** NDJSON log batches (the shape the reference's API returns). */

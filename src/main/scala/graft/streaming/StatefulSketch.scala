@@ -76,6 +76,13 @@ object StatefulSketch {
       if (mx == 0) { vz += 1; z2 += (1L << 51) } else z2 += (1L << (51 - mx))
       i += 1
     }
+    // all-zero registers (no value ever sketched — e.g. a group whose
+    // column is always NULL): z2 would be m·2^51 = 2^63, one past the
+    // int64 bound the occupied case guarantees (2^50·(8192−k) < 2^63
+    // needs k ≥ 1). The column pipeline never reaches this state (its
+    // group-by emits no row and the caller coalesces to 0) — return the
+    // same 0 explicitly instead of leaning on wraparound accidents.
+    if (vz == M) return 0L
     val eraw = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 *
       2251799813685248.0 / z2.toDouble
     val e = if (vz > 0 && eraw <= 10240.0)

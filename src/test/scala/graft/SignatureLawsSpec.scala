@@ -227,15 +227,21 @@ class SignatureLawsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(900003L).getBoolean(4) && out(900003L).getLong(2) == 2L,
       s"healed index must be the complete v2 pair: ${out(900003L)}")
-    // crash state: mid-tmp-write — partial tmp (no root _SUCCESS) must be
-    // dropped and the live index served untouched
+    // a partial tmp (no root _SUCCESS) next to a live index: a READER
+    // serves the live index untouched and must NOT delete the tmp — it
+    // cannot tell crash debris from a concurrent writeSignatureIndex's
+    // in-flight output (the IVF/HLL store contract). The next WRITER
+    // entry cleans it.
     val tmp2 = new org.apache.hadoop.fs.Path(idx + "__index_tmp")
     fs.mkdirs(new org.apache.hadoop.fs.Path(tmp2, "docs"))
     val out2 = graft.operators.NearDup
       .dedupIncrementalAgainst(spark, idx, batch, thr = 0.7)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out2(900003L).getBoolean(4), s"live index survives: ${out2(900003L)}")
-    assert(!fs.exists(tmp2), "partial tmp debris must be cleaned")
+    assert(fs.exists(tmp2),
+      "a reader must never delete a tmp (it may be a live writer's)")
+    graft.operators.NearDup.writeSignatureIndexFrom(v2, idx)
+    assert(!fs.exists(tmp2), "writer entry must clean partial tmp debris")
   }
 
   test("bucket index is the exact upper-bound count, monotone, NaN-last") {
