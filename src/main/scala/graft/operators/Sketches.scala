@@ -220,10 +220,17 @@ object Sketches {
       lit(0L).as("v")))
     val (bucket, rho) = hllRegister(col("s"))
     val hrow = struct(lit(-1).as("tag"), bucket.as("k1"), rho.cast("long").as("v"))
+    // lazy localCheckpoint: the tag filters below are on a GROUP KEY, so
+    // Catalyst would push them through the aggregate and the three
+    // derivations would each rebuild (and rescan) their own filtered
+    // copy — truncating the lineage at the ≤ d·w+m-row aggregated base
+    // makes them share one RDD, computed once inside the final job
+    // (lazy: no extra job at construction; plan-pinned in PlanShapeSpec)
     val base = vals.select(explode(array(cells :+ hrow: _*)).as("x"))
       .select(col("x.tag").as("tag"), col("x.k1").as("k1"), col("x.v").as("v"))
       .groupBy(col("tag"), col("k1"))
       .agg(count(lit(1)).as("c"), max(col("v")).as("mx"))
+      .localCheckpoint(false)
     val sketch = base.where(col("tag") >= 0)
       .select(col("tag").as("i"), col("k1").as("h"), col("c"))
     val totals = base.where(col("tag") === 0)

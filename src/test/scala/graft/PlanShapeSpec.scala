@@ -245,4 +245,29 @@ class PlanShapeSpec extends AnyFunSuite {
             s"(expected >= $minReuse ReusedExchange, got $n):\n${p.take(3000)}")
       }
   }
+
+  test("heavy-hitters' combined build scans the fact relation once") {
+    // the tag filters on the sketch base are group-key predicates that
+    // Catalyst pushes through the aggregate — without the lineage cut at
+    // the aggregated base, the sketch/total/key-estimate derivations
+    // would each rescan the fact table. The final plan must contain ONE
+    // events file scan (the distinct-key probe side); the combined build
+    // lives in the checkpointed base's lineage, computed once.
+    val df = SparkEntry.queries("heavy_hitters_approx")(spark, Sf)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val evScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("events")))
+    assert(evScans.length == 1,
+      s"exactly one events scan in the serving plan (probe side), got " +
+        s"${evScans.length}:\n${df.queryExecution.executedPlan.toString.take(3000)}")
+  }
 }
