@@ -221,6 +221,14 @@ object SparkEntry {
     "corpus_stats"          -> ((s: SparkSession, d: String) => Corpus.corpusStats(s, d)),
     "tfidf_keywords"        -> ((s: SparkSession, d: String) => Corpus.tfidfKeywords(s, d)),
     "bigram_pmi"            -> ((s: SparkSession, d: String) => Corpus.bigramPmi(s, d)),
+    "search_bm25"           -> ((s: SparkSession, d: String) => Corpus.searchBm25(s, d)),
+    // k=3 parameter point on a different term set: the cut bites at a
+    // different rank boundary
+    "search_bm25_k3"        -> ((s: SparkSession, d: String) =>
+      Corpus.searchBm25(s, d, query = "data stream sort", topK = 3)),
+    // no-hit term: EMPTY result, hash-compared like search_entries_none
+    "search_bm25_none"      -> ((s: SparkSession, d: String) =>
+      Corpus.searchBm25(s, d, query = "zqxjkv")),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -433,6 +441,61 @@ object SparkEntry {
        |  AND ts >= TIMESTAMP '$sinceTs'$nsPred
        |ORDER BY ts DESC, event_id
        |LIMIT $limit""".stripMargin
+  }
+
+  /** BM25 search oracle (mirror of [[graft.operators.Corpus.searchBm25]]).
+    * Float fidelity: every scalar replays the Spark expression tree's op
+    * order literally — the per-doc score is the SAME left-associative
+    * coalesce chain over the sorted term set (never a SUM(), whose row
+    * order is arbitrary where float order decides a rank), and the k1/b
+    * constants are embedded as round-trip string literals of the Scala
+    * doubles the operator actually multiplies with (a bare SQL 2.2 is a
+    * DECIMAL whose nearest double may differ from Scala's k1 + 1.0). */
+  private def searchBm25Sql(query: String, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = graft.operators.Corpus.bm25Terms(query)
+    def d(v: Double) = s"CAST('$v' AS DOUBLE)"
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.indices.map(i =>
+      s"max(CASE WHEN term = '${terms(i)}' THEN tscore END) AS s_$i")
+      .mkString(",\n       |         ")
+    val chain = terms.indices.foldLeft(d(0.0)) { (acc, i) =>
+      s"($acc + coalesce(s_$i, ${d(0.0)}))"
+    }
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |stats AS (
+       |  SELECT CAST(sum(len(toks)) AS BIGINT) AS total_len,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM docs),
+       |pairs AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+       |  FROM docs),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM pairs WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |         ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+       |                  / (CAST(df AS DOUBLE) + 0.5))
+       |         * ((CAST(tf AS DOUBLE) * ${d(k1 + 1.0)})
+       |            / (CAST(tf AS DOUBLE) + ${d(k1)} * (${d(1.0 - b)}
+       |               + (${d(b)} * CAST(dl AS DOUBLE))
+       |                 / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |           AS tscore
+       |  FROM tf JOIN dfr USING (term) CROSS JOIN stats),
+       |p AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         $pivots
+       |  FROM scored GROUP BY doc_id),
+       |r AS (SELECT doc_id, n_terms, round($chain, 6) AS score FROM p)
+       |SELECT doc_id, n_terms, score,
+       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM r
+       |ORDER BY score DESC, doc_id
+       |LIMIT $topK""".stripMargin
   }
 
   /** Capped per-day report CTEs — the SQL mirror of
@@ -2251,6 +2314,10 @@ object SparkEntry {
     // vocab-sized join side); ranking on the ROUNDED score so the tie
     // order is engine-invariant; score op order mirrors the Spark plan
     // exactly: tf · ln(1.0 + N/df), division first
+    "search_bm25"      -> searchBm25Sql("spark join window customer", 10),
+    "search_bm25_k3"   -> searchBm25Sql("data stream sort", 3),
+    "search_bm25_none" -> searchBm25Sql("zqxjkv", 10),
+
     "tfidf_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id,

@@ -581,4 +581,90 @@ object Corpus {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Canonical query-term set for BM25: whitespace-split, simple-case-
+    * folded (the engine-wide Unicode contract), deduped, SORTED — the
+    * sort fixes the float accumulation order of the per-doc score chain
+    * on both engines. */
+  private[graft] def bm25Terms(query: String): Seq[String] =
+    query.split("\\s+").toSeq.filter(_.nonEmpty)
+      .map(TextFns.foldCase(_: String)).distinct.sorted
+
+  /** BM25-ranked keyword search over the corpus — the RANKED retrieval
+    * primitive the substring searches (search_keyword / search_entries,
+    * reference app.py:64-88) can't express: "the k documents most about
+    * these terms", the standard lexical first stage next to the vector
+    * path (vector_knn / rag_context). Okapi BM25 with the non-negative
+    * idf variant ln(1 + (N − df + 0.5)/(df + 0.5)) and the classic
+    * k1 = 1.2, b = 0.75 (Robertson & Zaragoza 2009).
+    *
+    * Determinism contract (the seeded-family float rules): the per-doc
+    * score is an explicit left-associative coalesce chain over the
+    * SORTED query terms — never a SUM() whose row order is arbitrary
+    * where float order decides a rank; every scalar has one pinned op
+    * order mirrored literally in the oracle; ties rank by (rounded
+    * score desc, doc_id), a total order.
+    *
+    * Scale shape: the query-term set is a literal, so the token stream
+    * collapses to ≤ |q| terms per doc BEFORE the (doc, term) aggregation
+    * — and the tokenize+explode itself runs only over docs whose folded
+    * text contains some query term as a substring (a strictly-superset
+    * prefilter evaluated at the scan, no regex — on a 100 TB corpus the
+    * non-matching majority never explodes). df for the surviving ≤ |q|
+    * terms and the corpus stats (N, Σdl) are broadcast relations;
+    * nothing vocab- or corpus-sized reaches the driver. The top-k cut
+    * is a distributed TakeOrderedAndProject; the rk window runs on ≤ k
+    * rows. One corpus-stats pass reads only the text column. */
+  def searchBm25(spark: SparkSession, dir: String,
+      query: String = "spark join window customer", topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchBm25From(Tables.documents(spark, dir), query, topK, k1, b)
+
+  private[graft] def searchBm25From(documents: DataFrame, query: String,
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = bm25Terms(query)
+    val docs = documents.where(col("text").isNotNull)
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    // corpus stats over ALL docs (dl = raw whitespace-token count, the
+    // same size() both engines give an empty text: one empty token)
+    val stats = broadcast(docs
+      .select(size(toks).cast("long").as("dl"))
+      .agg(sum(col("dl")).cast("long").as("total_len"),
+        count(lit(1)).cast("long").as("n_docs")))
+    val anyTerm = terms
+      .map(t => TextFns.foldCase(col("text")).contains(t))
+      .reduce(_ || _)
+    val tf = docs.where(anyTerm)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+    val dfRel = broadcast(
+      tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df")))
+    val ndD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) + (ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val tnorm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))
+    val scored = tf.join(dfRel, "term").crossJoin(stats)
+      .select(col("doc_id"), col("term"), (idf * tnorm).as("tscore"))
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      terms.indices.map(i =>
+        max(when(col("term") === terms(i), col("tscore"))).as(s"s_$i")): _*)
+    val raw = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      acc + coalesce(col(s"s_$i"), lit(0.0))
+    }
+    perDoc
+      .select(col("doc_id"), col("n_terms"), round(raw, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
 }

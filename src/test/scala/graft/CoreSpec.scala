@@ -28,7 +28,8 @@ class CoreSpec extends AnyFunSuite {
   // oracle (a keyword matching nothing is a dashboard request like any
   // other) — zero rows is their correct answer, not a broken operator
   private val deliberatelyEmpty =
-    Set("search_entries_none", "search_all_none", "template_novelty",
+    Set("search_entries_none", "search_all_none", "search_bm25_none",
+      "template_novelty",
       // the synthetic corpus has no cross-source exact dups by
       // construction — empty is the correct, hash-compared answer
       // (planted dups are exercised by their own spec)

@@ -323,6 +323,66 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("bm25 search matches a brute-force reference and its ranking laws") {
+    import spark.implicits._
+    // hand-built corpus: tf, df, and length normalization all bite
+    val docs = Seq(
+      (1L, "apple apple banana pear"),           // 2 hits, tf(apple)=2, dl 4
+      (2L, "apple pear pear pear pear pear"),    // 1 hit, long doc penalized
+      (3L, "banana banana banana"),              // 1 hit, short doc boosted
+      (4L, "pear plum")                          // no hit: must be absent
+    ).toDF("doc_id", "text")
+    val out = Corpus.searchBm25From(docs, "banana apple", topK = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"),
+          r.getAs[Long]("rk")))).toMap
+
+    // brute-force reference with the operator's exact op order
+    val (k1, b) = (1.2, 0.75)
+    val toks = Seq(1L -> "apple apple banana pear",
+      2L -> "apple pear pear pear pear pear", 3L -> "banana banana banana",
+      4L -> "pear plum").map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val terms = Seq("apple", "banana") // sorted, deduped
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val expect = toks.flatMap { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val hits = terms.filter(tk.contains)
+      if (hits.isEmpty) None else {
+        val raw = terms.foldLeft(0.0) { (acc, t) =>
+          val tf = tk.count(_ == t).toDouble
+          if (tf == 0.0) acc + 0.0
+          else {
+            val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+            acc + idf * (tf * (k1 + 1.0) /
+              (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)))
+          }
+        }
+        Some(id -> (hits.size.toLong,
+          BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }
+    }.toMap
+    assert(out.keySet == expect.keySet, s"matched docs: $out vs $expect")
+    expect.foreach { case (id, (nt, sc)) =>
+      assert(out(id)._1 == nt, s"doc $id n_terms")
+      assert(math.abs(out(id)._2 - sc) < 1e-9,
+        s"doc $id score ${out(id)._2} vs reference $sc")
+    }
+    // rank law: dense 1..n in (score desc, doc_id) order
+    val byRk = out.toSeq.sortBy(_._2._3)
+    assert(byRk.map(_._2._3) == (1L to byRk.size), "dense ranks")
+    assert(byRk.zip(byRk.tail).forall { case ((ida, (_, sa, _)), (idb, (_, sb, _))) =>
+      sa > sb || (sa == sb && ida < idb) }, "rank follows (score desc, doc_id)")
+    // the two-term doc must outrank the long one-term doc
+    assert(out(1L)._3 < out(2L)._3, "additivity: two matched terms beat one")
+    // topK cut bites
+    assert(Corpus.searchBm25From(docs, "banana apple", topK = 2)
+      .count() == 2)
+  }
+
   test("bigram PMI: marginal consistency and the low-frequency floor") {
     val pmi = Corpus.bigramPmi(spark, Sf, minCount = 2, topN = 1000000).cache()
     // marginals cross-validated against groupBy aggregations of the full

@@ -246,6 +246,18 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("bm25 plans a distributed top-k over broadcast df/stats sides") {
+    val p = plan("search_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must be a distributed top-N, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the ≤|q|-row df and 1-row stats sides must broadcast — a shuffle " +
+        s"join here would shuffle the whole matched-doc relation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"the score chain must be plain codegen'd arithmetic, no HOFs:\n$p")
+  }
+
   test("heavy-hitters' combined build scans the fact relation once") {
     // the tag filters on the sketch base are group-key predicates that
     // Catalyst pushes through the aggregate — without the lineage cut at
