@@ -229,6 +229,8 @@ object SparkEntry {
     // no-hit term: EMPTY result, hash-compared like search_entries_none
     "search_bm25_none"      -> ((s: SparkSession, d: String) =>
       Corpus.searchBm25(s, d, query = "zqxjkv")),
+    "search_hybrid_rrf"     -> ((s: SparkSession, d: String) =>
+      Embeddings.searchHybridRrf(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -452,6 +454,14 @@ object SparkEntry {
     * doubles the operator actually multiplies with (a bare SQL 2.2 is a
     * DECIMAL whose nearest double may differ from Scala's k1 + 1.0). */
   private def searchBm25Sql(query: String, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25Ctes(query, topK, k1, b)}
+       |SELECT doc_id, n_terms, score, rk FROM bm25r""".stripMargin
+
+  /** The BM25 CTE chain ending in `bm25r` (the ranked, topK-limited
+    * lexical relation) — shared by the standalone oracle and the hybrid
+    * fusion oracle. */
+  private def bm25Ctes(query: String, topK: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
     val terms = graft.operators.Corpus.bm25Terms(query)
     def d(v: Double) = s"CAST('$v' AS DOUBLE)"
@@ -462,7 +472,7 @@ object SparkEntry {
     val chain = terms.indices.foldLeft(d(0.0)) { (acc, i) =>
       s"($acc + coalesce(s_$i, ${d(0.0)}))"
     }
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
        |stats AS (
@@ -490,13 +500,47 @@ object SparkEntry {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |         $pivots
        |  FROM scored GROUP BY doc_id),
-       |r AS (SELECT doc_id, n_terms, round($chain, 6) AS score FROM p)
-       |SELECT doc_id, n_terms, score,
+       |bm25r AS (
+       |  SELECT doc_id, n_terms, score,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM (SELECT doc_id, n_terms, round($chain, 6) AS score FROM p)
+       |  ORDER BY score DESC, doc_id
+       |  LIMIT $topK)""".stripMargin
+  }
+
+  /** RRF fusion oracle (mirror of
+    * [[graft.operators.Embeddings.searchHybridRrf]]): the BM25 chain at
+    * topL + the exact-cosine leg (the ann_cosine_topk SQL, one query
+    * vector) fused as a two-term reciprocal sum in lexical-then-vector
+    * order — both terms reciprocals of integer-valued doubles, so the
+    * only float subtleties are the legs' own (already pinned). */
+  private def searchHybridRrfSql(query: String, qvecId: Long, topL: Int,
+      topK: Int, rrfK: Int): String =
+    s"""WITH ${bm25Ctes(query, topL)},
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = ${graft.operators.Embeddings.EmbeddingDim}
+       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0),
+       |n AS (
+       |  SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+       |         ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS e
+       |  FROM c),
+       |qv AS (SELECT e AS qe FROM n WHERE vec_id = $qvecId),
+       |vs AS (SELECT n.vec_id, round(list_dot_product(n.e, qv.qe), 6) AS sim FROM n, qv),
+       |vr AS (
+       |  SELECT vec_id AS doc_id,
+       |         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS vec_rk
+       |  FROM vs ORDER BY sim DESC, vec_id LIMIT $topL),
+       |f AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rk AS lex_rk, v.vec_rk,
+       |         round(coalesce(1.0 / ($rrfK.0 + CAST(l.rk AS DOUBLE)), 0.0)
+       |             + coalesce(1.0 / ($rrfK.0 + CAST(v.vec_rk AS DOUBLE)), 0.0), 6) AS score
+       |  FROM bm25r l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, lex_rk, vec_rk, score,
        |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-       |FROM r
+       |FROM f
        |ORDER BY score DESC, doc_id
        |LIMIT $topK""".stripMargin
-  }
 
   /** Capped per-day report CTEs — the SQL mirror of
     * [[graft.operators.LogOps.incidentReport]]'s bounded assembly: `c` is
@@ -2317,6 +2361,8 @@ object SparkEntry {
     "search_bm25"      -> searchBm25Sql("spark join window customer", 10),
     "search_bm25_k3"   -> searchBm25Sql("data stream sort", 3),
     "search_bm25_none" -> searchBm25Sql("zqxjkv", 10),
+    "search_hybrid_rrf" ->
+      searchHybridRrfSql("spark join window customer", 7, 50, 10, 60),
 
     "tfidf_keywords" ->
       """WITH terms AS (

@@ -145,6 +145,49 @@ object Embeddings {
       .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
   }
 
+  /** Hybrid lexical+vector retrieval by reciprocal-rank fusion — the
+    * standard production composition of the two retrieval stages this
+    * engine already serves (BM25 = search_bm25, exact cosine =
+    * ann_cosine_topk): each leg contributes 1/(rrfK + rank) for the docs
+    * it ranks in its top-L, fused score = lexical term + vector term.
+    * RRF needs only RANKS, never score calibration across legs — which
+    * is also what makes it oracle-exact: the fused score is a two-term
+    * sum of reciprocals of integer-valued doubles in one pinned order.
+    *
+    * Scale shape: each leg is itself a bounded distributed top-L
+    * (TakeOrderedAndProject); the fusion joins two ≤L-row relations —
+    * nothing corpus-sized ever reaches the fusion stage, so the operator
+    * costs exactly its legs. A missing/invalid query vector degrades to
+    * the lexical leg alone (empty vector side, same contract both
+    * engines). Ties rank by (rounded score desc, doc_id). */
+  def searchHybridRrf(spark: SparkSession, dir: String,
+      query: String = "spark join window customer", qvecId: Long = 7,
+      topL: Int = 50, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = Corpus.searchBm25(spark, dir, query = query, topK = topL)
+      .select(col("doc_id"), col("rk").as("lex_rk"))
+    val c = corpus(spark, dir)
+      .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"))
+    val q = c.where(col("vec_id") === qvecId).select(col("emb").as("qemb"))
+    val vec = c.crossJoin(broadcast(q))
+      .withColumn("sim", round(VecFns.dot(col("emb"), col("qemb")), 6))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topL)
+      .withColumn("vec_rk", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rk"))
+    val kD = lit(rrfK.toDouble)
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rk"), col("vec_rk"),
+        round(
+          coalesce(lit(1.0) / (kD + col("lex_rk").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (kD + col("vec_rk").cast("double")), lit(0.0)),
+          6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
   /** Coarse-quantizer training set cap: k-means cost is O(train·k·iters),
     * so at 100 TB the fit runs on a bounded uniform sample — centroid
     * quality converges long before 10⁵ points. */

@@ -451,6 +451,81 @@ class VectorSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"cluster mates stay clean: $extra")
   }
 
+  test("hybrid RRF fuses the two legs exactly; laws hold") {
+    val (topL, topK, rrfK, qvecId) = (50, 10, 60, 7L)
+    val out = Embeddings.searchHybridRrf(spark, Sf,
+      topL = topL, topK = topK, rrfK = rrfK, qvecId = qvecId)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r)).toMap
+
+    // lexical leg from the operator of record (itself brute-force-spec'd)
+    val lexRk = graft.operators.Corpus.searchBm25(spark, Sf, topK = topL)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+    // vector leg re-derived driver-side with the kernels' exact fold
+    // order (ascending-index accumulation, x/sqrt(sum x^2) normalize)
+    val embs = graft.sources.Tables.embeddings(spark, Sf)
+      .where(col("embedding").isNotNull &&
+        Embeddings.validEmb(col("embedding")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toArray)
+    def normed(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n > 0.0) v.map(_ / n) else v.clone()
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qe = normed(embs.find(_._1 == qvecId).get._2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecRk = embs.map { case (id, e) => (id, r6(dot(normed(e), qe))) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(topL).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+
+    // expected fusion, same op order: lex term + vec term, rounded
+    val expect = (lexRk.keySet ++ vecRk.keySet).map { id =>
+      val lt = lexRk.get(id).map(r => 1.0 / (rrfK.toDouble + r)).getOrElse(0.0)
+      val vt = vecRk.get(id).map(r => 1.0 / (rrfK.toDouble + r)).getOrElse(0.0)
+      id -> r6(lt + vt)
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(topK)
+
+    assert(out.keySet == expect.map(_._1).toSet,
+      s"fused doc set ${out.keySet} vs expected ${expect.map(_._1)}")
+    expect.foreach { case (id, sc) =>
+      val row = out(id)
+      assert(math.abs(row.getAs[Double]("score") - sc) < 1e-9,
+        s"doc $id fused score")
+      assert(Option(row.getAs[Any]("lex_rk")).map(_.asInstanceOf[Long]) ==
+        lexRk.get(id), s"doc $id lex_rk")
+      assert(Option(row.getAs[Any]("vec_rk")).map(_.asInstanceOf[Long]) ==
+        vecRk.get(id), s"doc $id vec_rk")
+    }
+    // rank law: dense 1..topK following (score desc, doc_id)
+    val byRk = out.values.toSeq.sortBy(_.getAs[Long]("rk"))
+    assert(byRk.map(_.getAs[Long]("rk")) == (1L to byRk.size))
+    assert(byRk.zip(byRk.tail).forall { case (a, b) =>
+      val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+      sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"))
+    })
+    // a doc ranked by BOTH legs must beat one ranked by a single leg at
+    // an equal-or-worse position in that leg (monotone additivity)
+    val both = out.values.filter(r =>
+      r.getAs[Any]("lex_rk") != null && r.getAs[Any]("vec_rk") != null)
+    both.foreach { r =>
+      out.values.filter(o => o.getAs[Any]("vec_rk") == null &&
+        o.getAs[Any]("lex_rk") != null &&
+        o.getAs[Long]("lex_rk") >= r.getAs[Long]("lex_rk")).foreach { o =>
+        assert(o.getAs[Double]("score") <= r.getAs[Double]("score"))
+      }
+    }
+  }
+
   test("a zero vector scores cosine 0, never a NaN flag sweep") {
     import spark.implicits._
     // vec 10 is an all-zeros EVAL embedding sharing a bucket with real
