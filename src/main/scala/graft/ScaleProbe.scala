@@ -331,6 +331,16 @@ object ScaleProbe {
     val r = Seq(
       point("tfidf")(time("tfidf 1x")(tfidf(doc1)), time(s"tfidf ${factor}x")(tfidf(docN))),
       point("tfidf_hotterm")(time("tfidf_hot 1x")(tfidfHot(doc1)), time(s"tfidf_hot ${factor}x")(tfidfHot(docN))),
+      // BM25: the scan-side contains() superset prefilter + literal term
+      // filter collapse the token stream BEFORE aggregation; df/stats
+      // broadcast; top-k is a distributed TakeOrdered. replicate() clones
+      // text verbatim so the matched fraction is scale-invariant — growth
+      // must track the scan, no rank or fusion stage may go super-linear
+      point("bm25")(
+        time("bm25 1x")(graft.operators.Corpus.searchBm25From(
+          doc1, "spark join window customer", 10)),
+        time(s"bm25 ${factor}x")(graft.operators.Corpus.searchBm25From(
+          docN, "spark join window customer", 10))),
       point("dedup_lines")(time("dlines 1x")(dlines(doc1)), time(s"dlines ${factor}x")(dlines(docN))),
       point("transitions")(time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       point("incr_dedup")(time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),
