@@ -231,6 +231,8 @@ object SparkEntry {
       Corpus.searchBm25(s, d, query = "zqxjkv")),
     "search_hybrid_rrf"     -> ((s: SparkSession, d: String) =>
       Embeddings.searchHybridRrf(s, d)),
+    "sample_weighted"       -> ((s: SparkSession, d: String) =>
+      Corpus.sampleWeighted(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -464,6 +466,7 @@ object SparkEntry {
   private def bm25Ctes(query: String, topK: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
     val terms = graft.operators.Corpus.bm25Terms(query)
+      .map(_.replace("'", "''")) // SQL string-literal escape
     def d(v: Double) = s"CAST('$v' AS DOUBLE)"
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val pivots = terms.indices.map(i =>
@@ -2363,6 +2366,23 @@ object SparkEntry {
     "search_bm25_none" -> searchBm25Sql("zqxjkv", 10),
     "search_hybrid_rrf" ->
       searchHybridRrfSql("spark join window customer", 7, 50, 10, 60),
+
+    // Efraimidis–Spirakis weighted sample: the md5-family uniform and the
+    // exponential-race key replayed op-for-op; rank on the RAW key (raw
+    // doubles are bit-identical; a re-rounded rank key is not), doc_id ties
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |         (0.0 - ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |                          % 2305843009213693951 AS DOUBLE) + 1.0)
+        |                   / CAST(2305843009213693953 AS DOUBLE)))
+        |         / CAST(n_chars AS DOUBLE) AS k0
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, weight, round(k0, 6) AS draw_key,
+        |       CAST(row_number() OVER (ORDER BY k0, doc_id) AS BIGINT) AS rk
+        |FROM d
+        |ORDER BY k0, doc_id
+        |LIMIT 100""".stripMargin,
 
     "tfidf_keywords" ->
       """WITH terms AS (

@@ -582,6 +582,51 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Weighted sampling WITHOUT replacement, probability ∝ weight —
+    * Efraimidis–Spirakis A-ES in its exponential-race form: each doc
+    * draws a deterministic uniform u ∈ (0,1] from the pinned md5 family
+    * and races with key −ln(u)/w; the k SMALLEST keys are exactly a
+    * weight-proportional sample without replacement (Efraimidis &
+    * Spirakis 2006). The curation knob behind "sample 10k docs ∝
+    * quality/length" that the count-based samplers (sample_stratified /
+    * sample_mixture) can't express. Weight = n_chars here (doc mass);
+    * non-positive or NULL weights are never sampled (w ≤ 0 has
+    * probability 0; the filter is mirrored in the oracle).
+    *
+    * Because the "randomness" is the md5 family, the whole draw replays
+    * in SQL: u = (double(md5 mod 2⁶¹−1) + 1) / double(2⁶¹+1), key op
+    * order pinned, rank on the RAW key with doc_id ties (the seeded-
+    * family rule — never rank on a re-rounded float).
+    *
+    * Scale shape: one scan computing a codegen'd hash + two float ops
+    * per row, then a distributed TakeOrdered on (key, doc_id) — no
+    * shuffle of the corpus, no window over it; the rk window runs on
+    * ≤ k rows. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100)
+      : DataFrame =
+    sampleWeightedFrom(Tables.documents(spark, dir), k)
+
+  private[graft] def sampleWeightedFrom(documents: DataFrame, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val M = 2305843009213693951L // 2^61 − 1, the engine's md5-mod modulus
+    val M2 = 2305843009213693953L // M + 2: u stays strictly positive, < 1
+    val hm = Bridge.column(graft.expressions.Md5LowerMod(
+      Bridge.expression(col("doc_id").cast("string")), M))
+    val u = (hm.cast("double") + lit(1.0)) / lit(M2).cast("double")
+    val key = (lit(0.0) - log(u)) / col("n_chars").cast("double")
+    documents
+      .where(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"),
+        key.as("k0"))
+      .orderBy(col("k0"), col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("k0"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("weight"),
+        round(col("k0"), 6).as("draw_key"), col("rk"))
+  }
+
   /** Canonical query-term set for BM25: whitespace-split, simple-case-
     * folded (the engine-wide Unicode contract), deduped, SORTED — the
     * sort fixes the float accumulation order of the per-doc score chain
@@ -624,6 +669,13 @@ object Corpus {
       topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = bm25Terms(query)
     val docs = documents.where(col("text").isNotNull)
+    // an all-whitespace query has no terms: empty result, index-typed
+    // schema (doc_id keeps the corpus type; the rest are the operator's)
+    if (terms.isEmpty)
+      return docs.select(col("doc_id"),
+        lit(null).cast("long").as("n_terms"),
+        lit(null).cast("double").as("score"),
+        lit(null).cast("long").as("rk")).limit(0)
     val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
     // corpus stats over ALL docs (dl = raw whitespace-token count, the
     // same size() both engines give an empty text: one empty token)

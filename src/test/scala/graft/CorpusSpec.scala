@@ -381,6 +381,56 @@ class CorpusSpec extends AnyFunSuite {
     // topK cut bites
     assert(Corpus.searchBm25From(docs, "banana apple", topK = 2)
       .count() == 2)
+    // an all-whitespace query is empty, not a crash, with the full schema
+    val empty = Corpus.searchBm25From(docs, "   \t ", topK = 5)
+    assert(empty.columns.toSeq == Seq("doc_id", "n_terms", "score", "rk"))
+    assert(empty.count() == 0)
+  }
+
+  test("weighted sample: exact ES race replay and weight-proportional draw") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // driver-side replay of the exponential race, same op order
+    val M = 2305843009213693951L
+    def key(docId: Long, w: Long): Double = {
+      val hm = java.lang.Long.remainderUnsigned(
+        graft.expressions.Kernels.md5LowerOf(
+          UTF8String.fromString(docId.toString)), M)
+      val u = (hm.toDouble + 1.0) / 2305843009213693953L.toDouble
+      (0.0 - math.log(u)) / w.toDouble
+    }
+    // 2000 heavy (weight 100) + 2000 light (weight 1) docs
+    val n = 4000
+    val docs = (0 until n).map { i =>
+      val w = if (i < 2000) 100L else 1L
+      (i.toLong, "x" * w.toInt, w)
+    }.toDF("doc_id", "text", "n_chars")
+    val k = 500
+    val out = Corpus.sampleWeightedFrom(docs, k).collect()
+    assert(out.length == k)
+    // exact differential: the operator's k docs are the k smallest keys
+    val expect = (0 until n).map { i =>
+      val w = if (i < 2000) 100L else 1L
+      (i.toLong, key(i.toLong, w))
+    }.sortBy { case (id, kk) => (kk, id) }.take(k)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expect.map(_._1).toSet,
+      "sampled set must equal the k smallest race keys")
+    out.sortBy(_.getAs[Long]("rk")).zip(expect).foreach { case (r, (id, kk)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(math.abs(r.getAs[Double]("draw_key") -
+        BigDecimal(kk).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9)
+    }
+    // weight proportionality: inclusion ~ k·w/Σw ⇒ heavy ≈ 495 of 500
+    val heavy = out.count(_.getAs[Long]("weight") == 100L)
+    assert(heavy >= 470 && heavy <= 500,
+      s"heavy-weight docs must dominate the draw ∝ weight, got $heavy/500")
+    assert(out.forall(_.getAs[Long]("weight") > 0))
+    // zero/NULL weights never sampled
+    val withZero = docs.withColumn("n_chars",
+      when(col("doc_id") < 3500, col("n_chars")).otherwise(lit(0L)))
+    assert(Corpus.sampleWeightedFrom(withZero, 4000)
+      .where(col("doc_id") >= 3500).count() == 0)
   }
 
   test("bigram PMI: marginal consistency and the low-frequency floor") {
