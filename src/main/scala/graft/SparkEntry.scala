@@ -233,6 +233,8 @@ object SparkEntry {
       Embeddings.searchHybridRrf(s, d)),
     "sample_weighted"       -> ((s: SparkSession, d: String) =>
       Corpus.sampleWeighted(s, d)),
+    "corpus_token_budget"   -> ((s: SparkSession, d: String) =>
+      Corpus.corpusTokenBudget(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -2383,6 +2385,27 @@ object SparkEntry {
         |FROM d
         |ORDER BY k0, doc_id
         |LIMIT 100""".stripMargin,
+
+    // per-source token budget: the oracle runs the STRAIGHT per-source
+    // prefix window; the Spark side's two-phase bucket decomposition is
+    // exactly equal on integer sums. NULL source is a real group.
+    "corpus_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         md5_number_lower(CAST(doc_id AS VARCHAR))
+        |           % 2305843009213693951 AS mk
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |         CAST(row_number() OVER w AS BIGINT) AS rk
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY source ORDER BY mk, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT doc_id, source, n_tokens, cum_tokens, rk
+        |FROM c WHERE cum_tokens <= 800""".stripMargin,
 
     "tfidf_keywords" ->
       """WITH terms AS (

@@ -582,6 +582,64 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Per-source token-budget enforcement — the form training mixes are
+    * actually specified in (tokens, not docs: "20 B web tokens, 5 B
+    * code"): within each source, docs fill the budget greedily in the
+    * md5-order shuffle (the engine's deterministic "random" order, same
+    * family as the samplers/splits) and the kept set is the maximal
+    * prefix whose cumulative token count stays ≤ budget. The token-level
+    * twin of sample_mixture's doc-count targets.
+    *
+    * Scale shape: an exact per-source prefix sum CANNOT be one window
+    * over the source partition (a 100 TB source's docs would sort on one
+    * reducer) — this uses the value_percentiles two-phase decomposition:
+    * the md5 key's top bits split each source into 64 ORDER-ALIGNED
+    * buckets, a window ranks/sums within (source, bucket) — splittable,
+    * 1/64th partitions — and per-bucket totals (dimension-sized: sources
+    * × 64 rows) provide the offsets; integer sums make the two-phase
+    * result EXACTLY the straight window the oracle runs. NULL-source is
+    * a real group (null-safe join, the value_percentiles lesson); NULL
+    * text carries no tokens and is filtered (mirrored). */
+  def corpusTokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 800L): DataFrame =
+    corpusTokenBudgetFrom(Tables.documents(spark, dir), budget)
+
+  private[graft] def corpusTokenBudgetFrom(documents: DataFrame,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val M = 2305843009213693951L // 2^61 − 1: the md5-family modulus
+    val Q = 36028797018963968L // 2^55: mk DIV Q ∈ [0, 63], monotone in mk
+    val mk = Bridge.column(graft.expressions.Md5LowerMod(
+      Bridge.expression(col("doc_id").cast("string")), M))
+    val base = documents.where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        TextFns.wsTokenCount(col("text")).as("n_tokens"), mk.as("mk"))
+      .withColumn("bucket", expr(s"mk DIV ${Q}L"))
+    val wLoc = Window.partitionBy("source", "bucket")
+      .orderBy(col("mk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRk = Window.partitionBy("source", "bucket")
+      .orderBy(col("mk"), col("doc_id"))
+    val local = base
+      .withColumn("lcum", sum("n_tokens").over(wLoc))
+      .withColumn("lrk", row_number().over(wRk).cast("long"))
+    val wOff = Window.partitionBy("source").orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("btok"), count(lit(1)).cast("long").as("bcnt"))
+      .withColumn("toff", coalesce(sum("btok").over(wOff), lit(0L)))
+      .withColumn("roff", coalesce(sum("bcnt").over(wOff), lit(0L)))
+      .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
+        col("toff"), col("roff"))
+    local
+      .join(offs, col("source") <=> col("o_source") &&
+        col("bucket") === col("o_bucket"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("toff") + col("lcum")).cast("long").as("cum_tokens"),
+        (col("roff") + col("lrk")).cast("long").as("rk"))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** Weighted sampling WITHOUT replacement, probability ∝ weight —
     * Efraimidis–Spirakis A-ES in its exponential-race form: each doc
     * draws a deterministic uniform u ∈ (0,1] from the pinned md5 family

@@ -387,6 +387,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("token budget keeps exactly the maximal md5-order prefix per source") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val budget = 800L
+    val out = Corpus.corpusTokenBudget(spark, Sf, budget).collect()
+    // driver-side reference: straight per-source prefix over (mk, doc_id)
+    val M = 2305843009213693951L
+    def mk(id: Long): Long = java.lang.Long.remainderUnsigned(
+      graft.expressions.Kernels.md5LowerOf(UTF8String.fromString(id.toString)), M)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.wsTokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[String]("source")), r.getAs[Long]("n")))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.sortBy { case (id, _, _) => (mk(id), id) }
+      var cum = 0L
+      ordered.zipWithIndex.flatMap { case ((id, _, n), i) =>
+        cum += n
+        if (cum <= budget) Some(id -> ((src, n, cum, (i + 1).toLong)))
+        else None
+      }
+    }.toMap
+    assert(out.length == expect.size, s"${out.length} vs ${expect.size}")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (src, n, cum, rk) = expect(id)
+      assert(Option(r.getAs[String]("source")) == src)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum, s"doc $id cum")
+      assert(r.getAs[Long]("rk") == rk, s"doc $id rk")
+    }
+    // law: within a source the kept set is a PREFIX (cum monotone in rk,
+    // never exceeding the budget) and the next doc would overflow
+    out.groupBy(r => Option(r.getAs[String]("source"))).foreach {
+      case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("rk"))
+        assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+          (1L to sorted.length).toSeq, "dense prefix ranks")
+        assert(sorted.last.getAs[Long]("cum_tokens") <= budget)
+    }
+  }
+
   test("weighted sample: exact ES race replay and weight-proportional draw") {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
