@@ -341,6 +341,17 @@ object ScaleProbe {
           doc1, "spark join window customer", 10)),
         time(s"bm25 ${factor}x")(graft.operators.Corpus.searchBm25From(
           docN, "spark join window customer", 10))),
+      // weighted sample: one scan (hash + 2 float ops/row) + distributed
+      // TakeOrdered — growth must track the scan
+      point("weighted_sample")(
+        time("wsample 1x")(graft.operators.Corpus.sampleWeightedFrom(doc1, 100)),
+        time(s"wsample ${factor}x")(graft.operators.Corpus.sampleWeightedFrom(docN, 100))),
+      // token budget: the two-phase prefix sum — (source, bucket) windows
+      // are 1/64th-sized and the offset relation is dimension-sized, so
+      // growth must track the corpus factor with no single-reducer sort
+      point("token_budget")(
+        time("tbudget 1x")(graft.operators.Corpus.corpusTokenBudgetFrom(doc1, 800L)),
+        time(s"tbudget ${factor}x")(graft.operators.Corpus.corpusTokenBudgetFrom(docN, 800L))),
       point("dedup_lines")(time("dlines 1x")(dlines(doc1)), time(s"dlines ${factor}x")(dlines(docN))),
       point("transitions")(time("trans 1x")(trans(ev1)), time(s"trans ${factor}x")(trans(evN))),
       point("incr_dedup")(time("incr_dedup 1x")(incr(corpus1)), time(s"incr_dedup ${factor}x")(incr(corpusN))),

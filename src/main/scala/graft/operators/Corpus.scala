@@ -607,7 +607,7 @@ object Corpus {
   private[graft] def corpusTokenBudgetFrom(documents: DataFrame,
       budget: Long): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val M = 2305843009213693951L // 2^61 − 1: the md5-family modulus
+    val M = graft.expressions.SigUtil.P // 2^61 − 1: the md5-family modulus
     val Q = 36028797018963968L // 2^55: mk DIV Q ∈ [0, 63], monotone in mk
     val mk = Bridge.column(graft.expressions.Md5LowerMod(
       Bridge.expression(col("doc_id").cast("string")), M))
@@ -632,7 +632,11 @@ object Corpus {
       .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
         col("toff"), col("roff"))
     local
-      .join(offs, col("source") <=> col("o_source") &&
+      // the offsets side is dimension-sized (sources × 64) by
+      // construction, but its size ESTIMATE inherits the corpus-sized
+      // child — hint the broadcast or the pre-AQE planner sort-merges
+      // the whole windowed relation a second time
+      .join(broadcast(offs), col("source") <=> col("o_source") &&
         col("bucket") === col("o_bucket"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("toff") + col("lcum")).cast("long").as("cum_tokens"),
@@ -667,8 +671,8 @@ object Corpus {
   private[graft] def sampleWeightedFrom(documents: DataFrame, k: Int)
       : DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val M = 2305843009213693951L // 2^61 − 1, the engine's md5-mod modulus
-    val M2 = 2305843009213693953L // M + 2: u stays strictly positive, < 1
+    val M = graft.expressions.SigUtil.P // 2^61 − 1, the md5-mod modulus
+    val M2 = M + 2 // u stays strictly positive, < 1
     val hm = Bridge.column(graft.expressions.Md5LowerMod(
       Bridge.expression(col("doc_id").cast("string")), M))
     val u = (hm.cast("double") + lit(1.0)) / lit(M2).cast("double")
@@ -741,11 +745,14 @@ object Corpus {
       .select(size(toks).cast("long").as("dl"))
       .agg(sum(col("dl")).cast("long").as("total_len"),
         count(lit(1)).cast("long").as("n_docs")))
-    val anyTerm = terms
-      .map(t => TextFns.foldCase(col("text")).contains(t))
-      .reduce(_ || _)
-    val tf = docs.where(anyTerm)
-      .select(col("doc_id"), toks.as("toks"))
+    // fold the text ONCE into a projected column: the contains()
+    // prefilter and the tokenizer both read it — without this, each Or
+    // branch re-folds the full text per term (FilterExec does no CSE
+    // across branches) and the non-matching majority pays |q| folds
+    val tf = docs
+      .select(col("doc_id"), TextFns.foldCase(col("text")).as("ftext"))
+      .where(terms.map(t => col("ftext").contains(t)).reduce(_ || _))
+      .select(col("doc_id"), TextFns.wsTokens(col("ftext")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .where(col("term").isin(terms: _*))
