@@ -235,6 +235,8 @@ object SparkEntry {
       Corpus.sampleWeighted(s, d)),
     "corpus_token_budget"   -> ((s: SparkSession, d: String) =>
       Corpus.corpusTokenBudget(s, d)),
+    "token_zipf"            -> ((s: SparkSession, d: String) =>
+      Corpus.tokenZipf(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -2406,6 +2408,57 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT doc_id, source, n_tokens, cum_tokens, rk
         |FROM c WHERE cum_tokens <= 800""".stripMargin,
+
+    // Zipf fit: every regression sum is a rank-ordered list_reduce —
+    // the pinned-order fold twin of the Spark side's sorted-array
+    // aggregate() — so the only cross-engine float wobble is the ln
+    // kernel (StrictMath vs libm, ≤ 1 ulp), absorbed by round(·,6) on
+    // both sides. r² NULL when y-variance is 0 (all frequencies
+    // equal), guarded on both engines.
+    "token_zipf" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT source, token, count(*) AS freq
+        |  FROM toks WHERE length(token) > 0
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT source, freq,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM c QUALIFY rank <= 200),
+        |p AS (
+        |  SELECT source, rank,
+        |         ln(CAST(rank AS DOUBLE)) AS lx,
+        |         ln(CAST(freq AS DOUBLE)) AS ly
+        |  FROM r),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+        |         list(lx ORDER BY rank) AS xs,
+        |         list(ly ORDER BY rank) AS ys,
+        |         list(lx * lx ORDER BY rank) AS xxs,
+        |         list(lx * ly ORDER BY rank) AS xys,
+        |         list(ly * ly ORDER BY rank) AS yys
+        |  FROM p GROUP BY source HAVING count(*) >= 3),
+        |s AS (
+        |  SELECT source, n_ranks, CAST(n_ranks AS DOUBLE) AS n,
+        |         list_reduce(xs, (a, b) -> a + b) AS sx,
+        |         list_reduce(ys, (a, b) -> a + b) AS sy,
+        |         list_reduce(xxs, (a, b) -> a + b) AS sxx,
+        |         list_reduce(xys, (a, b) -> a + b) AS sxy,
+        |         list_reduce(yys, (a, b) -> a + b) AS syy
+        |  FROM g)
+        |SELECT source, n_ranks,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |             6) AS intercept,
+        |       round(CASE WHEN n * syy - sy * sy <> 0.0
+        |                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |                       ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |             END, 6) AS r2
+        |FROM s""".stripMargin,
 
     "tfidf_keywords" ->
       """WITH terms AS (

@@ -784,4 +784,82 @@ object Corpus {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
+
+  /** Zipf-law fit per source: OLS of ln(freq) on ln(rank) over each
+    * source's top-`topRanks` tokens — the corpus-health statistic behind
+    * "is this source natural language or boilerplate/spam": natural text
+    * sits near slope −1 with high r², machine-generated or templated
+    * sources flatten or step. The per-source slope column is the
+    * screening signal a mixture decision ([[sampleMixture]]) reads next
+    * to [[corpusStats]].
+    *
+    * Determinism contract (the seeded-family float rules): every sum the
+    * regression reads is a PINNED-ORDER left fold over a rank-sorted
+    * array — never a SUM() aggregate whose accumulation order is
+    * partition-dependent — and the closed-form slope/intercept/r²
+    * expressions mirror the oracle's op order token-for-token, so the
+    * ONLY cross-engine wobble left is the ln kernel itself (StrictMath
+    * vs libm, ≤ 1 ulp on inputs like ln(3)), absorbed by round(·,6) on
+    * both sides. An all-equal-frequency source has zero y-variance: r²
+    * is NULL there on both engines (guarded divide).
+    *
+    * Scale shape: the explode+count is map-side combined over one corpus
+    * scan; the rank window runs over the AGGREGATED (source, token)
+    * relation — vocabulary-sized, not corpus-sized — and everything past
+    * the ≤ topRanks cut is dimension-sized (|sources| rows carrying
+    * ≤ topRanks-element arrays). */
+  def tokenZipf(spark: SparkSession, dir: String, minCount: Int = 2,
+      topRanks: Int = 200): DataFrame =
+    tokenZipfFrom(Tables.documents(spark, dir), minCount, topRanks)
+
+  private[graft] def tokenZipfFrom(documents: DataFrame, minCount: Int,
+      topRanks: Int): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = documents
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+      .withColumn("rank", row_number().over(bySource).cast("long"))
+      .where(col("rank") <= topRanks)
+    // rank-sorted point array: rank is unique within a source, so the
+    // struct sort pins one total order for every fold below
+    val pts = ranked
+      .select(col("source"), col("rank"),
+        log(col("rank").cast("double")).as("lx"),
+        log(col("freq").cast("double")).as("ly"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_ranks"),
+        sort_array(collect_list(
+          struct(col("rank"), col("lx"), col("ly")))).as("pts"))
+      .where(col("n_ranks") >= 3)
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val px = (p: Column) => p.getField("lx")
+    val py = (p: Column) => p.getField("ly")
+    val withSums = pts.select(col("source"), col("n_ranks"),
+      col("n_ranks").cast("double").as("n"),
+      fold(transform(col("pts"), px)).as("sx"),
+      fold(transform(col("pts"), py)).as("sy"),
+      fold(transform(col("pts"), p => px(p) * px(p))).as("sxx"),
+      fold(transform(col("pts"), p => px(p) * py(p))).as("sxy"),
+      fold(transform(col("pts"), p => py(p) * py(p))).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val den2 = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = num / den1
+    // round(·,6): Spark's ln is StrictMath.log (fdlibm), DuckDB's is
+    // libm — correctly-rounded vs 1-ulp-allowed, they differ on inputs
+    // like ln(3). The regression is contractive enough that a last-ulp
+    // input wobble lands ~1e-14 from the true value, far inside the
+    // 6-decimal grid (the tfidf/bm25 precedent for cross-libm floats).
+    withSums.select(col("source"), col("n_ranks"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(when(den2 =!= lit(0.0), (num * num) / (den1 * den2)), 6).as("r2"))
+  }
 }

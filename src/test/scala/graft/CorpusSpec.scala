@@ -476,6 +476,39 @@ class CorpusSpec extends AnyFunSuite {
       .where(col("doc_id") >= 3500).count() == 0)
   }
 
+  test("token_zipf: exact power law recovered, r2 NULL on zero variance") {
+    import spark.implicits._
+    // freq(rank r) = 840/r for r = 1..8 — an EXACT Zipf corpus (all
+    // integer frequencies), so the log-log OLS fit is slope −1, r² 1
+    val zipfDocs = (1 to 8).map { r =>
+      (r.toLong, (s"t$r " * (840 / r)).trim, "s0")
+    }.toDF("doc_id", "text", "source")
+    val fit = Corpus.tokenZipfFrom(zipfDocs, minCount = 2, topRanks = 200)
+      .collect()
+    assert(fit.length == 1)
+    assert(fit(0).getAs[Long]("n_ranks") == 8L)
+    assert(math.abs(fit(0).getAs[Double]("slope") + 1.0) < 1e-6,
+      s"exact 1/r corpus must fit slope −1, got ${fit(0)}")
+    assert(math.abs(fit(0).getAs[Double]("r2") - 1.0) < 1e-6)
+    // all-equal frequencies: zero y-variance ⇒ slope 0, r² NULL
+    val flat = (1 to 5).map { r => (r.toLong, s"u$r u$r", "s0") }
+      .toDF("doc_id", "text", "source")
+    val ffit = Corpus.tokenZipfFrom(flat, minCount = 2, topRanks = 200)
+      .collect()(0)
+    assert(math.abs(ffit.getAs[Double]("slope")) < 1e-6)
+    assert(ffit.isNullAt(ffit.fieldIndex("r2")),
+      "zero y-variance must yield NULL r², not a 0/0 artifact")
+    // real corpus: every source fits a negative slope with r² ∈ (0, 1]
+    val real = Corpus.tokenZipf(spark, Sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Double]("slope") < 0.0, s"non-negative slope: $r")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 > 0.0 && r2 <= 1.0, s"r² out of range: $r")
+      assert(r.getAs[Long]("n_ranks") >= 3L && r.getAs[Long]("n_ranks") <= 200L)
+    }
+  }
+
   test("bigram PMI: marginal consistency and the low-frequency floor") {
     val pmi = Corpus.bigramPmi(spark, Sf, minCount = 2, topN = 1000000).cache()
     // marginals cross-validated against groupBy aggregations of the full
