@@ -237,6 +237,8 @@ object SparkEntry {
       Corpus.corpusTokenBudget(s, d)),
     "token_zipf"            -> ((s: SparkSession, d: String) =>
       Corpus.tokenZipf(s, d)),
+    "source_jsd"            -> ((s: SparkSession, d: String) =>
+      Corpus.sourceJsd(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -2459,6 +2461,53 @@ object SparkEntry {
         |                       ((n * sxx - sx * sx) * (n * syy - sy * sy))
         |             END, 6) AS r2
         |FROM s""".stripMargin,
+
+    // pairwise source JSD: Laplace-smoothed probabilities from identical
+    // integers, per-pair term sums as token-ordered list_reduce (the
+    // token_zipf pinned-fold twin), log2 wobble absorbed by round(·,6).
+    // The NULL-source group profiles but never pairs (strict < on
+    // source), identically on both engines.
+    "source_jsd" ->
+      """WITH vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS freq FROM (
+        |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents WHERE text IS NOT NULL) t
+        |    WHERE length(token) > 0
+        |    GROUP BY token HAVING count(*) >= 2
+        |    ORDER BY freq DESC, token LIMIT 1000) v),
+        |cnt AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT source,
+        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents WHERE text IS NOT NULL) t
+        |  WHERE token IN (SELECT token FROM vocab)
+        |  GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents WHERE text IS NOT NULL),
+        |grid AS (
+        |  SELECT s.source, v.token, COALESCE(c.cnt, 0) AS cnt
+        |  FROM srcs s CROSS JOIN vocab v
+        |  LEFT JOIN cnt c ON s.source IS NOT DISTINCT FROM c.source
+        |                 AND v.token = c.token),
+        |tot AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+        |  FROM grid GROUP BY source),
+        |probs AS (
+        |  SELECT g.source, g.token,
+        |         (CAST(g.cnt AS DOUBLE) + 1.0) /
+        |         (CAST(t.n_s AS DOUBLE) +
+        |          CAST((SELECT count(*) FROM vocab) AS DOUBLE)) AS p
+        |  FROM grid g JOIN tot t ON g.source IS NOT DISTINCT FROM t.source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.token,
+        |         0.5 * (a.p * log2(a.p / ((a.p + b.p) / 2.0))) +
+        |         0.5 * (b.p * log2(b.p / ((a.p + b.p) / 2.0))) AS term
+        |  FROM probs a JOIN probs b
+        |    ON a.token = b.token AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(list_reduce(list(term ORDER BY token), (x, y) -> x + y),
+        |             6) AS jsd_bits
+        |FROM pairs GROUP BY source_a, source_b""".stripMargin,
 
     "tfidf_keywords" ->
       """WITH terms AS (

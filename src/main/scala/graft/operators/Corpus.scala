@@ -862,4 +862,97 @@ object Corpus {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
       round(when(den2 =!= lit(0.0), (num * num) / (den1 * den2)), 6).as("r2"))
   }
+
+  /** Pairwise Jensen–Shannon divergence (in bits) between per-source
+    * unigram distributions over the shared top-`maxVocab` vocabulary —
+    * the source-redundancy matrix a mixture decision reads next to
+    * [[tokenZipf]] and [[corpusStats]]: two sources at ≈0 bits are the
+    * same distribution twice (dedup or down-weight one), a source near
+    * 1 bit contributes genuinely different text. Laplace(+1) smoothing
+    * over the shared vocab keeps every p strictly positive, so the JSD
+    * sum needs no zero-term branches and the support is identical for
+    * every source by construction.
+    *
+    * Determinism contract: p and q are doubles derived from identical
+    * integers via one pinned expression; each pair's token-term sum is
+    * a PINNED-ORDER fold over the token-sorted term array (never a
+    * float SUM() with partition-dependent order); the only cross-engine
+    * wobble is the log2 kernel (StrictMath vs libm, ≤ 1 ulp), absorbed
+    * by round(·,6) — the [[tokenZipf]] contract.
+    *
+    * Scale shape: one corpus scan for the (source, token) counts
+    * (map-side combined, semi-joined against the broadcast vocab at the
+    * scan so non-vocab tokens never shuffle); everything downstream —
+    * the sources×vocab support grid, the per-source totals, the pair
+    * join — is dimension-sized (|sources| · |vocab| rows), broadcast
+    * all the way. A NULL source is a real distribution but pairs only
+    * via the strict `<` on source, which both engines NULL out — the
+    * NULL group profiles internally and never emits a pair row. */
+  def sourceJsd(spark: SparkSession, dir: String, minCount: Int = 2,
+      maxVocab: Int = 1000): DataFrame =
+    sourceJsdWith(
+      Tables.documents(spark, dir),
+      buildVocab(spark, dir, minCount, maxVocab).select(col("token")))
+
+  private[graft] def sourceJsdFrom(documents: DataFrame, minCount: Int = 2,
+      maxVocab: Int = 1000): DataFrame = {
+    // inline twin of buildVocab's cut for test corpora (same total order)
+    val vocab = documents
+      .where(col("text").isNotNull)
+      .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(maxVocab)
+      .select(col("token"))
+    sourceJsdWith(documents, vocab)
+  }
+
+  private def sourceJsdWith(documents: DataFrame, vocab: DataFrame)
+      : DataFrame = {
+    val docs = documents.where(col("text").isNotNull)
+    val cnt = docs
+      .select(col("source"),
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val vsize = broadcast(vocab.agg(count(lit(1)).cast("long").as("v")))
+    // explicit aliases: support and cnt share the docs lineage, so the
+    // raw column references would hit the self-join ambiguity path
+    val support = docs.select(col("source").as("g_source")).distinct()
+      .crossJoin(broadcast(vocab.select(col("token").as("g_token"))))
+    val grid = support
+      .join(cnt, col("g_source") <=> col("source") &&
+        col("g_token") === col("token"), "left")
+      .select(col("g_source").as("source"), col("g_token").as("token"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val withTot = grid
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_s"))
+    val probs = grid.join(withTot, Seq("source")).crossJoin(vsize)
+      .select(col("source"), col("token"),
+        ((col("cnt").cast("double") + lit(1.0)) /
+          (col("n_s").cast("double") + col("v").cast("double"))).as("p"))
+    val a = probs.select(col("source").as("source_a"), col("token"),
+      col("p").as("p"))
+    val b = probs.select(col("source").as("source_b"), col("token"),
+      col("p").as("q"))
+    val m = (col("p") + col("q")) / lit(2.0)
+    val term = lit(0.5) * (col("p") * log2(col("p") / m)) +
+      lit(0.5) * (col("q") * log2(col("q") / m))
+    a.join(b, Seq("token"))
+      .where(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("token"), term.as("term"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("token"), col("term")))),
+              p => p.getField("term")),
+            lit(0.0), (acc, x) => acc + x),
+          6).as("jsd_bits"))
+  }
 }

@@ -509,6 +509,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("source_jsd: metric laws — identity, bounds, separation, coverage") {
+    import spark.implicits._
+    // A and B share the exact token distribution, C is disjoint text
+    val docs = Seq(
+      (1L, ("alpha beta gamma alpha beta " * 40).trim, "A"),
+      (2L, ("alpha beta gamma alpha beta " * 40).trim, "B"),
+      (3L, ("delta epsilon zeta delta epsilon " * 40).trim, "C"),
+      (4L, ("delta epsilon zeta delta epsilon " * 40).trim, "C"))
+      .toDF("doc_id", "text", "source")
+    val jsd = Corpus.sourceJsdFrom(docs, minCount = 1, maxVocab = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jsd_bits")).toMap
+    assert(jsd.size == 3, "3 sources must emit C(3,2) pairs")
+    assert(jsd(("A", "B")) == 0.0,
+      "identical distributions must sit at exactly 0 bits")
+    assert(jsd(("A", "C")) > 0.5 && jsd(("B", "C")) > 0.5,
+      s"disjoint vocabularies must separate, got $jsd")
+    assert(jsd(("A", "C")) == jsd(("B", "C")),
+      "A≡B must be equidistant from C")
+    // real corpus: complete pair coverage inside [0, 1]
+    val real = Corpus.sourceJsd(spark, Sf).collect()
+    val srcs = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+      .select("source").distinct().count()
+    assert(real.length == (srcs * (srcs - 1) / 2).toInt)
+    real.foreach { r =>
+      val v = r.getAs[Double]("jsd_bits")
+      assert(v >= 0.0 && v <= 1.0, s"JSD out of [0,1] bits: $r")
+    }
+  }
+
   test("bigram PMI: marginal consistency and the low-frequency floor") {
     val pmi = Corpus.bigramPmi(spark, Sf, minCount = 2, topN = 1000000).cache()
     // marginals cross-validated against groupBy aggregations of the full
