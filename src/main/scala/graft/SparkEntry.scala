@@ -239,6 +239,10 @@ object SparkEntry {
       Corpus.tokenZipf(s, d)),
     "source_jsd"            -> ((s: SparkSession, d: String) =>
       Corpus.sourceJsd(s, d)),
+    "bpe_train"             -> ((s: SparkSession, d: String) =>
+      Corpus.bpeTrain(s, d)),
+    "bpe_encode"            -> ((s: SparkSession, d: String) =>
+      Corpus.bpeEncode(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -1147,8 +1151,84 @@ object SparkEntry {
       |       || chr(10) || chr(10) || 'RCA and Fix Suggestion:' AS prompt
       |FROM batch CROSS JOIN sims""".stripMargin
 
+  /** Unrolled BPE-training CTE chain: s0 is the letters-only word
+    * frequency dictionary split to character symbols; each step k then
+    * derives p_k (adjacent-pair counts via lockstep unnest), m_k (the
+    * argmax merge under the cnt DESC, lft, rgt total order) and s_k (the
+    * dictionary with that merge applied). The merge application is a
+    * list_reduce fold over singleton lists — exactly the Spark kernel's
+    * left-to-right non-overlapping pass (equivalence argued at
+    * Kernels.bpeMergeStep: a merged symbol can never equal `lft` again,
+    * so fold-with-tail ≡ scan-and-skip). An exhausted dictionary makes
+    * m_k empty; the scalar subqueries go NULL, s_k = s_{k-1}, and the
+    * merge row for rank k vanishes on both engines. */
+  private def bpeCtes(merges: Int): String = {
+    // Every CTE is explicitly MATERIALIZED: s_{k-1} is referenced twice
+    // per step (p_k and s_k), so DuckDB's default inlining would
+    // re-evaluate the chain 2^merges times — measured as a >5 min hang
+    // at merges=12 vs 0.7 s materialized.
+    val b = new StringBuilder
+    b ++= """WITH s0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |         regexp_extract_all(word, '[a-z]') AS syms
+      |  FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |    FROM documents WHERE text IS NOT NULL) t
+      |  WHERE regexp_matches(word, '^[a-z]+$')
+      |  GROUP BY word)""".stripMargin
+    for (k <- 1 to merges) {
+      // LEFT JOIN ON TRUE, not a scalar subquery: DuckDB lambdas reject
+      // subqueries but capture join columns; an empty m_k leaves lft/rgt
+      // NULL and the CASE false — the dictionary passes through unchanged
+      b ++= s""",
+      |p$k AS MATERIALIZED (
+      |  SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+      |         CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq, syms,
+      |               unnest(generate_series(1, len(syms) - 1)) AS i
+      |        FROM s${k - 1})
+      |  GROUP BY 1, 2),
+      |m$k AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$k
+      |        ORDER BY cnt DESC, lft, rgt LIMIT 1),
+      |s$k AS MATERIALIZED (
+      |  SELECT word, freq,
+      |         list_reduce(list_transform(syms, x -> [x]),
+      |           (a, b) -> CASE WHEN a[len(a)] = mk.lft AND b[1] = mk.rgt
+      |                     THEN list_concat(a[1:len(a) - 1],
+      |                                      [mk.lft || mk.rgt])
+      |                     ELSE list_concat(a, b) END) AS syms
+      |  FROM s${k - 1} LEFT JOIN m$k mk ON TRUE)""".stripMargin
+    }
+    b.result()
+  }
+
+  private def bpeTrainSql(merges: Int): String =
+    bpeCtes(merges) + "\n" + (1 to merges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, lft, rgt,
+         |       lft || rgt AS merged, cnt FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private def bpeEncodeSql(merges: Int): String =
+    bpeCtes(merges) + s""",
+      |w AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word,
+      |         generate_subscripts(
+      |           regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+      |  FROM documents WHERE text IS NOT NULL),
+      |lw AS (SELECT doc_id, pos, word FROM w
+      |       WHERE regexp_matches(word, '^[a-z]+$$'))
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+      |       string_agg(array_to_string(s.syms, ' '), ' ' ORDER BY d.pos)
+      |         AS bpe_text
+      |FROM lw d JOIN s$merges s ON d.word = s.word
+      |GROUP BY d.doc_id""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainSql(12),
+    "bpe_encode" -> bpeEncodeSql(12),
     "ingest_errors" -> ingestErrorsSql(
       "2024-01-02 00:00:00", "2024-01-29 00:00:00", "%1%", 500),
     "ingest_errors_window" -> ingestErrorsSql(

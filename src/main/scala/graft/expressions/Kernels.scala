@@ -255,6 +255,33 @@ object Kernels {
       Array[Any](UTF8String.fromString(sb.toString), n.toLong))
   }
 
+  /** One BPE merge application: replace every left-to-right
+    * NON-OVERLAPPING adjacent (left, right) pair in `syms` with the
+    * concatenated symbol, single pass. Greedy-fold equivalence (the
+    * oracle replays this as a list_reduce fold): after a merge the new
+    * last element is left+right, which can never equal `left` again
+    * (right is non-empty), so "merge with accumulator tail" and
+    * "merge-and-skip scanning" produce the same sequence — e.g.
+    * [l,l,l,l] with (l,l) → [ll,ll], [l,l,l] → [ll,l]. */
+  def bpeMergeStep(syms: ArrayData, left: UTF8String,
+      right: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(left) &&
+          syms.getUTF8String(i + 1).equals(right)) {
+        out += UTF8String.concat(left, right)
+        i += 2
+      } else {
+        out += cur
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = s.getBytes
     val offs = codePointOffsets(bytes)

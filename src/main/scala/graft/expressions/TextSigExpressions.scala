@@ -223,3 +223,31 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
+
+/** One BPE merge application over a symbol array — see
+  * [[Kernels.bpeMergeStep]] for the single-pass/greedy-fold equivalence
+  * the oracle's list_reduce replay relies on. `left`/`right` are the
+  * training loop's per-iteration winning pair (plain Scala strings, not
+  * child expressions: they are decided driver-side between jobs), shipped
+  * into generated code as reference objects. */
+case class BpeMerge(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge expects array<string>, got ${other.catalogString}")
+  }
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bpeMergeStep(input.asInstanceOf[ArrayData], l, r)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val lRef = ctx.addReferenceObj("bpeLeft", l)
+      val rRef = ctx.addReferenceObj("bpeRight", r)
+      s"${ev.value} = graft.expressions.Kernels.bpeMergeStep($c, $lRef, $rRef);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): BpeMerge =
+    copy(child = newChild)
+}

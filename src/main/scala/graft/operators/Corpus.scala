@@ -22,11 +22,16 @@ object Corpus {
   private val vocabMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
-  /** Unpersist and drop every vocabulary cached for `spark`. */
-  def releaseCache(spark: SparkSession): Unit =
+  /** Unpersist and drop every vocabulary and BPE state cached for
+    * `spark`. */
+  def releaseCache(spark: SparkSession): Unit = {
     vocabMemo.filterInPlace { case ((s, _), df) =>
       if (s eq spark) { df.unpersist(); false } else true
     }
+    bpeMemo.filterInPlace { case ((s, _), (_, df)) =>
+      if (s eq spark) { df.unpersist(); false } else true
+    }
+  }
 
   /** Frequency-ranked vocabulary. The explode+count phase is map-side
     * combined over the corpus; the survivors are cut to `maxVocab` with a
@@ -861,6 +866,193 @@ object Corpus {
       round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
       round(when(den2 =!= lit(0.0), (num * num) / (den1 * den2)), 6).as("r2"))
+  }
+
+  /** Session memo of a trained BPE state per (corpus, merges): the merge
+    * table plus the fully-merged word dictionary (persisted — bpe_train
+    * and bpe_encode share one training run, the [[vocabMemo]] pattern). */
+  private val bpeMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]
+
+  private def bpeMemoized(spark: SparkSession, dir: String, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    bpeMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    bpeMemo.getOrElseUpdate((spark, s"$dir:$merges"), {
+      val (tab, dict0, dictN) = bpeTrainCore(
+        Tables.documents(spark, dir), merges)
+      val persisted = dictN.persist()
+      persisted.count() // materialize before the training lineage is cut
+      dict0.unpersist()
+      (tab, persisted)
+    })
+  }
+
+  /** BPE tokenizer training — the classic corpus-scale merge-learning
+    * loop (Sennrich et al. 2016), shaped the way industrial trainers
+    * scale: the ONLY corpus-sized pass is the initial word-frequency
+    * aggregation (map-side combined). Training then runs over the
+    * distinct-word dictionary weighted by frequency, which is BOUNDED
+    * (natural-language vocabulary, not corpus size), so like every real
+    * BPE trainer the merge loop runs driver-side on the aggregated
+    * dictionary when it fits ([[MaxDriverDictWords]] — dictionary-sized,
+    * the [[Cluster]] union-find gate pattern): 12 merges cost 12 in-memory
+    * passes instead of 24 Spark jobs' scheduling+codegen overhead. Above
+    * the cap the distributed loop takes over: pair counts are an integer
+    * groupBy+sum over dictionary rows, the argmax a 1-row distributed
+    * TakeOrdered, and the merge application a native single-pass kernel
+    * ([[graft.expressions.BpeMerge]], inside whole-stage codegen)
+    * projected over the persisted dictionary — driver work per iteration
+    * is exactly one (lft, rgt, cnt) row. The two paths are
+    * differential-spec'd byte-identical (driverDictCap=0 forces the
+    * distributed loop).
+    *
+    * Determinism contract: integer pair counts; argmax total order
+    * (cnt DESC, lft, rgt — symbols are pure ASCII so JVM string order,
+    * UTF8String byte order, and DuckDB collation all agree); the merge
+    * application is left-to-right non-overlapping, replayed by the
+    * oracle as a list_reduce fold (equivalence proven at
+    * [[graft.expressions.Kernels.bpeMergeStep]]). Symbols stay in
+    * ^[a-z]+$ space: training reads letters-only words, so JVM-vs-UTF8
+    * code-unit divergence can't reach the character split.
+    *
+    * Training stops early when no adjacent pair is left (every word
+    * fully merged); the merge table then has fewer than `merges` rows
+    * on both engines. */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 12)
+      : DataFrame = {
+    val (tab, _) = bpeMemoized(spark, dir, merges)
+    spark.createDataFrame(tab).toDF("rank", "lft", "rgt", "cnt")
+      .select(col("rank").cast("long").as("rank"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("cnt"))
+  }
+
+  /** Word-dictionary size above which BPE training stays distributed.
+    * The collect is DICTIONARY-sized (distinct letters-only words), a
+    * broadcast-threshold-like bound — never corpus-sized. */
+  private[graft] val MaxDriverDictWords = 2000000L
+
+  /** Driver twin of [[graft.expressions.Kernels.bpeMergeStep]] — same
+    * single-pass left-to-right non-overlapping merge. */
+  private[graft] def bpeMergeLocal(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private[graft] def bpeTrainCore(documents: DataFrame, merges: Int,
+      driverDictCap: Long = MaxDriverDictWords)
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = documents.sparkSession
+    val dict0 = documents.where(col("text").isNotNull)
+      .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text"))))
+        .as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+      .withColumn("syms",
+        regexp_extract_all(col("word"), lit("[a-z]"), lit(0)))
+      .persist()
+    val nWords = dict0.count()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    if (driverDictCap > 0 && nWords <= driverDictCap) {
+      // In-memory trainer over the aggregated dictionary. Words are
+      // ASCII [a-z]+ so the per-char split below equals the column
+      // path's regexp_extract_all('[a-z]').
+      val words = dict0.select(col("word"), col("freq")).collect().map {
+        row => (row.getString(0), row.getLong(1))
+      }
+      var dict: Array[(String, Long, Array[String])] =
+        words.map { case (w, f) => (w, f, w.map(_.toString).toArray) }
+      var k = 1
+      var exhausted = false
+      while (k <= merges && !exhausted) {
+        val counts = new java.util.HashMap[(String, String), Long]()
+        dict.foreach { case (_, f, syms) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            counts.merge((syms(i), syms(i + 1)), f, _ + _)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var bl: String = null; var br: String = null
+          var bc = Long.MinValue
+          counts.forEach { (pr, c) =>
+            val (l, r) = pr
+            if (c > bc || (c == bc &&
+                (l < bl || (l == bl && r < br)))) { bl = l; br = r; bc = c }
+          }
+          out += ((k, bl, br, bc))
+          dict = dict.map { case (w, f, syms) =>
+            (w, f, bpeMergeLocal(syms, bl, br))
+          }
+          k += 1
+        }
+      }
+      val slices = math.max(1, (nWords / 250000L).toInt)
+      val dictN = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dict.toSeq.map { case (w, f, s) => (w, f, s.toSeq) }, slices))
+        .toDF("word", "freq", "syms")
+      (out.result(), dict0, dictN)
+    } else {
+      var dict = dict0
+      var k = 1
+      var exhausted = false
+      while (k <= merges && !exhausted) {
+        val n1 = greatest(size(col("syms")) - 1, lit(0))
+        val best = dict
+          .select(col("freq"),
+            explode(zip_with(
+              slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
+              (a, b) => struct(a.as("lft"), b.as("rgt")))).as("pr"))
+          .groupBy(col("pr.lft").as("lft"), col("pr.rgt").as("rgt"))
+          .agg(sum(col("freq")).cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val l = best(0).getAs[String]("lft")
+          val r = best(0).getAs[String]("rgt")
+          out += ((k, l, r, best(0).getAs[Long]("cnt")))
+          dict = dict.select(col("word"), col("freq"),
+            Bridge.column(graft.expressions.BpeMerge(
+              Bridge.expression(col("syms")), l, r)).as("syms"))
+          k += 1
+        }
+      }
+      (out.result(), dict0, dict)
+    }
+  }
+
+  /** Corpus re-encoding with the learned merge table: each letters-only
+    * word looks up its fully-merged symbol sequence in the trained
+    * dictionary (one equi-join — broadcast when the vocabulary is small,
+    * shuffle-partitioned by word at 100 TB vocabulary scale), then docs
+    * re-assemble in word order. Docs with no letters-only word have
+    * nothing to encode and drop out, identically on both engines. */
+  def bpeEncode(spark: SparkSession, dir: String, merges: Int = 12)
+      : DataFrame = {
+    val (_, dictN) = bpeMemoized(spark, dir, merges)
+    Tables.documents(spark, dir).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextFns.wsTokens(TextFns.foldCase(col("text"))))
+          .as(Seq("pos", "word")))
+      .where(col("word").rlike("^[a-z]+$"))
+      .join(dictN.select(col("word"), col("syms")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
+        array_join(flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("syms")))),
+          x => x.getField("syms"))), " ").as("bpe_text"))
   }
 
   /** Pairwise Jensen–Shannon divergence (in bits) between per-source

@@ -476,6 +476,98 @@ class CorpusSpec extends AnyFunSuite {
       .where(col("doc_id") >= 3500).count() == 0)
   }
 
+  test("bpe_train: hand-computed merges, ties, overlap runs, early stop") {
+    import spark.implicits._
+    // (a,a) dominates (count 2 from "aa"×2); after merging it only (a,b)
+    // remains; then every word is a single symbol → early stop at 2 of 12
+    val tiny = Seq((1L, "aa aa ab", "s")).toDF("doc_id", "text", "source")
+    val (tab, d0, _) = Corpus.bpeTrainCore(tiny, merges = 12)
+    d0.unpersist()
+    assert(tab == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)),
+      s"got $tab")
+    // count ties break on (lft, rgt) byte order: (x,y) before (z,w)
+    val tie = Seq((1L, "xy zw xy zw", "s")).toDF("doc_id", "text", "source")
+    val (tab2, d2, _) = Corpus.bpeTrainCore(tie, merges = 2)
+    d2.unpersist()
+    assert(tab2.map(t => (t._2, t._3)) == Seq(("x", "y"), ("z", "w")))
+    // overlapping run: [a,a,a,a] counts 3 adjacent pairs but merges
+    // left-to-right non-overlapping to [aa,aa]
+    val run = Seq((1L, "aaaa", "s")).toDF("doc_id", "text", "source")
+    val (tab3, d3, dN3) = Corpus.bpeTrainCore(run, merges = 1)
+    d3.unpersist()
+    assert(tab3 == Seq((1, "a", "a", 3L)))
+    assert(dN3.select("syms").as[Seq[String]].collect().toSeq ==
+      Seq(Seq("aa", "aa")))
+  }
+
+  test("bpe: driver and distributed trainers are byte-identical") {
+    import spark.implicits._
+    // adversarial shape: heavy count ties + shared prefixes + long runs
+    val rng = new scala.util.Random(7)
+    val vocabTokens = Seq("aba", "abab", "bab", "aaaa", "cdcd", "dc", "ccc")
+    val docs = (1L to 60L).map { i =>
+      val words = Seq.fill(6)(vocabTokens(rng.nextInt(vocabTokens.length)))
+      (i, words.mkString(" "), s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val (tabDrv, a0, aN) = Corpus.bpeTrainCore(docs, merges = 8)
+    val (tabDst, b0, bN) = Corpus.bpeTrainCore(docs, merges = 8,
+      driverDictCap = 0L)
+    assert(tabDrv == tabDst,
+      s"merge tables diverge:\n  driver $tabDrv\n  dist   $tabDst")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "freq", "syms").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getAs[scala.collection.Seq[String]](2).toSeq))
+        .sortBy(_._1).toSeq
+    assert(dump(aN) == dump(bN), "final dictionaries diverge")
+    a0.unpersist(); b0.unpersist()
+    // and on the real corpus: the full query path (driver gate) equals
+    // the forced-distributed core
+    val real = graft.sources.Tables.documents(spark, Sf)
+    val (tabR, r0, _) = Corpus.bpeTrainCore(real, merges = 12,
+      driverDictCap = 0L)
+    r0.unpersist()
+    val viaQuery = Corpus.bpeTrain(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("rank").toInt, r.getString(1), r.getString(2),
+        r.getAs[Long]("cnt")))
+    assert(viaQuery.toSeq == tabR, "query path diverges from distributed core")
+  }
+
+  test("bpe_encode: lossless symbol stream, token-count bounds, coverage") {
+    import spark.implicits._
+    val enc = Corpus.bpeEncode(spark, Sf).cache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    // removing the separators must reproduce the letters-only word stream
+    // reference stream folds with the operator's simple-mapping contract
+    // (plain lower() would İ-diverge — the foldCase Scaladoc case)
+    val words = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(trim(graft.functions.TextFns.foldCase(col("text"))),
+          "\\s+")).as(Seq("pos", "word")))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words_ref"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), "").as("letters"))
+    val joined = enc.join(words, Seq("doc_id")).cache()
+    assert(joined.count() == enc.count(), "every encoded doc must have words")
+    val broken = joined.where(
+      regexp_replace(col("bpe_text"), " ", "") =!= col("letters"))
+    assert(broken.count() == 0, "BPE must be a lossless segmentation")
+    assert(joined.where(col("n_words") =!= col("n_words_ref")).count() == 0)
+    // n_words ≤ n_bpe_tokens ≤ total letters
+    assert(joined.where(col("n_bpe_tokens") < col("n_words")).count() == 0)
+    assert(joined.where(
+      col("n_bpe_tokens") > length(col("letters"))).count() == 0)
+    // merges must actually bite: fewer BPE tokens than letters overall
+    val (tok, let) = joined
+      .agg(sum("n_bpe_tokens"), sum(length(col("letters"))))
+      .as[(Long, Long)].first()
+    assert(tok < let, s"12 merges must compress: $tok vs $let")
+    joined.unpersist(); enc.unpersist()
+  }
+
   test("token_zipf: exact power law recovered, r2 NULL on zero variance") {
     import spark.implicits._
     // freq(rank r) = 840/r for r = 1..8 — an EXACT Zipf corpus (all
