@@ -126,6 +126,21 @@ object ScaleProbe {
     // candidate equi-join — train-side shuffle tracks matches, not corpus
     def decon(df: DataFrame): DataFrame =
       graft.operators.Corpus.decontaminateFrom(df)
+    // exact span dedup: two linear gram shuffles + a semi join. replicate()
+    // clones text verbatim, so at Nx EVERY doc is a clone and every gram
+    // is duplicated — deliberately the WORST case for the semi join (it
+    // passes the whole gram relation); growth staying near the corpus
+    // factor under maximal join volume is the claim
+    def spans(df: DataFrame): DataFrame =
+      graft.operators.Corpus.dedupSpansFrom(df)
+    // BPE: the corpus-sized word-frequency pass scales with the factor;
+    // the dictionary does NOT (clones add frequency, not words), so the
+    // training loop's cost is constant — growth must track the one scan
+    def bpeT(df: DataFrame): DataFrame = {
+      val (_, d0, dN) = graft.operators.Corpus.bpeTrainCore(df, 12)
+      d0.unpersist()
+      dN
+    }
     // incremental dedup against a PRE-BUILT signature index (built outside
     // the timer — that's the contract: the index is persisted, increments
     // don't re-pay it). Fixed batch, corpus 1× vs N×: everything that
@@ -384,6 +399,8 @@ object ScaleProbe {
         time("spctl 1x")(graft.operators.Relational.valuePercentilesSampledFrom(ev1)),
         time(s"spctl ${factor}x")(graft.operators.Relational.valuePercentilesSampledFrom(evN))),
       point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
+      point("dedup_spans")(time("spans 1x")(spans(doc1)), time(s"spans ${factor}x")(spans(docN))),
+      point("bpe")(time("bpe 1x")(bpeT(doc1)), time(s"bpe ${factor}x")(bpeT(docN))),
       point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
       point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor)))
     ).flatten

@@ -243,6 +243,10 @@ object SparkEntry {
       Corpus.bpeTrain(s, d)),
     "bpe_encode"            -> ((s: SparkSession, d: String) =>
       Corpus.bpeEncode(s, d)),
+    "bpe_fertility"         -> ((s: SparkSession, d: String) =>
+      Corpus.bpeFertility(s, d)),
+    "dedup_spans"           -> ((s: SparkSession, d: String) =>
+      Corpus.dedupSpans(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -1225,10 +1229,50 @@ object SparkEntry {
       |FROM lw d JOIN s$merges s ON d.word = s.word
       |GROUP BY d.doc_id""".stripMargin
 
+  private def bpeFertilitySql(merges: Int): String =
+    bpeCtes(merges) + s""",
+      |w AS (
+      |  SELECT source,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |  FROM documents WHERE text IS NOT NULL),
+      |lw AS (SELECT source, word FROM w WHERE regexp_matches(word, '^[a-z]+$$'))
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+      |       round(CAST(sum(len(s.syms)) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+      |             6) AS fertility
+      |FROM lw d JOIN s$merges s ON d.word = s.word
+      |GROUP BY d.source""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql(12),
     "bpe_encode" -> bpeEncodeSql(12),
+    "bpe_fertility" -> bpeFertilitySql(12),
+    // positional grams (duplicates kept): g is referenced three times, so
+    // it is MATERIALIZED like the BPE chain
+    "dedup_spans" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         array_to_string(t[CAST(i+1 AS BIGINT) : CAST(least(i+15, n) AS BIGINT)], ' ') AS g
+        |  FROM (
+        |    SELECT doc_id, t, len(t) AS n,
+        |           unnest(range(0, greatest(1, len(t) - 14))) AS i
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |          FROM documents WHERE text IS NOT NULL))),
+        |d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |                     FROM g GROUP BY g)
+        |      WHERE nd >= 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |        FROM g GROUP BY doc_id),
+        |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |        FROM g JOIN d USING (g) GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_grams,
+        |       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
+        |       round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+        |             / CAST(tot.n_grams AS DOUBLE), 6) AS dup_fraction,
+        |       CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+        |         / CAST(tot.n_grams AS DOUBLE) >= 0.5 AS is_flagged
+        |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id""".stripMargin,
     "ingest_errors" -> ingestErrorsSql(
       "2024-01-02 00:00:00", "2024-01-29 00:00:00", "%1%", 500),
     "ingest_errors_window" -> ingestErrorsSql(

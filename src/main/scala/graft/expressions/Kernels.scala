@@ -141,6 +141,34 @@ object Kernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** ALL word n-shingles in position order — duplicates kept, one per
+    * start position (docs shorter than n collapse to the single
+    * whole-doc shingle, the [[wordShingles]] short-doc rule). Positional
+    * multiplicity is what span-level duplication statistics need: the
+    * fraction of a doc covered by repeated grams counts POSITIONS, not
+    * the distinct gram set. */
+  def wordShinglesAll(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) {
+      val all = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { all(i) = toks.getUTF8String(i); i += 1 }
+      new GenericArrayData(
+        Array[Any](UTF8String.concatWs(space, all.toIndexedSeq: _*)))
+    } else {
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        val w = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { w(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, w.toIndexedSeq: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Byte offset of every code point (plus the end offset), in one pass —
     * per-position substring extraction would be O(chars²). */
   private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {

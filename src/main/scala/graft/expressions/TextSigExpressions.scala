@@ -83,6 +83,18 @@ case class WordShingles(child: Expression, n: Int) extends KernelExpression {
     copy(child = newChild)
 }
 
+/** ALL word n-shingles in position order (duplicates kept) — the
+  * positional variant of [[WordShingles]] for span-level statistics. */
+case class WordShinglesAll(child: Expression, n: Int) extends KernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordShinglesAll(input.asInstanceOf[ArrayData], n)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.Kernels.wordShinglesAll($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+}
+
 /** Distinct character n-grams of a string (code-point semantics). */
 case class CharShingles(child: Expression, n: Int) extends KernelExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -293,6 +293,60 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
   }
 
+  /** Cross-document repeated-span audit — the gram-granular form of
+    * exact substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ≥N-token
+    * spans are what LMs memorize verbatim). Per document: how many of
+    * its positional word `n`-grams also occur in ≥ `minDocs` distinct
+    * documents, the covered fraction, and a flag when the majority of
+    * the doc is repeated material (the "remove or trim" candidate set).
+    *
+    * POSITIONAL grams (duplicates kept — [[NearDup.wordShinglesAll]]),
+    * not the distinct gram set: the fraction is over span positions,
+    * matching the paper's token-coverage notion. Exactness contract:
+    * unlike the MinHash family this is not an approximation — a gram is
+    * counted iff it literally occurs elsewhere — so the whole operator
+    * replays as SQL (integer counts; the flag compares the RAW exact
+    * rational n_dup/n_grams, identical IEEE division both engines).
+    *
+    * Scale shape: the gram relation is corpus-sized (one per token) and
+    * shuffles twice — (gram, doc) distinct → per-gram distinct-doc
+    * count, then a left-semi join of positional grams against the
+    * ≥minDocs gram set (equi-join on near-uniform keys; AQE broadcasts
+    * it when the corpus is clean and it is tiny). That is the honest
+    * cost of EXACT span dedup distributed — the same linear-shuffle
+    * shape as [[decontaminate]] minus its bloom (there is no small side
+    * to sketch: the dup-gram set is the unknown being computed). Short
+    * docs (< n tokens) collapse to one whole-doc gram (the
+    * [[NearDup.wordShingles]] rule), so byte-identical short docs still
+    * count each other as duplicated spans. */
+  def dedupSpans(spark: SparkSession, dir: String, n: Int = 15,
+      minDocs: Int = 2, flagFrac: Double = 0.5): DataFrame =
+    dedupSpansFrom(Tables.documents(spark, dir), n, minDocs, flagFrac)
+
+  private[graft] def dedupSpansFrom(docs: DataFrame, n: Int = 15,
+      minDocs: Int = 2, flagFrac: Double = 0.5): DataFrame = {
+    val grams = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(NearDup.wordShinglesAll(col("text"), n)).as("g"))
+    val dupGrams = grams.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("g"))
+    val tot = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val dup = grams.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_grams"))
+    val frac = coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+      col("n_grams").cast("double")
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        round(frac, 6).as("dup_fraction"),
+        (frac >= lit(flagFrac)).as("is_flagged"))
+  }
+
   /** Salted two-phase top-N per stratum — the shared engine of
     * [[sampleExactStratified]] and [[sampleMixture]]. Strata are FEW and
     * HUGE, so a single per-stratum rank window would sort a whole stratum
@@ -1053,6 +1107,33 @@ object Corpus {
         array_join(flatten(transform(
           sort_array(collect_list(struct(col("pos"), col("syms")))),
           x => x.getField("syms"))), " ").as("bpe_text"))
+  }
+
+  /** Tokenizer fertility per source — BPE tokens per word under the
+    * learned merge table ([[bpeTrain]]; one shared memoized training
+    * run): the "how well does the tokenizer fit this source" statistic a
+    * mixture decision reads before committing token budgets (a source at
+    * fertility ≈ word length is effectively character-split — the
+    * tokenizer wasn't trained for it; budget math in tokens silently
+    * shifts). Exact integer sums; fertility = one IEEE division of two
+    * integers, identical both engines. Scale: the corpus explodes to
+    * letters-only words once, joins the dictionary with the symbol
+    * COUNT projected before the join (the syms arrays never ship), and
+    * collapses map-side to |sources| rows. */
+  def bpeFertility(spark: SparkSession, dir: String, merges: Int = 12)
+      : DataFrame = {
+    val (_, dictN) = bpeMemoized(spark, dir, merges)
+    Tables.documents(spark, dir).where(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .join(dictN.select(col("word"),
+        size(col("syms")).cast("long").as("wlen")), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("wlen")).cast("long").as("n_bpe_tokens"),
+        round(sum(col("wlen")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("fertility"))
   }
 
   /** Pairwise Jensen–Shannon divergence (in bits) between per-source

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import graft.sources.Tables
 import graft.functions.TextFns
-import graft.expressions.{CharShingles, MinHashBandKeys, MinHashJaccard, MinHashSig, SimHashSig, WordShingles}
+import graft.expressions.{CharShingles, MinHashBandKeys, MinHashJaccard, MinHashSig, SimHashSig, WordShingles, WordShinglesAll}
 
 /** Text near-duplicate detection at corpus scale (SURVEY.md §2 rows 22-24):
   * MinHash-LSH, SimHash, and n-gram Jaccard — the dedup family a training
@@ -23,6 +23,10 @@ object NearDup {
   /** Distinct word n-shingles (native kernel). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(TextFns.wsTokens(TextFns.foldCase(text))), n))
+
+  /** ALL word n-shingles in position order (duplicates kept). */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    Bridge.column(WordShinglesAll(Bridge.expression(TextFns.wsTokens(TextFns.foldCase(text))), n))
 
   /** Distinct character n-grams (native kernel). */
   def charShingles(text: Column, n: Int): Column =

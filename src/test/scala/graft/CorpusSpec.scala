@@ -568,6 +568,57 @@ class CorpusSpec extends AnyFunSuite {
     joined.unpersist(); enc.unpersist()
   }
 
+  test("dedup_spans: planted repeated spans, positional fractions, short-doc rule") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    def uniq(i: Int) = (1 to 10).map(j => s"u${i}x$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1)} $span ${uniq(2)}", "s"),
+      (2L, s"${uniq(3)} $span ${uniq(4)}", "s"),
+      (3L, uniq(5), "s"),
+      (4L, "tiny twin", "s"),
+      (5L, "tiny twin", "s")).toDF("doc_id", "text", "source")
+    val out = Corpus.dedupSpansFrom(docs, n = 15, minDocs = 2, flagFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 5)
+    // doc 1: 40 tokens → 26 positional 15-grams; the shared 20-token span
+    // occupies positions 10..29, so a gram is duplicated iff it starts in
+    // [10, 15] — exactly 6 (boundary grams mix unique prefix/suffix tokens)
+    assert(out(1L).getAs[Long]("n_grams") == 26L)
+    assert(out(1L).getAs[Long]("n_dup_grams") == 6L)
+    assert(!out(1L).getAs[Boolean]("is_flagged"), "6/26 is below the 0.5 flag")
+    assert(out(2L).getAs[Long]("n_dup_grams") == 6L)
+    assert(out(3L).getAs[Long]("n_grams") == 1L &&
+      out(3L).getAs[Long]("n_dup_grams") == 0L)
+    // byte-identical short docs collapse to one whole-doc gram each and
+    // count each other: fraction exactly 1, flagged
+    Seq(4L, 5L).foreach { id =>
+      assert(out(id).getAs[Double]("dup_fraction") == 1.0)
+      assert(out(id).getAs[Boolean]("is_flagged"))
+    }
+    // real corpus: bounds hold and the planted exact-dup docs flag
+    val real = Corpus.dedupSpans(spark, Sf).collect()
+    assert(real.forall(r =>
+      r.getAs[Long]("n_dup_grams") <= r.getAs[Long]("n_grams")))
+    assert(real.exists(_.getAs[Boolean]("is_flagged")),
+      "the corpus's exact-dup docs must flag at fraction 1")
+  }
+
+  test("bpe_fertility: totals reconcile with bpe_encode, fertility bounds") {
+    val fert = Corpus.bpeFertility(spark, Sf).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0, s"a word is ≥1 token: $r")
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+    }
+    val fw = fert.map(_.getAs[Long]("n_words")).sum
+    val ft = fert.map(_.getAs[Long]("n_bpe_tokens")).sum
+    val enc = Corpus.bpeEncode(spark, Sf)
+      .agg(sum("n_words"), sum("n_bpe_tokens")).collect()(0)
+    assert(fw == enc.getLong(0) && ft == enc.getLong(1),
+      "per-source totals must equal the per-doc encoding's totals")
+  }
+
   test("token_zipf: exact power law recovered, r2 NULL on zero variance") {
     import spark.implicits._
     // freq(rank r) = 840/r for r = 1..8 — an EXACT Zipf corpus (all
