@@ -133,6 +133,11 @@ object ScaleProbe {
     // factor under maximal join volume is the claim
     def spans(df: DataFrame): DataFrame =
       graft.operators.Corpus.dedupSpansFrom(df)
+    // DSIR: one corpus explode semi-joined against the broadcast vocab;
+    // LMs and the log-ratio relation are vocab-sized — growth must track
+    // the scan, nothing may scale with vocab×corpus
+    def dsir(df: DataFrame): DataFrame =
+      graft.operators.Corpus.dsirWeightsFrom(df, targetLang = "en")
     // BPE: the corpus-sized word-frequency pass scales with the factor;
     // the dictionary does NOT (clones add frequency, not words), so the
     // training loop's cost is constant — growth must track the one scan
@@ -401,6 +406,7 @@ object ScaleProbe {
       point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
       point("dedup_spans")(time("spans 1x")(spans(doc1)), time(s"spans ${factor}x")(spans(docN))),
       point("bpe")(time("bpe 1x")(bpeT(doc1)), time(s"bpe ${factor}x")(bpeT(docN))),
+      point("dsir")(time("dsir 1x")(dsir(doc1)), time(s"dsir ${factor}x")(dsir(docN))),
       point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
       point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor)))
     ).flatten

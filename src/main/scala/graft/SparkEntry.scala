@@ -245,6 +245,8 @@ object SparkEntry {
       Corpus.bpeEncode(s, d)),
     "bpe_fertility"         -> ((s: SparkSession, d: String) =>
       Corpus.bpeFertility(s, d)),
+    "dsir_weights"          -> ((s: SparkSession, d: String) =>
+      Corpus.dsirWeights(s, d)),
     "dedup_spans"           -> ((s: SparkSession, d: String) =>
       Corpus.dedupSpans(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
@@ -1248,6 +1250,51 @@ object SparkEntry {
     "bpe_train" -> bpeTrainSql(12),
     "bpe_encode" -> bpeEncodeSql(12),
     "bpe_fertility" -> bpeFertilitySql(12),
+    // DSIR log-likelihood ratios: LM divisions are exact rationals, the
+    // per-doc sum is the pinned token-order fold (the source_jsd pattern);
+    // vocab and toks are each referenced multiple times → MATERIALIZED
+    "dsir_weights" ->
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS freq FROM (
+        |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents WHERE text IS NOT NULL) t
+        |    WHERE length(token) > 0
+        |    GROUP BY token HAVING count(*) >= 2
+        |    ORDER BY freq DESC, token LIMIT 1000) v),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, lang, token FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents WHERE text IS NOT NULL) t
+        |  WHERE token IN (SELECT token FROM vocab)),
+        |tgt AS MATERIALIZED (
+        |  SELECT v.token, COALESCE(c.cnt, 0) AS cnt
+        |  FROM vocab v LEFT JOIN (
+        |    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |    WHERE lang = 'en' GROUP BY token) c ON v.token = c.token),
+        |bg AS MATERIALIZED (
+        |  SELECT v.token, COALESCE(c.cnt, 0) AS cnt
+        |  FROM vocab v LEFT JOIN (
+        |    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |    GROUP BY token) c ON v.token = c.token),
+        |lr AS MATERIALIZED (
+        |  SELECT t.token,
+        |         ln(((CAST(t.cnt AS DOUBLE) + 1.0) /
+        |             (CAST((SELECT sum(cnt) FROM tgt) AS DOUBLE) +
+        |              CAST((SELECT count(*) FROM vocab) AS DOUBLE))) /
+        |            ((CAST(b.cnt AS DOUBLE) + 1.0) /
+        |             (CAST((SELECT sum(cnt) FROM bg) AS DOUBLE) +
+        |              CAST((SELECT count(*) FROM vocab) AS DOUBLE)))) AS lr
+        |  FROM tgt t JOIN bg b ON t.token = b.token),
+        |dt AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_vocab_tokens,
+        |       round(list_reduce(list(CAST(d.c AS DOUBLE) * l.lr ORDER BY d.token),
+        |                         (x, y) -> x + y), 6) AS log_ratio
+        |FROM dt d JOIN lr l ON d.token = l.token
+        |GROUP BY d.doc_id""".stripMargin,
     // positional grams (duplicates kept): g is referenced three times, so
     // it is MATERIALIZED like the BPE chain
     "dedup_spans" ->

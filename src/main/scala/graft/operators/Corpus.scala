@@ -1136,6 +1136,95 @@ object Corpus {
           count(lit(1)).cast("double"), 6).as("fertility"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the
+    * log-likelihood ratio Σ_t c_t · ln(p_target(t)/p_raw(t)) over the
+    * shared top-`maxVocab` vocabulary, where the target distribution is
+    * the smoothed unigram LM of the `targetLang` split and the
+    * denominator is the raw corpus LM — the score that ranks a huge raw
+    * corpus by "how much does this doc look like the data I actually
+    * want", the standard cheap alternative to classifier-based quality
+    * filtering. Resampling then keeps docs ∝ exp(score) — compose with
+    * [[sampleWeighted]].
+    *
+    * Determinism: p ratios are exact-rational IEEE divisions from
+    * integer counts; per-doc sums are pinned-order folds over the
+    * token-sorted term array; the only cross-engine wobble is the ln
+    * kernel (≤ 1 ulp), absorbed by round(·,6) — the [[tokenZipf]] /
+    * [[sourceJsd]] contract. An empty target split degrades smoothly
+    * (all-zero counts → uniform p_target), no special case on either
+    * engine.
+    *
+    * Scale shape: ONE corpus explode, semi-joined against the broadcast
+    * vocab at the scan (non-vocab tokens never shuffle), map-side
+    * combined to (doc, token) counts; both LMs and the log-ratio
+    * relation are |vocab|-row broadcasts; the per-doc fold runs over
+    * ≤ |vocab| distinct tokens. Docs with no vocab token have no score
+    * and drop out, identically on both engines. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", minCount: Int = 2,
+      maxVocab: Int = 1000): DataFrame =
+    dsirWeightsWith(
+      Tables.documents(spark, dir),
+      buildVocab(spark, dir, minCount, maxVocab).select(col("token")),
+      targetLang)
+
+  private[graft] def dsirWeightsFrom(documents: DataFrame,
+      targetLang: String, minCount: Int = 2, maxVocab: Int = 1000)
+      : DataFrame = {
+    val vocab = documents
+      .where(col("text").isNotNull)
+      .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(maxVocab)
+      .select(col("token"))
+    dsirWeightsWith(documents, vocab, targetLang)
+  }
+
+  private def dsirWeightsWith(documents: DataFrame, vocab: DataFrame,
+      targetLang: String): DataFrame = {
+    val toks = documents.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_semi")
+    val vsize = broadcast(vocab.agg(count(lit(1)).cast("long").as("v")))
+    def lm(cnt: DataFrame, total: String, p: String): DataFrame =
+      vocab.join(cnt, Seq("token"), "left")
+        .select(col("token"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .crossJoin(broadcast(cnt.agg(
+          coalesce(sum(col("cnt")), lit(0L)).cast("long").as(total))))
+        .crossJoin(vsize)
+        .select(col("token"),
+          ((col("cnt").cast("double") + lit(1.0)) /
+            (col(total).cast("double") + col("v").cast("double"))).as(p))
+    val tgtLm = lm(
+      toks.where(col("lang") === targetLang)
+        .groupBy(col("token")).agg(count(lit(1)).cast("long").as("cnt")),
+      "n_t", "pt")
+    val bgLm = lm(
+      toks.groupBy(col("token")).agg(count(lit(1)).cast("long").as("cnt")),
+      "n_b", "pb")
+    val lr = tgtLm.join(bgLm, Seq("token"))
+      .select(col("token"), log(col("pt") / col("pb")).as("lr"))
+    toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .join(broadcast(lr), Seq("token"))
+      .select(col("doc_id"), col("token"), col("c"),
+        (col("c").cast("double") * col("lr")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_vocab_tokens"),
+        round(
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("token"), col("term")))),
+              p => p.getField("term")),
+            lit(0.0), (acc, x) => acc + x),
+          6).as("log_ratio"))
+  }
+
   /** Pairwise Jensen–Shannon divergence (in bits) between per-source
     * unigram distributions over the shared top-`maxVocab` vocabulary —
     * the source-redundancy matrix a mixture decision reads next to

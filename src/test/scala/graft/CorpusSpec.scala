@@ -619,6 +619,54 @@ class CorpusSpec extends AnyFunSuite {
       "per-source totals must equal the per-doc encoding's totals")
   }
 
+  test("dsir_weights: driver-side replay, target ranking, smooth empty target") {
+    import spark.implicits._
+    // target (en) speaks {aa, bb}, background adds {cc, dd} — an en-like
+    // doc must outscore a cc/dd doc, and the exact scores replay from the
+    // published formula driver-side
+    val docs = Seq(
+      (1L, "aa aa bb", "en"),
+      (2L, "aa bb bb", "en"),
+      (3L, "cc cc dd", "xx"),
+      (4L, "aa cc", "xx"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", when(col("doc_id") <= 2, "en").otherwise("xx"))
+    val out = Corpus.dsirWeightsFrom(docs, targetLang = "en", minCount = 1,
+      maxVocab = 1000).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_vocab_tokens"), r.getAs[Double]("log_ratio"))).toMap
+    // replay: vocab = all 4 tokens; counts — tgt: aa 3, bb 3; bg: aa 4,
+    // bb 3, cc 3, dd 1 (totals 6 and 11, V = 4)
+    def pt(c: Long) = (c + 1.0) / (6.0 + 4.0)
+    def pb(c: Long) = (c + 1.0) / (11.0 + 4.0)
+    def lr(ct: Long, cb: Long) = math.log(pt(ct) / pb(cb))
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == rnd(2.0 * lr(3, 4) + 1.0 * lr(3, 3)))
+    assert(out(3L)._2 == rnd(2.0 * lr(0, 3) + 1.0 * lr(0, 1)))
+    // target-likeness ranks: pure-en docs above mixed above pure-xx
+    assert(out(1L)._2 > out(4L)._2 && out(4L)._2 > out(3L)._2,
+      s"ranking violated: $out")
+    // empty target split degrades to uniform p_target, no crash
+    val empt = Corpus.dsirWeightsFrom(docs, targetLang = "zz", minCount = 1,
+      maxVocab = 1000).collect()
+    assert(empt.length == 4)
+    // real corpus: the raw sum is length-biased by design (DSIR scores
+    // are unnormalized log ratios), so the corpus-level law is PER-TOKEN
+    // discrimination — the en target's mean per-token ratio must exceed
+    // the non-en mean
+    val real = Corpus.dsirWeights(spark, Sf).cache()
+    val langOf = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"))
+    val byLang = real.join(langOf, Seq("doc_id"))
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("log_ratio") / col("n_vocab_tokens")).as("per_tok"))
+      .collect().map(r => r.getBoolean(0) -> r.getAs[Double]("per_tok")).toMap
+    assert(byLang(true) > byLang(false),
+      s"en docs must out-score non-en per token: $byLang")
+    real.unpersist()
+  }
+
   test("token_zipf: exact power law recovered, r2 NULL on zero variance") {
     import spark.implicits._
     // freq(rank r) = 840/r for r = 1..8 — an EXACT Zipf corpus (all

@@ -495,4 +495,39 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         4L -> 4L, 5L -> 4L), s"cap=$cap: $out")
     }
   }
+
+  test("dedup_spans matches a brute-force reference on random small-vocab corpora") {
+    import spark.implicits._
+    // tiny vocab + short docs force heavy gram collisions, docs shorter
+    // than n (whole-doc gram rule), and exact-duplicate pairs
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = Seq("a", "b", "c", "d")
+      def doc() = Seq.fill(2 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val texts = (1 to 30).map(_ => doc())
+      // plant one exact duplicate pair
+      val all = texts :+ texts.head
+      val docs = all.zipWithIndex
+        .map { case (t, i) => (i.toLong + 1, t, "s") }
+        .toDF("doc_id", "text", "source")
+      val n = 4
+      def gramsOf(t: String): Seq[String] = {
+        val toks = t.split("\\s+").toSeq
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      val byDoc = all.zipWithIndex.map { case (t, i) => (i.toLong + 1, gramsOf(t)) }
+      val docsPerGram = byDoc.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = byDoc.map { case (id, gs) =>
+        val dup = gs.count(g => docsPerGram(g) >= 2)
+        id -> ((gs.size.toLong, dup.toLong))
+      }.toMap
+      val out = graft.operators.Corpus.dedupSpansFrom(docs, n = n).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams")))).toMap
+      assert(out == expected, s"seed $seed diverged")
+    }
+  }
 }
