@@ -1109,6 +1109,91 @@ object Corpus {
           x => x.getField("syms"))), " ").as("bpe_text"))
   }
 
+  // ---- durable BPE model ---------------------------------------------
+  // The fourth durable store next to the signature index, the IVF index,
+  // and the sketch slices: a tokenizer is trained ONCE and then read by
+  // every downstream job — exactly the persisted-artifact shape the
+  // reference uses for its index (faiss_db.py:24-35 read/write_index).
+  // Same crash contract as the other stores: root _SUCCESS, rename-aside
+  // swap, writer-entry healing, reader-passive reads.
+
+  /** Persist the trained BPE model — merge table + fully-merged word
+    * dictionary. Both relations land under ONE tmp before the swap, so a
+    * published store is always a consistent (merges, dict) pair. */
+  def writeBpeModel(spark: SparkSession, dir: String, path: String,
+      merges: Int = 12): Unit = {
+    val (tab, dictN) = bpeMemoized(spark, dir, merges)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__bpe_tmp")
+    graft.sources.IO.recoverStore(fs, p, tmp) // writer-entry healing
+    spark.createDataFrame(tab).toDF("rank", "lft", "rgt", "cnt")
+      .select(col("rank").cast("long").as("rank"), col("lft"), col("rgt"),
+        col("cnt")) // the bpeTrain schema: rank is long there too
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "merges").toString)
+    dictN.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "dict").toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    graft.sources.IO.swapInto(fs, tmp, p)
+  }
+
+  private def readBpeStore(spark: SparkSession, path: String,
+      sub: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStoreForRead(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__bpe_tmp"))
+    spark.read.parquet(new org.apache.hadoop.fs.Path(p, sub).toString)
+  }
+
+  /** The persisted merge table (reader-passive healing). */
+  def readBpeMerges(spark: SparkSession, path: String): DataFrame =
+    readBpeStore(spark, path, "merges")
+
+  /** Corpus re-encoding against a PERSISTED model — no training run: the
+    * daily-encode shape (train once via [[writeBpeModel]], encode any
+    * later corpus at dictionary-join cost). Words absent from the stored
+    * dictionary — new since training — get the STORED merges applied to
+    * their character split (a native [[graft.expressions.BpeMerge]]
+    * chain, rank order), which is exactly what a frozen BPE tokenizer
+    * does with unseen words; on the training corpus itself every word
+    * hits the dictionary and the result equals [[bpeEncode]]. The merge
+    * list collected to the driver is ≤ `merges` rows — dimension-sized
+    * by construction. */
+  def bpeEncodeAgainst(spark: SparkSession, dir: String,
+      path: String): DataFrame =
+    bpeEncodeAgainstFrom(spark, Tables.documents(spark, dir), path)
+
+  private[graft] def bpeEncodeAgainstFrom(spark: SparkSession,
+      documents: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val dict = readBpeStore(spark, path, "dict")
+      .select(col("word"), col("syms").as("dict_syms"))
+    val mergeList = readBpeMerges(spark, path).orderBy(col("rank"))
+      .select(col("lft"), col("rgt")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val fallback = mergeList.foldLeft(
+      regexp_extract_all(col("word"), lit("[a-z]"), lit(0))) { (c, lr) =>
+      Bridge.column(graft.expressions.BpeMerge(
+        Bridge.expression(c), lr._1, lr._2))
+    }
+    documents.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextFns.wsTokens(TextFns.foldCase(col("text"))))
+          .as(Seq("pos", "word")))
+      .where(col("word").rlike("^[a-z]+$"))
+      .join(dict, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("dict_syms"), fallback).as("syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
+        array_join(flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("syms")))),
+          x => x.getField("syms"))), " ").as("bpe_text"))
+  }
+
   /** Tokenizer fertility per source — BPE tokens per word under the
     * learned merge table ([[bpeTrain]]; one shared memoized training
     * run): the "how well does the tokenizer fit this source" statistic a

@@ -568,6 +568,58 @@ class CorpusSpec extends AnyFunSuite {
     joined.unpersist(); enc.unpersist()
   }
 
+  test("durable BPE model: fit-free encode, frozen-word fallback, crash heal") {
+    import spark.implicits._
+    val store = "/tmp/graft_bpe_model"
+    def wipe(pth: String): Unit = { new scala.reflect.io.Directory(
+      new java.io.File(pth)).deleteRecursively(); () }
+    Seq(store, store + "__bpe_tmp", store + "__swap_old", store + "_stage")
+      .foreach(wipe)
+    Corpus.writeBpeModel(spark, Sf, store)
+    // merge table round-trips
+    val m1 = Corpus.bpeTrain(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getString(1), r.getString(2),
+        r.getAs[Long]("cnt"))).sortBy(_._1).toSeq
+    val m2 = Corpus.readBpeMerges(spark, store).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getString(1), r.getString(2),
+        r.getAs[Long]("cnt"))).sortBy(_._1).toSeq
+    assert(m1 == m2)
+    // on the training corpus, the persisted-model encode IS the
+    // in-session encode
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("bpe_text")))
+      .sortBy(_._1).toSeq
+    assert(dump(Corpus.bpeEncodeAgainst(spark, Sf, store)) ==
+      dump(Corpus.bpeEncode(spark, Sf)))
+    // frozen tokenizer on NOVEL words: the stored merges apply to the
+    // character split — expectation replayed driver-side with the same
+    // single-pass merge
+    val novel = Seq((1L, "zzqq erer", "s")).toDF("doc_id", "text", "source")
+    def applyAll(w: String): Seq[String] =
+      m2.foldLeft(w.map(_.toString).toArray) { (s, m) =>
+        Corpus.bpeMergeLocal(s, m._2, m._3) }.toSeq
+    val exp = applyAll("zzqq") ++ applyAll("erer")
+    val got = dump(Corpus.bpeEncodeAgainstFrom(spark, novel, store))
+    assert(got == Seq((1L, 2L, exp.length.toLong, exp.mkString(" "))),
+      s"expected $exp, got $got")
+    // mid-swap crash: live dir set aside, tmp COMPLETE — a read heals
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "__bpe_tmp"))
+    assert(Corpus.readBpeMerges(spark, store).count() == m2.length.toLong)
+    // a partial tmp next to the healed live store: a reader serves the
+    // live store and never deletes the tmp (may be a live writer's);
+    // the next writer entry cleans it
+    val tmp = new org.apache.hadoop.fs.Path(store + "__bpe_tmp")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "merges"))
+    assert(Corpus.readBpeMerges(spark, store).count() == m2.length.toLong)
+    assert(fs.exists(tmp), "a reader must never delete a tmp")
+    Corpus.writeBpeModel(spark, Sf, store)
+    assert(!fs.exists(tmp), "writer entry must clean partial tmp debris")
+  }
+
   test("dedup_spans: planted repeated spans, positional fractions, short-doc rule") {
     import spark.implicits._
     val span = (1 to 20).map(i => s"w$i").mkString(" ")

@@ -282,4 +282,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"exactly one events scan in the serving plan (probe side), got " +
         s"${evScans.length}:\n${df.queryExecution.executedPlan.toString.take(3000)}")
   }
+
+  test("span dedup joins on gram equality; dsir LM sides broadcast") {
+    // adaptive plans: execute first, assert on the final physical plan
+    def finalPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val sp = finalPlan("dedup_spans")
+    assert(!sp.contains("CartesianProduct"), sp)
+    // dup-gram membership must be a SEMI equi-join (broadcast or shuffled
+    // hash under AQE) — never a per-gram nested loop
+    assert(sp.contains("LeftSemi"),
+      s"dup-gram membership must plan as a semi join:\n$sp")
+    assert(!sp.contains("BroadcastNestedLoopJoin LeftSemi"),
+      s"the semi join must be an equi join:\n$sp")
+    val dp = finalPlan("dsir_weights")
+    assert(!dp.contains("CartesianProduct"), dp)
+    // the vocab-sized LM/log-ratio relations join the corpus-sized
+    // (doc, token) counts as broadcast hash joins — the corpus side
+    // never shuffles for a dimension-sized right side
+    assert(dp.contains("BroadcastHashJoin"),
+      s"LM joins must broadcast:\n$dp")
+  }
 }
