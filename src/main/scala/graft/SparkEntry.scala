@@ -247,8 +247,17 @@ object SparkEntry {
       Corpus.bpeFertility(s, d)),
     "dsir_weights"          -> ((s: SparkSession, d: String) =>
       Corpus.dsirWeights(s, d)),
+    // param point: a non-en target split exercises the small-target LM
+    "dsir_weights_de"       -> ((s: SparkSession, d: String) =>
+      Corpus.dsirWeights(s, d, targetLang = "de")),
     "dedup_spans"           -> ((s: SparkSession, d: String) =>
       Corpus.dedupSpans(s, d)),
+    // param point: shorter grams collide more — the fraction rises and
+    // the whole-doc short-gram rule stops firing for 8..14-token docs
+    "dedup_spans_n8"        -> ((s: SparkSession, d: String) =>
+      Corpus.dedupSpans(s, d, n = 8)),
+    "quality_gopher"        -> ((s: SparkSession, d: String) =>
+      TextOps.qualityGopher(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
     "dedup_cross_source"    -> ((s: SparkSession, d: String) => TextOps.dedupCrossSource(s, d)),
     // maxDocs=2 bites on the synthetic corpus (one text occurs in 3
@@ -1245,81 +1254,125 @@ object SparkEntry {
       |FROM lw d JOIN s$merges s ON d.word = s.word
       |GROUP BY d.source""".stripMargin
 
+  /** DSIR log-likelihood ratios: LM divisions are exact rationals, the
+    * per-doc sum is the pinned token-order fold (the source_jsd
+    * pattern); vocab and toks are each referenced multiple times →
+    * MATERIALIZED. */
+  private def dsirWeightsSql(lang: String): String =
+    s"""WITH vocab AS MATERIALIZED (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS freq FROM (
+      |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      |      FROM documents WHERE text IS NOT NULL) t
+      |    WHERE length(token) > 0
+      |    GROUP BY token HAVING count(*) >= 2
+      |    ORDER BY freq DESC, token LIMIT 1000) v),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, lang, token FROM (
+      |    SELECT doc_id, lang,
+      |           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      |    FROM documents WHERE text IS NOT NULL) t
+      |  WHERE token IN (SELECT token FROM vocab)),
+      |tgt AS MATERIALIZED (
+      |  SELECT v.token, COALESCE(c.cnt, 0) AS cnt
+      |  FROM vocab v LEFT JOIN (
+      |    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+      |    WHERE lang = '$lang' GROUP BY token) c ON v.token = c.token),
+      |bg AS MATERIALIZED (
+      |  SELECT v.token, COALESCE(c.cnt, 0) AS cnt
+      |  FROM vocab v LEFT JOIN (
+      |    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+      |    GROUP BY token) c ON v.token = c.token),
+      |lr AS MATERIALIZED (
+      |  SELECT t.token,
+      |         ln(((CAST(t.cnt AS DOUBLE) + 1.0) /
+      |             (CAST((SELECT sum(cnt) FROM tgt) AS DOUBLE) +
+      |              CAST((SELECT count(*) FROM vocab) AS DOUBLE))) /
+      |            ((CAST(b.cnt AS DOUBLE) + 1.0) /
+      |             (CAST((SELECT sum(cnt) FROM bg) AS DOUBLE) +
+      |              CAST((SELECT count(*) FROM vocab) AS DOUBLE)))) AS lr
+      |  FROM tgt t JOIN bg b ON t.token = b.token),
+      |dt AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2)
+      |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_vocab_tokens,
+      |       round(list_reduce(list(CAST(d.c AS DOUBLE) * l.lr ORDER BY d.token),
+      |                         (x, y) -> x + y), 6) AS log_ratio
+      |FROM dt d JOIN lr l ON d.token = l.token
+      |GROUP BY d.doc_id""".stripMargin
+
+  /** Positional grams (duplicates kept): g is referenced three times, so
+    * it is MATERIALIZED like the BPE chain. */
+  private def dedupSpansSql(n: Int): String =
+    s"""WITH g AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         array_to_string(t[CAST(i+1 AS BIGINT) : CAST(least(i+$n, n) AS BIGINT)], ' ') AS g
+      |  FROM (
+      |    SELECT doc_id, t, len(t) AS n,
+      |           unnest(range(0, greatest(1, len(t) - ${n - 1}))) AS i
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |          FROM documents WHERE text IS NOT NULL))),
+      |d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+      |                     FROM g GROUP BY g)
+      |      WHERE nd >= 2),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |        FROM g GROUP BY doc_id),
+      |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      |        FROM g JOIN d USING (g) GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_grams,
+      |       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
+      |       round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+      |             / CAST(tot.n_grams AS DOUBLE), 6) AS dup_fraction,
+      |       CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+      |         / CAST(tot.n_grams AS DOUBLE) >= 0.5 AS is_flagged
+      |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql(12),
     "bpe_encode" -> bpeEncodeSql(12),
     "bpe_fertility" -> bpeFertilitySql(12),
-    // DSIR log-likelihood ratios: LM divisions are exact rationals, the
-    // per-doc sum is the pinned token-order fold (the source_jsd pattern);
-    // vocab and toks are each referenced multiple times → MATERIALIZED
-    "dsir_weights" ->
-      """WITH vocab AS MATERIALIZED (
-        |  SELECT token FROM (
-        |    SELECT token, count(*) AS freq FROM (
-        |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |      FROM documents WHERE text IS NOT NULL) t
-        |    WHERE length(token) > 0
-        |    GROUP BY token HAVING count(*) >= 2
-        |    ORDER BY freq DESC, token LIMIT 1000) v),
-        |toks AS MATERIALIZED (
-        |  SELECT doc_id, lang, token FROM (
-        |    SELECT doc_id, lang,
-        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |    FROM documents WHERE text IS NOT NULL) t
-        |  WHERE token IN (SELECT token FROM vocab)),
-        |tgt AS MATERIALIZED (
-        |  SELECT v.token, COALESCE(c.cnt, 0) AS cnt
-        |  FROM vocab v LEFT JOIN (
-        |    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
-        |    WHERE lang = 'en' GROUP BY token) c ON v.token = c.token),
-        |bg AS MATERIALIZED (
-        |  SELECT v.token, COALESCE(c.cnt, 0) AS cnt
-        |  FROM vocab v LEFT JOIN (
-        |    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
-        |    GROUP BY token) c ON v.token = c.token),
-        |lr AS MATERIALIZED (
-        |  SELECT t.token,
-        |         ln(((CAST(t.cnt AS DOUBLE) + 1.0) /
-        |             (CAST((SELECT sum(cnt) FROM tgt) AS DOUBLE) +
-        |              CAST((SELECT count(*) FROM vocab) AS DOUBLE))) /
-        |            ((CAST(b.cnt AS DOUBLE) + 1.0) /
-        |             (CAST((SELECT sum(cnt) FROM bg) AS DOUBLE) +
-        |              CAST((SELECT count(*) FROM vocab) AS DOUBLE)))) AS lr
-        |  FROM tgt t JOIN bg b ON t.token = b.token),
-        |dt AS (
-        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
-        |  FROM toks GROUP BY 1, 2)
-        |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_vocab_tokens,
-        |       round(list_reduce(list(CAST(d.c AS DOUBLE) * l.lr ORDER BY d.token),
-        |                         (x, y) -> x + y), 6) AS log_ratio
-        |FROM dt d JOIN lr l ON d.token = l.token
-        |GROUP BY d.doc_id""".stripMargin,
-    // positional grams (duplicates kept): g is referenced three times, so
-    // it is MATERIALIZED like the BPE chain
-    "dedup_spans" ->
-      """WITH g AS MATERIALIZED (
-        |  SELECT doc_id,
-        |         array_to_string(t[CAST(i+1 AS BIGINT) : CAST(least(i+15, n) AS BIGINT)], ' ') AS g
-        |  FROM (
-        |    SELECT doc_id, t, len(t) AS n,
-        |           unnest(range(0, greatest(1, len(t) - 14))) AS i
-        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |          FROM documents WHERE text IS NOT NULL))),
-        |d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
-        |                     FROM g GROUP BY g)
-        |      WHERE nd >= 2),
-        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-        |        FROM g GROUP BY doc_id),
-        |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
-        |        FROM g JOIN d USING (g) GROUP BY doc_id)
-        |SELECT tot.doc_id, tot.n_grams,
-        |       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
-        |       round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
-        |             / CAST(tot.n_grams AS DOUBLE), 6) AS dup_fraction,
-        |       CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
-        |         / CAST(tot.n_grams AS DOUBLE) >= 0.5 AS is_flagged
-        |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id""".stripMargin,
+    // Gopher rules: integer counts + one IEEE division per fraction; the
+    // stopword count filters the NEEDLE list via list_contains (engine-
+    // portable distinct semantics); NULL text → NULL rules, is_kept FALSE
+    "quality_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |         regexp_split_to_array(text, '\n') AS lns
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS mwl,
+        |         CAST(len(regexp_extract_all(text, '(#|\.\.\.|…)')) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS sym,
+        |         CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |           / CAST(len(lns) AS DOUBLE) AS bul,
+        |         CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |           / CAST(len(lns) AS DOUBLE) AS ell,
+        |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS alp,
+        |         len(list_filter(['the','a','an','and','or','of','to','in','is','it'],
+        |             s -> list_contains(toks, s))) AS nstops
+        |  FROM t)
+        |SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+        |       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+        |       mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+        |       sym <= 0.1 AS ok_symbol_ratio,
+        |       bul <= 0.9 AS ok_bullet_lines,
+        |       ell <= 0.3 AS ok_ellipsis_lines,
+        |       alp >= 0.8 AS ok_alpha_words,
+        |       nstops >= 2 AS ok_stopwords,
+        |       COALESCE(n_words >= 50 AND n_words <= 100000
+        |         AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+        |         AND bul <= 0.9 AND ell <= 0.3 AND alp >= 0.8
+        |         AND nstops >= 2, FALSE) AS is_kept
+        |FROM r""".stripMargin,
+    "dsir_weights" -> dsirWeightsSql("en"),
+    "dsir_weights_de" -> dsirWeightsSql("de"),
+    "dedup_spans" -> dedupSpansSql(15),
+    "dedup_spans_n8" -> dedupSpansSql(8),
     "ingest_errors" -> ingestErrorsSql(
       "2024-01-02 00:00:00", "2024-01-29 00:00:00", "%1%", 500),
     "ingest_errors_window" -> ingestErrorsSql(

@@ -326,23 +326,32 @@ object Corpus {
 
   private[graft] def dedupSpansFrom(docs: DataFrame, n: Int = 15,
       minDocs: Int = 2, flagFrac: Double = 0.5): DataFrame = {
-    val grams = docs.where(col("text").isNotNull)
+    // ONE corpus pass: the positional gram stream collapses to
+    // (doc, gram, positions) and BOTH consumers (the per-gram doc
+    // counts and the scoring join's probe side) read that aggregated
+    // relation. The lineage is cut with a lazy localCheckpoint (the
+    // cmsWithThreshold pattern): column pruning specializes each
+    // consumer's copy of the aggregate, so AQE exchange reuse does NOT
+    // fire on the raw plan and the corpus-sized explode would run twice
+    // — 2× the dominant cost at 100 TB. The checkpoint stores exactly
+    // what the shared exchange would have (the (doc, g, c) rows), no
+    // extra job (lazy), plan-pinned to one documents scan.
+    val dg = docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         explode(NearDup.wordShinglesAll(col("text"), n)).as("g"))
-    val dupGrams = grams.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs)
-      .select(col("g"))
-    val tot = grams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_grams"))
-    val dup = grams.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(false)
+    // dg is distinct on (doc, g) by construction, so the per-gram row
+    // count IS the distinct-doc count
+    val gd = dg.groupBy(col("g")).agg(count(lit(1)).cast("long").as("nd"))
+    val dup = sum(when(col("nd") >= minDocs, col("c")).otherwise(lit(0L)))
+      .cast("long")
+    val frac = col("n_dup_grams").cast("double") / col("n_grams").cast("double")
+    dg.join(gd, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_dup_grams"))
-    val frac = coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
-      col("n_grams").cast("double")
-    tot.join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+      .agg(sum(col("c")).cast("long").as("n_grams"), dup.as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
         round(frac, 6).as("dup_fraction"),
         (frac >= lit(flagFrac)).as("is_flagged"))
   }
@@ -1271,10 +1280,21 @@ object Corpus {
 
   private def dsirWeightsWith(documents: DataFrame, vocab: DataFrame,
       targetLang: String): DataFrame = {
-    val toks = documents.where(col("text").isNotNull)
+    // ONE corpus pass: the token stream collapses to per-(doc, lang,
+    // token) counts `dt` right after the broadcast-vocab semi join;
+    // target LM, background LM, and the per-doc scoring relation all
+    // read `dt`. Lineage cut with a lazy localCheckpoint (the
+    // cmsWithThreshold pattern — pruning/filter pushdown specializes
+    // each consumer's copy, defeating AQE exchange reuse, and the
+    // corpus explode would run three times); the checkpoint holds the
+    // vocab-filtered count relation, no extra job, plan-pinned.
+    val dt = documents.where(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(false)
     val vsize = broadcast(vocab.agg(count(lit(1)).cast("long").as("v")))
     def lm(cnt: DataFrame, total: String, p: String): DataFrame =
       vocab.join(cnt, Seq("token"), "left")
@@ -1286,17 +1306,15 @@ object Corpus {
           ((col("cnt").cast("double") + lit(1.0)) /
             (col(total).cast("double") + col("v").cast("double"))).as(p))
     val tgtLm = lm(
-      toks.where(col("lang") === targetLang)
-        .groupBy(col("token")).agg(count(lit(1)).cast("long").as("cnt")),
+      dt.where(col("lang") === targetLang)
+        .groupBy(col("token")).agg(sum(col("c")).cast("long").as("cnt")),
       "n_t", "pt")
     val bgLm = lm(
-      toks.groupBy(col("token")).agg(count(lit(1)).cast("long").as("cnt")),
+      dt.groupBy(col("token")).agg(sum(col("c")).cast("long").as("cnt")),
       "n_b", "pb")
     val lr = tgtLm.join(bgLm, Seq("token"))
       .select(col("token"), log(col("pt") / col("pb")).as("lr"))
-    toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .join(broadcast(lr), Seq("token"))
+    dt.join(broadcast(lr), Seq("token"))
       .select(col("doc_id"), col("token"), col("c"),
         (col("c").cast("double") * col("lr")).as("term"))
       .groupBy(col("doc_id"))

@@ -57,6 +57,71 @@ object TextOps {
         !col("text").contains("{"), lit(false)).as("is_kept"))
   }
 
+  /** Gopher-rules quality filter (Rae et al. 2021, §A1.1) — the
+    * canonical per-rule verdict the composite [[textQuality]] score
+    * doesn't expose: word-count window, mean-word-length window,
+    * symbol-to-word ratio, bullet-/ellipsis-line fractions,
+    * alphabetic-word fraction, and the ≥2-distinct-stopwords test, each
+    * as its own boolean next to the conjunction — a curation run reads
+    * WHICH rule killed a doc, not just that one did. Non-destructive
+    * verdict rows like [[cleanC4]]; a NULL text is `is_kept` false with
+    * NULL rule columns, identically in both engines.
+    *
+    * Pure per-row expression work over one scan — zero shuffles; every
+    * count is an integer and every fraction one IEEE division, so the
+    * oracle matches bit-for-bit (the [[textQuality]] contract). The
+    * distinct-stopword count filters the 8-word NEEDLE list against the
+    * doc's tokens (never the reverse — `array_intersect` multiplicity
+    * semantics differ across engines). */
+  def qualityGopher(spark: SparkSession, dir: String, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame =
+    qualityGopherFrom(Tables.documents(spark, dir), minWords, maxWords)
+
+  /** The ≥2-distinct-stopwords rule runs over the engine's English
+    * stopword inventory (the [[graft.functions.TextFns.EnStopRe]] list,
+    * shared with stopwordHits/lang_id) rather than Gopher's original
+    * 8-word list — one stopword vocabulary engine-wide. */
+  private[graft] val GopherStops =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  private[graft] def qualityGopherFrom(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val words = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    val nWords = size(words).cast("long")
+    val nWordsD = nWords.cast("double")
+    // Σ token lengths ≡ chars left after removing all whitespace (the
+    // fold is 1:1 so raw-text lengths equal folded-token lengths)
+    val meanLen = length(regexp_replace(col("text"), "\\s", ""))
+      .cast("double") / nWordsD
+    val symbolRatio = size(regexp_extract_all(col("text"),
+      lit("(#|\\.\\.\\.|…)"), lit(0))).cast("double") / nWordsD
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val alphaFrac = size(filter(words,
+      w => w.rlike("[a-z]"))).cast("double") / nWordsD
+    val nStops = size(filter(
+      array(GopherStops.map(lit): _*), s => array_contains(words, s)))
+    val okWc = nWords >= minWords && nWords <= maxWords
+    val okMwl = meanLen >= lit(3.0) && meanLen <= lit(10.0)
+    val okSym = symbolRatio <= lit(0.1)
+    val okBul = bulletFrac <= lit(0.9)
+    val okEll = ellipsisFrac <= lit(0.3)
+    val okAlpha = alphaFrac >= lit(0.8)
+    val okStops = nStops >= lit(2)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      okWc.as("ok_word_count"), okMwl.as("ok_mean_word_len"),
+      okSym.as("ok_symbol_ratio"), okBul.as("ok_bullet_lines"),
+      okEll.as("ok_ellipsis_lines"), okAlpha.as("ok_alpha_words"),
+      okStops.as("ok_stopwords"),
+      coalesce(okWc && okMwl && okSym && okBul && okEll &&
+        okAlpha && okStops, lit(false)).as("is_kept"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish pre-tokens + chars. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

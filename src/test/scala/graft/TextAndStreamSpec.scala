@@ -24,6 +24,58 @@ class TextAndStreamSpec extends AnyFunSuite {
       assert(r.getString(1) == r.getString(0), s"expected ${r.getString(0)}"))
   }
 
+  test("quality_gopher: each rule trips on its planted violator only") {
+    import spark.implicits._
+    val good = (("the data value " * 20) + "of a scan " * 10).trim
+    val docs = Seq(
+      (1L, good, "s"),
+      (2L, "the of short doc", "s"),                       // word count
+      (3L, ("xxxxxxxxxxxxxxxx " * 60 + "the of").trim, "s"), // mean word len > 10
+      (4L, (good + " " + "the### " * 12).trim, "s"),       // symbol ratio
+      // (hashes ride ON alpha words so only the symbol rule trips; each
+      // violator below keeps every OTHER rule healthy — long-enough
+      // alpha words, stopwords present, symbols under 10% of words)
+      (5L, (1 to 60).map(_ =>
+        "- the valuable of components always").mkString("\n"), "s"), // bullets
+      (6L, (1 to 60).map(_ => "the valuable of components always running " +
+        "through bigger systems together near edges...").mkString("\n"),
+        "s"),                                              // ellipsis lines
+      (7L, (("1234 5678 9012 " * 30) + "the of").trim, "s"), // alpha fraction
+      (8L, ("data scan row " * 30).trim, "s"))             // no stopwords
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.qualityGopherFrom(docs, minWords = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_kept"), s"good doc must pass: ${out(1L)}")
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = out(id)
+      assert(!r.getAs[Boolean](rule), s"doc $id must trip $rule: $r")
+      assert(!r.getAs[Boolean]("is_kept"))
+      val others = r.schema.fieldNames
+        .filter(f => f.startsWith("ok_") && f != rule)
+      others.foreach(f => assert(r.getAs[Boolean](f),
+        s"doc $id must trip ONLY $rule, also tripped $f: $r"))
+    }
+    failsOnly(2L, "ok_word_count")
+    failsOnly(3L, "ok_mean_word_len")
+    failsOnly(4L, "ok_symbol_ratio")
+    failsOnly(5L, "ok_bullet_lines")
+    failsOnly(6L, "ok_ellipsis_lines")
+    failsOnly(7L, "ok_alpha_words")
+    failsOnly(8L, "ok_stopwords")
+    // NULL text: rules NULL, verdict false — and the real corpus must
+    // discriminate, not rubber-stamp
+    val withNull = docs.withColumn("text",
+      when(col("doc_id") === 1, lit(null).cast("string")).otherwise(col("text")))
+    val n = TextOps.qualityGopherFrom(withNull, minWords = 50)
+      .where(col("doc_id") === 1).collect()(0)
+    assert(!n.getAs[Boolean]("is_kept") && n.isNullAt(n.fieldIndex("ok_word_count")))
+    val real = TextOps.qualityGopher(spark, Sf).agg(
+      sum(when(col("is_kept"), 1).otherwise(0)),
+      count(lit(1))).collect()(0)
+    assert(real.getLong(0) > 0 && real.getLong(0) < real.getLong(1),
+      s"rules must discriminate on the corpus: $real")
+  }
+
   test("text_repetition scores repeated lines and tokens") {
     import spark.implicits._
     // crafted rows drive the REAL operator (the From-variant), not a
