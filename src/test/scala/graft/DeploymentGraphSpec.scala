@@ -50,7 +50,13 @@ class DeploymentGraphSpec extends AnyFunSuite {
     val evDir = s"$base/topic_events"; val docDir = s"$base/topic_docs"
     val idx = s"$base/sig_index"; val store = s"$base/winner_store"
     val tile = s"$base/hll_tile"
+    val model = s"$base/bpe_model"; val enc = s"$base/bpe_encoded"
     new java.io.File(evDir).mkdirs(); new java.io.File(docDir).mkdirs()
+    // the tokenizer is trained ONCE (on the reference corpus) and
+    // persisted BEFORE the stream starts — the durable-model serving
+    // contract: micro-batches encode fit-free, novel words take the
+    // frozen fallback
+    graft.operators.Corpus.writeBpeModel(spark, SparkTest.Sf, model)
 
     // ---- the graph ----------------------------------------------------
     val evSchema = StructType(Seq(
@@ -60,6 +66,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     def startGraph(): (org.apache.spark.sql.streaming.StreamingQuery,
+        org.apache.spark.sql.streaming.StreamingQuery,
         org.apache.spark.sql.streaming.StreamingQuery,
         org.apache.spark.sql.streaming.StreamingQuery) = {
       val evRaw = spark.readStream.schema(kafkaSchema)
@@ -89,7 +96,17 @@ class DeploymentGraphSpec extends AnyFunSuite {
         // reference's preprocessor step in stream position
         .withColumn("text", graft.functions.TextFns.redactPii(col("text")))
       val dedupQ = StreamPipeline.dedupingIndexSink(docs, idx, s"$base/ckpt_dedup")
-      (attrQ, dedupQ, hllQ)
+      // fourth leg: per-micro-batch BPE encoding against the PERSISTED
+      // model (no training in the hot path). Encoding is a deterministic
+      // pure function of (doc_id, text), so a crash-replayed batch
+      // appends byte-identical rows — the read side distincts
+      val encQ = docs.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.operators.Corpus.bpeEncodeAgainstFrom(spark, b, model)
+            .write.mode("append").parquet(enc)
+        }
+        .option("checkpointLocation", s"$base/ckpt_enc").start()
+      (attrQ, dedupQ, hllQ, encQ)
     }
 
     // ---- the feed -----------------------------------------------------
@@ -109,18 +126,21 @@ class DeploymentGraphSpec extends AnyFunSuite {
       writeBatch(evDir, name, rows.zipWithIndex.map { case ((id, u, ts, et), i) =>
         rec(id * 10 + i, evJson(id, u, ts, et)) })
     }
-    def feedDocs(name: String, rows: Seq[(Long, String)]): Unit =
+    var fedDocs = Seq.empty[(Long, String)]
+    def feedDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      fedDocs ++= rows
       writeBatch(docDir, name, rows.zipWithIndex.map { case ((id, tx), i) =>
         rec(id * 10 + i, docJson(id, tx)) })
+    }
 
-    val (attr1, dedup1, hll1) = startGraph()
+    val (attr1, dedup1, hll1, enc1) = startGraph()
     try {
       // batch 1
       feedEvents("b1", Seq((101L, 1L, "2024-07-01 11:40:00", "view"),
         (10L, 1L, "2024-07-01 12:00:00", "purchase")))
       feedDocs("b1", Seq((1L, bodyA), (2L, bodyB), (3L, bodyA + " tail1 tail2")))
       attr1.processAllAvailable(); dedup1.processAllAvailable()
-      hll1.processAllAvailable()
+      hll1.processAllAvailable(); enc1.processAllAvailable()
       // batch 2: a late-but-in-threshold upgrade view for p10, a matched
       // purchase p11, and a doc near-duplicating the INDEX (4) plus a
       // fresh doc carrying PII (5)
@@ -129,8 +149,8 @@ class DeploymentGraphSpec extends AnyFunSuite {
         (11L, 2L, "2024-07-01 12:10:00", "purchase")))
       feedDocs("b2", Seq((4L, bodyA + " tail3"), (5L, bodyC)))
       attr1.processAllAvailable(); dedup1.processAllAvailable()
-      hll1.processAllAvailable()
-    } finally { attr1.stop(); dedup1.stop(); hll1.stop() }
+      hll1.processAllAvailable(); enc1.processAllAvailable()
+    } finally { attr1.stop(); dedup1.stop(); hll1.stop(); enc1.stop() }
 
     assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 5L), "pre-crash index: intra-batch and vs-index dups dropped")
@@ -159,11 +179,11 @@ class DeploymentGraphSpec extends AnyFunSuite {
     feedEvents("b4", Seq((105L, 5L, "2024-07-01 16:20:00", "view"),
       (14L, 5L, "2024-07-01 16:30:00", "purchase")))
 
-    val (attr2, dedup2, hll2) = startGraph()
+    val (attr2, dedup2, hll2, enc2) = startGraph()
     try {
       attr2.processAllAvailable(); dedup2.processAllAvailable()
-      hll2.processAllAvailable()
-    } finally { attr2.stop(); dedup2.stop(); hll2.stop() }
+      hll2.processAllAvailable(); enc2.processAllAvailable()
+    } finally { attr2.stop(); dedup2.stop(); hll2.stop(); enc2.stop() }
 
     // ---- the proof ----------------------------------------------------
     // 1) no crash debris survives anywhere
@@ -228,5 +248,21 @@ class DeploymentGraphSpec extends AnyFunSuite {
     assert(latest == batchTile,
       s"live tile must equal the batch sketch over all fed events:\n" +
         s" tile =$latest\n batch=$batchTile")
+
+    // 6) the encode log == the persisted-model batch encode over every
+    //    fed doc (same redaction first) — the durable tokenizer serving
+    //    micro-batches fit-free; replayed batches write byte-identical
+    //    rows, so the read side distincts
+    val fedDocsDf = fedDocs.toDF("doc_id", "text")
+      .withColumn("text", graft.functions.TextFns.redactPii(col("text")))
+    val encRef = graft.operators.Corpus
+      .bpeEncodeAgainstFrom(spark, fedDocsDf, model)
+      .collect().map(_.toSeq).toSet
+    val encGot = spark.read.parquet(enc).distinct()
+      .collect().map(_.toSeq).toSet
+    assert(encRef.nonEmpty, "the encode leg must produce rows")
+    assert(encGot == encRef,
+      s"streamed encodes must equal the persisted-model batch encode:\n" +
+        s" stream=$encGot\n batch =$encRef")
   }
 }
