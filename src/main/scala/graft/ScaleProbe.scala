@@ -133,6 +133,17 @@ object ScaleProbe {
     // factor under maximal join volume is the claim
     def spans(df: DataFrame): DataFrame =
       graft.operators.Corpus.dedupSpansFrom(df)
+    // DESTRUCTIVE span dedup: the audit's gram shuffles plus the coverage
+    // explode and the ordered reassembly. Same verbatim-clone worst case
+    // as `spans` — at Nx nearly every gram is duplicated, so the coverage
+    // relation is maximal (≈ every token position); ~every 10th doc keeps
+    // unsalted text so full-erasure and real-reassembly paths both run.
+    // Growth near the corpus factor under maximal coverage is the claim.
+    def spansRm(df: DataFrame): DataFrame =
+      graft.operators.Corpus.dedupSpansRemovalFrom(
+        df.withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0, col("text"))
+            .otherwise(concat_ws(" ", col("text"), col("doc_id").cast("string")))))
     // DSIR: one corpus explode semi-joined against the broadcast vocab;
     // LMs and the log-ratio relation are vocab-sized — growth must track
     // the scan, nothing may scale with vocab×corpus
@@ -313,6 +324,21 @@ object ScaleProbe {
     def ivfServe(idx: String): DataFrame =
       graft.operators.Embeddings.annIvfAgainst(spark, idx, ivfQ, nprobe = 8)
 
+    // DURABLE LEXICAL serving: a fixed query against 1x and Nx persisted
+    // postings — no corpus scan, no tokenization on the timer (the index
+    // is persisted; that's the contract). Reads partition-prune to the
+    // query terms' buckets, so growth tracks only those terms' posting
+    // lists (a small fixed fraction of the corpus), never the scan.
+    val lexIdx1 = "/tmp/graft_probe_lexidx1"
+    val lexIdxN = "/tmp/graft_probe_lexidxN"
+    if (want("lex_durable")) {
+      graft.operators.LexIndex.writeLexIndexFrom(doc1, lexIdx1)
+      graft.operators.LexIndex.writeLexIndexFrom(docN, lexIdxN)
+    }
+    def lexServe(idx: String): DataFrame =
+      graft.operators.LexIndex.searchBm25Against(spark, idx,
+        "spark join window customer", 10)
+
     // tf-idf: two linear pair-relation shuffles + rank-limit window; the
     // df aggregate+join and top-k must not hide a super-linear stage
     def tfidf(df: DataFrame): DataFrame =
@@ -405,6 +431,8 @@ object ScaleProbe {
         time(s"spctl ${factor}x")(graft.operators.Relational.valuePercentilesSampledFrom(evN))),
       point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
       point("dedup_spans")(time("spans 1x")(spans(doc1)), time(s"spans ${factor}x")(spans(docN))),
+      point("spans_removal")(time("spans_rm 1x")(spansRm(doc1)), time(s"spans_rm ${factor}x")(spansRm(docN))),
+      point("lex_durable")(time("lex_durable 1x")(lexServe(lexIdx1)), time(s"lex_durable ${factor}x")(lexServe(lexIdxN))),
       point("bpe")(time("bpe 1x")(bpeT(doc1)), time(s"bpe ${factor}x")(bpeT(docN))),
       point("dsir")(time("dsir 1x")(dsir(doc1)), time(s"dsir ${factor}x")(dsir(docN))),
       point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),

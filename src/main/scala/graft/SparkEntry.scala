@@ -231,6 +231,15 @@ object SparkEntry {
       Corpus.searchBm25(s, d, query = "zqxjkv")),
     "search_hybrid_rrf"     -> ((s: SparkSession, d: String) =>
       Embeddings.searchHybridRrf(s, d)),
+    // durable-lexical-index serving paths: the index is built once per
+    // (session, corpus) and both entries read it — BM25 from bucket-
+    // pruned postings, the hybrid fusing that leg with the vector leg
+    "search_bm25_served"    -> ((s: SparkSession, d: String) =>
+      LexIndex.searchBm25Against(s, LexIndex.servedIndexPath(s, d),
+        query = "customer window order part", topK = 5)),
+    "search_hybrid_rrf_served" -> ((s: SparkSession, d: String) =>
+      Embeddings.searchHybridRrfServed(s, d, LexIndex.servedIndexPath(s, d),
+        query = "data stream sort", qvecId = 11)),
     "sample_weighted"       -> ((s: SparkSession, d: String) =>
       Corpus.sampleWeighted(s, d)),
     "corpus_token_budget"   -> ((s: SparkSession, d: String) =>
@@ -256,6 +265,10 @@ object SparkEntry {
     // the whole-doc short-gram rule stops firing for 8..14-token docs
     "dedup_spans_n8"        -> ((s: SparkSession, d: String) =>
       Corpus.dedupSpans(s, d, n = 8)),
+    // the DESTRUCTIVE form (Lee '21's intervention): repeated ≥n-token
+    // spans excised from every doc, survivors reassembled in order
+    "dedup_spans_removal"   -> ((s: SparkSession, d: String) =>
+      Corpus.dedupSpansRemoval(s, d)),
     "quality_gopher"        -> ((s: SparkSession, d: String) =>
       TextOps.qualityGopher(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
@@ -1327,6 +1340,40 @@ object SparkEntry {
       |         / CAST(tot.n_grams AS DOUBLE) >= 0.5 AS is_flagged
       |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id""".stripMargin
 
+  /** Destructive-span-dedup oracle (mirror of
+    * [[graft.operators.Corpus.dedupSpansRemoval]]): the audit's
+    * positional-gram CTE with start positions kept, dup grams expanded
+    * to their covered token positions, raw-case tokens anti-joined
+    * against the coverage and reassembled in position order. Exact gram
+    * text here where Spark ships xxhash64(g) — equivalent absent 2⁻⁶⁴
+    * collisions (the dedup_lines precedent). */
+  private def dedupSpansRemovalSql(n: Int): String =
+    s"""WITH g AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |         array_to_string(t[CAST(i+1 AS BIGINT) : CAST(least(i+$n, nt) AS BIGINT)], ' ') AS g
+      |  FROM (
+      |    SELECT doc_id, t, len(t) AS nt,
+      |           unnest(range(0, greatest(1, len(t) - ${n - 1}))) AS i
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |          FROM documents WHERE text IS NOT NULL))),
+      |d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+      |                     FROM g GROUP BY g)
+      |      WHERE nd >= 2),
+      |cov AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos
+      |        FROM (SELECT doc_id, unnest(range(i, i + $n)) AS pos
+      |              FROM g JOIN d USING (g))),
+      |raw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rt
+      |        FROM documents WHERE text IS NOT NULL),
+      |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, rt[CAST(i+1 AS BIGINT)] AS tok
+      |         FROM (SELECT doc_id, rt, unnest(range(0, len(rt))) AS i FROM raw)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS cov
+      |      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN NOT cov THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |       coalesce(array_to_string(
+      |         list(tok ORDER BY pos) FILTER (WHERE NOT cov), ' '), '') AS clean_text
+      |FROM m GROUP BY doc_id""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column aliases). */
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql(12),
@@ -1373,6 +1420,7 @@ object SparkEntry {
     "dsir_weights_de" -> dsirWeightsSql("de"),
     "dedup_spans" -> dedupSpansSql(15),
     "dedup_spans_n8" -> dedupSpansSql(8),
+    "dedup_spans_removal" -> dedupSpansRemovalSql(15),
     "ingest_errors" -> ingestErrorsSql(
       "2024-01-02 00:00:00", "2024-01-29 00:00:00", "%1%", 500),
     "ingest_errors_window" -> ingestErrorsSql(
@@ -2594,8 +2642,15 @@ object SparkEntry {
     "search_bm25"      -> searchBm25Sql("spark join window customer", 10),
     "search_bm25_k3"   -> searchBm25Sql("data stream sort", 3),
     "search_bm25_none" -> searchBm25Sql("zqxjkv", 10),
+    // the durable-index serving path is bit-identical to the scan path
+    // by construction (shared Corpus.bm25Rank tail), so the SAME oracle
+    // verifies it — on a DIFFERENT query/k point so the two entries
+    // aren't one result checked twice
+    "search_bm25_served" -> searchBm25Sql("customer window order part", 5),
     "search_hybrid_rrf" ->
       searchHybridRrfSql("spark join window customer", 7, 50, 10, 60),
+    "search_hybrid_rrf_served" ->
+      searchHybridRrfSql("data stream sort", 11, 50, 10, 60),
 
     // Efraimidis–Spirakis weighted sample: the md5-family uniform and the
     // exponential-race key replayed op-for-op; rank on the RAW key (raw

@@ -26,8 +26,15 @@ object TextFns {
   val TokenRe = "(?i)token\\s*[:=]\\s*\\w+"
   /** Coarse BPE-ish pre-tokenizer: letter runs | digit runs | single symbol */
   val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  /** Tiny multi-language stopword inventory used for quality + lang-id. */
-  val EnStopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  /** The engine's English stopword inventory — ONE list engine-wide:
+    * [[EnStopRe]] (quality scoring via [[stopwordHits]]) and the Gopher
+    * ≥2-distinct-stopwords rule both derive from this Seq, so the
+    * inventories cannot drift apart. (Lang-id keeps its own per-language
+    * discriminative lists — a different job than quality scoring.) */
+  val EnStops: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  /** Word-boundary alternation over [[EnStops]]. */
+  val EnStopRe: String = "\\b(" + EnStops.mkString("|") + ")\\b"
 
   /** PII redaction as applied by LogPreprocessor.clean_log. */
   def redactPii(c: Column): Column =

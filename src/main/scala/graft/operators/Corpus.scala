@@ -19,16 +19,19 @@ object Corpus {
     * One full-corpus token aggregation per (session, corpus, minCount,
     * maxVocab); entries are ≤ maxVocab rows. Released via
     * [[releaseCache]] (or session end). */
-  private val vocabMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  // keyed on the (session, dir, minCount, maxVocab) TUPLE, never an
+  // interpolated "$dir:$minCount" string: a dir whose name happens to end
+  // in ':N' must not share a cache entry with a different parameter point
+  private val vocabMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int), DataFrame]
 
   /** Unpersist and drop every vocabulary and BPE state cached for
     * `spark`. */
   def releaseCache(spark: SparkSession): Unit = {
-    vocabMemo.filterInPlace { case ((s, _), df) =>
+    vocabMemo.filterInPlace { case ((s, _, _, _), df) =>
       if (s eq spark) { df.unpersist(); false } else true
     }
-    bpeMemo.filterInPlace { case ((s, _), (_, df)) =>
+    bpeMemo.filterInPlace { case ((s, _, _), (_, df)) =>
       if (s eq spark) { df.unpersist(); false } else true
     }
   }
@@ -46,8 +49,8 @@ object Corpus {
   def buildVocab(spark: SparkSession, dir: String, minCount: Int = 2,
       maxVocab: Int = 1000): DataFrame = {
     // evict entries of stopped sessions (see NearDup.memoBase)
-    vocabMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    vocabMemo.getOrElseUpdate((spark, s"$dir:$minCount:$maxVocab"), {
+    vocabMemo.filterInPlace { case ((s, _, _, _), _) => !s.sparkContext.isStopped }
+    vocabMemo.getOrElseUpdate((spark, dir, minCount, maxVocab), {
       val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
       Tables.documents(spark, dir)
         .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
@@ -203,10 +206,14 @@ object Corpus {
     * corpus size, no shuffle at all.
     */
   def chunkDocuments(spark: SparkSession, dir: String,
+      maxTokens: Int = 64, overlap: Int = 8): DataFrame =
+    chunkDocumentsFrom(Tables.documents(spark, dir), maxTokens, overlap)
+
+  private[graft] def chunkDocumentsFrom(documents: DataFrame,
       maxTokens: Int = 64, overlap: Int = 8): DataFrame = {
     require(overlap < maxTokens, "overlap must be smaller than maxTokens")
     val stride = maxTokens - overlap
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), TextFns.wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("n_chunks", greatest(lit(1L),
@@ -354,6 +361,84 @@ object Corpus {
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
         round(frac, 6).as("dup_fraction"),
         (frac >= lit(flagFrac)).as("is_flagged"))
+  }
+
+  /** DESTRUCTIVE span dedup — Lee et al. 2021's actual intervention,
+    * where [[dedupSpans]] is the non-destructive audit: every token
+    * covered by a word `n`-gram that occurs in ≥ `minDocs` distinct
+    * documents is REMOVED (from every occurrence, in every document —
+    * the paper's exact-substring rule at gram granularity), and the
+    * survivors reassemble in original token order. A doc whose every
+    * token is repeated material survives as an empty string — dropping
+    * is a downstream predicate, the [[TextOps.dedupLines]] contract.
+    *
+    * Span identity is the folded-token gram (the audit's identity);
+    * removal excises the ORIGINAL-case tokens at the covered positions —
+    * the simple fold is 1:1 per token, so positions align by
+    * construction. Reassembly joins with single spaces (original
+    * whitespace is not a token property), mirrored in the oracle.
+    *
+    * Scale shape, one gram pass: positional grams collapse to a
+    * FIXED-WIDTH (doc_id, start, gram-hash) relation and the lineage is
+    * cut there with a lazy localCheckpoint — both consumers (the
+    * dup-gram counting side and the coverage probe side) read it, so
+    * the corpus-sized gram explode runs ONCE and raw gram text never
+    * shuffles or persists (24 bytes/row where the audit's exact-text
+    * relation is unbounded — the [[TextOps.dedupLines]] hash-identity
+    * trade: a 2⁻⁶⁴-per-pair xxhash64 collision removes an innocent
+    * span, bought for a pure fixed-width exchange at 100 TB; the SQL
+    * oracle replays with exact gram text, equivalent absent collisions).
+    * Coverage positions explode only from DUP grams (clean corpora:
+    * few), distinct per (doc, pos); the removal itself is a left-anti
+    * join of the token stream against them, and only the ordered
+    * reassembly shuffles token text — the same unavoidable doc_id-keyed
+    * shuffle corpus_shuffle pays. Short docs (< n tokens) collapse to
+    * one whole-doc gram covering every position (the audit's rule), so
+    * byte-identical short docs erase each other entirely. */
+  def dedupSpansRemoval(spark: SparkSession, dir: String, n: Int = 15,
+      minDocs: Int = 2): DataFrame =
+    dedupSpansRemovalFrom(Tables.documents(spark, dir), n, minDocs)
+
+  private[graft] def dedupSpansRemovalFrom(docs: DataFrame, n: Int = 15,
+      minDocs: Int = 2): DataFrame = {
+    val d = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    // ONE corpus gram pass, fixed-width, lineage-cut (see scaladoc)
+    val pg = d.select(col("doc_id"),
+        posexplode(NearDup.wordShinglesAll(col("text"), n)).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"), xxhash64(col("g")).as("hk"))
+      .localCheckpoint(false)
+    val dup = pg.select(col("doc_id"), col("hk")).distinct()
+      .groupBy(col("hk")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("hk"))
+    // a dup gram starting at i covers tokens i..i+n−1; the whole-doc
+    // gram of a short doc covers past its end — those positions simply
+    // match no token row, so no clamp is needed
+    val covered = pg.join(dup, Seq("hk"))
+      .select(col("doc_id"),
+        explode(sequence(col("i").cast("long"),
+          col("i").cast("long") + lit(n - 1).cast("long"))).as("pos"))
+      .distinct()
+    // ONE token pass: each token row marks whether a dup span covers it
+    // (left join against the coverage), and a single aggregation emits
+    // the raw count, the kept count, and the reassembly — collect_list
+    // skips the NULL `when` branch, so covered tokens never enter the
+    // sort buffer. Every doc has ≥1 token row (wsTokens of "" is one
+    // empty token), so no doc needs re-surfacing through a second scan.
+    val toks = d.select(col("doc_id"),
+        posexplode(TextFns.wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("cov").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_tokens_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ").as("clean_text"))
   }
 
   /** Salted two-phase top-N per stratum — the shared engine of
@@ -828,6 +913,19 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
     val dfRel = broadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df")))
+    bm25Rank(tf, dfRel, stats, terms, topK, k1, b)
+  }
+
+  /** The BM25 scoring/ranking tail shared by the corpus-scan path
+    * ([[searchBm25From]]) and the durable-index serving path
+    * ([[LexIndex.searchBm25Against]]): `tf` is (doc_id, term, tf, dl),
+    * `dfRel` a broadcast-ready (term, df), `stats` a broadcast 1-row
+    * (total_len, n_docs). Both callers derive these relations from the
+    * same definitions, so serving from the store is bit-identical to
+    * scanning the corpus — one oracle checks both. */
+  private[graft] def bm25Rank(tf: DataFrame, dfRel: DataFrame,
+      stats: DataFrame, terms: Seq[String], topK: Int, k1: Double,
+      b: Double): DataFrame = {
     val ndD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -935,12 +1033,12 @@ object Corpus {
     * table plus the fully-merged word dictionary (persisted — bpe_train
     * and bpe_encode share one training run, the [[vocabMemo]] pattern). */
   private val bpeMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]
+    (SparkSession, String, Int), (Seq[(Int, String, String, Long)], DataFrame)]
 
   private def bpeMemoized(spark: SparkSession, dir: String, merges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    bpeMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    bpeMemo.getOrElseUpdate((spark, s"$dir:$merges"), {
+    bpeMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    bpeMemo.getOrElseUpdate((spark, dir, merges), {
       val (tab, dict0, dictN) = bpeTrainCore(
         Tables.documents(spark, dir), merges)
       val persisted = dictN.persist()
@@ -1066,7 +1164,22 @@ object Corpus {
         .toDF("word", "freq", "syms")
       (out.result(), dict0, dictN)
     } else {
+      // Lineage truncation every [[BpeCutEvery]] merges (the
+      // connected-components per-round pattern, Cluster.scala): each
+      // iteration wraps `syms` in another BpeMerge expression, so at a
+      // realistic 10k–32k merge budget the un-cut plan would nest
+      // thousands of expressions deep — exponential analysis cost, the
+      // exact pathology the components loop solved. An eager
+      // localCheckpoint pins plan depth at ≤ BpeCutEvery merge
+      // expressions; the previous cut's RDD is freed directly (Dataset
+      // .unpersist does not reach RDD-level checkpoint storage), so at
+      // most one dictionary copy lives in executor storage at a time.
+      val sc = spark.sparkContext
+      def free(id: Option[Int]): Unit =
+        id.foreach(i =>
+          sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
       var dict = dict0
+      var lastCutId: Option[Int] = None
       var k = 1
       var exhausted = false
       while (k <= merges && !exhausted) {
@@ -1088,12 +1201,26 @@ object Corpus {
           dict = dict.select(col("word"), col("freq"),
             Bridge.column(graft.expressions.BpeMerge(
               Bridge.expression(col("syms")), l, r)).as("syms"))
+          if (k % BpeCutEvery == 0) {
+            val cut = dict.localCheckpoint() // eager — materialized here
+            free(lastCutId)
+            lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(cut)
+            dict = cut
+          }
           k += 1
         }
       }
+      // the final dictionary may read through the last checkpoint — it
+      // stays pinned until the caller's persist+count cuts it loose
       (out.result(), dict0, dict)
     }
   }
+
+  /** Distributed-trainer lineage-cut cadence: plan depth between cuts is
+    * ≤ this many nested merge expressions — small enough that analysis
+    * stays O(1) per iteration, large enough that the checkpoint write
+    * amortizes over many merges. */
+  private[graft] val BpeCutEvery = 16
 
   /** Corpus re-encoding with the learned merge table: each letters-only
     * word looks up its fully-merged symbol sequence in the trained
@@ -1132,28 +1259,22 @@ object Corpus {
   def writeBpeModel(spark: SparkSession, dir: String, path: String,
       merges: Int = 12): Unit = {
     val (tab, dictN) = bpeMemoized(spark, dir, merges)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__bpe_tmp")
-    graft.sources.IO.recoverStore(fs, p, tmp) // writer-entry healing
-    spark.createDataFrame(tab).toDF("rank", "lft", "rgt", "cnt")
-      .select(col("rank").cast("long").as("rank"), col("lft"), col("rgt"),
-        col("cnt")) // the bpeTrain schema: rank is long there too
-      .write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "merges").toString)
-    dictN.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "dict").toString)
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-    graft.sources.IO.swapInto(fs, tmp, p)
+    graft.sources.IO.publishStore(spark, path, "__bpe_tmp") { tmp =>
+      spark.createDataFrame(tab).toDF("rank", "lft", "rgt", "cnt")
+        .select(col("rank").cast("long").as("rank"), col("lft"), col("rgt"),
+          col("cnt")) // the bpeTrain schema: rank is long there too
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "merges").toString)
+      dictN.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "dict").toString)
+    }
   }
 
   private def readBpeStore(spark: SparkSession, path: String,
       sub: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.IO.recoverStoreForRead(fs, p,
-      new org.apache.hadoop.fs.Path(path + "__bpe_tmp"))
-    spark.read.parquet(new org.apache.hadoop.fs.Path(p, sub).toString)
+    graft.sources.IO.readableStore(spark, path, "__bpe_tmp")
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), sub).toString)
   }
 
   /** The persisted merge table (reader-passive healing). */

@@ -162,9 +162,28 @@ object Embeddings {
     * engines). Ties rank by (rounded score desc, doc_id). */
   def searchHybridRrf(spark: SparkSession, dir: String,
       query: String = "spark join window customer", qvecId: Long = 7,
-      topL: Int = 50, topK: Int = 10, rrfK: Int = 60): DataFrame = {
-    val lex = Corpus.searchBm25(spark, dir, query = query, topK = topL)
-      .select(col("doc_id"), col("rk").as("lex_rk"))
+      topL: Int = 50, topK: Int = 10, rrfK: Int = 60): DataFrame =
+    hybridRrfWithLex(spark, dir,
+      Corpus.searchBm25(spark, dir, query = query, topK = topL),
+      qvecId, topL, topK, rrfK)
+
+  /** [[searchHybridRrf]] with the lexical leg SERVED from a persisted
+    * [[LexIndex.writeLexIndex]] store instead of a corpus scan — the
+    * serving-path composition (both legs bounded; the lexical one now
+    * partition-pruned postings reads only). Served BM25 is bit-identical
+    * to the scan path, so the fusion shares the hybrid oracle. */
+  def searchHybridRrfServed(spark: SparkSession, dir: String,
+      lexPath: String, query: String = "spark join window customer",
+      qvecId: Long = 7, topL: Int = 50, topK: Int = 10,
+      rrfK: Int = 60): DataFrame =
+    hybridRrfWithLex(spark, dir,
+      LexIndex.searchBm25Against(spark, lexPath, query, topK = topL),
+      qvecId, topL, topK, rrfK)
+
+  private def hybridRrfWithLex(spark: SparkSession, dir: String,
+      lexTop: DataFrame, qvecId: Long, topL: Int, topK: Int,
+      rrfK: Int = 60): DataFrame = {
+    val lex = lexTop.select(col("doc_id"), col("rk").as("lex_rk"))
     val c = corpus(spark, dir)
       .select(col("vec_id"), VecFns.l2Normalize(col("emb")).as("emb"))
     val q = c.where(col("vec_id") === qvecId).select(col("emb").as("qemb"))
@@ -705,25 +724,26 @@ object Embeddings {
     val spark = assigned.sparkSession
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__index_tmp")
-    graft.sources.IO.recoverStore(fs, p, tmp) // heal a crashed write first
-    // a crashed append's COMPLETE tmp is promoted into the OLD
-    // generation BEFORE the rebuild starts (it was assigned against
-    // those centroids, so this is the correct home): if the rebuild
-    // then fails, the old index is live WITH the increment — deleting
-    // the tmp up front would lose data the caller believes landed while
-    // leaving the pre-increment index serving. A successful rebuild
-    // supersedes the whole store either way, and promoting first means
-    // no append tmp can survive into the new generation (no mixing).
-    recoverIvfAppend(fs, p)
-    centDf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    assigned.select(col("vec_id"), col("emb"), col("label"), col("bucket"))
-      // one file per bucket directory (the repartition key IS the
-      // partition key), not numShufflePartitions files in each
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/assign")
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-    graft.sources.IO.swapInto(fs, tmp, p)
+    // shared publish protocol (IO.publishStore: writer-entry healing →
+    // write under tmp → root _SUCCESS → rename-aside swap), plus one
+    // IVF-specific step at the top of the write phase: a crashed
+    // append's COMPLETE tmp is promoted into the OLD generation BEFORE
+    // the rebuild starts (it was assigned against those centroids, so
+    // this is the correct home): if the rebuild then fails, the old
+    // index is live WITH the increment — deleting the tmp up front
+    // would lose data the caller believes landed while leaving the
+    // pre-increment index serving. A successful rebuild supersedes the
+    // whole store either way, and promoting first means no append tmp
+    // can survive into the new generation (no mixing).
+    graft.sources.IO.publishStore(spark, indexPath, "__index_tmp") { tmp =>
+      recoverIvfAppend(fs, p)
+      centDf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      assigned.select(col("vec_id"), col("emb"), col("label"), col("bucket"))
+        // one file per bucket directory (the repartition key IS the
+        // partition key), not numShufflePartitions files in each
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/assign")
+    }
   }
 
   /** The persisted centroid relation (k rows). Readers heal ONLY the
@@ -737,10 +757,7 @@ object Embeddings {
     * to readers until the next writer entry promotes it — they simply
     * serve the last complete generation. */
   private def readCentroids(spark: SparkSession, indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.IO.recoverStoreForRead(fs, p,
-      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+    val fs = graft.sources.IO.readableStore(spark, indexPath, "__index_tmp")
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids")),
       s"no IVF index at $indexPath (write one with writeIvfIndex)")
     spark.read.parquet(s"$indexPath/centroids")

@@ -424,24 +424,19 @@ object NearDup {
     * promoted with the same rename-aside swap every other durable store
     * here uses — a crash mid-write leaves either the old complete index
     * or the new complete index, never new docs over old keys. */
-  def writeSignatureIndexFrom(base: DataFrame, indexPath: String): Unit = {
-    val spark = base.sparkSession
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__index_tmp")
-    // heal a crashed write first; recoverStore's postcondition is that
-    // tmp never survives (promoted or deleted), so the writes below start
-    // on a clean slate
-    graft.sources.IO.recoverStore(fs, p, tmp)
-    base.select(col("id"), col("sig"))
-      .write.mode("overwrite").parquet(s"$tmp/docs")
-    base.select(col("id"), explode(col("keys")).as("key"))
-      .withColumn("kb", pmod(col("key"), lit(IndexBuckets.toLong)))
-      .repartition(col("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$tmp/keys")
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-    graft.sources.IO.swapInto(fs, tmp, p)
-  }
+  def writeSignatureIndexFrom(base: DataFrame, indexPath: String): Unit =
+    // the shared publish protocol (IO.publishStore): writer-entry
+    // healing, both relations under ONE tmp, root _SUCCESS, rename-aside
+    // swap — tmp never survives healing, so the writes start clean
+    graft.sources.IO.publishStore(base.sparkSession, indexPath,
+        "__index_tmp") { tmp =>
+      base.select(col("id"), col("sig"))
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+      base.select(col("id"), explode(col("keys")).as("key"))
+        .withColumn("kb", pmod(col("key"), lit(IndexBuckets.toLong)))
+        .repartition(col("kb"))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$tmp/keys")
+    }
 
   /** The increment's key-index scan: partition-pruned to the buckets the
     * batch's own band keys touch. `touched` is ≤ IndexBuckets values — a
@@ -483,16 +478,13 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       batch.count() // materialize while the plan is this narrow
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // READER-passive healing (the IVF/HLL store contract): complete a
-      // crashed swap only when no live dir exists, never delete — a tmp
-      // next to a live index may be a concurrent writeSignatureIndex's
-      // in-flight output, and a reader that deletes it fails that
-      // writer's job. Destructive cleanup belongs to writer entries
-      // (writeSignatureIndexFrom's recoverStore).
-      graft.sources.IO.recoverStoreForRead(fs, root,
-        new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+      // READER-passive healing (the shared IO.readableStore contract):
+      // complete a crashed swap only when no live dir exists, never
+      // delete — a tmp next to a live index may be a concurrent
+      // writeSignatureIndex's in-flight output, and a reader that
+      // deletes it fails that writer's job. Destructive cleanup belongs
+      // to writer entries (writeSignatureIndexFrom's publishStore).
+      val fs = graft.sources.IO.readableStore(spark, indexPath, "__index_tmp")
       val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
       val verdicts =
         if (fs.exists(docsPath))

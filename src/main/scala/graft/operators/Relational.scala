@@ -201,6 +201,14 @@ object Relational {
     heavyHittersApproxFrom(Tables.events(spark, dir))
 
   private[graft] def heavyHittersApproxFrom(events: DataFrame): DataFrame = {
+    // the final cast('long') on the string key would turn a non-integral
+    // user_id into silent NULL key rows — keep the old explicit contract
+    // error instead of emitting them
+    val keyType = events.schema("user_id").dataType
+    require(Seq("long", "integer", "short", "byte")
+        .contains(keyType.typeName),
+      s"heavy_hitters_approx needs an integral user_id key, got $keyType: " +
+        "the sketch round-trips keys through strings and casts back to long")
     val vals = events
       .select(col("user_id")).where(col("user_id").isNotNull)
       .select(col("user_id").cast("string").as("s"))
@@ -443,7 +451,15 @@ object Relational {
     * then runs on ≤k rows per group (bounded regardless of corpus), with
     * the same interpolation + round(…,4) contract as the exact operator.
     * Same finite-values domain as the exact twin; NULL group keys stay
-    * groups (null-safe joins). */
+    * groups (null-safe joins).
+    *
+    * SESSION-WIDE side effect, by design: running this RAISES
+    * `spark.sql.optimizer.windowGroupLimitThreshold` to `k` for the rest
+    * of the session (never lowers it) — the threshold must cover k at
+    * whatever later point a consumer executes the lazy plan, so it
+    * cannot be scope-restored around construction. The raised threshold
+    * only widens WindowGroupLimit eligibility for other queries; it
+    * changes no result. */
   def valuePercentilesSampled(spark: SparkSession, dir: String,
       k: Int = 4096): DataFrame =
     valuePercentilesSampledFrom(Tables.events(spark, dir)

@@ -42,6 +42,19 @@ object Sketches {
     * depend on aggregation order. */
   private val Z2Scale = 1L << (RhoBits + 1) // 2251799813685248
 
+  // The estimator below (and its three twins: the StatefulSketch Scala
+  // path plus the two oracle SQL strings) hardcodes the m=4096 /
+  // Z2Scale=2^51 / 2.5m=10240 literals so both engines fold the SAME
+  // double constants. These requires tie the literals to HllP/RhoBits:
+  // changing the precision without rewriting all four sites now fails
+  // loudly at class init instead of silently breaking cross-engine
+  // bit-parity.
+  require(HllM == 4096, s"HLL literals are written for m=4096, got $HllM")
+  require(Z2Scale == 2251799813685248L,
+    s"HLL literals are written for Z2Scale=2^51, got $Z2Scale")
+  require(2.5 * HllM == 10240.0,
+    "HLL linear-counting bound literal (10240.0) no longer equals 2.5m")
+
   private[graft] def md5mod(c: Column, m: Long): Column =
     Bridge.column(graft.expressions.Md5LowerMod(Bridge.expression(c), m))
 
@@ -116,28 +129,21 @@ object Sketches {
   // 100 TB of raw keys. Same crash contract as the other stores: tmp +
   // _SUCCESS + rename-aside swap, writer-entry healing only.
 
-  /** Persist the register relation of one corpus slice. */
+  /** Persist the register relation of one corpus slice (the shared
+    * [[graft.sources.IO.publishStore]] protocol). */
   def writeHllSketch(df: DataFrame, group: Column, value: Column,
-      path: String): Unit = {
-    val spark = df.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__sketch_tmp")
-    graft.sources.IO.recoverStore(fs, p, tmp) // writer-entry healing
-    hllRegisters(df, group, value)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-    graft.sources.IO.swapInto(fs, tmp, p)
-  }
+      path: String): Unit =
+    graft.sources.IO.publishStore(df.sparkSession, path, "__sketch_tmp") {
+      tmp => hllRegisters(df, group, value)
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
 
   /** Read one persisted slice sketch (reader-passive: heals only a
-    * missing-live-dir crash, never deletes — the IVF reader contract). */
+    * missing-live-dir crash, never deletes — the shared
+    * [[graft.sources.IO.readableStore]] contract). */
   def readHllSketch(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.IO.recoverStoreForRead(fs, p,
-      new org.apache.hadoop.fs.Path(path + "__sketch_tmp"))
+    graft.sources.IO.readableStore(spark, path, "__sketch_tmp")
     spark.read.parquet(path)
   }
 

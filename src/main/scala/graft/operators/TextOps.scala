@@ -70,19 +70,19 @@ object TextOps {
     * Pure per-row expression work over one scan — zero shuffles; every
     * count is an integer and every fraction one IEEE division, so the
     * oracle matches bit-for-bit (the [[textQuality]] contract). The
-    * distinct-stopword count filters the 8-word NEEDLE list against the
-    * doc's tokens (never the reverse — `array_intersect` multiplicity
-    * semantics differ across engines). */
+    * distinct-stopword count filters the 10-word engine stopword
+    * inventory against the doc's tokens (never the reverse —
+    * `array_intersect` multiplicity semantics differ across engines). */
   def qualityGopher(spark: SparkSession, dir: String, minWords: Int = 50,
       maxWords: Int = 100000): DataFrame =
     qualityGopherFrom(Tables.documents(spark, dir), minWords, maxWords)
 
-  /** The ≥2-distinct-stopwords rule runs over the engine's English
-    * stopword inventory (the [[graft.functions.TextFns.EnStopRe]] list,
+  /** The ≥2-distinct-stopwords rule runs over the engine's 10-word
+    * English stopword inventory ([[graft.functions.TextFns.EnStops]],
     * shared with stopwordHits/lang_id) rather than Gopher's original
-    * 8-word list — one stopword vocabulary engine-wide. */
-  private[graft] val GopherStops =
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    * 8-word list — derived, not copied, so "one stopword vocabulary
+    * engine-wide" is enforced by construction. */
+  private[graft] val GopherStops: Seq[String] = TextFns.EnStops
 
   private[graft] def qualityGopherFrom(docs: DataFrame, minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {

@@ -97,6 +97,40 @@ object IO {
     else if (fs.exists(old)) renameOrHealed(old, p)
   }
 
+  /** ONE writer-entry publish protocol for every durable store
+    * (signature index, IVF index, HLL slices, BPE model, lexical index):
+    * heal crash debris ([[recoverStore]]), let `write` lay the store's
+    * relations under the tmp dir, mark the tmp complete with a root
+    * `_SUCCESS`, and promote it with the rename-aside swap
+    * ([[swapInto]]). The stores used to hand-copy this five-step
+    * sequence — and the copies drifted once already (the signature
+    * index briefly carried a delete-a-live-writer's-tmp hazard the IVF
+    * store had fixed); hoisting it here makes the next protocol fix land
+    * in every store at once. `tmpSuffix` stays per-store so concurrent
+    * writers of DIFFERENT stores at sibling paths can never collide. */
+  def publishStore(spark: SparkSession, path: String, tmpSuffix: String)(
+      write: Path => Unit): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + tmpSuffix)
+    recoverStore(fs, p, tmp) // writer-entry healing; tmp never survives it
+    write(tmp)
+    fs.create(new Path(tmp, "_SUCCESS")).close()
+    swapInto(fs, tmp, p)
+  }
+
+  /** Reader-entry twin of [[publishStore]]: passive healing only
+    * ([[recoverStoreForRead]] — complete a crashed swap iff no live dir
+    * exists, never delete). Returns the filesystem for callers that
+    * follow up with existence checks. */
+  def readableStore(spark: SparkSession, path: String,
+      tmpSuffix: String): FileSystem = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStoreForRead(fs, p, new Path(path + tmpSuffix))
+    fs
+  }
+
   /** NDJSON log batches (the shape the reference's API returns). */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

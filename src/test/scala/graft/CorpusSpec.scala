@@ -533,6 +533,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaQuery.toSeq == tabR, "query path diverges from distributed core")
   }
 
+  test("bpe distributed trainer survives a realistic merge budget (128 merges)") {
+    import spark.implicits._
+    // enough pair material that 128 merges never exhaust: 80 distinct
+    // 10–14-char words over a 6-letter alphabet
+    val rng = new scala.util.Random(13)
+    val words = (0 until 80).map { _ =>
+      (0 until (10 + rng.nextInt(5))).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+    }
+    val docs = (1L to 120L).map { i =>
+      (i, Seq.fill(5)(words(rng.nextInt(words.length))).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val (tabDrv, a0, aN) = Corpus.bpeTrainCore(docs, merges = 128)
+    val (tabDst, b0, bN) = Corpus.bpeTrainCore(docs, merges = 128,
+      driverDictCap = 0L)
+    assert(tabDrv.length == 128,
+      s"merge material must not exhaust before 128: ${tabDrv.length}")
+    assert(tabDrv == tabDst,
+      s"merge tables diverge at a realistic budget:\n  driver ${tabDrv.takeRight(5)}" +
+        s"\n  dist   ${tabDst.takeRight(5)}")
+    // the lineage cut every BpeCutEvery merges bounds the returned
+    // dictionary's plan: at most BpeCutEvery nested merge kernels (the
+    // un-cut form nests all 128 — the analysis blowup this pins against)
+    val planMerges = "(?i)bpemerge|bpe_merge".r
+      .findAllIn(bN.queryExecution.analyzed.toString).length
+    assert(planMerges <= Corpus.BpeCutEvery,
+      s"distributed dictionary plan nests $planMerges merge kernels — " +
+        s"the per-${Corpus.BpeCutEvery}-merge lineage cut is not firing")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "freq", "syms").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getAs[scala.collection.Seq[String]](2).toSeq))
+        .sortBy(_._1).toSeq
+    assert(dump(aN) == dump(bN), "final dictionaries diverge at 128 merges")
+    a0.unpersist(); b0.unpersist()
+  }
+
   test("bpe_encode: lossless symbol stream, token-count bounds, coverage") {
     import spark.implicits._
     val enc = Corpus.bpeEncode(spark, Sf).cache()
@@ -654,6 +690,59 @@ class CorpusSpec extends AnyFunSuite {
       r.getAs[Long]("n_dup_grams") <= r.getAs[Long]("n_grams")))
     assert(real.exists(_.getAs[Boolean]("is_flagged")),
       "the corpus's exact-dup docs must flag at fraction 1")
+  }
+
+  test("dedup_spans_removal: planted span excised from BOTH docs, order kept") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    def uniq(i: Int) = (1 to 10).map(j => s"u${i}x$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1)} $span ${uniq(2)}", "s"),
+      (2L, s"${uniq(3)} $span ${uniq(4)}", "s"),
+      (3L, uniq(5), "s"),
+      (4L, "tiny twin", "s"),
+      (5L, "tiny twin", "s")).toDF("doc_id", "text", "source")
+    val out = Corpus.dedupSpansRemovalFrom(docs, n = 15, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 5)
+    // docs 1/2: dup grams start in [10, 15] and each covers 15 tokens, so
+    // the covered set is exactly positions 10..29 — the planted span, and
+    // ONLY the planted span, excised from BOTH docs; survivors reassemble
+    // in original order
+    Seq(1L -> (uniq(1), uniq(2)), 2L -> (uniq(3), uniq(4))).foreach {
+      case (id, (pre, post)) =>
+        assert(out(id).getAs[Long]("n_tokens") == 40L)
+        assert(out(id).getAs[Long]("n_tokens_kept") == 20L)
+        assert(out(id).getAs[String]("clean_text") == s"$pre $post",
+          s"doc $id must lose exactly the span: ${out(id)}")
+    }
+    // doc 3 shares nothing: untouched
+    assert(out(3L).getAs[Long]("n_tokens_kept") == 10L)
+    assert(out(3L).getAs[String]("clean_text") == uniq(5))
+    // byte-identical short docs erase each other entirely (whole-doc
+    // gram covers every position) but STAY in the output as empty docs
+    Seq(4L, 5L).foreach { id =>
+      assert(out(id).getAs[Long]("n_tokens") == 2L)
+      assert(out(id).getAs[Long]("n_tokens_kept") == 0L)
+      assert(out(id).getAs[String]("clean_text") == "")
+    }
+    // the audit verdict is PRESERVED next to the removal: same corpus,
+    // non-destructive fractions still served (the dedup_spans contract)
+    val audit = Corpus.dedupSpansFrom(docs, n = 15, minDocs = 2, flagFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(audit(1L).getAs[Long]("n_dup_grams") == 6L &&
+      !audit(1L).getAs[Boolean]("is_flagged"))
+    // removal ∘ audit fixpoint: after dropping fully-erased docs (the
+    // downstream predicate — an empty string is one empty token and two
+    // of them would trivially "share" the empty gram), re-auditing the
+    // cleaned corpus finds NO remaining cross-doc repeated span (Lee
+    // '21's postcondition)
+    val cleaned = Corpus.dedupSpansRemovalFrom(docs, n = 15, minDocs = 2)
+      .where(col("n_tokens_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val re = Corpus.dedupSpansFrom(cleaned, n = 15, minDocs = 2).collect()
+    assert(re.forall(_.getAs[Long]("n_dup_grams") == 0L),
+      s"no repeated span may survive removal: ${re.mkString(";")}")
   }
 
   test("bpe_fertility: totals reconcile with bpe_encode, fertility bounds") {

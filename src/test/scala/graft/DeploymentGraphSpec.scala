@@ -51,6 +51,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
     val idx = s"$base/sig_index"; val store = s"$base/winner_store"
     val tile = s"$base/hll_tile"
     val model = s"$base/bpe_model"; val enc = s"$base/bpe_encoded"
+    val spikes = s"$base/spike_alerts"; val shapes = s"$base/shape_alerts"
     new java.io.File(evDir).mkdirs(); new java.io.File(docDir).mkdirs()
     // the tokenizer is trained ONCE (on the reference corpus) and
     // persisted BEFORE the stream starts — the durable-model serving
@@ -65,10 +66,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
       StructField("props", StringType)))
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    def startGraph(): (org.apache.spark.sql.streaming.StreamingQuery,
-        org.apache.spark.sql.streaming.StreamingQuery,
-        org.apache.spark.sql.streaming.StreamingQuery,
-        org.apache.spark.sql.streaming.StreamingQuery) = {
+    def startGraph(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
       val evRaw = spark.readStream.schema(kafkaSchema)
         .option("maxFilesPerTrigger", 1).option("basePath", evDir)
         .parquet(s"$evDir/*")
@@ -106,7 +104,27 @@ class DeploymentGraphSpec extends AnyFunSuite {
             .write.mode("append").parquet(enc)
         }
         .option("checkpointLocation", s"$base/ckpt_enc").start()
-      (attrQ, dedupQ, hllQ, encQ)
+      // fifth leg — the incident-trigger trilogy's streaming side (the
+      // reference's whole point is this alerting loop, main.py → Slack):
+      // the SAME parsed event stream fans into the rate-spike detector
+      // (day verdicts emit as the watermark closes days; open-day counts
+      // and the trailing baseline ride the checkpoint across the crash)
+      // and the first-seen template trigger (one alert per novel shape,
+      // known-shape state rides the checkpoint so a restart never
+      // re-alerts)
+      val spikeQ = graft.streaming.StatefulSpikes(
+        graft.streaming.StatefulSpikes.fromEvents(events))
+        .toDF().writeStream.format("parquet")
+        .option("path", spikes)
+        .option("checkpointLocation", s"$base/ckpt_spikes")
+        .outputMode("append").start()
+      val tmplQ = graft.streaming.StatefulTemplates(
+        graft.streaming.StatefulTemplates.fromEvents(events))
+        .toDF().writeStream.format("parquet")
+        .option("path", shapes)
+        .option("checkpointLocation", s"$base/ckpt_shapes")
+        .outputMode("append").start()
+      Seq(attrQ, dedupQ, hllQ, encQ, spikeQ, tmplQ)
     }
 
     // ---- the feed -----------------------------------------------------
@@ -133,14 +151,13 @@ class DeploymentGraphSpec extends AnyFunSuite {
         rec(id * 10 + i, docJson(id, tx)) })
     }
 
-    val (attr1, dedup1, hll1, enc1) = startGraph()
+    val run1 = startGraph()
     try {
       // batch 1
       feedEvents("b1", Seq((101L, 1L, "2024-07-01 11:40:00", "view"),
         (10L, 1L, "2024-07-01 12:00:00", "purchase")))
       feedDocs("b1", Seq((1L, bodyA), (2L, bodyB), (3L, bodyA + " tail1 tail2")))
-      attr1.processAllAvailable(); dedup1.processAllAvailable()
-      hll1.processAllAvailable(); enc1.processAllAvailable()
+      run1.foreach(_.processAllAvailable())
       // batch 2: a late-but-in-threshold upgrade view for p10, a matched
       // purchase p11, and a doc near-duplicating the INDEX (4) plus a
       // fresh doc carrying PII (5)
@@ -148,9 +165,8 @@ class DeploymentGraphSpec extends AnyFunSuite {
         (104L, 2L, "2024-07-01 12:05:00", "view"),
         (11L, 2L, "2024-07-01 12:10:00", "purchase")))
       feedDocs("b2", Seq((4L, bodyA + " tail3"), (5L, bodyC)))
-      attr1.processAllAvailable(); dedup1.processAllAvailable()
-      hll1.processAllAvailable(); enc1.processAllAvailable()
-    } finally { attr1.stop(); dedup1.stop(); hll1.stop(); enc1.stop() }
+      run1.foreach(_.processAllAvailable())
+    } finally run1.foreach(_.stop())
 
     assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 5L), "pre-crash index: intra-batch and vs-index dups dropped")
@@ -178,12 +194,29 @@ class DeploymentGraphSpec extends AnyFunSuite {
     // b4 advances the watermark so p13's no-view NULL verdict can flush
     feedEvents("b4", Seq((105L, 5L, "2024-07-01 16:20:00", "view"),
       (14L, 5L, "2024-07-01 16:30:00", "purchase")))
+    // b5 (still down): later DAYS — the spike detector's 07-01 open-day
+    // counts accumulated BEFORE the crash must close correctly after it
+    feedEvents("b5", Seq((106L, 6L, "2024-07-02 10:00:00", "view"),
+      (15L, 6L, "2024-07-02 11:00:00", "purchase"),
+      (16L, 7L, "2024-07-03 09:00:00", "purchase")))
 
-    val (attr2, dedup2, hll2, enc2) = startGraph()
+    val run2 = startGraph()
     try {
-      attr2.processAllAvailable(); dedup2.processAllAvailable()
-      hll2.processAllAvailable(); enc2.processAllAvailable()
-    } finally { attr2.stop(); dedup2.stop(); hll2.stop(); enc2.stop() }
+      run2.foreach(_.processAllAvailable())
+      // two watermark-advancing nudges (separate micro-batches: the wm a
+      // batch sees is the PREVIOUS batch's max − delay), each carrying a
+      // view AND a purchase: the attribution join's global watermark is
+      // the MIN over its two watermark nodes, so a views-only nudge
+      // would stall the purchase side and p16's no-view NULL verdict
+      // could never flush; the spike detector needs the same two-sided
+      // advance to close 07-01..07-03 for BOTH level groups via rows
+      feedEvents("b6", Seq((107L, 8L, "2024-07-05 12:00:00", "view"),
+        (17L, 8L, "2024-07-05 12:30:00", "purchase")))
+      run2.foreach(_.processAllAvailable())
+      feedEvents("b7", Seq((108L, 9L, "2024-07-08 12:00:00", "view"),
+        (18L, 9L, "2024-07-08 12:30:00", "purchase")))
+      run2.foreach(_.processAllAvailable())
+    } finally run2.foreach(_.stop())
 
     // ---- the proof ----------------------------------------------------
     // 1) no crash debris survives anywhere
@@ -264,5 +297,50 @@ class DeploymentGraphSpec extends AnyFunSuite {
     assert(encGot == encRef,
       s"streamed encodes must equal the persisted-model batch encode:\n" +
         s" stream=$encGot\n batch =$encRef")
+
+    // 7) the spike leg: every closed-day verdict in the alert store must
+    //    equal the BATCH detector of record over everything fed (the
+    //    anomaly_spikes oracle pairing) — including day 07-01, whose
+    //    open-day counts accumulated BEFORE the crash and closed after
+    //    the restart (state rode the checkpoint), with counts from BOTH
+    //    sides of the crash (b1+b2 pre, b3+b4 post)
+    val fedEvDf = fedEvents.toDF("event_id", "user_id", "ts", "event_type")
+    val batchSpikes = graft.streaming.StatefulSpikes(
+        graft.streaming.StatefulSpikes.fromEvents(fedEvDf)).toDF()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val streamedSpikes = spark.read.parquet(spikes).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    streamedSpikes.foreach { case (k, row) =>
+      assert(batchSpikes.get(k).contains(row),
+        s"closed-day verdict $k diverges from the batch detector:\n" +
+          s" stream=$row\n batch =${batchSpikes.get(k)}")
+    }
+    val mustClose = Set(("view", "2024-07-01"), ("purchase", "2024-07-01"),
+      ("purchase", "2024-07-02"), ("purchase", "2024-07-03"))
+    assert(mustClose.subsetOf(streamedSpikes.keySet),
+      s"watermark-closed days missing from the alert store: " +
+        s"${mustClose -- streamedSpikes.keySet} (got ${streamedSpikes.keySet})")
+    // the pre-crash day's count spans the crash: 07-01 saw 5 views
+    // (101/102/104 pre-crash + 103/105 post) and 5 purchases
+    // (10/11 pre + 12/13/14 post) — fed on both sides of the restart
+    assert(streamedSpikes(("view", "2024-07-01"))(2) == 5L)
+    assert(streamedSpikes(("purchase", "2024-07-01"))(2) == 5L)
+
+    // 8) the first-seen template leg: exactly one alert per novel
+    //    (level, template) shape, pinned to the globally-first exemplar —
+    //    equal to the batch trigger of record over everything fed; the
+    //    post-restart replays and re-arrivals of known shapes stayed
+    //    silent because the known-shape state rode the checkpoint
+    val batchShapes = graft.streaming.StatefulTemplates(
+        graft.streaming.StatefulTemplates.fromEvents(
+          fedEvDf.withColumn("props", concat(lit("p"), col("event_id")))))
+      .toDF().collect().map(_.toSeq).toSet
+    val streamedShapes = spark.read.parquet(shapes).collect().map(_.toSeq).toSet
+    assert(streamedShapes == batchShapes,
+      s"shape alerts must equal the batch trigger:\n stream=$streamedShapes" +
+        s"\n batch =$batchShapes")
+    assert(streamedShapes.nonEmpty &&
+      streamedShapes.size == streamedShapes.map(_.take(2)).size,
+      "exactly one alert per shape")
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Embeddings, LexIndex}
+
+/** Durable lexical (inverted) index: persistence, scan-free BM25 serving
+  * bit-identical to the corpus-scan path, term-bucket partition pruning,
+  * the served hybrid leg, and the shared crash walk — the retrieval twin
+  * of IvfIndexSpec (the reference persists its retrieval index the same
+  * way, /root/reference/src/vector_db/faiss_db.py:24-35). */
+class LexIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  private val Sf = "/root/testdata/sf0.01"
+
+  private def wipe(path: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    ()
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+      r.getAs[Double]("score"), r.getAs[Long]("rk"))).toSeq.sortBy(_._4)
+
+  test("served BM25 is bit-identical to the corpus-scan path") {
+    val idx = "/tmp/graft_lex_index"
+    wipe(idx)
+    LexIndex.writeLexIndex(spark, Sf, idx)
+    // several query points: multi-term, single-term, term-absent, k-cut
+    val points = Seq(
+      ("spark join window customer", 10),
+      ("data stream sort", 3),
+      ("customer", 7),
+      ("zqxjkv", 10)) // no-hit term: EMPTY on both paths
+    points.foreach { case (q, k) =>
+      val scanned = rows(Corpus.searchBm25(spark, Sf, query = q, topK = k))
+      val served = rows(LexIndex.searchBm25Against(spark, idx, q, topK = k))
+      assert(served == scanned,
+        s"served($q,$k) diverged:\nserved =$served\nscanned=$scanned")
+    }
+  }
+
+  test("serving reads only the query terms' bucket partitions") {
+    val idx = "/tmp/graft_lex_index"
+    if (!new java.io.File(s"$idx/stats").exists())
+      LexIndex.writeLexIndex(spark, Sf, idx)
+    val q = "spark join window customer" // 4 terms -> <= 4 of 256 buckets
+    val out = LexIndex.searchBm25Against(spark, idx, q)
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val postingScans = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingScans.nonEmpty)
+    // the tf relation and its derived df relation may each scan, but both
+    // must prune to the <= 4 touched bucket files
+    def countFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(countFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val totalFiles = countFiles(new java.io.File(s"$idx/postings"))
+    // the synthetic corpus has a small closed vocabulary, so only a
+    // fraction of the 256 buckets populate — the pruning ratio below is
+    // still real (<= 4 of them read)
+    assert(totalFiles >= 16,
+      s"the corpus vocabulary should fan out across buckets: $totalFiles")
+    postingScans.foreach { scan =>
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead > 0 && filesRead <= 4,
+        s"serve must prune to the query's term buckets: " +
+          s"read $filesRead of $totalFiles")
+    }
+  }
+
+  test("served hybrid RRF equals the scan-path hybrid") {
+    val idx = "/tmp/graft_lex_index"
+    if (!new java.io.File(s"$idx/stats").exists())
+      LexIndex.writeLexIndex(spark, Sf, idx)
+    val scanned = Embeddings.searchHybridRrf(spark, Sf,
+      query = "data stream sort", qvecId = 11).collect().map(_.toSeq).toSeq
+    val served = Embeddings.searchHybridRrfServed(spark, Sf, idx,
+      query = "data stream sort", qvecId = 11).collect().map(_.toSeq).toSeq
+    assert(served == scanned)
+    assert(served.nonEmpty)
+  }
+
+  test("empty-term query serves the index-typed empty schema; missing store fails loudly") {
+    val idx = "/tmp/graft_lex_index"
+    if (!new java.io.File(s"$idx/stats").exists())
+      LexIndex.writeLexIndex(spark, Sf, idx)
+    val empty = LexIndex.searchBm25Against(spark, idx, "   ")
+    assert(empty.count() == 0)
+    val nonEmpty = LexIndex.searchBm25Against(spark, idx, "customer")
+    assert(empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      nonEmpty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    intercept[IllegalArgumentException] {
+      LexIndex.searchBm25Against(spark, "/tmp/graft_lex_nonexistent", "customer")
+    }
+    ()
+  }
+
+  test("crash walk: mid-swap heals to v2; readers never delete a tmp; writers clean debris") {
+    import spark.implicits._
+    val idx = "/tmp/graft_lex_crash"
+    wipe(idx); wipe(idx + "_stage")
+    def corpus(tag: String) = (0L until 30L).map { i =>
+      (i, s"alpha bravo $tag t$i charlie delta", "s") }
+      .toDF("doc_id", "text", "source")
+    LexIndex.writeLexIndexFrom(corpus("vone"), idx)
+    // v2 staged complete, live dir set aside — the mid-swap crash state
+    LexIndex.writeLexIndexFrom(corpus("vtwo"), idx + "_stage")
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(p, new org.apache.hadoop.fs.Path(idx + "__swap_old"))
+    fs.rename(new org.apache.hadoop.fs.Path(idx + "_stage"),
+      new org.apache.hadoop.fs.Path(idx + "__lex_tmp"))
+    // the next read heals to the complete v2 generation: the v2-only
+    // term matches, the v1-only term is gone
+    assert(LexIndex.searchBm25Against(spark, idx, "vtwo").count() > 0,
+      "healed store must be the complete v2 generation")
+    assert(LexIndex.searchBm25Against(spark, idx, "vone").count() == 0,
+      "v1 postings must not survive the healed swap")
+    // partial tmp (no root _SUCCESS) next to the live store: readers
+    // serve the live store and leave the tmp (may be a live writer's);
+    // the next writer entry cleans it
+    val tmp = new org.apache.hadoop.fs.Path(idx + "__lex_tmp")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "postings"))
+    assert(LexIndex.searchBm25Against(spark, idx, "vtwo").count() > 0)
+    assert(fs.exists(tmp), "a reader must never delete a tmp")
+    LexIndex.writeLexIndexFrom(corpus("vthree"), idx)
+    assert(!fs.exists(tmp), "writer entry must clean partial tmp debris")
+    assert(LexIndex.searchBm25Against(spark, idx, "vthree").count() > 0)
+  }
+}

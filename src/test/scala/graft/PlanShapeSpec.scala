@@ -315,6 +315,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spansScans == 0 && sp.contains("ExistingRDD"),
       s"dedup_spans must read its one pass through the checkpointed " +
         s"base, got $spansScans direct scans:\n${sp.take(3000)}")
+    // the DESTRUCTIVE form: the gram pass lives in the checkpointed
+    // fixed-width (doc, start, hash) base (both the dup-counting and
+    // coverage consumers read it), and the token/reassembly pass is the
+    // ONE direct documents scan — a drift to a second token scan (the
+    // old count-then-rejoin shape) or a re-exploded gram side fails here
+    val (remScans, rp) = docScansOf("dedup_spans_removal")
+    assert(!rp.contains("CartesianProduct"), rp)
+    assert(remScans == 1 && rp.contains("ExistingRDD"),
+      s"dedup_spans_removal must pay one token scan plus the " +
+        s"checkpointed gram base, got $remScans direct scans:\n${rp.take(3000)}")
     val (dsirScans, dp) = docScansOf("dsir_weights")
     assert(!dp.contains("CartesianProduct"), dp)
     // the vocab side is the memoized buildVocab cache (InMemory scan) —

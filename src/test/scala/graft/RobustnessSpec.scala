@@ -130,4 +130,68 @@ class RobustnessSpec extends AnyFunSuite {
     }
     assert(out.getLong(5) == 103L, s"n_events counts all rows: ${out.getLong(5)}")
   }
+
+  test("long-document axis: a 10^6-token doc survives the per-doc buffers; " +
+      "chunk -> encode composition stays green") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // one multi-MB doc (10^6 letters-only tokens, cycled 8-word
+    // vocabulary) — the pathological single document that pressures every
+    // per-doc aggregation buffer: bpe_encode's collect_list, the dsir
+    // per-doc fold, dedup_spans' gram explosion
+    val n = 1000000
+    val vocab = Array("alpha", "bravo", "charlie", "delta",
+      "echo", "foxtrot", "golf", "hotel")
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) { if (i > 0) sb.append(' '); sb.append(vocab(i % 8)); i += 1 }
+    val docs = Seq((1L, sb.toString, "s", "en"),
+      (2L, "bravo charlie tiny", "s", "de"))
+      .toDF("doc_id", "text", "source", "lang")
+    // tokenizer trained elsewhere (the serving contract); the 8 novel
+    // words take the frozen-merge fallback on every occurrence
+    val model = "/tmp/graft_longdoc_bpe"
+    Corpus.writeBpeModel(spark, SparkTest.Sf, model)
+
+    // (a) the designed mitigation — chunk, then encode the chunks: every
+    // buffer is bounded by maxTokens, not by document length
+    val chunks = Corpus.chunkDocumentsFrom(docs, maxTokens = 512, overlap = 8)
+      .select(concat(col("doc_id"), col("chunk_idx")).cast("long").as("doc_id"),
+        col("chunk_text").as("text"), col("n_chunk_tokens"))
+      .persist()
+    // doc 2 (3 tokens) is exactly one chunk; the rest are the big doc's
+    val nChunks = chunks.count() - 1
+    assert(nChunks == math.ceil((n - 8).toDouble / 504).toLong,
+      s"chunk count: $nChunks")
+    val encChunks = Corpus.bpeEncodeAgainstFrom(spark, chunks, model)
+    val encTotal = encChunks.agg(sum("n_words")).collect()(0).getLong(0)
+    // chunks overlap by 8 tokens: each boundary re-encodes 8 words
+    assert(encTotal == n + 8L * (nChunks - 1) + 3L,
+      s"chunked encode must cover every token: $encTotal")
+    chunks.unpersist()
+
+    // (b) survival pin for the UNCHUNKED path: one 10^6-struct
+    // aggregation buffer (sorted reassembly) — bounded by doc length by
+    // design, and an 8g driver survives 10^6; chunk_documents remains
+    // the documented mitigation for docs beyond that
+    val whole = Corpus.bpeEncodeAgainstFrom(spark, docs, model)
+      .where(col("doc_id") === 1L).collect().head
+    assert(whole.getAs[Long]("n_words") == n.toLong)
+    assert(whole.getAs[Long]("n_bpe_tokens") >= n.toLong)
+
+    // (c) the gram explosion collapses map-side: the cycled vocabulary
+    // yields only 8 distinct 15-grams for the big doc, so the (doc, gram)
+    // relation is tiny even though 10^6 positional grams exploded
+    val spans = Corpus.dedupSpansFrom(docs, n = 15, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(spans(1L).getAs[Long]("n_grams") == (n - 14).toLong)
+    assert(spans(1L).getAs[Long]("n_dup_grams") == 0L,
+      "nothing cross-doc repeats here")
+
+    // (d) the dsir per-doc fold runs over DISTINCT vocab tokens (8 for
+    // the big doc), never the raw token stream
+    val dsir = Corpus.dsirWeightsFrom(docs, targetLang = "en", minCount = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(dsir(1L).getAs[Long]("n_vocab_tokens") == n.toLong)
+  }
 }
