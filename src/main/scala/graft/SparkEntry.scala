@@ -269,6 +269,13 @@ object SparkEntry {
     // spans excised from every doc, survivors reassembled in order
     "dedup_spans_removal"   -> ((s: SparkSession, d: String) =>
       Corpus.dedupSpansRemoval(s, d)),
+    // shorter grams collide more: the n=8 point removes MORE material
+    // and the whole-doc rule stops firing for 8..14-token docs
+    "dedup_spans_removal_n8" -> ((s: SparkSession, d: String) =>
+      Corpus.dedupSpansRemoval(s, d, n = 8)),
+    // UniMax water-filling token-budget allocation across sources
+    "budget_waterfill"      -> ((s: SparkSession, d: String) =>
+      Corpus.budgetWaterfill(s, d)),
     "quality_gopher"        -> ((s: SparkSession, d: String) =>
       TextOps.qualityGopher(s, d)),
     "pii_scan"              -> ((s: SparkSession, d: String) => TextOps.piiScan(s, d)),
@@ -1421,6 +1428,34 @@ object SparkEntry {
     "dedup_spans" -> dedupSpansSql(15),
     "dedup_spans_n8" -> dedupSpansSql(8),
     "dedup_spans_removal" -> dedupSpansRemovalSql(15),
+    "dedup_spans_removal_n8" -> dedupSpansRemovalSql(8),
+    // UniMax water-filling: capacity-sorted prefix sums (window order
+    // pinned NULLS FIRST to Spark's ascending default), the level is one
+    // IEEE division of exact integers, the chosen segment is the first
+    // rank whose candidate fits under its own capacity (scalar subquery
+    // over the MATERIALIZED multi-referenced CTE)
+    "budget_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source,
+        |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS cap
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |l AS MATERIALIZED (
+        |  SELECT source, cap,
+        |         CAST(row_number() OVER (ORDER BY cap, source NULLS FIRST) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS m,
+        |         (CAST(26000 AS DOUBLE) -
+        |          CAST(coalesce(sum(cap) OVER (ORDER BY cap, source NULLS FIRST
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE))
+        |           / CAST(m - rk + 1 AS DOUBLE) AS lvl
+        |  FROM caps),
+        |sel AS (SELECT (SELECT lvl FROM l WHERE lvl <= CAST(cap AS DOUBLE)
+        |                ORDER BY rk LIMIT 1) AS level)
+        |SELECT source, cap AS cap_tokens,
+        |       round(CASE WHEN sel.level IS NULL THEN CAST(cap AS DOUBLE)
+        |                  ELSE least(CAST(cap AS DOUBLE), sel.level) END, 6) AS alloc_tokens,
+        |       round(sel.level, 6) AS level,
+        |       (sel.level IS NULL OR CAST(cap AS DOUBLE) <= sel.level) AS is_saturated
+        |FROM l CROSS JOIN sel""".stripMargin,
     "ingest_errors" -> ingestErrorsSql(
       "2024-01-02 00:00:00", "2024-01-29 00:00:00", "%1%", 500),
     "ingest_errors_window" -> ingestErrorsSql(

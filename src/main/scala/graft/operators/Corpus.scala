@@ -797,6 +797,65 @@ object Corpus {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** UniMax-style water-filling budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling"): given each
+    * source's token capacity and a total token budget, allocate as
+    * UNIFORMLY as possible subject to capacities — every source gets
+    * min(capacity, level), where the water level solves
+    * Σ min(cap_i, level) = budget. Small sources keep everything;
+    * large sources are capped at the shared level — the principled
+    * alternative to proportional mixing when over-sampling big web
+    * sources hurts (the allocation this emits is what
+    * [[corpusTokenBudget]] then enforces per source).
+    *
+    * Closed form over capacity-sorted sources: with the k smallest
+    * saturated, level_k = (budget − S_k)/(m − k); the correct segment is
+    * the first rank where level ≤ its own capacity. Everything after
+    * the capacity aggregation is DIMENSION-sized (|sources| rows): the
+    * rank/prefix windows run on one constant partition bounded by the
+    * source count, and the chosen level rides back as a broadcast 1-row
+    * aggregate. Determinism: capacities are exact integer sums; the
+    * level is one IEEE division of integers, identical both engines;
+    * window order (cap, source NULLS FIRST) is pinned — Spark's
+    * ascending default — and a NULL source is a real group. A budget
+    * ≥ total capacity leaves every source saturated (NULL level, the
+    * oracle's scalar-subquery-over-empty semantics). */
+  def budgetWaterfill(spark: SparkSession, dir: String,
+      budget: Long = 26000L): DataFrame =
+    budgetWaterfillFrom(Tables.documents(spark, dir), budget)
+
+  private[graft] def budgetWaterfillFrom(documents: DataFrame,
+      budget: Long): DataFrame = {
+    val caps = documents.where(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(TextFns.wsTokenCount(col("text"))).cast("long").as("cap"))
+    val byCap = Window.partitionBy(lit(0))
+      .orderBy(col("cap"), col("source"))
+    val ranked = caps
+      .withColumn("rk", row_number().over(byCap).cast("long"))
+      .withColumn("scum",
+        sum(col("cap")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .withColumn("lvl",
+        (lit(budget).cast("double") - coalesce(col("scum"), lit(0L)).cast("double")) /
+          (col("m") - col("rk") + 1).cast("double"))
+    // the first rank whose candidate level fits under its own capacity
+    // starts the unsaturated segment; no such rank → budget covers all
+    val sel = broadcast(ranked
+      .where(col("lvl") <= col("cap").cast("double"))
+      .agg(min(struct(col("rk"), col("lvl"))).as("s"))
+      .select(col("s.lvl").as("level")))
+    ranked.crossJoin(sel)
+      .select(col("source"), col("cap").as("cap_tokens"),
+        round(when(col("level").isNull, col("cap").cast("double"))
+          .otherwise(least(col("cap").cast("double"), col("level"))), 6)
+          .as("alloc_tokens"),
+        round(col("level"), 6).as("level"),
+        coalesce(col("level").isNull ||
+          col("cap").cast("double") <= col("level"), lit(false))
+          .as("is_saturated"))
+  }
+
   /** Weighted sampling WITHOUT replacement, probability ∝ weight —
     * Efraimidis–Spirakis A-ES in its exponential-race form: each doc
     * draws a deterministic uniform u ∈ (0,1] from the pinned md5 family

@@ -16,10 +16,15 @@ import graft.functions.TextFns
   *
   * Layout (one [[graft.sources.IO.publishStore]] generation — crash-safe
   * as a consistent pair, like every store here):
-  *   path/stats       1 row (total_len, n_docs) — the corpus constants
+  *   path/stats       one (inc_id, total_len, n_docs) row per write
+  *                    (full build + appends); the corpus constants are
+  *                    exact-integer SUMS over these rows at read time
   *   path/postings    (term, doc_id, tf, dl) directory-partitioned by
   *                    tb = md5_number_lower(term) mod [[TermBuckets]],
-  *                    one file per non-empty bucket
+  *                    one file per non-empty bucket per write
+  * Increments ([[appendLexIndex]]) move new posting files INSIDE the
+  * bucket directories and add one stats row — build I/O ∝ the increment,
+  * never a rewrite of prior data (the IVF-append shape).
   *
   * A query batch reads ONLY the bucket directories its own terms hash to
   * (≤ |terms| of [[TermBuckets]] — partition-pruned like the signature
@@ -58,6 +63,40 @@ object LexIndex {
         org.apache.spark.unsafe.types.UTF8String.fromString(term)),
       TermBuckets.toLong).toInt
 
+  /** The (term, doc_id, tf, dl) posting relation of a corpus slice —
+    * shared by the full build and the append path so both lay
+    * byte-identical rows. */
+  private[graft] def postingsOf(documents: DataFrame): DataFrame = {
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    documents.where(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+      .withColumn("tb", bucketCol(col("term")))
+  }
+
+  /** One stats row per WRITE (full build or increment): the corpus
+    * constants are sums over these rows at read time. `inc_id` is a
+    * deterministic content key (order-free doc-id hash-sum + count), so
+    * a crash-REPLAYED append lays a byte-identical row the read side
+    * drops as a duplicate — the stats analog of the posting-row entity
+    * collapse. */
+  private[graft] def statsOf(documents: DataFrame): DataFrame = {
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    documents.where(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"))
+      // XOR fold, not SUM: order-free like sum but can never overflow
+      // (an ANSI-mode long-sum of full-range xxhash64 draws aborts)
+      .agg(
+        concat_ws("_",
+          coalesce(expr("bit_xor(xxhash64(CAST(doc_id AS STRING)))"), lit(0L)),
+          count(lit(1))).as("inc_id"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_len"),
+        count(lit(1)).cast("long").as("n_docs"))
+  }
+
   /** Build + persist the inverted index for a corpus. */
   def writeLexIndex(spark: SparkSession, dir: String, path: String): Unit =
     writeLexIndexFrom(Tables.documents(spark, dir), path)
@@ -65,26 +104,91 @@ object LexIndex {
   private[graft] def writeLexIndexFrom(documents: DataFrame,
       path: String): Unit = {
     val spark = documents.sparkSession
-    val docs = documents.where(col("text").isNotNull)
-    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.IO.publishStore(spark, path, "__lex_tmp") { tmp =>
-      // corpus constants over ALL docs (dl = raw whitespace-token count,
-      // the searchBm25 definition — an empty text is one empty token)
-      docs.select(size(toks).cast("long").as("dl"))
-        .agg(sum(col("dl")).cast("long").as("total_len"),
-          count(lit(1)).cast("long").as("n_docs"))
+      // a crashed append's COMPLETE tmp is promoted into the OLD
+      // generation first (the IVF writer-entry contract): the rebuild
+      // supersedes the whole store either way, and no append tmp can
+      // leak into the new generation
+      recoverLexAppend(fs, p)
+      statsOf(documents)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
-      docs.select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
-        .withColumn("tb", bucketCol(col("term")))
+      postingsOf(documents)
         // one file per bucket directory (the repartition key IS the
         // partition key), not numShufflePartitions files in each
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
     }
+  }
+
+  /** Append a corpus increment to a persisted index — build I/O and
+    * compute ∝ the increment: new posting files land INSIDE the existing
+    * bucket directories via per-file rename (the IVF append shape), and
+    * one stats row lands in the stats directory; the read side sums
+    * stats rows (exact longs) and entity-collapses posting rows, so a
+    * served query over the appended store is BIT-identical to a full
+    * rebuild over the union corpus. Crash contract = the IVF append's:
+    * the increment writes COMPLETE to a tmp (root _SUCCESS), then files
+    * move; a crashed move RESUMES at the next writer entry (readers are
+    * passive and serve the last complete state); a replayed append lays
+    * byte-identical rows that the read side collapses. Single-flight
+    * writers, like every store here. */
+  def appendLexIndex(spark: SparkSession, path: String,
+      newDocs: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__lex_tmp"))
+    recoverLexAppend(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"cannot append to a missing lexical index at $path — " +
+        "build one with writeLexIndex")
+    val tmp = new org.apache.hadoop.fs.Path(path + "__append_tmp")
+    postingsOf(newDocs)
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
+    statsOf(newDocs).coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    promoteLexAppend(fs, tmp, p)
+  }
+
+  /** Move a COMPLETE append tmp's files into the live store. Idempotent:
+    * part-file names are job-unique and each renames at most once —
+    * re-running after a crash moves whatever remains. */
+  private def promoteLexAppend(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path): Unit = {
+    def moveFiles(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit = {
+      if (!fs.exists(from)) return
+      fs.mkdirs(to)
+      fs.listStatus(from).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("tb="))
+          moveFiles(st.getPath,
+            new org.apache.hadoop.fs.Path(to, st.getPath.getName))
+        else if (st.isFile && !st.getPath.getName.startsWith("_"))
+          if (!fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(to, st.getPath.getName)))
+            sys.error(s"append: cannot move ${st.getPath} into $to")
+      }
+    }
+    moveFiles(new org.apache.hadoop.fs.Path(tmp, "postings"),
+      new org.apache.hadoop.fs.Path(p, "postings"))
+    moveFiles(new org.apache.hadoop.fs.Path(tmp, "stats"),
+      new org.apache.hadoop.fs.Path(p, "stats"))
+    fs.delete(tmp, true)
+  }
+
+  /** WRITER-entry healing for a crashed append: a tmp with the root
+    * _SUCCESS is a complete increment — resume its move; one without is
+    * partial debris — drop it (the caller replays the batch). Never runs
+    * from the read path (the IVF reader contract). */
+  private def recoverLexAppend(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__append_tmp")
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      promoteLexAppend(fs, tmp, p)
+    else if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Serve a BM25 query from a persisted [[writeLexIndex]] store — no
@@ -98,7 +202,21 @@ object LexIndex {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
       s"no lexical index at $path (write one with writeLexIndex)")
     val terms = Corpus.bm25Terms(query)
-    val postings = spark.read.parquet(s"$path/postings")
+    // an EMPTY corpus writes a postings dir with no data files
+    // (partitionBy of zero rows) — schema inference fails there, and the
+    // correct serving result is the empty relation with the store's
+    // canonical posting schema
+    val postings = try spark.read.parquet(s"$path/postings") catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("term", StringType),
+            StructField("tf", LongType), StructField("dl", LongType),
+            StructField("tb", IntegerType))))
+    }
     // an all-whitespace query has no terms: empty result, index-typed
     // schema (the searchBm25 empty-branch contract)
     if (terms.isEmpty)
@@ -111,9 +229,19 @@ object LexIndex {
       .where(col("tb").isin(tbs.map(Int.box): _*)) // partition pruning
       .where(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      // a crash-REPLAYED append lays byte-identical posting rows — the
+      // engine-wide at-least-once contract collapses them at the
+      // consumer (the distinct runs over the PRUNED read only)
+      .distinct()
     val dfRel = broadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df")))
-    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    // corpus constants = exact-integer sums over the per-write stats
+    // rows (full build + any appends), duplicate increments dropped by
+    // their content key
+    val stats = broadcast(spark.read.parquet(s"$path/stats")
+      .dropDuplicates("inc_id")
+      .agg(coalesce(sum(col("total_len")), lit(0L)).cast("long").as("total_len"),
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs")))
     Corpus.bm25Rank(tf, dfRel, stats, terms, topK, k1, b)
   }
 

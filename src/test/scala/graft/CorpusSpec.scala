@@ -533,6 +533,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaQuery.toSeq == tabR, "query path diverges from distributed core")
   }
 
+  test("budget_waterfill: water-filling laws — caps respected, budget exactly spent") {
+    import spark.implicits._
+    def doc(id: Long, n: Int, src: String) =
+      (id, (1 to n).map(_ => "w").mkString(" "), src)
+    val docs = Seq(doc(1, 10, "small"), doc(2, 50, "mid"),
+      doc(3, 200, "big"), doc(4, 200, "big2"))
+      .toDF("doc_id", "text", "source")
+    // budget 160: 'small' saturates (cap 10 < candidate 40), then
+    // level = (160-10)/3 = 50 — 'mid' sits exactly AT the level
+    // (boundary-saturated), the two big sources are capped at 50
+    val out = Corpus.budgetWaterfillFrom(docs, 160L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("small").getAs[Double]("alloc_tokens") == 10.0 &&
+      out("small").getAs[Boolean]("is_saturated"))
+    assert(out("mid").getAs[Double]("alloc_tokens") == 50.0 &&
+      out("mid").getAs[Boolean]("is_saturated"))
+    Seq("big", "big2").foreach { s =>
+      assert(out(s).getAs[Double]("alloc_tokens") == 50.0 &&
+        !out(s).getAs[Boolean]("is_saturated"), s"$s: ${out(s)}")
+    }
+    assert(out.values.map(_.getAs[Double]("alloc_tokens")).sum == 160.0,
+      "the budget is spent exactly")
+    // budget beyond total capacity: every source saturated, NULL level
+    val all = Corpus.budgetWaterfillFrom(docs, 10000L).collect()
+    assert(all.forall(r => r.getAs[Boolean]("is_saturated") &&
+      r.isNullAt(r.fieldIndex("level")) &&
+      r.getAs[Double]("alloc_tokens") == r.getAs[Long]("cap_tokens").toDouble))
+    // budget below m × min cap: pure uniform split, nobody saturated
+    val uni = Corpus.budgetWaterfillFrom(docs, 8L).collect()
+    assert(uni.forall(r => r.getAs[Double]("alloc_tokens") == 2.0 &&
+      !r.getAs[Boolean]("is_saturated")))
+    // real corpus: allocations never exceed caps; spend == budget when
+    // the budget is binding
+    val real = Corpus.budgetWaterfill(spark, Sf).collect()
+    assert(real.forall(r => r.getAs[Double]("alloc_tokens") <=
+      r.getAs[Long]("cap_tokens").toDouble + 1e-9))
+    val spend = real.map(_.getAs[Double]("alloc_tokens")).sum
+    val total = real.map(_.getAs[Long]("cap_tokens")).sum.toDouble
+    if (total > 26000.0) assert(math.abs(spend - 26000.0) < 1e-3,
+      s"binding budget must be spent exactly: $spend")
+    else assert(spend == total)
+  }
+
   test("bpe distributed trainer survives a realistic merge budget (128 merges)") {
     import spark.implicits._
     // enough pair material that 128 merges never exhaust: 80 distinct

@@ -107,6 +107,77 @@ class LexIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("append extends the index; served equals a full rebuild over the union; replays collapse") {
+    import spark.implicits._
+    val idx = "/tmp/graft_lex_append"
+    val full = "/tmp/graft_lex_append_full"
+    wipe(idx); wipe(full)
+    def corpus(ids: Range, tag: String) = ids.map { i =>
+      (i.toLong, s"alpha bravo $tag word$i charlie", "s") }
+      .toDF("doc_id", "text", "source")
+    val base = corpus(0 until 40, "base")
+    val inc = corpus(100 until 110, "fresh")
+    LexIndex.writeLexIndexFrom(base, idx)
+    LexIndex.appendLexIndex(spark, idx, inc)
+    LexIndex.writeLexIndexFrom(base.unionByName(inc), full)
+    // served over the appended store == a full rebuild over the union ==
+    // the corpus-scan path (stats sum exactly; df from collapsed postings)
+    Seq("alpha", "fresh charlie", "bravo word105").foreach { q =>
+      val app = rows(LexIndex.searchBm25Against(spark, idx, q))
+      val reb = rows(LexIndex.searchBm25Against(spark, full, q))
+      val scan = rows(Corpus.searchBm25From(base.unionByName(inc), q, 10))
+      assert(app == reb, s"append-served($q) != rebuild-served($q)")
+      assert(app == scan, s"append-served($q) != scan path($q)")
+      assert(app.nonEmpty)
+    }
+    // REPLAYED append (same logical batch twice): byte-identical posting
+    // rows and an identical-inc_id stats row — the read side collapses
+    // both, so the replay is a no-op
+    LexIndex.appendLexIndex(spark, idx, inc)
+    Seq("alpha", "fresh charlie").foreach { q =>
+      assert(rows(LexIndex.searchBm25Against(spark, idx, q)) ==
+        rows(LexIndex.searchBm25Against(spark, full, q)),
+        s"replayed append must be a read-side no-op ($q)")
+    }
+  }
+
+  test("a crashed append resumes at the next writer entry; readers stay passive") {
+    import spark.implicits._
+    val idx = "/tmp/graft_lex_appcrash"
+    wipe(idx)
+    def corpus(ids: Range, tag: String) = ids.map { i =>
+      (i.toLong, s"alpha bravo $tag word$i charlie", "s") }
+      .toDF("doc_id", "text", "source")
+    LexIndex.writeLexIndexFrom(corpus(0 until 30, "base"), idx)
+    // hand-build the crash state: a COMPLETE increment tmp (root
+    // _SUCCESS) that died before any file moved
+    val inc = corpus(500 until 505, "crashinc")
+    LexIndex.postingsOf(inc).repartition(col("tb"))
+      .write.partitionBy("tb").parquet(idx + "__append_tmp/postings")
+    LexIndex.statsOf(inc).coalesce(1)
+      .write.parquet(idx + "__append_tmp/stats")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(idx + "__append_tmp")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    // a READER serves the last complete state and leaves the tmp alone
+    assert(LexIndex.searchBm25Against(spark, idx, "crashinc").count() == 0,
+      "a reader must not see (or promote) a crashed increment")
+    assert(fs.exists(tmp), "a reader must never delete an append tmp")
+    // the next WRITER entry resumes the crashed move, then lands its own
+    // increment — both become visible at once
+    LexIndex.appendLexIndex(spark, idx, corpus(600 until 602, "later"))
+    assert(LexIndex.searchBm25Against(spark, idx, "crashinc").count() > 0,
+      "writer entry must promote the crashed increment")
+    assert(LexIndex.searchBm25Against(spark, idx, "later").count() > 0)
+    assert(!fs.exists(tmp), "promoted append tmp must be gone")
+    // appending to a MISSING index fails loudly, it cannot invent one
+    intercept[IllegalArgumentException] {
+      LexIndex.appendLexIndex(spark, "/tmp/graft_lex_nonexistent", inc)
+    }
+    ()
+  }
+
   test("crash walk: mid-swap heals to v2; readers never delete a tmp; writers clean debris") {
     import spark.implicits._
     val idx = "/tmp/graft_lex_crash"
