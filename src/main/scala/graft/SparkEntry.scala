@@ -240,6 +240,12 @@ object SparkEntry {
     "search_hybrid_rrf_served" -> ((s: SparkSession, d: String) =>
       Embeddings.searchHybridRrfServed(s, d, LexIndex.servedIndexPath(s, d),
         query = "data stream sort", qvecId = 11)),
+    // query-BATCH serving: one pruned postings read for three queries
+    // (one of them hitting nothing — its leg is empty)
+    "search_bm25_batch"     -> ((s: SparkSession, d: String) =>
+      LexIndex.searchBm25BatchAgainst(s, LexIndex.servedIndexPath(s, d),
+        Seq(1L -> "spark join window customer", 2L -> "data stream sort",
+          3L -> "zqxjkv"), topK = 5)),
     "sample_weighted"       -> ((s: SparkSession, d: String) =>
       Corpus.sampleWeighted(s, d)),
     "corpus_token_budget"   -> ((s: SparkSession, d: String) =>
@@ -555,6 +561,17 @@ object SparkEntry {
        |  ORDER BY score DESC, doc_id
        |  LIMIT $topK)""".stripMargin
   }
+
+  /** Batch-serving oracle: the per-query BM25 chains (each scoped in its
+    * own WITH subquery) tagged with qid and UNION ALL'd — served batch
+    * results are per-query bit-identical to the scan path, so the union
+    * of the scan oracles IS the batch oracle. */
+  private def searchBm25BatchSql(qs: Seq[(Long, String)], topK: Int): String =
+    qs.map { case (qid, q) =>
+      s"""SELECT CAST($qid AS BIGINT) AS qid, doc_id, n_terms, score, rk
+         |FROM (WITH ${bm25Ctes(q, topK)}
+         |SELECT doc_id, n_terms, score, rk FROM bm25r)""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** RRF fusion oracle (mirror of
     * [[graft.operators.Embeddings.searchHybridRrf]]): the BM25 chain at
@@ -2682,6 +2699,9 @@ object SparkEntry {
     // verifies it — on a DIFFERENT query/k point so the two entries
     // aren't one result checked twice
     "search_bm25_served" -> searchBm25Sql("customer window order part", 5),
+    "search_bm25_batch" -> searchBm25BatchSql(
+      Seq(1L -> "spark join window customer", 2L -> "data stream sort",
+        3L -> "zqxjkv"), 5),
     "search_hybrid_rrf" ->
       searchHybridRrfSql("spark join window customer", 7, 50, 10, 60),
     "search_hybrid_rrf_served" ->

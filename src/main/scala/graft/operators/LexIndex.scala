@@ -245,6 +245,53 @@ object LexIndex {
     Corpus.bm25Rank(tf, dfRel, stats, terms, topK, k1, b)
   }
 
+  /** Query-BATCH serving from a persisted index — the shape a production
+    * retriever actually runs (the IVF serve's `queries` relation, on the
+    * lexical side): ONE postings read pruned to the union of every
+    * query's term buckets, lineage-cut at the collapsed (doc, term, tf,
+    * dl) base so each query's ranking stage reads the shared base
+    * instead of re-scanning the store per query; df and the pinned
+    * per-query scoring chain are per-query dimension-sized work. Each
+    * (qid, query) contributes its exact [[searchBm25Against]] rows
+    * tagged with qid — bit-identical to serving the queries one at a
+    * time (and to the corpus-scan path), so the oracle is a UNION ALL of
+    * the per-query chains. Queries with no terms contribute nothing. */
+  def searchBm25BatchAgainst(spark: SparkSession, path: String,
+      queries: Seq[(Long, String)], topK: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val perQ = queries.map { case (qid, q) => (qid, Corpus.bm25Terms(q)) }
+      .filter(_._2.nonEmpty)
+    if (perQ.isEmpty)
+      return searchBm25Against(spark, path, "")
+        .select(lit(null).cast("long").as("qid"), col("*")).limit(0)
+    val fs = graft.sources.IO.readableStore(spark, path, "__lex_tmp")
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"no lexical index at $path (write one with writeLexIndex)")
+    val allTerms = perQ.flatMap(_._2).distinct.sorted
+    val tbs = allTerms.map(bucketOf).distinct.sorted
+    val base = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(tbs.map(Int.box): _*)) // one pruned read
+      .where(col("term").isin(allTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .distinct()
+      // lazy lineage cut (the cmsWithThreshold pattern): each query's
+      // term filter would otherwise push into its own copy of the scan
+      // and the store would be read once per query
+      .localCheckpoint(false)
+    val stats = broadcast(spark.read.parquet(s"$path/stats")
+      .dropDuplicates("inc_id")
+      .agg(coalesce(sum(col("total_len")), lit(0L)).cast("long").as("total_len"),
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs")))
+    perQ.map { case (qid, terms) =>
+      val tf = base.where(col("term").isin(terms: _*))
+      val dfRel = broadcast(
+        tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df")))
+      Corpus.bm25Rank(tf, dfRel, stats, terms, topK, k1, b)
+        .select(lit(qid).as("qid"), col("doc_id"), col("n_terms"),
+          col("score"), col("rk"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Session memo of a built index per corpus dir: the registered
     * `_served` queries build the store ONCE per (session, corpus) under
     * the JVM temp dir and every later call serves from it — the

@@ -52,12 +52,17 @@ class DeploymentGraphSpec extends AnyFunSuite {
     val tile = s"$base/hll_tile"
     val model = s"$base/bpe_model"; val enc = s"$base/bpe_encoded"
     val spikes = s"$base/spike_alerts"; val shapes = s"$base/shape_alerts"
+    val lexIdx = s"$base/lex_index"
     new java.io.File(evDir).mkdirs(); new java.io.File(docDir).mkdirs()
     // the tokenizer is trained ONCE (on the reference corpus) and
     // persisted BEFORE the stream starts — the durable-model serving
     // contract: micro-batches encode fit-free, novel words take the
     // frozen fallback
     graft.operators.Corpus.writeBpeModel(spark, SparkTest.Sf, model)
+    // the lexical index starts EMPTY (a real deployment's day zero) —
+    // micro-batches grow it via appends only
+    graft.operators.LexIndex.writeLexIndexFrom(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), lexIdx)
 
     // ---- the graph ----------------------------------------------------
     val evSchema = StructType(Seq(
@@ -124,7 +129,19 @@ class DeploymentGraphSpec extends AnyFunSuite {
         .option("path", shapes)
         .option("checkpointLocation", s"$base/ckpt_shapes")
         .outputMode("append").start()
-      Seq(attrQ, dedupQ, hllQ, encQ, spikeQ, tmplQ)
+      // sixth leg — continuous retrieval-index maintenance (the
+      // reference's add_logs loop, faiss_db.py:52-58, on the lexical
+      // side): each micro-batch of redacted docs appends its postings
+      // increment at increment cost; a crash-replayed batch lays
+      // byte-identical rows the read side collapses, so the leg is
+      // exactly-once at the serving surface
+      val lexQ = docs.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.operators.LexIndex.appendLexIndex(spark, lexIdx,
+            b.select(col("doc_id"), col("text")))
+        }
+        .option("checkpointLocation", s"$base/ckpt_lex").start()
+      Seq(attrQ, dedupQ, hllQ, encQ, spikeQ, tmplQ, lexQ)
     }
 
     // ---- the feed -----------------------------------------------------
@@ -185,6 +202,9 @@ class DeploymentGraphSpec extends AnyFunSuite {
     assert(victimLeaf.renameTo(
       new java.io.File(victimLeaf.getParentFile, victimLeaf.getName + "__swap_old")))
     new java.io.File(store + "__merge_tmp/pe=0").mkdirs()
+    // lexical index: a PARTIAL append tmp (no _SUCCESS) — debris of an
+    // append that died mid-write; the next writer entry must drop it
+    new java.io.File(lexIdx + "__append_tmp/postings").mkdirs()
 
     // batches 3 and 4 land while the graph is DOWN
     feedEvents("b3", Seq((103L, 3L, "2024-07-01 12:20:00", "view"),
@@ -342,5 +362,25 @@ class DeploymentGraphSpec extends AnyFunSuite {
     assert(streamedShapes.nonEmpty &&
       streamedShapes.size == streamedShapes.map(_.take(2)).size,
       "exactly one alert per shape")
+
+    // 9) the lexical-index leg: the continuously-appended store serves
+    //    BM25 BIT-identically to the corpus-scan path over everything
+    //    fed (same redaction first) — grown from an EMPTY day-zero index
+    //    purely by increments, across the crash/restart, with the
+    //    injected partial append tmp dropped at the first writer entry
+    assert(!new java.io.File(lexIdx + "__append_tmp").exists(),
+      "partial append debris must be dropped at the next writer entry")
+    Seq(("a5 b7 c9", 10), ("d3 tail", 5)).foreach { case (q, k) =>
+      val served = graft.operators.LexIndex
+        .searchBm25Against(spark, lexIdx, q, topK = k)
+        .collect().map(_.toSeq).toSeq
+      val scan = graft.operators.Corpus
+        .searchBm25From(fedDocsDf, q, k)
+        .collect().map(_.toSeq).toSeq
+      assert(served == scan,
+        s"append-grown index must serve the scan-path result ($q):\n" +
+          s" served=$served\n scan  =$scan")
+      assert(served.nonEmpty, s"$q must hit")
+    }
   }
 }

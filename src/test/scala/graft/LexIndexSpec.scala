@@ -107,6 +107,42 @@ class LexIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("batch serving: one pruned store read; per-query rows equal single-query serving") {
+    val idx = "/tmp/graft_lex_index"
+    if (!new java.io.File(s"$idx/stats").exists())
+      LexIndex.writeLexIndex(spark, Sf, idx)
+    val qs = Seq(1L -> "spark join window customer",
+      2L -> "data stream sort", 3L -> "zqxjkv")
+    val out = LexIndex.searchBm25BatchAgainst(spark, idx, qs, topK = 5)
+    val got = out.collect()
+    qs.foreach { case (qid, q) =>
+      val single = LexIndex.searchBm25Against(spark, idx, q, topK = 5)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+          r.getAs[Double]("score"), r.getAs[Long]("rk"))).toSet
+      val batch = got.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      assert(batch == single, s"batch leg $qid diverges from single-query serving")
+    }
+    assert(got.count(_.getLong(0) == 1L) == 5 && got.count(_.getLong(0) == 3L) == 0)
+    // the store is read ONCE through the lineage-cut base: the executed
+    // plan shows the checkpointed RDD, never a per-query postings scan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qstage: QueryStageExec => scans(qstage.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val postingScans = scans(out.queryExecution.executedPlan)
+      .count(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingScans == 0 &&
+      out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      s"batch serving must read the store once via the checkpointed base, " +
+        s"got $postingScans direct postings scans")
+  }
+
   test("append extends the index; served equals a full rebuild over the union; replays collapse") {
     import spark.implicits._
     val idx = "/tmp/graft_lex_append"
@@ -176,6 +212,40 @@ class LexIndexSpec extends AnyFunSuite {
       LexIndex.appendLexIndex(spark, "/tmp/graft_lex_nonexistent", inc)
     }
     ()
+  }
+
+  test("bucket compaction collapses append-decayed files without changing served results") {
+    import spark.implicits._
+    // appends write one file set per batch per touched bucket — the
+    // classic small-files decay of a long-running sink; IO.compact on a
+    // bucket directory is the maintenance counter-move, and it must be
+    // invisible to serving
+    val idx = "/tmp/graft_lex_compact"
+    wipe(idx)
+    def corpus(ids: Range, tag: String) = ids.map { i =>
+      (i.toLong, s"alpha bravo $tag word$i charlie", "s") }
+      .toDF("doc_id", "text", "source")
+    LexIndex.writeLexIndexFrom(corpus(0 until 20, "base"), idx)
+    (1 to 5).foreach { k =>
+      LexIndex.appendLexIndex(spark, idx, corpus(k * 100 until k * 100 + 5, s"inc$k"))
+    }
+    val before = rows(LexIndex.searchBm25Against(spark, idx, "alpha bravo inc3"))
+    // every append touched the 'alpha' bucket: ≥6 file sets live there
+    val b = LexIndex.bucketOf("alpha")
+    def files(dir: String): Long = {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) 0L
+      else d.listFiles().count(_.getName.endsWith(".parquet")).toLong
+    }
+    val nBefore = files(s"$idx/postings/tb=$b")
+    assert(nBefore >= 6, s"appends should have decayed the bucket: $nBefore")
+    val (was, now) = graft.sources.IO.compact(spark, s"$idx/postings/tb=$b")
+    assert(was == nBefore && now < was,
+      s"compaction must shrink the bucket: $was -> $now")
+    // stats decays one tiny file per append too — same maintenance move
+    graft.sources.IO.compact(spark, s"$idx/stats")
+    val after = rows(LexIndex.searchBm25Against(spark, idx, "alpha bravo inc3"))
+    assert(after == before, "compaction must be invisible to serving")
   }
 
   test("crash walk: mid-swap heals to v2; readers never delete a tmp; writers clean debris") {
