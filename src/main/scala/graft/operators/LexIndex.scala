@@ -202,21 +202,7 @@ object LexIndex {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
       s"no lexical index at $path (write one with writeLexIndex)")
     val terms = Corpus.bm25Terms(query)
-    // an EMPTY corpus writes a postings dir with no data files
-    // (partitionBy of zero rows) — schema inference fails there, and the
-    // correct serving result is the empty relation with the store's
-    // canonical posting schema
-    val postings = try spark.read.parquet(s"$path/postings") catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("doc_id", LongType), StructField("term", StringType),
-            StructField("tf", LongType), StructField("dl", LongType),
-            StructField("tb", IntegerType))))
-    }
+    val postings = readPostings(spark, path)
     // an all-whitespace query has no terms: empty result, index-typed
     // schema (the searchBm25 empty-branch contract)
     if (terms.isEmpty)
@@ -245,6 +231,24 @@ object LexIndex {
     Corpus.bm25Rank(tf, dfRel, stats, terms, topK, k1, b)
   }
 
+  /** The postings relation of a store, shared by BOTH serving paths. An
+    * EMPTY corpus writes a postings dir with no data files (partitionBy
+    * of zero rows) — schema inference fails there, and the correct
+    * serving result is the empty relation with the store's canonical
+    * posting schema. */
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(s"$path/postings") catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("term", StringType),
+            StructField("tf", LongType), StructField("dl", LongType),
+            StructField("tb", IntegerType))))
+    }
+
   /** Query-BATCH serving from a persisted index — the shape a production
     * retriever actually runs (the IVF serve's `queries` relation, on the
     * lexical side): ONE postings read pruned to the union of every
@@ -269,7 +273,7 @@ object LexIndex {
       s"no lexical index at $path (write one with writeLexIndex)")
     val allTerms = perQ.flatMap(_._2).distinct.sorted
     val tbs = allTerms.map(bucketOf).distinct.sorted
-    val base = spark.read.parquet(s"$path/postings")
+    val base = readPostings(spark, path)
       .where(col("tb").isin(tbs.map(Int.box): _*)) // one pruned read
       .where(col("term").isin(allTerms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
