@@ -221,15 +221,18 @@ object LexIndex {
       .distinct()
     val dfRel = broadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df")))
-    // corpus constants = exact-integer sums over the per-write stats
-    // rows (full build + any appends), duplicate increments dropped by
-    // their content key
-    val stats = broadcast(spark.read.parquet(s"$path/stats")
+    Corpus.bm25Rank(tf, dfRel, readStats(spark, path), terms, topK, k1, b)
+  }
+
+  /** The corpus constants of a store: exact-integer sums over the
+    * per-write stats rows (full build + any appends), duplicate
+    * increments dropped by their content key. ONE definition for both
+    * serving paths — a drift here would silently mis-normalize scores. */
+  private def readStats(spark: SparkSession, path: String): DataFrame =
+    broadcast(spark.read.parquet(s"$path/stats")
       .dropDuplicates("inc_id")
       .agg(coalesce(sum(col("total_len")), lit(0L)).cast("long").as("total_len"),
         coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs")))
-    Corpus.bm25Rank(tf, dfRel, stats, terms, topK, k1, b)
-  }
 
   /** The postings relation of a store, shared by BOTH serving paths. An
     * EMPTY corpus writes a postings dir with no data files (partitionBy
@@ -282,10 +285,7 @@ object LexIndex {
       // term filter would otherwise push into its own copy of the scan
       // and the store would be read once per query
       .localCheckpoint(false)
-    val stats = broadcast(spark.read.parquet(s"$path/stats")
-      .dropDuplicates("inc_id")
-      .agg(coalesce(sum(col("total_len")), lit(0L)).cast("long").as("total_len"),
-        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs")))
+    val stats = readStats(spark, path)
     perQ.map { case (qid, terms) =>
       val tf = base.where(col("term").isin(terms: _*))
       val dfRel = broadcast(
