@@ -153,7 +153,7 @@ object ScaleProbe {
     // the dictionary does NOT (clones add frequency, not words), so the
     // training loop's cost is constant — growth must track the one scan
     def bpeT(df: DataFrame): DataFrame = {
-      val (_, d0, dN) = graft.operators.Corpus.bpeTrainCore(df, 12)
+      val (_, d0, dN, _) = graft.operators.Corpus.bpeTrainCore(df, 12)
       d0.unpersist()
       dN
     }

@@ -31,8 +31,9 @@ object Corpus {
     vocabMemo.filterInPlace { case ((s, _, _, _), df) =>
       if (s eq spark) { df.unpersist(); false } else true
     }
-    bpeMemo.filterInPlace { case ((s, _, _), (_, df)) =>
-      if (s eq spark) { df.unpersist(); false } else true
+    bpeMemo.filterInPlace { case ((s, _, _), (_, df, cutId)) =>
+      if (s eq spark) { df.unpersist(); freeCheckpoint(s, cutId); false }
+      else true
     }
   }
 
@@ -1090,21 +1091,37 @@ object Corpus {
 
   /** Session memo of a trained BPE state per (corpus, merges): the merge
     * table plus the fully-merged word dictionary (persisted — bpe_train
-    * and bpe_encode share one training run, the [[vocabMemo]] pattern). */
+    * and bpe_encode share one training run, the [[vocabMemo]] pattern).
+    * The third slot is the distributed trainer's FINAL lineage-cut RDD id
+    * (None on the driver path): the persisted dictionary may read through
+    * that checkpoint on recompute, so it stays pinned for the entry's
+    * lifetime and is freed with the entry — without it one dictionary
+    * copy per (session, dir, merges ≥ [[BpeCutEvery]]) leaked until
+    * session end. */
   private val bpeMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String, Int), (Seq[(Int, String, String, Long)], DataFrame)]
+    (SparkSession, String, Int),
+    (Seq[(Int, String, String, Long)], DataFrame, Option[Int])]
+
+  /** Drop a lineage-cut checkpoint RDD's storage (no-op for None or a
+    * stopped session — stopping already released executor storage). */
+  private[graft] def freeCheckpoint(spark: SparkSession,
+      cutId: Option[Int]): Unit =
+    if (!spark.sparkContext.isStopped)
+      cutId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
 
   private def bpeMemoized(spark: SparkSession, dir: String, merges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     bpeMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
-    bpeMemo.getOrElseUpdate((spark, dir, merges), {
-      val (tab, dict0, dictN) = bpeTrainCore(
+    val (tab, dict, _) = bpeMemo.getOrElseUpdate((spark, dir, merges), {
+      val (tab, dict0, dictN, lastCut) = bpeTrainCore(
         Tables.documents(spark, dir), merges)
       val persisted = dictN.persist()
       persisted.count() // materialize before the training lineage is cut
       dict0.unpersist()
-      (tab, persisted)
+      (tab, persisted, lastCut)
     })
+    (tab, dict)
   }
 
   /** BPE tokenizer training — the classic corpus-scale merge-learning
@@ -1165,9 +1182,14 @@ object Corpus {
     out.result()
   }
 
+  /** Returns (merge table, persisted initial dictionary, final
+    * dictionary, final lineage-cut RDD id). The caller OWNS the cut RDD:
+    * the final dictionary may recompute through it, so it must stay
+    * pinned while the dictionary is live and be freed with it
+    * ([[freeCheckpoint]]) — the memo entry's lifecycle. */
   private[graft] def bpeTrainCore(documents: DataFrame, merges: Int,
       driverDictCap: Long = MaxDriverDictWords)
-      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame, Option[Int]) = {
     import org.apache.spark.sql.graft.Bridge
     val spark = documents.sparkSession
     val dict0 = documents.where(col("text").isNotNull)
@@ -1221,7 +1243,7 @@ object Corpus {
         spark.sparkContext.parallelize(
           dict.toSeq.map { case (w, f, s) => (w, f, s.toSeq) }, slices))
         .toDF("word", "freq", "syms")
-      (out.result(), dict0, dictN)
+      (out.result(), dict0, dictN, None)
     } else {
       // Lineage truncation every [[BpeCutEvery]] merges (the
       // connected-components per-round pattern, Cluster.scala): each
@@ -1269,9 +1291,11 @@ object Corpus {
           k += 1
         }
       }
-      // the final dictionary may read through the last checkpoint — it
-      // stays pinned until the caller's persist+count cuts it loose
-      (out.result(), dict0, dict)
+      // the final dictionary may read through the last checkpoint — the
+      // caller's persist+count materializes its own copy, but RECOMPUTE
+      // (evicted blocks) still reads the checkpoint, so its id is
+      // returned for the caller to pin and free with the dictionary
+      (out.result(), dict0, dict, lastCutId)
     }
   }
 

@@ -79,19 +79,24 @@ object LexIndex {
 
   /** One stats row per WRITE (full build or increment): the corpus
     * constants are sums over these rows at read time. `inc_id` is a
-    * deterministic content key (order-free doc-id hash-sum + count), so
-    * a crash-REPLAYED append lays a byte-identical row the read side
-    * drops as a duplicate — the stats analog of the posting-row entity
-    * collapse. */
+    * deterministic content key — an order-free XOR fold of each
+    * (doc_id, text) PAIR's hash, plus the row count — so ONLY a
+    * byte-identical crash-REPLAYED append lays a duplicate row the read
+    * side drops (the stats analog of the posting-row entity collapse).
+    * Folding the text in matters: a doc_id-only key would collapse two
+    * DIFFERENT increments that happen to share a doc-id multiset, and
+    * total_len/n_docs would silently under-count. */
   private[graft] def statsOf(documents: DataFrame): DataFrame = {
     val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
     documents.where(col("text").isNotNull)
-      .select(col("doc_id"), size(toks).cast("long").as("dl"))
+      .select(col("doc_id"), col("text"), size(toks).cast("long").as("dl"))
       // XOR fold, not SUM: order-free like sum but can never overflow
-      // (an ANSI-mode long-sum of full-range xxhash64 draws aborts)
+      // (an ANSI-mode long-sum of full-range xxhash64 draws aborts).
+      // NUL-separated id/text so ("ab","c") never keys like ("a","bc").
       .agg(
         concat_ws("_",
-          coalesce(expr("bit_xor(xxhash64(CAST(doc_id AS STRING)))"), lit(0L)),
+          coalesce(expr("bit_xor(xxhash64(concat(" +
+            "CAST(doc_id AS STRING), CHR(0), text)))"), lit(0L)),
           count(lit(1))).as("inc_id"),
         coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_len"),
         count(lit(1)).cast("long").as("n_docs"))
@@ -131,9 +136,23 @@ object LexIndex {
     * rebuild over the union corpus. Crash contract = the IVF append's:
     * the increment writes COMPLETE to a tmp (root _SUCCESS), then files
     * move; a crashed move RESUMES at the next writer entry (readers are
-    * passive and serve the last complete state); a replayed append lays
-    * byte-identical rows that the read side collapses. Single-flight
-    * writers, like every store here. */
+    * passive — they never heal, and any state they see is one the writer
+    * path later completes); a replayed append lays byte-identical rows
+    * that the read side collapses. Single-flight writers, like every
+    * store here.
+    *
+    * Visibility caveat (shared with the IVF append, which moves files
+    * the same way): the per-file move window is NOT atomic for readers.
+    * A reader racing a mid-promote writer can observe a strict subset of
+    * the increment's posting files, and postings-without-stats (or the
+    * reverse — stats move last, so the skew is stale corpus constants
+    * over partially-new postings), transiently biasing df/avgdl for THAT
+    * read only. The store's consistency point is promote completion;
+    * crash recovery resumes the move before the next write, so the
+    * window never outlives the writer that opened it. Serving paths that
+    * need a frozen view must snapshot (read) between writes — the
+    * engine's single-flight writer + build-then-serve usage does exactly
+    * that. */
   def appendLexIndex(spark: SparkSession, path: String,
       newDocs: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -303,12 +322,27 @@ object LexIndex {
   private val servedMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
 
+  /** Distinct raw dirs must never share a store path: the readable
+    * prefix is convenience only, the md5 of the RAW dir string is the
+    * collision-proof key (e.g. '/data/a b' vs '/data/a_b' sanitize
+    * alike), and the per-JVM nonce keeps the path unpredictable — a
+    * fixed /tmp name could be pre-created or clobbered by another user
+    * on a shared host. */
+  private lazy val jvmNonce: String = java.lang.Long.toHexString(
+    new java.security.SecureRandom().nextLong())
+
+  private[graft] def storePathFor(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_lex_${safe}_${key}_$jvmNonce").getAbsolutePath
+  }
+
   def servedIndexPath(spark: SparkSession, dir: String): String = {
     servedMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     servedMemo.getOrElseUpdate((spark, dir), {
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_lex_$safe").getAbsolutePath
+      val path = storePathFor(dir)
       // a new session always rebuilds (publishStore swaps atomically), so
       // a stale store from an earlier JVM can never serve this session
       writeLexIndex(spark, dir, path)

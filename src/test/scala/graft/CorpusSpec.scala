@@ -481,19 +481,19 @@ class CorpusSpec extends AnyFunSuite {
     // (a,a) dominates (count 2 from "aa"×2); after merging it only (a,b)
     // remains; then every word is a single symbol → early stop at 2 of 12
     val tiny = Seq((1L, "aa aa ab", "s")).toDF("doc_id", "text", "source")
-    val (tab, d0, _) = Corpus.bpeTrainCore(tiny, merges = 12)
+    val (tab, d0, _, _) = Corpus.bpeTrainCore(tiny, merges = 12)
     d0.unpersist()
     assert(tab == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)),
       s"got $tab")
     // count ties break on (lft, rgt) byte order: (x,y) before (z,w)
     val tie = Seq((1L, "xy zw xy zw", "s")).toDF("doc_id", "text", "source")
-    val (tab2, d2, _) = Corpus.bpeTrainCore(tie, merges = 2)
+    val (tab2, d2, _, _) = Corpus.bpeTrainCore(tie, merges = 2)
     d2.unpersist()
     assert(tab2.map(t => (t._2, t._3)) == Seq(("x", "y"), ("z", "w")))
     // overlapping run: [a,a,a,a] counts 3 adjacent pairs but merges
     // left-to-right non-overlapping to [aa,aa]
     val run = Seq((1L, "aaaa", "s")).toDF("doc_id", "text", "source")
-    val (tab3, d3, dN3) = Corpus.bpeTrainCore(run, merges = 1)
+    val (tab3, d3, dN3, _) = Corpus.bpeTrainCore(run, merges = 1)
     d3.unpersist()
     assert(tab3 == Seq((1, "a", "a", 3L)))
     assert(dN3.select("syms").as[Seq[String]].collect().toSeq ==
@@ -509,8 +509,8 @@ class CorpusSpec extends AnyFunSuite {
       val words = Seq.fill(6)(vocabTokens(rng.nextInt(vocabTokens.length)))
       (i, words.mkString(" "), s"s${i % 3}")
     }.toDF("doc_id", "text", "source")
-    val (tabDrv, a0, aN) = Corpus.bpeTrainCore(docs, merges = 8)
-    val (tabDst, b0, bN) = Corpus.bpeTrainCore(docs, merges = 8,
+    val (tabDrv, a0, aN, _) = Corpus.bpeTrainCore(docs, merges = 8)
+    val (tabDst, b0, bN, cut8) = Corpus.bpeTrainCore(docs, merges = 8,
       driverDictCap = 0L)
     assert(tabDrv == tabDst,
       s"merge tables diverge:\n  driver $tabDrv\n  dist   $tabDst")
@@ -524,13 +524,15 @@ class CorpusSpec extends AnyFunSuite {
     // and on the real corpus: the full query path (driver gate) equals
     // the forced-distributed core
     val real = graft.sources.Tables.documents(spark, Sf)
-    val (tabR, r0, _) = Corpus.bpeTrainCore(real, merges = 12,
+    val (tabR, r0, _, cutR) = Corpus.bpeTrainCore(real, merges = 12,
       driverDictCap = 0L)
     r0.unpersist()
     val viaQuery = Corpus.bpeTrain(spark, Sf).collect()
       .map(r => (r.getAs[Long]("rank").toInt, r.getString(1), r.getString(2),
         r.getAs[Long]("cnt")))
     assert(viaQuery.toSeq == tabR, "query path diverges from distributed core")
+    Corpus.freeCheckpoint(spark, cut8)
+    Corpus.freeCheckpoint(spark, cutR)
   }
 
   test("budget_waterfill: water-filling laws — caps respected, budget exactly spent") {
@@ -587,8 +589,8 @@ class CorpusSpec extends AnyFunSuite {
     val docs = (1L to 120L).map { i =>
       (i, Seq.fill(5)(words(rng.nextInt(words.length))).mkString(" "), "s")
     }.toDF("doc_id", "text", "source")
-    val (tabDrv, a0, aN) = Corpus.bpeTrainCore(docs, merges = 128)
-    val (tabDst, b0, bN) = Corpus.bpeTrainCore(docs, merges = 128,
+    val (tabDrv, a0, aN, _) = Corpus.bpeTrainCore(docs, merges = 128)
+    val (tabDst, b0, bN, cut128) = Corpus.bpeTrainCore(docs, merges = 128,
       driverDictCap = 0L)
     assert(tabDrv.length == 128,
       s"merge material must not exhaust before 128: ${tabDrv.length}")
@@ -610,6 +612,14 @@ class CorpusSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
     assert(dump(aN) == dump(bN), "final dictionaries diverge at 128 merges")
     a0.unpersist(); b0.unpersist()
+    // the final lineage-cut RDD is returned for the caller to free —
+    // before r16 it stayed in executor storage until session end
+    assert(cut128.isDefined, "128 distributed merges must have cut lineage")
+    assert(spark.sparkContext.getPersistentRDDs.contains(cut128.get),
+      "the final cut must still be pinned while the dictionary is live")
+    Corpus.freeCheckpoint(spark, cut128)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(cut128.get),
+      "freeCheckpoint must release the final cut's storage")
   }
 
   test("bpe_encode: lossless symbol stream, token-count bounds, coverage") {

@@ -280,4 +280,49 @@ class LexIndexSpec extends AnyFunSuite {
     assert(!fs.exists(tmp), "writer entry must clean partial tmp debris")
     assert(LexIndex.searchBm25Against(spark, idx, "vthree").count() > 0)
   }
+
+  test("inc_id is a CONTENT key: same doc-id set, different text → " +
+    "distinct stats rows (both increments count)") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "delta"), (2L, "epsilon zeta eta")).toDF("doc_id", "text")
+    def stat(df: DataFrame) = LexIndex.statsOf(df).collect().head
+    val (sa, sb) = (stat(a), stat(b))
+    // doc-id multisets are identical — a doc-id-only key would collapse
+    // these and the read-side sum would silently drop one increment
+    assert(sa.getAs[String]("inc_id") != sb.getAs[String]("inc_id"),
+      s"stats keys must differ for different content: $sa vs $sb")
+    // a byte-identical REPLAY still collapses (the at-least-once contract)
+    assert(stat(a).getAs[String]("inc_id") == sa.getAs[String]("inc_id"))
+    // and end-to-end: appending b after a must count BOTH increments
+    val idx = "/tmp/graft_lex_incid"
+    wipe(idx)
+    LexIndex.writeLexIndexFrom(a, idx)
+    LexIndex.appendLexIndex(spark, idx, b)
+    val hit = LexIndex.searchBm25Against(spark, idx, "epsilon")
+    assert(hit.count() == 1, "the second increment's postings must serve")
+    // the corpus constants (n_docs=4, total_len=7) reach the served
+    // score through idf and avgdl: a dropped stats row would shift both.
+    // Pin the closed form — idf = ln(1+(4-1+0.5)/(1+0.5)), tf=1, dl=3,
+    // avgdl = 7/4, k1=1.2, b=0.75 (score is round(·,6) on the engine).
+    val score = hit.collect().head.getAs[Double]("score")
+    val idf = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))
+    val tnorm = 1.0 * (1.2 + 1) / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 3 / (7.0 / 4)))
+    assert(math.abs(score - idf * tnorm) < 1e-6,
+      s"served score $score must normalize over BOTH increments' stats " +
+        s"(expected ${idf * tnorm})")
+  }
+
+  test("servedIndexPath is collision-proof: dirs that sanitize alike " +
+    "get distinct stores; the path is session-unpredictable") {
+    val p1 = LexIndex.storePathFor("/data/a b")
+    val p2 = LexIndex.storePathFor("/data/a_b")
+    assert(p1 != p2,
+      s"sanitize-colliding dirs must not share a store: $p1")
+    // deterministic within the JVM (the memo contract)…
+    assert(p1 == LexIndex.storePathFor("/data/a b"))
+    // …and not the bare fixed name another user could pre-create
+    assert(!p1.endsWith("graft_lex__data_a_b"),
+      "path must carry the content key + JVM nonce")
+  }
 }
