@@ -314,7 +314,18 @@ object SparkEntry {
         .as[graft.streaming.TransEvent]
       EventFlows.transitionProbabilities(
         graft.streaming.StatefulTransitions(ev).toDF())
-    })
+    }),
+    // fixed-budget PageRank over the transition graph; the registered
+    // path iterates driver-side under the bounded-graph gate, the _dist
+    // twin forces the distributed join-loop — byte-identical (spec'd),
+    // so all three share the generated unrolled-CTE oracle
+    "pagerank"              -> ((s: SparkSession, d: String) =>
+      Graphs.pagerank(s, d)),
+    "pagerank_i3"           -> ((s: SparkSession, d: String) =>
+      Graphs.pagerank(s, d, iters = 3)),
+    "pagerank_dist"         -> ((s: SparkSession, d: String) =>
+      Graphs.pagerankFrom(graft.sources.Tables.events(s, d),
+        Graphs.DefaultIters, driverCap = 0L))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3049,8 +3060,67 @@ object SparkEntry {
     "event_transitions" -> transitionsOracle,
     // batch mode of the stateful twin reproduces lead() exactly → same
     // oracle (the sessionize / sessionize_stateful pairing)
-    "event_transitions_stateful" -> transitionsOracle
+    "event_transitions_stateful" -> transitionsOracle,
+    // fixed-budget PageRank: the iteration chain is UNROLLED as
+    // MATERIALIZED CTEs (it{k} is read twice per step — inlining would
+    // blow up exponentially, the BPE-oracle lesson); every float sum is
+    // a pinned-order list_reduce and the damping constants are emitted
+    // as exact round-trip doubles, mirroring the engine's op order
+    // token-for-token — see Graphs.pagerankOnEdges
+    "pagerank" -> pagerankOracle(graft.operators.Graphs.DefaultIters),
+    "pagerank_i3" -> pagerankOracle(3),
+    // the distributed loop is byte-identical to the driver path (spec'd)
+    "pagerank_dist" -> pagerankOracle(graft.operators.Graphs.DefaultIters)
   )
+
+  /** Generated unrolled-CTE PageRank oracle (see the "pagerank" entry). */
+  private def pagerankOracle(iters: Int): String = {
+    val d = s"CAST(${graft.operators.Graphs.Damping} AS DOUBLE)"
+    val tele = s"CAST(${1.0 - graft.operators.Graphs.Damping} AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val steps = (1 to iters).map { i =>
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT CASE WHEN count(*) > 0
+         |              THEN list_reduce(list(rank ORDER BY node),
+         |                               (a, b) -> a + b)
+         |              ELSE $zero END AS s
+         |  FROM it${i - 1} WHERE node NOT IN (SELECT from_type FROM e)),
+         |it$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |         $tele / nn.n + $d *
+         |           (dg$i.s / nn.n + coalesce(c.inc, $zero)) AS rank
+         |  FROM nd CROSS JOIN nn CROSS JOIN dg$i
+         |  LEFT JOIN (SELECT w.to_type AS node,
+         |                    list_reduce(list(r.rank * w.w
+         |                                     ORDER BY w.from_type),
+         |                                (a, b) -> a + b) AS inc
+         |             FROM w JOIN it${i - 1} r ON r.node = w.from_type
+         |             GROUP BY w.to_type) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts NULLS FIRST,
+       |                                         event_id NULLS FIRST) AS to_type
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |e AS MATERIALIZED (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |w AS MATERIALIZED (
+       |  SELECT from_type, to_type,
+       |         CAST(n AS DOUBLE) /
+       |         CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+       |              AS DOUBLE) AS w
+       |  FROM e),
+       |nd AS MATERIALIZED (
+       |  SELECT from_type AS node FROM e UNION SELECT to_type FROM e),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       |it0 AS MATERIALIZED (
+       |  SELECT nd.node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+       |  FROM nd CROSS JOIN nn),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank FROM it$iters""".stripMargin
+  }
 
   private def transitionsOracle: String =
     """WITH p AS (

@@ -115,17 +115,24 @@ object EventFlows {
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitionsFrom(Tables.events(spark, dir))
 
-  private[graft] def eventTransitionsFrom(events: DataFrame): DataFrame = {
+  /** The (from_type, to_type) adjacency pairs of consecutive events per
+    * user — ONE definition shared by the transition probabilities here
+    * and the [[Graphs.pagerank]] edge aggregation, so the two operators
+    * can never disagree on what a transition is. */
+  private[graft] def transitionPairs(events: DataFrame): DataFrame = {
     // asc_nulls_first is Spark's default; spelled out because the oracle
     // pins NULLS FIRST and the stateful twin mirrors it with a sentinel
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
-    transitionProbabilities(events
+    events
       .where(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(col("event_type").as("from_type"),
         lead(col("event_type"), 1).over(byUser).as("to_type"))
-      .where(col("to_type").isNotNull))
+      .where(col("to_type").isNotNull)
   }
+
+  private[graft] def eventTransitionsFrom(events: DataFrame): DataFrame =
+    transitionProbabilities(transitionPairs(events))
 
   /** Last-touch attribution: each purchase attributed to the user's most
     * recent view within a trailing window — the classic marketing/

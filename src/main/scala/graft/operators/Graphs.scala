@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph centrality over the event-transition graph — the
+  * "which state dominates user journeys" statistic next to
+  * [[EventFlows.eventTransitions]]'s local probabilities (the reference
+  * renders the transition structure of incident timelines,
+  * /root/reference/src/analysis/incident_analyzer.py; centrality is the
+  * whole-graph summary of the same adjacency).
+  *
+  * PageRank (Page et al. 1999) with damping `d`, uniform teleport, and
+  * dangling-mass redistribution, run for a FIXED iteration budget — the
+  * deterministic form every engine benchmarks (power iteration converges
+  * geometrically; a fixed budget makes the result a pure function of the
+  * graph, which is what the oracle hash checks).
+  *
+  * Scale shape: the ONLY corpus-sized work is the edge aggregation (one
+  * user-keyed window + one (from,to) groupBy — the event_transitions
+  * cost). The rank loop then runs over the AGGREGATED graph:
+  *  - bounded graphs (type-transition graphs, service meshes — node count
+  *    is a vocabulary, not a corpus) iterate driver-side under
+  *    [[MaxDriverGraph]], the [[Cluster]] union-find / BPE driver-gate
+  *    pattern: 10 merges of a 25-edge graph are not worth 30 Spark jobs;
+  *  - above the cap (web-scale link graphs) the DISTRIBUTED loop takes
+  *    over: per iteration one edges⋈ranks equi-join (ranks co-partitioned
+  *    by node), one dst-keyed aggregation, one anti-join for the dangling
+  *    mass, lineage cut per round (eager localCheckpoint, previous cut
+  *    freed — the BPE trainer protocol) so plan depth stays O(1) in the
+  *    iteration budget. No driver-side row processing above the gate.
+  *
+  * Determinism contract (the pinned-fold float rules): every float SUM
+  * whose accumulation order the engine does not define — the incoming
+  * contributions of a node, the dangling rank mass — is a pinned-order
+  * left fold over a sorted array (contributions by from-node, dangling by
+  * node; both UTF-8 byte order on Spark, DuckDB, AND the driver path,
+  * which compares UTF8String bytes, never JVM String order). Edge weights
+  * n/out divide exact integers; the per-iteration update mirrors the
+  * oracle's op order token-for-token:
+  *   rank'(v) = (1−d)/N + d·(S_dangling/N + Σ_{u→v} rank(u)·w(u,v))
+  * Both engine paths and the driver twin are byte-identical (spec'd), so
+  * ONE SQL oracle checks all three. Rounding (·,6) happens once, at the
+  * output.
+  */
+object Graphs {
+
+  val Damping = 0.85
+  val DefaultIters = 10
+
+  /** nodes + edges above which the rank loop stays distributed. Sized
+    * like [[Cluster]]'s edge gate: a graph this small iterates faster on
+    * the driver than one Spark job schedules; a web-scale graph never
+    * comes near it. */
+  private[graft] val MaxDriverGraph = 1000000L
+
+  /** PageRank over the directed event-type transition graph: nodes are
+    * event types, edge weights are row-level transition counts
+    * ([[EventFlows.transitionPairs]] — the one shared definition). */
+  def pagerank(spark: SparkSession, dir: String,
+      iters: Int = DefaultIters): DataFrame =
+    pagerankFrom(Tables.events(spark, dir), iters)
+
+  private[graft] def pagerankFrom(events: DataFrame, iters: Int,
+      driverCap: Long = MaxDriverGraph): DataFrame = {
+    val edgeCounts = EventFlows.transitionPairs(events)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    pagerankOnEdges(edgeCounts, iters, driverCap)
+  }
+
+  /** The generic core: PageRank over any aggregated multigraph
+    * (from_type, to_type, n). Returns (node, rank) with rank rounded to
+    * 6 decimals at the output only. */
+  private[graft] def pagerankOnEdges(edgeCounts: DataFrame, iters: Int,
+      driverCap: Long): DataFrame = {
+    val spark = edgeCounts.sparkSession
+    // the PREVIOUS call's final lineage cut is no longer consumable once
+    // a new ranking starts — free it here (single-flight per JVM, like
+    // the stores; the BPE leak lesson applied at birth)
+    freePendingCut()
+    // out-degree normalization: exact integer counts into ONE divide —
+    // deterministic given the same operands on every path
+    val edges = edgeCounts
+      .withColumn("w", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast("double"))
+      .select(col("from_type"), col("to_type"), col("w"))
+      .persist()
+    val nEdges = edges.count()
+    if (nEdges == 0) {
+      edges.unpersist()
+      // no transitions (degenerate corpora): empty, output-typed
+      return emptyRanks(spark)
+    }
+    val nodes = edges.select(col("from_type").as("node"))
+      .union(edges.select(col("to_type").as("node"))).distinct().persist()
+    val nNodes = nodes.count()
+    val out =
+      if (nNodes + nEdges <= driverCap) pagerankDriver(spark, edges, nodes, iters)
+      else pagerankDistributed(edges, nodes, nNodes, iters)
+    edges.unpersist(); nodes.unpersist()
+    out.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  private def emptyRanks(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", StringType),
+        StructField("rank", DoubleType))))
+  }
+
+  /** UTF-8 byte order — the order Spark's sort_array and DuckDB's
+    * ORDER BY apply to strings; JVM String '<' (UTF-16 code units)
+    * diverges on supplementary-plane keys, so the driver twin must not
+    * use it. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Driver twin — op-order identical to [[pagerankDistributed]] and the
+    * SQL oracle: pinned left folds from 0.0 over UTF-8-sorted keys. */
+  private def pagerankDriver(spark: SparkSession, edges: DataFrame,
+      nodes: DataFrame, iters: Int): DataFrame = {
+    val eArr = edges.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nodeArr = nodes.collect().map(_.getString(0)).sortWith(utf8Lt)
+    val nD = nodeArr.length.toDouble
+    val outNodes = eArr.map(_._1).toSet
+    val inEdges: Map[String, Array[(String, Double)]] = eArr
+      .groupBy(_._2)
+      .map { case (dst, es) =>
+        dst -> es.map(e => (e._1, e._3)).sortWith((x, y) => utf8Lt(x._1, y._1))
+      }
+    val dangling = nodeArr.filter(n => !outNodes.contains(n)) // node-sorted
+    val tele = (1.0 - Damping) / nD
+    var rank: Map[String, Double] = nodeArr.map(n => n -> 1.0 / nD).toMap
+    var k = 0
+    while (k < iters) {
+      val s = dangling.foldLeft(0.0)((acc, n) => acc + rank(n))
+      rank = nodeArr.map { v =>
+        val inc = inEdges.getOrElse(v, Array.empty)
+          .foldLeft(0.0)((acc, e) => acc + rank(e._1) * e._2)
+        v -> (tele + Damping * (s / nD + inc))
+      }.toMap
+      k += 1
+    }
+    import spark.implicits._
+    nodeArr.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
+  }
+
+  /** Distributed rank loop — the 100 TB path: per iteration an
+    * edges⋈ranks equi-join, a dst-keyed pinned-fold aggregation, a
+    * broadcast 1-row dangling mass, and an eager lineage cut (previous
+    * cut freed — at most one rank copy in executor storage). */
+  private def pagerankDistributed(edges: DataFrame, nodes: DataFrame,
+      nNodes: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val nD = nNodes.toDouble
+    val tele = lit((1.0 - Damping) / nD)
+    val outNodes = edges.select(col("from_type").as("node")).distinct()
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    var ranks = nodes.select(col("node"), lit(1.0 / nD).as("rank"))
+      .localCheckpoint()
+    var lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(ranks)
+    var k = 0
+    while (k < iters) {
+      // dangling mass: pinned fold over node-sorted ranks (1 row)
+      val dang = broadcast(ranks.join(outNodes, Seq("node"), "left_anti")
+        .agg(fold(transform(
+          sort_array(collect_list(struct(col("node"), col("rank")))),
+          p => p.getField("rank"))).as("s")))
+      // incoming contributions: pinned fold over from-sorted (rank·w)
+      val inc = edges
+        .join(ranks.withColumnRenamed("node", "from_type"), Seq("from_type"))
+        .select(col("to_type").as("node"), col("from_type"),
+          (col("rank") * col("w")).as("c"))
+        .groupBy(col("node"))
+        .agg(fold(transform(
+          sort_array(collect_list(struct(col("from_type"), col("c")))),
+          p => p.getField("c"))).as("inc"))
+      val next = nodes.join(inc, Seq("node"), "left").crossJoin(dang)
+        .select(col("node"),
+          (tele + lit(Damping) *
+            (col("s") / lit(nD) + coalesce(col("inc"), lit(0.0)))).as("rank"))
+        .localCheckpoint() // eager: bounds plan depth AND double-read
+      Corpus.freeCheckpoint(spark, lastCutId)
+      lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(next)
+      ranks = next
+      k += 1
+    }
+    // the final cut backs the returned DataFrame — it stays pinned until
+    // the next pagerank entry (or an explicit freePendingCut), never
+    // until session end
+    pendingCut.set((spark, lastCutId))
+    ranks
+  }
+
+  /** The distributed loop's final cut, freed on the NEXT pagerank entry
+    * (the result DataFrame may still be consumed after return — freeing
+    * inside the loop would drop storage the caller reads). One slot per
+    * JVM is enough: rankings are single-flight per session, like the
+    * store writers. */
+  private val pendingCut =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, Option[Int])]
+
+  private[graft] def freePendingCut(): Unit = {
+    val p = pendingCut.getAndSet(null)
+    if (p != null && !p._1.sparkContext.isStopped)
+      Corpus.freeCheckpoint(p._1, p._2)
+  }
+}

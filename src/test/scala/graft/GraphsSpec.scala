@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graphs
+
+/** Fixed-budget PageRank: analytic fixed points, probability-mass laws,
+  * dangling redistribution, the driver/distributed differential (byte-
+  * identical doubles), degenerate graphs, and the lineage-cut hygiene of
+  * the distributed loop. */
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import SparkTest.Sf
+
+  private def edgesDf(es: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    es.toDF("from_type", "to_type", "n")
+  }
+
+  private def ranksOf(df: DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("two-node fixed point: a→b→a at equal weight is uniform; " +
+    "asymmetric counts shift mass to the heavier sink") {
+    // symmetric 2-cycle: the stationary (and every-iteration) vector is
+    // uniform regardless of damping — rank(a)=rank(b)=0.5 exactly
+    val sym = Graphs.pagerankOnEdges(
+      edgesDf(Seq(("a", "b", 3L), ("b", "a", 3L))), iters = 10,
+      driverCap = Long.MaxValue)
+    assert(ranksOf(sym) == Map("a" -> 0.5, "b" -> 0.5))
+    // a→b plus b→b self-loop beyond a's return edge: b must out-rank a
+    val skew = ranksOf(Graphs.pagerankOnEdges(
+      edgesDf(Seq(("a", "b", 9L), ("b", "a", 1L), ("b", "b", 9L))),
+      iters = 10, driverCap = Long.MaxValue))
+    assert(skew("b") > skew("a"),
+      s"the heavier attractor must out-rank its source: $skew")
+  }
+
+  test("mass conservation and dangling redistribution: ranks sum to 1, " +
+    "every node positive, a dangling sink still leaks mass back") {
+    // star into a dangling center: d has NO out-edges
+    val g = edgesDf(Seq(("a", "d", 1L), ("b", "d", 1L), ("c", "d", 1L),
+      ("a", "b", 1L)))
+    val r = ranksOf(Graphs.pagerankOnEdges(g, iters = 10,
+      driverCap = Long.MaxValue))
+    assert(r.keySet == Set("a", "b", "c", "d"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6,
+      s"dangling mass must be redistributed, not lost: sum=${r.values.sum}")
+    assert(r.values.forall(_ > 0), s"teleport keeps every node positive: $r")
+    assert(r("d") == r.values.max, s"the sink holds the most mass: $r")
+    // a and c have identical in/out structure modulo names → equal rank;
+    // b gains a's extra edge → strictly above c
+    assert(r("b") > r("c"), s"b receives a's split edge: $r")
+  }
+
+  test("differential: distributed loop is byte-identical to the driver " +
+    "path on a seeded adversarial graph (hubs, sinks, self-loops)") {
+    val rng = new scala.util.Random(11)
+    val nodes = (0 until 37).map(i => s"n$i")
+    val es = (0 until 300).map { _ =>
+      // power-law-ish source choice: hubs 0..3 dominate
+      val s = nodes(if (rng.nextBoolean()) rng.nextInt(4) else rng.nextInt(37))
+      val t = nodes(rng.nextInt(37))
+      (s, t, (1 + rng.nextInt(9)).toLong)
+    }.groupBy(e => (e._1, e._2))
+      .map { case ((s, t), g) => (s, t, g.map(_._3).sum) }.toSeq
+    val drv = Graphs.pagerankOnEdges(edgesDf(es), iters = 10,
+      driverCap = Long.MaxValue).collect().map(r => (r.getString(0),
+        r.getDouble(1))).sortBy(_._1).toSeq
+    val dst = Graphs.pagerankOnEdges(edgesDf(es), iters = 10,
+      driverCap = 0L).collect().map(r => (r.getString(0),
+        r.getDouble(1))).sortBy(_._1).toSeq
+    assert(drv == dst, "driver and distributed ranks must be BYTE-identical")
+    assert(math.abs(drv.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("degenerate graphs: no transitions → empty output-typed result; " +
+    "single self-loop node holds all the mass") {
+    import spark.implicits._
+    val empty = Graphs.pagerankOnEdges(
+      edgesDf(Seq.empty), iters = 10, driverCap = Long.MaxValue)
+    assert(empty.columns.toSeq == Seq("node", "rank") && empty.count() == 0)
+    // one-event users produce no pairs: same empty result end-to-end
+    val oneEach = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      10L, "view", 1.0, "{}")).toDF("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+    assert(Graphs.pagerankFrom(oneEach, iters = 10).count() == 0)
+    val self = ranksOf(Graphs.pagerankOnEdges(
+      edgesDf(Seq(("a", "a", 5L))), iters = 10, driverCap = Long.MaxValue))
+    assert(self == Map("a" -> 1.0), s"a 1-node graph is the whole mass: $self")
+  }
+
+  test("registered path equals the forced-distributed path on the real " +
+    "corpus; the loop's lineage cuts do not accumulate across calls") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val a = Graphs.pagerankFrom(ev, iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val b = Graphs.pagerankFrom(ev, iters = 10, driverCap = 0L)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a == b, "gate choice must not change a single byte")
+    // each _dist call frees the previous call's final cut: storage is
+    // bounded at one pending cut, not one per call
+    (1 to 3).foreach { _ =>
+      Graphs.pagerankFrom(ev, iters = 10, driverCap = 0L).collect()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"pending-cut storage must not grow per call: $before → $after")
+    Graphs.freePendingCut()
+  }
+}
