@@ -203,6 +203,11 @@ object SparkEntry {
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
+    // the pure-sketch screening regime: the md5-salted Bloom maybe-set
+    // itself, deterministic and oracle-replayed (no exact verify pass —
+    // one-sided by design, spec'd against the exact operator)
+    "decontaminate_bloom"   -> ((s: SparkSession, d: String) =>
+      Corpus.decontaminateBloom(s, d)),
     // the embedding-space complement (paraphrase leakage); blocked on
     // the SEEDED quantizer since r13, so the whole screen — seed choice,
     // argmin assignment, cap, verdicts — is oracle-hash-verified
@@ -2146,6 +2151,41 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT d.doc_id, coalesce(sh.n_shared, 0) AS n_shared_ngrams,
         |       coalesce(sh.n_shared, 0) > 0 AS is_contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 10 != 0""".stripMargin,
+
+    // the pure-sketch maybe-set: j-salted md5 draws mod m (UNSIGNED %,
+    // DuckDB's native UBIGINT semantics ≡ the kernel's
+    // remainderUnsigned); a train gram flags iff ALL k draws' positions
+    // are set — counting set DRAWS, so an intra-gram position collision
+    // needs no special case on either engine
+    "decontaminate_bloom" ->
+      s"""WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(t[CAST(i+1 AS BIGINT) : CAST(least(i+8, n) AS BIGINT)], ' ') AS g
+        |  FROM (
+        |    SELECT doc_id, t, len(t) AS n,
+        |           unnest(range(0, greatest(1, len(t) - 7))) AS i
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        |          FROM documents))),
+        |js AS (SELECT unnest(range(0, ${graft.operators.Corpus.DecontBloomHashes})) AS j),
+        |bits AS (
+        |  SELECT DISTINCT
+        |         md5_number_lower('b' || CAST(j AS VARCHAR) || ':' || g)
+        |           % ${graft.operators.Corpus.DecontBloomBits} AS bit
+        |  FROM (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0) CROSS JOIN js),
+        |hit AS (
+        |  SELECT tp.doc_id, tp.g
+        |  FROM (SELECT doc_id, g,
+        |               md5_number_lower('b' || CAST(j AS VARCHAR) || ':' || g)
+        |                 % ${graft.operators.Corpus.DecontBloomBits} AS bit
+        |        FROM g CROSS JOIN js WHERE doc_id % 10 != 0) tp
+        |  JOIN bits USING (bit)
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = ${graft.operators.Corpus.DecontBloomHashes}),
+        |sh AS (SELECT doc_id, count(*) AS n FROM hit GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sh.n, 0) AS n_maybe_ngrams,
+        |       coalesce(sh.n, 0) > 0 AS is_flagged
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
         |WHERE d.doc_id % 10 != 0""".stripMargin,
 

@@ -301,6 +301,66 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
   }
 
+  /** Bloom geometry for [[decontaminateBloom]]: 2²¹ bit positions × 4
+    * draws holds the false-positive rate ≈(1−e^(−4·n/m))⁴ under ~1e-3
+    * at 10⁵ eval grams; both constants reach the oracle SQL, so the
+    * maybe-set is reproducible bit-for-bit. */
+  private[graft] val DecontBloomBits = 1L << 21
+  private[graft] val DecontBloomHashes = 4
+
+  /** Standalone DETERMINISTIC Bloom-filter decontamination — the
+    * one-sided screening form of [[decontaminate]]: the eval split's
+    * n-grams set k md5-salted bit positions; a train gram is
+    * "maybe contaminated" iff ALL k of its positions are set. No exact
+    * verification pass — the output is the Bloom's own maybe-set, with
+    * its one-sided guarantee (no false negatives: every truly shared
+    * gram flags; a bounded false-positive rate flags extra — spec'd
+    * against the exact operator). Where [[decontaminate]] uses Spark's
+    * native BloomFilterAggregate as a PREFILTER and then verifies
+    * exactly, this operator is the pure-sketch regime a 100 TB pipeline
+    * runs when the eval suite must be joined against every candidate
+    * batch and the exact gram join is the cost being bought out: the
+    * filter is ~m bits of state, the train side never joins gram TEXT
+    * at all — only integer bit positions against a broadcast ≤ k·|eval
+    * grams| bit relation.
+    *
+    * Determinism: positions are the pinned md5 family (j-salted draws,
+    * UNSIGNED mod m — [[Sketches.md5mod]]), so the maybe-set is a pure
+    * function of the corpus, replayed exactly by the SQL oracle.
+    * Intra-gram draw collisions need no special case: the all-k-set
+    * test counts set DRAWS, and a duplicated position is either set for
+    * both draws or for neither. */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 8,
+      mBits: Long = DecontBloomBits,
+      k: Int = DecontBloomHashes): DataFrame =
+    decontaminateBloomFrom(Tables.documents(spark, dir), n, mBits, k)
+
+  private[graft] def decontaminateBloomFrom(docs: DataFrame, n: Int,
+      mBits: Long, k: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(NearDup.wordShingles(col("text"), n)).as("g"))
+    val isEval = pmod(col("doc_id"), lit(10)) === 0
+    def positions(g: Column): Column =
+      array((0 until k).map(j =>
+        Sketches.md5mod(concat(lit(s"b$j:"), g), mBits)): _*)
+    // the filter itself: distinct set bit positions of the eval grams —
+    // ≤ k·|eval grams| longs, broadcast to every train partition
+    val evalBits = grams.where(isEval)
+      .select(explode(positions(col("g"))).as("bit")).distinct()
+    val hits = grams.where(!isEval).distinct()
+      .select(col("doc_id"), col("g"), explode(positions(col("g"))).as("bit"))
+      .join(broadcast(evalBits), Seq("bit"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n_set"))
+      .where(col("n_set") === k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_maybe"))
+    docs.where(!isEval).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe_ngrams"),
+        (coalesce(col("n_maybe"), lit(0L)) > 0).as("is_flagged"))
+  }
+
   /** Cross-document repeated-span audit — the gram-granular form of
     * exact substring deduplication (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better": repeated ≥N-token

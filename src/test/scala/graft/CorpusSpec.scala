@@ -157,6 +157,52 @@ class CorpusSpec extends AnyFunSuite {
       s"distinct grams, not occurrences: ${out.map(_.getAs[Long]("n_shared_ngrams")).toSeq}")
   }
 
+  test("decontaminate_bloom: one-sided vs the exact operator — no false " +
+    "negatives, bounded false positives, planted overlap flags") {
+    // real corpus: the maybe-set must COVER the exact contaminated set
+    // (the Bloom guarantee), and per-doc maybe-counts dominate exact
+    // counts gram-wise
+    val exact = Corpus.decontaminate(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_ngrams"), r.getAs[Boolean]("is_contaminated")))
+      .toMap
+    val bloom = Corpus.decontaminateBloom(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_maybe_ngrams"), r.getAs[Boolean]("is_flagged")))
+      .toMap
+    assert(bloom.keySet == exact.keySet, "same train-doc universe")
+    exact.foreach { case (id, (nEx, cEx)) =>
+      val (nBl, cBl) = bloom(id)
+      assert(nBl >= nEx, s"doc $id: maybe-count $nBl < exact $nEx — " +
+        "a Bloom can never miss a truly shared gram")
+      assert(!cEx || cBl, s"doc $id: exact-contaminated but not flagged")
+    }
+    // false-positive budget: at 2^21 bits / 4 draws and this corpus's
+    // eval-gram load, spurious flags must stay rare
+    val fp = bloom.count { case (id, (_, c)) => c && !exact(id)._2 }
+    assert(fp <= math.max(1, bloom.size / 50),
+      s"$fp spurious flags of ${bloom.size} train docs — FP rate too high")
+    // planted: eval doc 10 shares an 8-gram with train doc 3; train doc
+    // 4 is disjoint → flagged / clean, and the shared gram count ≥ 1
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (4L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val planted = Corpus.decontaminateBloomFrom(docs,
+      n = 8, mBits = Corpus.DecontBloomBits, k = Corpus.DecontBloomHashes)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_flagged")).toMap
+    assert(planted == Map(3L -> true, 4L -> false), s"planted: $planted")
+    // empty eval split: nothing can be contaminated, nothing flags
+    val noEval = Corpus.decontaminateBloomFrom(
+      docs.where(col("doc_id") =!= 10L), n = 8,
+      mBits = Corpus.DecontBloomBits, k = Corpus.DecontBloomHashes)
+      .collect()
+    assert(noEval.forall(!_.getAs[Boolean]("is_flagged")))
+  }
+
   test("mixture sample respects per-source targets, deterministic") {
     import graft.operators.Corpus
     val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
