@@ -227,6 +227,10 @@ object SparkEntry {
     "tfidf_keywords"        -> ((s: SparkSession, d: String) => Corpus.tfidfKeywords(s, d)),
     "bigram_pmi"            -> ((s: SparkSession, d: String) => Corpus.bigramPmi(s, d)),
     "search_bm25"           -> ((s: SparkSession, d: String) => Corpus.searchBm25(s, d)),
+    // MRR / NDCG@10 of the BM25 ranking vs a deterministic conjunctive-
+    // containment relevance oracle — the measured retrieval-eval harness
+    "retrieval_eval"        -> ((s: SparkSession, d: String) =>
+      Corpus.retrievalEval(s, d)),
     // k=3 parameter point on a different term set: the cut bites at a
     // different rank boundary
     "search_bm25_k3"        -> ((s: SparkSession, d: String) =>
@@ -576,6 +580,96 @@ object SparkEntry {
        |  FROM (SELECT doc_id, n_terms, round($chain, 6) AS score FROM p)
        |  ORDER BY score DESC, doc_id
        |  LIMIT $topK)""".stripMargin
+  }
+
+  /** Retrieval-eval oracle — the single qid-tagged plan of
+    * [[graft.operators.Corpus.retrievalEval]] mirrored token-for-token:
+    * tf/df from one exploded aggregation, per-doc scores as TERM-ordered
+    * list_reduce folds (retrieval_eval's own scoring order), one
+    * qid-partitioned rank window, relevance = matched-term count equals
+    * the query's term count, MRR from the first relevant rank, DCG as a
+    * rank-ordered fold of binary 1/log2(rk+1) gains, IDCG a CASE-guarded
+    * fold over the 1..min(n_rel,k) ideal slots (ndcg NULL when nothing
+    * is relevant — DuckDB's list_reduce cannot see an empty list); a
+    * no-hit query re-enters through the qid-universe VALUES relation.
+    * log2 wobble under round(·,6). */
+  private def retrievalEvalSql(qs: Seq[(Long, String)], topK: Int): String = {
+    val perQ = qs.map { case (qid, q) =>
+      (qid, graft.operators.Corpus.bm25Terms(q).map(_.replace("'", "''")))
+    }
+    val allTerms = perQ.flatMap(_._2).distinct.sorted
+    val inList = allTerms.map(t => s"'$t'").mkString(", ")
+    val qtVals = perQ.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    val qidVals = perQ.map { case (qid, _) => s"($qid)" }.mkString(", ")
+    def d(v: String) = s"CAST($v AS DOUBLE)"
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+       |stats AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS total_len,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM base),
+       |qt(qid, term) AS (VALUES $qtVals),
+       |ntq AS (SELECT qid, CAST(count(*) AS BIGINT) AS ntq FROM qt GROUP BY 1),
+       |pairs AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM pairs WHERE term IN ($inList) GROUP BY 1, 2),
+       |tfd AS (
+       |  SELECT t.*, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |  FROM tf t),
+       |scored AS (
+       |  SELECT q.qid, t.doc_id, t.term,
+       |         ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+       |                  / (CAST(df AS DOUBLE) + 0.5))
+       |         * ((CAST(tf AS DOUBLE) * ${d("2.2")})
+       |            / (CAST(tf AS DOUBLE) + ${d("1.2")} * (${d("0.25")}
+       |               + (${d("0.75")} * CAST(dl AS DOUBLE))
+       |                 / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |           AS tscore
+       |  FROM tfd t JOIN qt q USING (term) CROSS JOIN stats),
+       |perdoc AS (
+       |  SELECT qid, doc_id,
+       |         round(list_reduce(list(tscore ORDER BY term),
+       |                           (a, b) -> a + b), 6) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM perdoc QUALIFY rk <= $topK),
+       |rel AS (
+       |  SELECT q.qid, t.doc_id
+       |  FROM tf t JOIN qt q USING (term) JOIN ntq n ON n.qid = q.qid
+       |  GROUP BY q.qid, t.doc_id, n.ntq
+       |  HAVING CAST(count(*) AS BIGINT) = n.ntq),
+       |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM rel GROUP BY 1),
+       |j AS (
+       |  SELECT r.qid, r.rk, rel.doc_id IS NOT NULL AS isrel
+       |  FROM ranked r
+       |  LEFT JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id),
+       |met AS (
+       |  SELECT qid, min(CASE WHEN isrel THEN rk END) AS first_rel,
+       |         list_reduce(list(
+       |           CASE WHEN isrel THEN ${d("1.0")} / log2(CAST(rk + 1 AS DOUBLE))
+       |                ELSE ${d("0.0")} END ORDER BY rk),
+       |           (a, b) -> a + b) AS dcg
+       |  FROM j GROUP BY 1),
+       |qs(qid) AS (VALUES $qidVals)
+       |SELECT CAST(qs.qid AS BIGINT) AS qid,
+       |       coalesce(n_rel, 0) AS n_rel,
+       |       round(coalesce(${d("1.0")} / CAST(first_rel AS DOUBLE),
+       |                      ${d("0.0")}), 6) AS mrr,
+       |       CASE WHEN coalesce(n_rel, 0) > 0 THEN
+       |         round(dcg / list_reduce(list_transform(
+       |           range(1, least(n_rel, $topK) + 1),
+       |           i -> ${d("1.0")} / log2(CAST(i + 1 AS DOUBLE))),
+       |           (a, b) -> a + b), 6)
+       |       END AS ndcg
+       |FROM qs LEFT JOIN met USING (qid) LEFT JOIN nrel USING (qid)""".stripMargin
   }
 
   /** Batch-serving oracle: the per-query BM25 chains (each scoped in its
@@ -2743,6 +2837,8 @@ object SparkEntry {
     // order is engine-invariant; score op order mirrors the Spark plan
     // exactly: tf · ln(1.0 + N/df), division first
     "search_bm25"      -> searchBm25Sql("spark join window customer", 10),
+    "retrieval_eval"   -> retrievalEvalSql(
+      graft.operators.Corpus.RetrievalEvalQueries, 10),
     "search_bm25_k3"   -> searchBm25Sql("data stream sort", 3),
     "search_bm25_none" -> searchBm25Sql("zqxjkv", 10),
     // the durable-index serving path is bit-identical to the scan path

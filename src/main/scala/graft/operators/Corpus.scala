@@ -1000,6 +1000,141 @@ object Corpus {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     searchBm25From(Tables.documents(spark, dir), query, topK, k1, b)
 
+  /** Fixed evaluation queries for [[retrievalEval]]: three multi-term
+    * conjunctions with real corpus support, one single-term point, and
+    * one no-hit degenerate (empty ranking AND empty relevance set). */
+  private[graft] val RetrievalEvalQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark join window customer"),
+    (2L, "data stream sort"),
+    (3L, "customer"),
+    (4L, "slow big hash"),
+    (5L, "zqxjkv"))
+
+  /** Retrieval quality metrics — the eval harness a retrieval stack ships
+    * with (the reference evaluates its RAG retrieval by hand-inspecting
+    * top-k hits, /root/reference/src/vector_db/faiss_db.py; this is the
+    * measured form): for each fixed query, MRR and NDCG@k of the BM25
+    * ranking ([[searchBm25]] — the ranking of record) against a
+    * DETERMINISTIC relevance oracle: a doc is relevant iff its folded
+    * token set contains ALL the query's terms (conjunctive containment —
+    * judgment-free, so the metric is a pure corpus function and the SQL
+    * oracle replays it exactly).
+    *
+    * Per query: n_rel = |relevant docs| (corpus-wide, not top-k);
+    * mrr = 1/rank of the first relevant hit (0.0 when none);
+    * ndcg = DCG@k / IDCG@k with binary gains 1/log2(rank+1), IDCG over
+    * min(n_rel, k) ideal slots; NULL when nothing is relevant (0/0 is
+    * undefined, identically on both engines).
+    *
+    * Determinism: DCG is a pinned left fold over rank-sorted gains (rank
+    * is unique), IDCG a fold over the 1..min(n_rel,k) sequence; log2's
+    * ≤1-ulp engine wobble sits under round(·,6) (the jsd contract). The
+    * per-doc score here folds term scores in TERM order (unique within a
+    * doc, pinned on every engine) — retrieval_eval's own scoring order,
+    * mirrored by its oracle; ranks tie-break (score DESC, doc_id) like
+    * every ranking in the engine.
+    *
+    * Scale shape: ONE qid-tagged plan, not |queries| chained subplans —
+    * one tokenize pass (tokens pre-filtered to the query-term union)
+    * behind a lazy lineage cut; one explode+aggregation building every
+    * query's tf AND df (df via a term-keyed window ≡ global per-term doc
+    * count); scoring joins the broadcast (qid, term) literal relation;
+    * ONE qid-partitioned rank window (WindowGroupLimit-bounded by the
+    * rk ≤ k filter); relevance = the tf groups themselves (a doc has a
+    * term iff a tf row exists), conjunction = matched-term count equals
+    * the query's term count. Everything after the corpus scan is
+    * matched-rows-sized. */
+  def retrievalEval(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame =
+    retrievalEvalFrom(Tables.documents(spark, dir), RetrievalEvalQueries,
+      topK)
+
+  private[graft] def retrievalEvalFrom(documents: DataFrame,
+      queries: Seq[(Long, String)], topK: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val perQ = queries.map { case (qid, q) => (qid, bm25Terms(q)) }
+    require(perQ.forall(_._2.nonEmpty), "eval queries must carry terms")
+    val allTerms = perQ.flatMap(_._2).distinct.sorted
+    val qt = broadcast(perQ.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term"))
+    val ntq = broadcast(perQ.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("qid", "ntq"))
+    val docs = documents.where(col("text").isNotNull)
+    val tk = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    val base = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        filter(col("tk"), t => t.isin(allTerms: _*)).as("qtk"))
+      .localCheckpoint(false) // lazy: one corpus scan for everything
+    val stats = broadcast(base
+      .agg(sum(col("dl")).cast("long").as("total_len"),
+        count(lit(1)).cast("long").as("n_docs")))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val tfAll = base
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("term"))).cast("long"))
+      .localCheckpoint(false) // scored AND relevance read it
+    val ndD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = col("total_len").cast("double") / ndD
+    val idf = log(lit(1.0) + (ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val tnorm = tfD * lit(1.2 + 1.0) /
+      (tfD + lit(1.2) * (lit(1.0 - 0.75) + lit(0.75) * dlD / avgdl))
+    val perdoc = tfAll.join(qt, "term").crossJoin(stats)
+      .select(col("qid"), col("doc_id"), col("term"),
+        (idf * tnorm).as("tscore"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(fold(transform(
+        sort_array(collect_list(struct(col("term"), col("tscore")))),
+        p => p.getField("tscore"))).as("raw"))
+      .select(col("qid"), col("doc_id"), round(col("raw"), 6).as("score"))
+    val ranked = perdoc
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= topK)
+    // a doc is relevant iff it matched ALL the query's terms — the tf
+    // groups are the containment facts (duplicate corpus rows collapse)
+    val rel = tfAll.join(qt, "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("nmatch"))
+      .join(ntq, "qid").where(col("nmatch") === col("ntq"))
+      .select(col("qid"), col("doc_id"))
+    val nrel = rel.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    val j = ranked
+      .join(rel.withColumn("isrel", lit(true)), Seq("qid", "doc_id"), "left")
+      .select(col("qid"), col("rk"),
+        coalesce(col("isrel"), lit(false)).as("isrel"))
+    val gain = when(col("isrel"),
+      lit(1.0) / log2((col("rk") + lit(1L)).cast("double")))
+      .otherwise(lit(0.0))
+    val met = j.groupBy(col("qid")).agg(
+      min(when(col("isrel"), col("rk"))).as("first_rel"),
+      fold(transform(
+        sort_array(collect_list(struct(col("rk"), gain.as("gain")))),
+        p => p.getField("gain"))).as("dcg"))
+    val nRel = coalesce(col("n_rel"), lit(0L))
+    val idcg = fold(transform(
+      sequence(lit(1L), least(nRel, lit(topK.toLong))),
+      i => lit(1.0) / log2((i + lit(1L)).cast("double"))))
+    // the qid universe: a no-hit query has no ranked AND no relevant
+    // rows — it must still report (n_rel 0, mrr 0, ndcg NULL)
+    perQ.map(_._1).toDF("qid")
+      .join(met, Seq("qid"), "left").join(nrel, Seq("qid"), "left")
+      .select(col("qid"), nRel.as("n_rel"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        when(nRel > 0, round(col("dcg") / idcg, 6)).as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
   private[graft] def searchBm25From(documents: DataFrame, query: String,
       topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = bm25Terms(query)
@@ -1045,7 +1180,16 @@ object Corpus {
     * scanning the corpus — one oracle checks both. */
   private[graft] def bm25Rank(tf: DataFrame, dfRel: DataFrame,
       stats: DataFrame, terms: Seq[String], topK: Int, k1: Double,
-      b: Double): DataFrame = {
+      b: Double): DataFrame =
+    bm25RankJoined(tf.join(dfRel, "term").crossJoin(stats), terms, topK,
+      k1, b)
+
+  /** The scoring tail over an already-joined (doc_id, term, tf, dl, df,
+    * total_len, n_docs) relation — ONE definition for every caller
+    * (scan, store, batch, eval), however the df/stats columns were
+    * attached. */
+  private[graft] def bm25RankJoined(tfd: DataFrame, terms: Seq[String],
+      topK: Int, k1: Double, b: Double): DataFrame = {
     val ndD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -1054,7 +1198,7 @@ object Corpus {
     val idf = log(lit(1.0) + (ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val tnorm = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))
-    val scored = tf.join(dfRel, "term").crossJoin(stats)
+    val scored = tfd
       .select(col("doc_id"), col("term"), (idf * tnorm).as("tscore"))
     val perDoc = scored.groupBy(col("doc_id")).agg(
       count(lit(1)).cast("long").as("n_terms"),

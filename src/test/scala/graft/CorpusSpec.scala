@@ -203,6 +203,87 @@ class CorpusSpec extends AnyFunSuite {
     assert(noEval.forall(!_.getAs[Boolean]("is_flagged")))
   }
 
+  test("retrieval_eval: metric laws on the corpus; planted fixture " +
+    "matches an independent BM25+NDCG reference to 1e-6") {
+    val out = Corpus.retrievalEval(spark, Sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(out.keySet == Corpus.RetrievalEvalQueries.map(_._1).toSet,
+      "every eval query reports, including the no-hit one")
+    Corpus.RetrievalEvalQueries.foreach { case (qid, _) =>
+      val r = out(qid)
+      val (nRel, mrr) = (r.getAs[Long]("n_rel"), r.getAs[Double]("mrr"))
+      assert(mrr >= 0.0 && mrr <= 1.0, s"q$qid mrr out of range: $mrr")
+      if (nRel == 0) {
+        assert(mrr == 0.0 && r.isNullAt(r.fieldIndex("ndcg")),
+          s"q$qid: no relevant docs → mrr 0, ndcg NULL")
+      } else {
+        val ndcg = r.getAs[Double]("ndcg")
+        assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9,
+          s"q$qid ndcg out of range: $ndcg")
+      }
+    }
+    // the no-hit query is the degenerate row
+    assert(out(5L).getAs[Long]("n_rel") == 0L)
+
+    // planted fixture, checked against an INDEPENDENT plain-Scala
+    // BM25 + MRR/NDCG reference (sums over ≤2 terms — order-identical)
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma"),        // both terms, dl 3
+      (2L, "alpha alpha beta"),        // tf(alpha)=2 → should outrank d1
+      (3L, "alpha zzz yyy xxx"),       // partial match only
+      (4L, "qqq www eee"))             // no match
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha beta"), (2L, "absent"))
+    val got = Corpus.retrievalEvalFrom(fixture, qs, topK = 10).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_rel"), r.getAs[Double]("mrr"),
+          Option(r.get(r.fieldIndex("ndcg"))).map(_.asInstanceOf[Double])))
+      .toMap
+    // reference: corpus N=4, total_len=13, avgdl=13/4; df(alpha)=3,
+    // df(beta)=2; score(d) = Σ_t idf(t)·tnorm(t,d)
+    def idf(df: Int) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def tnorm(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (13.0 / 4)))
+    val s1 = idf(3) * tnorm(1, 3) + idf(2) * tnorm(1, 3) // d1
+    val s2 = idf(3) * tnorm(2, 3) + idf(2) * tnorm(1, 3) // d2
+    val s3 = idf(3) * tnorm(1, 4)                        // d3
+    assert(s2 > s1 && s1 > s3, "fixture must rank d2 > d1 > d3")
+    // rel(q1) = {d1, d2} at ranks 2 and 1 → mrr 1, perfect prefix → ndcg
+    // = (1/log2(2)+1/log2(3)) / itself = 1
+    assert(got(1L) == ((2L, 1.0, Some(1.0))), s"q1: ${got(1L)}")
+    assert(got(2L) == ((0L, 0.0, None)), s"q2: ${got(2L)}")
+    // one more point where the FIRST hit is NOT rank 1: short high-tf
+    // partial matchers outscore the long full matcher (dl-normalization
+    // pushes it down); expected rank derived from the reference scores
+    val fixture2 = Seq(
+      (1L, "alpha alpha alpha"),                           // partial, tf 3
+      (2L, "alpha beta f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"),   // full, dl 12
+      (3L, "beta beta gamma delta"))                       // partial (beta)
+      .toDF("doc_id", "text")
+    val got2 = Corpus.retrievalEvalFrom(fixture2,
+      Seq((7L, "alpha beta")), topK = 10).collect().head
+    def idf2(df: Int) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def tn2(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (19.0 / 3)))
+    val t1 = idf2(2) * tn2(3, 3)
+    val t2 = idf2(2) * tn2(1, 12) + idf2(2) * tn2(1, 12)
+    val t3 = idf2(2) * tn2(2, 4)
+    assert(Set(t1, t2, t3).size == 3, "fixture scores must be distinct")
+    val rankD2 = 1 + Seq(t1, t3).count(_ > t2)
+    assert(rankD2 > 1, s"fixture2 intends the full matcher NOT first: " +
+      s"$t1 / $t2 / $t3")
+    // rel = {d2} → mrr = 1/rank; dcg = 1/log2(rank+1); idcg = 1/log2(2)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2.getAs[Long]("n_rel") == 1L)
+    assert(math.abs(got2.getAs[Double]("mrr") - r6(1.0 / rankD2)) < 2e-6,
+      s"mrr: ${got2.getAs[Double]("mrr")} vs 1/$rankD2")
+    val expNdcg = 1.0 / (math.log(rankD2 + 1.0) / math.log(2.0))
+    assert(math.abs(got2.getAs[Double]("ndcg") - expNdcg) < 2e-6,
+      s"ndcg: ${got2.getAs[Double]("ndcg")} vs $expNdcg")
+  }
+
   test("mixture sample respects per-source targets, deterministic") {
     import graft.operators.Corpus
     val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
