@@ -143,6 +143,13 @@ object SparkEntry {
     "stream_windowed_counts" -> (Relational.streamWindowedCounts _),
     // — training-data text operators —
     "dedup_exact"           -> (TextOps.dedupExact _),
+    // the streaming twin: fingerprint-keyed flatMapGroupsWithState;
+    // batch mode sees each fingerprint whole → SAME oracle as
+    // dedup_exact (the sessionize_stateful pairing)
+    "dedup_exact_stateful"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StatefulDedup(
+        graft.streaming.StatefulDedup.fromDocuments(
+          graft.sources.Tables.documents(s, d))).toDF()),
     "text_tokens"           -> (TextOps.textTokens _),
     "text_quality"          -> (TextOps.textQuality _),
     "clean_c4"              -> ((s: SparkSession, d: String) => TextOps.cleanC4(s, d)),
@@ -2447,10 +2454,10 @@ object SparkEntry {
         |       min_chars, max_chars
         |FROM g""".stripMargin,
 
-    "dedup_exact" ->
-      """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,
-        |       count(*) AS n_copies, min(n_chars) AS n_chars
-        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_exact" -> dedupExactOracle,
+    // batch mode of the stateful twin folds each fingerprint group
+    // whole → same oracle (the sessionize / sessionize_stateful pairing)
+    "dedup_exact_stateful" -> dedupExactOracle,
 
     // The exact vector scans ARE SQL-expressible: both engines cast the
     // float embeddings to double and run the same sequential per-element
@@ -3257,6 +3264,11 @@ object SparkEntry {
        |$steps
        |SELECT node, round(rank, 6) AS rank FROM it$iters""".stripMargin
   }
+
+  private def dedupExactOracle: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS first_doc_id,
+      |       count(*) AS n_copies, min(n_chars) AS n_chars
+      |FROM documents GROUP BY md5(text)""".stripMargin
 
   private def transitionsOracle: String =
     """WITH p AS (

@@ -1018,4 +1018,47 @@ class StatefulAndJoinSpec extends AnyFunSuite {
         s"carried state pairs the first event of the next trigger: ${b2.mkString(";")}")
     } finally q.stop()
   }
+
+  test("streaming exact dedup: cross-trigger duplicates fold into one " +
+    "running verdict; batch mode equals dedup_exact row-for-row") {
+    import spark.implicits._
+    import graft.streaming.{DedupDoc, StatefulDedup}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DedupDoc]
+    val q = StatefulDedup(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        DedupDoc(Some("f1"), 7L, Some(3L)),
+        DedupDoc(Some("f2"), 2L, None))
+      q.processAllAvailable()
+      val b1 = spark.table("dedup_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(b1 == Set(("f1", 7L, 1L), ("f2", 2L, 1L)), s"b1: $b1")
+      // a LATER delivery with a SMALLER doc_id must retake the winner,
+      // and the copy count keeps counting across triggers
+      mem.addData(
+        DedupDoc(Some("f1"), 5L, Some(2L)),
+        DedupDoc(Some("f1"), 9L, None))
+      q.processAllAvailable()
+      val last = spark.table("dedup_test").collect()
+        .filter(_.getString(0) == "f1")
+        .maxBy(_.getLong(2)) // n_copies is monotone → max = latest
+      assert((last.getLong(1), last.getLong(2), last.getLong(3)) ==
+        ((5L, 3L, 2L)),
+        s"running verdict after trigger 2: $last")
+    } finally q.stop()
+    // batch mode folds each fingerprint whole → identical relation to
+    // the batch groupBy operator (same oracle checks both in the gate)
+    val twin = StatefulDedup(StatefulDedup.fromDocuments(
+      graft.sources.Tables.documents(spark, SparkTest.Sf))).toDF()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val batch = graft.operators.TextOps.dedupExact(spark, SparkTest.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(twin == batch, "stateful batch mode must equal dedup_exact")
+  }
 }
