@@ -371,6 +371,24 @@ object ScaleProbe {
     def trans(df: DataFrame): DataFrame =
       graft.operators.EventFlows.eventTransitionsFrom(df)
 
+    // pagerank (forced distributed): the corpus-sized work is the edge
+    // aggregation; the rank loop runs on the AGGREGATED graph (5 nodes
+    // here at any replication), so growth must track the transition scan
+    // and the 10-iteration loop must stay scale-FREE
+    def pr(df: DataFrame): DataFrame =
+      graft.operators.Graphs.pagerankFrom(df, iters = 10, driverCap = 0L)
+    // bloom decontamination: positions explode linearly with the gram
+    // stream; the filter relation is eval-sized and broadcast
+    def dbloom(df: DataFrame): DataFrame =
+      graft.operators.Corpus.decontaminateBloomFrom(df, 8,
+        graft.operators.Corpus.DecontBloomBits,
+        graft.operators.Corpus.DecontBloomHashes)
+    // retrieval eval: one tokenize pass pre-filtered to the query-term
+    // union; everything downstream is matched-rows-sized
+    def reval(df: DataFrame): DataFrame =
+      graft.operators.Corpus.retrievalEvalFrom(df,
+        graft.operators.Corpus.RetrievalEvalQueries, 10)
+
     def point(name: String)(a: => Double, b: => Double)
         : Option[(String, Double, Double)] =
       if (want(name)) Some((name, a, b)) else None
@@ -430,6 +448,9 @@ object ScaleProbe {
         time("spctl 1x")(graft.operators.Relational.valuePercentilesSampledFrom(ev1)),
         time(s"spctl ${factor}x")(graft.operators.Relational.valuePercentilesSampledFrom(evN))),
       point("decontaminate")(time("decon 1x")(decon(doc1)), time(s"decon ${factor}x")(decon(docN))),
+      point("decon_bloom")(time("dbloom 1x")(dbloom(doc1)), time(s"dbloom ${factor}x")(dbloom(docN))),
+      point("retrieval_eval")(time("reval 1x")(reval(doc1)), time(s"reval ${factor}x")(reval(docN))),
+      point("pagerank")(time("pagerank 1x")(pr(ev1)), time(s"pagerank ${factor}x")(pr(evN))),
       point("dedup_spans")(time("spans 1x")(spans(doc1)), time(s"spans ${factor}x")(spans(docN))),
       point("spans_removal")(time("spans_rm 1x")(spansRm(doc1)), time(s"spans_rm ${factor}x")(spansRm(docN))),
       point("lex_durable")(time("lex_durable 1x")(lexServe(lexIdx1)), time(s"lex_durable ${factor}x")(lexServe(lexIdxN))),
