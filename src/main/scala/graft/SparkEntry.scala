@@ -207,6 +207,13 @@ object SparkEntry {
     "train_test_split"      -> ((s: SparkSession, d: String) => Corpus.trainTestSplit(s, d)),
     "sample_stratified"     -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     "sample_mixture"        -> ((s: SparkSession, d: String) => Corpus.sampleMixture(s, d)),
+    // τ-sampling: targets apportioned over token-count^(1/τ) weights —
+    // τ=2 the classic flattening, τ=4 nearly uniform (both sqrt-chains,
+    // exact cross-engine; see the scaladoc on why pow() is banned here)
+    "sample_temperature"    -> ((s: SparkSession, d: String) =>
+      Corpus.sampleTemperature(s, d)),
+    "sample_temperature_t4" -> ((s: SparkSession, d: String) =>
+      Corpus.sampleTemperature(s, d, tau = 4)),
     "pack_sequences"        -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
     "chunk_documents"       -> ((s: SparkSession, d: String) => Corpus.chunkDocuments(s, d)),
     "decontaminate"         -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
@@ -2364,6 +2371,12 @@ object SparkEntry {
         |  lang AS labeled_lang
         |FROM s""".stripMargin,
 
+    // τ-sampling: the apportionment (sqrt-chain weights, pinned-fold
+    // normalizer, floor + largest-remainder ranks) replayed in-plan;
+    // the salted two-phase pick ≡ one plain per-stratum row_number
+    "sample_temperature" -> sampleTemperatureSql(2, 60),
+    "sample_temperature_t4" -> sampleTemperatureSql(4, 60),
+
     "sample_mixture" ->
       """SELECT doc_id, source, rk FROM (
         |  SELECT doc_id, source,
@@ -3263,6 +3276,44 @@ object SparkEntry {
        |  FROM nd CROSS JOIN nn),
        |$steps
        |SELECT node, round(rank, 6) AS rank FROM it$iters""".stripMargin
+  }
+
+  /** Generated τ-sampling oracle (see the "sample_temperature" entry). */
+  private def sampleTemperatureSql(tau: Int, total: Int): String = {
+    val w = if (tau == 2) "sqrt(CAST(cnt AS DOUBLE))"
+      else "sqrt(sqrt(CAST(cnt AS DOUBLE)))"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT source,
+       |         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+       |              AS BIGINT) AS cnt
+       |  FROM d GROUP BY source),
+       |w AS (SELECT source, $w AS w FROM c),
+       |ws AS (
+       |  SELECT list_reduce(list(w ORDER BY (source IS NULL), source),
+       |                     (a, b) -> a + b) AS wsum FROM w),
+       |f AS (
+       |  SELECT source, exact, CAST(floor(exact) AS BIGINT) AS fl
+       |  FROM (SELECT source, (w / wsum) * CAST($total AS DOUBLE) AS exact
+       |        FROM w CROSS JOIN ws)),
+       |t AS (
+       |  SELECT source,
+       |         fl + CASE WHEN CAST(row_number() OVER (
+       |                ORDER BY exact - CAST(fl AS DOUBLE) DESC,
+       |                         (source IS NULL), source) AS BIGINT)
+       |              <= CAST($total AS BIGINT)
+       |                 - CAST((SELECT sum(fl) FROM f) AS BIGINT)
+       |              THEN 1 ELSE 0 END AS target
+       |  FROM f)
+       |SELECT doc_id, source, target, rk FROM (
+       |  SELECT d.doc_id, d.source, t.target,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY d.source
+       |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+       |           AS BIGINT) AS rk
+       |  FROM d JOIN t ON d.source IS NOT DISTINCT FROM t.source) p
+       |WHERE rk <= target""".stripMargin
   }
 
   private def dedupExactOracle: String =

@@ -527,6 +527,74 @@ object Corpus {
       .drop("__salt", "__lrk")
   }
 
+  /** Temperature-scaled mixture sampling (τ-sampling — the multilingual
+    * mixing rule of mC4/mT5, Xue et al. 2021 §3.1): per-source targets
+    * come from largest-remainder apportionment of `total` over
+    * token-count^(1/τ) weights. τ > 1 flattens the mixture toward
+    * uniform — small sources are up-sampled relative to their share —
+    * without the hard caps of [[budgetWaterfill]] or the hand-set
+    * weights of [[sampleMixture]]; the three operators are the canonical
+    * mixing-strategy family.
+    *
+    * τ is restricted to {2, 4} (weights via sqrt / sqrt∘sqrt): IEEE-754
+    * sqrt is CORRECTLY ROUNDED on every engine where pow() is not — an
+    * arbitrary-τ pow() carries a ≤1-ulp cross-engine wobble that could
+    * flip a floor boundary or a remainder rank, and this allocation is
+    * exact by contract. The weight normalizer folds in pinned
+    * (NULL-last, source) order; the apportionment — floor(w/W·total),
+    * leftover slots to the largest fractional remainders, source
+    * tie-break — runs IN-PLAN over the |sources|-row relation (the
+    * budget_waterfill shape, never a driver collect); doc picking is the
+    * shared [[saltedTopNPerStratum]] engine on md5(doc_id) order with
+    * each stratum's target joined null-safely (a NULL source is a real
+    * stratum). Token counts, the pool, and the targets all read one
+    * text-non-null corpus pass. */
+  def sampleTemperature(spark: SparkSession, dir: String, tau: Int = 2,
+      total: Int = 60, salts: Int = 32): DataFrame =
+    sampleTemperatureFrom(Tables.documents(spark, dir), tau, total, salts)
+
+  private[graft] def sampleTemperatureFrom(documents: DataFrame, tau: Int,
+      total: Int, salts: Int = 32): DataFrame = {
+    require(tau == 2 || tau == 4,
+      s"tau must be 2 or 4 (sqrt-expressible — pow() is not correctly " +
+        s"rounded cross-engine), got $tau")
+    require(total >= 0, "non-negative total")
+    val docs = documents.where(col("text").isNotNull)
+    val toks = size(TextFns.wsTokens(TextFns.foldCase(col("text"))))
+      .cast("long")
+    val cnts = docs.groupBy(col("source")).agg(sum(toks).as("cnt"))
+    val wCol = if (tau == 2) sqrt(col("cnt").cast("double"))
+      else sqrt(sqrt(col("cnt").cast("double")))
+    val weighted = cnts.select(col("source"), wCol.as("w"))
+    val wsum = broadcast(weighted.agg(
+      aggregate(transform(sort_array(collect_list(struct(
+        col("source").isNull.cast("int").as("z"), col("source").as("s"),
+        col("w").as("w")))), p => p.getField("w")),
+        lit(0.0), (a, x) => a + x).as("wsum")))
+    val exact = weighted.crossJoin(wsum)
+      .select(col("source"),
+        (col("w") / col("wsum") * lit(total.toDouble)).as("exact"))
+      .withColumn("fl", floor(col("exact")).cast("long"))
+    val byRem = Window.partitionBy(lit(0)).orderBy(
+      (col("exact") - col("fl").cast("double")).desc,
+      col("source").isNull.cast("int"), col("source"))
+    val targets = exact
+      .withColumn("lo",
+        lit(total.toLong) - sum(col("fl")).over(Window.partitionBy(lit(0))))
+      .withColumn("brk", row_number().over(byRem).cast("long"))
+      .select(col("source"),
+        (col("fl") + when(col("brk") <= col("lo"), 1L).otherwise(0L))
+          .as("target"))
+    val pool = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(targets.withColumnRenamed("source", "__src")),
+        col("source") <=> col("__src"))
+      .drop("__src")
+    saltedTopNPerStratum(pool, col("source"),
+      md5(col("doc_id").cast("string")), col("target"), salts,
+      col("doc_id"))
+      .select(col("doc_id"), col("source"), col("target"), col("rk"))
+  }
+
   /** Exact-N deterministic sample per stratum: the eval-set construction
     * primitive — every event_type contributes exactly `nPer` rows (fewer
     * if the stratum is smaller), chosen by md5(event_id) order so the

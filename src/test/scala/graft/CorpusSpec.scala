@@ -203,6 +203,63 @@ class CorpusSpec extends AnyFunSuite {
     assert(noEval.forall(!_.getAs[Boolean]("is_flagged")))
   }
 
+  test("sample_temperature: hand-computed apportionment, flattening " +
+    "laws, exact-total invariant, τ=4 flatter than τ=2") {
+    import spark.implicits._
+    // token counts 1 / 4 / 16 → sqrt weights 1 / 2 / 4 (W = 7)
+    val docs = Seq(
+      (1L, "w", "a"),
+      (2L, "w w w w", "b"),
+      (3L, (1 to 16).map(_ => "w").mkString(" "), "c"))
+      .toDF("doc_id", "text", "source")
+    def targets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(1) -> r.getAs[Long]("target")).toMap
+    // total 7: exact shares 1/2/4 are integral — no remainder slots
+    val t7 = targets(Corpus.sampleTemperatureFrom(docs, tau = 2, total = 7))
+    assert(t7 == Map("a" -> 1L, "b" -> 2L, "c" -> 4L), s"t7: $t7")
+    // total 10: exact 10/7·(1,2,4) = (1.43, 2.86, 5.71); floors (1,2,5)
+    // leave 2 slots → largest remainders b (.86) and c (.71) get them
+    val t10raw = Corpus.sampleTemperatureFrom(docs, tau = 2, total = 10)
+      .select("source", "target").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t10raw == Map("a" -> 1L, "b" -> 3L, "c" -> 6L), s"t10: $t10raw")
+    // real corpus: targets sum EXACTLY to total; flattening vs the
+    // proportional token share — the smallest source gains, the largest
+    // loses; τ=4 is flatter than τ=2
+    val corpus = graft.sources.Tables.documents(spark, Sf)
+    def bySrc(tau: Int) = Corpus.sampleTemperature(spark, Sf, tau = tau,
+      total = 60).select("source", "target").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (m2, m4) = (bySrc(2), bySrc(4))
+    assert(m2.values.sum == 60L && m4.values.sum == 60L,
+      s"targets must apportion the whole budget: $m2 / $m4")
+    val cnt = corpus.where(col("text").isNotNull)
+      .groupBy("source").agg(sum(size(split(trim(lower(col("text"))),
+        "\\s+"))).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = cnt.values.sum.toDouble
+    val (minS, maxS) = (cnt.minBy(_._2)._1, cnt.maxBy(_._2)._1)
+    if (cnt(minS) != cnt(maxS)) {
+      assert(m2(minS) / 60.0 >= cnt(minS) / tot - 1e-9,
+        s"τ-sampling must not shrink the smallest source: $m2 vs $cnt")
+      assert(m2(maxS) / 60.0 <= cnt(maxS) / tot + 1e-9,
+        s"τ-sampling must not grow the largest source: $m2 vs $cnt")
+      // flatter at τ=4: spread of targets shrinks (or stays)
+      def spread(m: Map[String, Long]) = m.values.max - m.values.min
+      assert(spread(m4) <= spread(m2), s"τ=4 flatter: $m4 vs $m2")
+    }
+    // determinism + per-source rank contiguity
+    val run = Corpus.sampleTemperature(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    val run2 = Corpus.sampleTemperature(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    assert(run.sameElements(run2), "engine-stable sample")
+    run.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        "ranks contiguous per source")
+    }
+  }
+
   test("retrieval_eval: metric laws on the corpus; planted fixture " +
     "matches an independent BM25+NDCG reference to 1e-6") {
     val out = Corpus.retrievalEval(spark, Sf).collect()
