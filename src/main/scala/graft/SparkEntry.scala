@@ -348,7 +348,15 @@ object SparkEntry {
       Graphs.pagerank(s, d, iters = 3)),
     "pagerank_dist"         -> ((s: SparkSession, d: String) =>
       Graphs.pagerankFrom(graft.sources.Tables.events(s, d),
-        Graphs.DefaultIters, driverCap = 0L))
+        Graphs.DefaultIters, driverCap = 0L)),
+    // weighted label propagation: community labels on the undirected
+    // transition graph — exact integers + string tie-breaks, no floats;
+    // the _dist twin forces the distributed round loop (same oracle)
+    "label_propagation"     -> ((s: SparkSession, d: String) =>
+      Graphs.labelPropagation(s, d)),
+    "label_propagation_dist" -> ((s: SparkSession, d: String) =>
+      Graphs.labelPropagationFrom(graft.sources.Tables.events(s, d),
+        Graphs.LpaRounds, driverCap = 0L))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3226,8 +3234,51 @@ object SparkEntry {
     "pagerank" -> pagerankOracle(graft.operators.Graphs.DefaultIters),
     "pagerank_i3" -> pagerankOracle(3),
     // the distributed loop is byte-identical to the driver path (spec'd)
-    "pagerank_dist" -> pagerankOracle(graft.operators.Graphs.DefaultIters)
+    "pagerank_dist" -> pagerankOracle(graft.operators.Graphs.DefaultIters),
+    // label propagation: unrolled-CTE round chain, all integers/strings
+    "label_propagation" -> lpaOracle(graft.operators.Graphs.LpaRounds),
+    "label_propagation_dist" -> lpaOracle(graft.operators.Graphs.LpaRounds)
   )
+
+  /** Generated unrolled-CTE label-propagation oracle. */
+  private def lpaOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT u AS node, nl AS best FROM (
+         |    SELECT u, nl,
+         |           row_number() OVER (PARTITION BY u
+         |             ORDER BY sc DESC, nl) AS rk
+         |    FROM (SELECT s.u, l.label AS nl, CAST(sum(s.w) AS BIGINT) AS sc
+         |          FROM sym s JOIN l${i - 1} l ON l.node = s.v
+         |          GROUP BY 1, 2))
+         |  WHERE rk = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT l.node, coalesce(b$i.best, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN b$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts NULLS FIRST,
+       |                                         event_id NULLS FIRST) AS to_type
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |e AS MATERIALIZED (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v, CAST(sum(n) AS BIGINT) AS w FROM (
+       |    SELECT from_type AS u, to_type AS v, n FROM e
+       |    WHERE from_type <> to_type
+       |    UNION ALL
+       |    SELECT to_type AS u, from_type AS v, n FROM e
+       |    WHERE from_type <> to_type)
+       |  GROUP BY 1, 2),
+       |nd AS MATERIALIZED (
+       |  SELECT from_type AS node FROM e UNION SELECT to_type FROM e),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nd),
+       |$steps
+       |SELECT node, label FROM l$rounds""".stripMargin
+  }
 
   /** Generated unrolled-CTE PageRank oracle (see the "pagerank" entry). */
   private def pagerankOracle(iters: Int): String = {

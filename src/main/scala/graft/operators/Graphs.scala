@@ -213,4 +213,134 @@ object Graphs {
     if (p != null && !p._1.sparkContext.isStopped)
       Corpus.freeCheckpoint(p._1, p._2)
   }
+
+  // ----------------------------------------------------------------
+  // Label propagation
+  // ----------------------------------------------------------------
+
+  val LpaRounds = 6
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) over
+    * the UNDIRECTED transition graph — community structure next to
+    * [[pagerank]]'s centrality: each round every node adopts the label
+    * with the highest total edge weight among its neighbors (score DESC,
+    * label ASC tie-break — fully deterministic), for a FIXED round
+    * budget. Labels start as the node names; nodes sharing a final label
+    * are one community. Everything is exact integers and string
+    * comparisons — no float anywhere — so the oracle replay is trivially
+    * bit-exact.
+    *
+    * Same scale split as pagerank: the corpus-sized work is the edge
+    * aggregation; the round loop runs on the aggregated graph —
+    * driver-side under [[MaxDriverGraph]], else a distributed loop (one
+    * neighbor join + one (node, label) aggregation + one rank window per
+    * round, lineage cut per round). Self-loops are dropped (a node's own
+    * label does not vote); isolated / self-loop-only nodes keep their
+    * label forever. Synchronous LPA can oscillate on bipartite
+    * structures — the fixed budget makes the result a pure function of
+    * the graph either way, which is what the oracle checks. */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = LpaRounds): DataFrame =
+    labelPropagationFrom(Tables.events(spark, dir), rounds)
+
+  private[graft] def labelPropagationFrom(events: DataFrame, rounds: Int,
+      driverCap: Long = MaxDriverGraph): DataFrame = {
+    val edgeCounts = EventFlows.transitionPairs(events)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    labelPropagationOnEdges(edgeCounts, rounds, driverCap)
+  }
+
+  private[graft] def labelPropagationOnEdges(edgeCounts: DataFrame,
+      rounds: Int, driverCap: Long): DataFrame = {
+    val spark = edgeCounts.sparkSession
+    freePendingCut()
+    val noSelf = edgeCounts.where(col("from_type") =!= col("to_type"))
+    val sym = noSelf
+      .select(col("from_type").as("u"), col("to_type").as("v"), col("n"))
+      .unionByName(noSelf.select(col("to_type").as("u"),
+        col("from_type").as("v"), col("n")))
+      .groupBy(col("u"), col("v")).agg(sum(col("n")).cast("long").as("w"))
+      .persist()
+    val nEdges = sym.count()
+    // node universe INCLUDES self-loop-only nodes (they keep their label)
+    val nodes = edgeCounts.select(col("from_type").as("node"))
+      .union(edgeCounts.select(col("to_type").as("node"))).distinct()
+      .persist()
+    val nNodes = nodes.count()
+    if (nNodes == 0) {
+      sym.unpersist(); nodes.unpersist()
+      return emptyLabels(spark)
+    }
+    val out =
+      if (nNodes + nEdges <= driverCap) lpaDriver(spark, sym, nodes, rounds)
+      else lpaDistributed(sym, nodes, rounds)
+    sym.unpersist(); nodes.unpersist()
+    out
+  }
+
+  private def emptyLabels(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", StringType),
+        StructField("label", StringType))))
+  }
+
+  /** Driver twin — identical integer/string semantics, UTF-8 tie-break
+    * order (never JVM String order). */
+  private def lpaDriver(spark: SparkSession, sym: DataFrame,
+      nodes: DataFrame, rounds: Int): DataFrame = {
+    val eArr = sym.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodeArr = nodes.collect().map(_.getString(0)).sortWith(utf8Lt)
+    val nbrs: Map[String, Array[(String, Long)]] = eArr.groupBy(_._1)
+      .map { case (u, es) => u -> es.map(e => (e._2, e._3)) }
+    var label: Map[String, String] = nodeArr.map(n => n -> n).toMap
+    var k = 0
+    while (k < rounds) {
+      label = nodeArr.map { v =>
+        val votes = nbrs.getOrElse(v, Array.empty)
+          .groupBy(e => label(e._1))
+          .map { case (l, es) => (l, es.map(_._2).sum) }
+        if (votes.isEmpty) v -> label(v)
+        else v -> votes.toSeq
+          .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+          .head._1
+      }.toMap
+      k += 1
+    }
+    import spark.implicits._
+    nodeArr.map(n => (n, label(n))).toSeq.toDF("node", "label")
+  }
+
+  private def lpaDistributed(sym: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = sym.sparkSession
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(labels)
+    var k = 0
+    while (k < rounds) {
+      val best = sym
+        .join(labels.select(col("node").as("v"), col("label").as("nl")),
+          Seq("v"))
+        .groupBy(col("u"), col("nl"))
+        .agg(sum(col("w")).cast("long").as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("s").desc, col("nl"))))
+        .where(col("rk") === 1)
+        .select(col("u").as("node"), col("nl").as("best"))
+      val next = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("best"), col("label")).as("label"))
+        .localCheckpoint()
+      Corpus.freeCheckpoint(spark, lastCutId)
+      lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(next)
+      labels = next
+      k += 1
+    }
+    pendingCut.set((spark, lastCutId))
+    labels
+  }
 }

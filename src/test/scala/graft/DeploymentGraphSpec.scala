@@ -53,6 +53,7 @@ class DeploymentGraphSpec extends AnyFunSuite {
     val model = s"$base/bpe_model"; val enc = s"$base/bpe_encoded"
     val spikes = s"$base/spike_alerts"; val shapes = s"$base/shape_alerts"
     val lexIdx = s"$base/lex_index"
+    val dedupLog = s"$base/dedup_verdicts"
     new java.io.File(evDir).mkdirs(); new java.io.File(docDir).mkdirs()
     // the tokenizer is trained ONCE (on the reference corpus) and
     // persisted BEFORE the stream starts — the durable-model serving
@@ -141,7 +142,18 @@ class DeploymentGraphSpec extends AnyFunSuite {
             b.select(col("doc_id"), col("text")))
         }
         .option("checkpointLocation", s"$base/ckpt_lex").start()
-      Seq(attrQ, dedupQ, hllQ, encQ, spikeQ, tmplQ, lexQ)
+      // seventh leg — continuous EXACT dedup verdicts (the near-dup
+      // index refuses similars; this is the byte-identity ledger next
+      // to it): fingerprint state rides the checkpoint, so a duplicate
+      // arriving AFTER the crash still folds onto its pre-crash twin
+      val exQ = graft.streaming.StatefulDedup(
+        graft.streaming.StatefulDedup.fromDocuments(
+          docs.withColumn("n_chars", length(col("text")).cast("long"))))
+        .toDF().writeStream.format("parquet")
+        .option("path", dedupLog)
+        .option("checkpointLocation", s"$base/ckpt_exdedup")
+        .outputMode("append").start()
+      Seq(attrQ, dedupQ, hllQ, encQ, spikeQ, tmplQ, lexQ, exQ)
     }
 
     // ---- the feed -----------------------------------------------------
@@ -210,7 +222,10 @@ class DeploymentGraphSpec extends AnyFunSuite {
     feedEvents("b3", Seq((103L, 3L, "2024-07-01 12:20:00", "view"),
       (12L, 3L, "2024-07-01 12:30:00", "purchase"),
       (13L, 4L, "2024-07-01 14:00:00", "purchase")))
-    feedDocs("b3", Seq((6L, bodyC + " tail"), (7L, bodyD)))
+    // doc 8 is a BYTE-identical copy of doc 2, fed on the far side of
+    // the crash: the exact-dedup leg must fold it onto its pre-crash
+    // twin (state rode the checkpoint); the near-dup index refuses it
+    feedDocs("b3", Seq((6L, bodyC + " tail"), (7L, bodyD), (8L, bodyB)))
     // b4 advances the watermark so p13's no-view NULL verdict can flush
     feedEvents("b4", Seq((105L, 5L, "2024-07-01 16:20:00", "view"),
       (14L, 5L, "2024-07-01 16:30:00", "purchase")))
@@ -382,5 +397,30 @@ class DeploymentGraphSpec extends AnyFunSuite {
           s" served=$served\n scan  =$scan")
       assert(served.nonEmpty, s"$q must hit")
     }
+
+    // 10) the exact-dedup leg: the LATEST verdict per fingerprint
+    //     (max n_copies — monotone per group) must equal the batch
+    //     keep-first groupBy over everything fed; doc 8 (byte-identical
+    //     to doc 2, fed on the far side of the crash) folds onto its
+    //     pre-crash twin because the fingerprint state rode the
+    //     checkpoint — first_doc_id 2, n_copies 2
+    val verdictRows = spark.read.parquet(dedupLog).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val latestVerdicts = verdictRows.groupBy(_._1).map { case (fp, rs) =>
+      val r = rs.maxBy(_._3); fp -> (r._2, r._3, r._4)
+    }
+    val dedupRef = fedDocsDf
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("first_doc_id"), count("*").as("n_copies"),
+        min("n_chars").as("n_chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(latestVerdicts == dedupRef,
+      s"dedup ledger must equal the batch keep-first groupBy:\n" +
+        s" stream=$latestVerdicts\n batch =$dedupRef")
+    val dupVerdict = latestVerdicts.values.filter(_._2 == 2L)
+    assert(dupVerdict.toSeq == Seq((2L, 2L, bodyB.length.toLong)),
+      s"the cross-crash duplicate must fold onto doc 2: $dupVerdict")
   }
 }

@@ -110,4 +110,60 @@ class GraphsSpec extends AnyFunSuite {
       s"pending-cut storage must not grow per call: $before → $after")
     Graphs.freePendingCut()
   }
+
+  private def labelsOf(df: DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("label propagation: disconnected cliques converge to their min " +
+    "member; weight beats count; isolated self-loop keeps its label") {
+    // two triangles, no cross edges → two communities, each labeled by
+    // its UTF-8-min member after the min label floods the clique
+    val tri = edgesDf(Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("x", "y", 1L), ("y", "z", 1L), ("z", "x", 1L)))
+    val l = labelsOf(Graphs.labelPropagationOnEdges(tri, rounds = 6,
+      driverCap = Long.MaxValue))
+    assert(l.keySet == Set("a", "b", "c", "x", "y", "z"))
+    assert(Set(l("a"), l("b"), l("c")).size == 1, s"one community: $l")
+    assert(Set(l("x"), l("y"), l("z")).size == 1, s"one community: $l")
+    assert(l("a") != l("x"), s"cliques must not merge: $l")
+    // weighted vote: m's heavy edge to z outvotes two light edges to a
+    // neighborhood labeled 'a' — after round 1, m adopts z's label
+    val w = labelsOf(Graphs.labelPropagationOnEdges(edgesDf(Seq(
+      ("m", "a", 1L), ("m", "b", 1L), ("m", "z", 5L),
+      ("a", "b", 9L))), rounds = 1, driverCap = Long.MaxValue))
+    assert(w("m") == "z", s"weight must beat count: $w")
+    // a self-loop-only node has no neighbors: label never changes
+    val s = labelsOf(Graphs.labelPropagationOnEdges(edgesDf(Seq(
+      ("solo", "solo", 4L), ("p", "q", 1L))), rounds = 6,
+      driverCap = Long.MaxValue))
+    assert(s("solo") == "solo", s"isolated node keeps its label: $s")
+  }
+
+  test("label propagation: distributed loop is byte-identical to the " +
+    "driver path; real corpus labels come from the node set") {
+    val rng = new scala.util.Random(23)
+    val nodes = (0 until 29).map(i => s"n$i")
+    val es = (0 until 200).map { _ =>
+      (nodes(rng.nextInt(29)), nodes(rng.nextInt(29)),
+        (1 + rng.nextInt(7)).toLong)
+    }.groupBy(e => (e._1, e._2))
+      .map { case ((a, b), g) => (a, b, g.map(_._3).sum) }.toSeq
+    val drv = Graphs.labelPropagationOnEdges(edgesDf(es), rounds = 6,
+      driverCap = Long.MaxValue).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    val dst = Graphs.labelPropagationOnEdges(edgesDf(es), rounds = 6,
+      driverCap = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(drv == dst, "driver and distributed labels must be identical")
+    Graphs.freePendingCut()
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val real = labelsOf(Graphs.labelPropagationFrom(ev, rounds = 6))
+    assert(real.nonEmpty && real.values.toSet.subsetOf(real.keySet),
+      s"labels are node names: $real")
+    // empty graph → empty output-typed result
+    val empty = Graphs.labelPropagationOnEdges(edgesDf(Seq.empty),
+      rounds = 6, driverCap = Long.MaxValue)
+    assert(empty.columns.toSeq == Seq("node", "label") && empty.count() == 0)
+  }
 }
