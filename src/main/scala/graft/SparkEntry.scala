@@ -131,6 +131,10 @@ object SparkEntry {
     "value_percentiles"     -> (Relational.valuePercentiles _),
     "value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "value_percentiles_sampled" -> ((s: SparkSession, d: String) => Relational.valuePercentilesSampled(s, d)),
+    // the RangePartitioner primitive: per-type value deciles assigned
+    // from broadcast sampled cutpoints — no global sort anywhere
+    "equidepth_buckets"     -> ((s: SparkSession, d: String) =>
+      Relational.equidepthBuckets(s, d)),
     "asof_prev_error"       -> (Relational.asofPrevError _),
     // last-touch attribution: bounded asof; the streaming interval-join
     // twin (StreamJoins.attributionCandidates) emits the eligible pairs
@@ -2164,6 +2168,11 @@ object SparkEntry {
     // rank-interpolation matches it exactly (proven by the exact twin).
     // The sample filter (finite, non-NULL) must run BEFORE the rank cut
     // or the two engines pick different rows.
+    // equi-depth bucketing: the same deterministic bottom-k sample,
+    // cutpoints at exact integer sample ranks, assignment = |cuts ≤ v|;
+    // NULL / non-finite / no-finite-type → NULL bucket
+    "equidepth_buckets" -> equidepthBucketsSql(10, 4096),
+
     "value_percentiles_sampled" ->
       """WITH nn AS (
         |  SELECT event_type, value, event_id,
@@ -3327,6 +3336,39 @@ object SparkEntry {
        |  FROM nd CROSS JOIN nn),
        |$steps
        |SELECT node, round(rank, 6) AS rank FROM it$iters""".stripMargin
+  }
+
+  /** Generated equi-depth bucketing oracle (see "equidepth_buckets"). */
+  private def equidepthBucketsSql(buckets: Int, k: Int): String = {
+    val cutExprs = (1 until buckets).map { j =>
+      s"""max(CASE WHEN rn = greatest(1, CAST(floor(
+         |           CAST($j * n_s AS DOUBLE) / ${buckets.toDouble}) AS BIGINT))
+         |         THEN value END)""".stripMargin
+    }.mkString(",\n       |    ")
+    s"""WITH nn AS (
+       |  SELECT event_type, value, event_id,
+       |         md5_number_lower('sample:' || CAST(event_id AS VARCHAR)) % 2305843009213693951 AS hk
+       |  FROM events WHERE value IS NOT NULL AND isfinite(value)),
+       |samp AS (
+       |  SELECT event_type, value FROM (
+       |    SELECT event_type, value,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS srk
+       |    FROM nn) WHERE srk <= $k),
+       |r AS (
+       |  SELECT event_type, value,
+       |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_s
+       |  FROM samp),
+       |c AS (
+       |  SELECT event_type AS c_type,
+       |    [$cutExprs] AS cuts
+       |  FROM r GROUP BY 1)
+       |SELECT e.event_id, e.event_type, e.value,
+       |       CASE WHEN e.value IS NOT NULL AND isfinite(e.value)
+       |                 AND cuts IS NOT NULL
+       |            THEN CAST(len(list_filter(cuts, x -> x <= e.value)) AS BIGINT)
+       |       END AS bucket
+       |FROM events e LEFT JOIN c ON e.event_type IS NOT DISTINCT FROM c.c_type""".stripMargin
   }
 
   /** Generated τ-sampling oracle (see the "sample_temperature" entry). */

@@ -517,6 +517,71 @@ object Relational {
         col("n_events"))
   }
 
+  /** Equi-depth value bucketing via SAMPLED cutpoints — the
+    * RangePartitioner primitive as an operator: assign every event its
+    * per-type value decile WITHOUT a global sort. The naive form (ntile
+    * over a full partition) sorts the whole fact table per key — the
+    * classic 100 TB anti-pattern; this is how Spark's own
+    * RangePartitioner works instead: a bounded deterministic sample
+    * (the [[valuePercentilesSampled]] bottom-k-by-md5 cut,
+    * WindowGroupLimit-bounded) yields per-type cutpoint arrays at exact
+    * integer sample ranks (rank_j = max(1, ⌊j·n_s/buckets⌋) — pure
+    * integer/floor arithmetic, no interpolation), which broadcast to a
+    * single scan-side assignment: bucket = |{cuts ≤ value}|.
+    *
+    * Contracts: NULL / non-finite values and types with no finite
+    * values get a NULL bucket (the extreme-probe rule); a value EQUAL
+    * to a cutpoint counts that cut and lands on the upper side,
+    * consistently on both engines (the ≤ comparison is pinned); with
+    * n_s < buckets the duplicate cutpoints simply merge adjacent
+    * buckets. The sample, the
+    * ranks, and the comparison are pure corpus functions — the oracle
+    * replays the member set and the assignment exactly. */
+  def equidepthBuckets(spark: SparkSession, dir: String,
+      buckets: Int = 10, k: Int = 4096): DataFrame =
+    equidepthBucketsFrom(Tables.events(spark, dir), buckets, k)
+
+  private[graft] def equidepthBucketsFrom(ev: DataFrame,
+      buckets: Int = 10, k: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets in [2,1000]: $buckets")
+    val spark = ev.sparkSession
+    // the valuePercentilesSampled WindowGroupLimit raise (plan-pinned
+    // there) — same sample machinery, same bound
+    val thKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if (spark.conf.get(thKey).toLong < k) spark.conf.set(thKey, k)
+    val finite = !isnan(col("value")) &&
+      abs(col("value")) <= lit(Double.MaxValue)
+    val hk = Sketches.md5mod(
+      concat(lit("sample:"), col("event_id").cast("string")),
+      graft.expressions.SigUtil.P)
+    val wS = Window.partitionBy("event_type").orderBy(col("hk"), col("event_id"))
+    val sample = ev.where(col("value").isNotNull && finite)
+      .withColumn("hk", hk)
+      .withColumn("srk", row_number().over(wS))
+      .where(col("srk") <= k)
+    val wV = Window.partitionBy("event_type").orderBy(col("value"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(wV).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("event_type")))
+    // exact integer rank of cutpoint j; the double divide is exact for
+    // j·n_s ≤ 9·4096 ≪ 2^52 and mirrored token-for-token in SQL
+    def cutRank(j: Int): Column = greatest(lit(1L),
+      floor((lit(j.toLong) * col("n_s")).cast("double") /
+        lit(buckets.toDouble)).cast("long"))
+    val cutCols = (1 until buckets).map(j =>
+      max(when(col("rn") === cutRank(j), col("value"))).as(s"c_$j"))
+    val cuts = ranked.groupBy(col("event_type"))
+      .agg(cutCols.head, cutCols.tail: _*)
+      .select(col("event_type").as("c_type"),
+        array((1 until buckets).map(j => col(s"c_$j")): _*).as("cuts"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(cuts), col("event_type") <=> col("c_type"), "left")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value").isNotNull && finite && col("cuts").isNotNull,
+          size(filter(col("cuts"), c => c <= col("value"))).cast("long"))
+          .as("bucket"))
+  }
+
   /** As-of join: each event annotated with the user's most recent strictly
     * earlier error event — the "what was already broken when this
     * happened" context an incident dashboard needs. One shuffle on

@@ -313,6 +313,60 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(math.abs(frac99 - 0.99) < 0.01, s"p99 rank error: $frac99 via $p99")
   }
 
+  test("equidepth buckets: covering sample gives true deciles; boundary " +
+    "and NULL/non-finite contracts; rank error bounded beyond the sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def evDf(rows: Seq[(Long, String, java.lang.Double)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, v) =>
+          Row(id, t, v) }),
+        StructType(Seq(StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+    // covering regime: values 1..100 in one type → cuts at 10,20,...,90;
+    // bucket sizes 9,10,...,10,11 (the ≤ boundary sends v=10·j up)
+    val flat = evDf((1 to 100).map(i =>
+      (i.toLong, "t", java.lang.Double.valueOf(i.toDouble))))
+    val got = Relational.equidepthBucketsFrom(flat).collect()
+      .map(r => r.getDouble(2) -> r.getLong(3)).toMap
+    assert(got(5.0) == 0L && got(10.0) == 1L && got(19.0) == 1L &&
+      got(20.0) == 2L && got(95.0) == 9L && got(100.0) == 9L,
+      s"decile assignment: $got")
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes(0L) == 9 && (1L to 8L).forall(sizes(_) == 10) &&
+      sizes(9L) == 11, s"bucket sizes: $sizes")
+    // NULL value, NaN, and a type with NO finite values → NULL bucket
+    val edge = evDf(Seq((1L, "t", 1.0), (2L, "t", null),
+      (3L, "t", java.lang.Double.valueOf(Double.NaN)),
+      (4L, "only_nan", java.lang.Double.valueOf(Double.NaN))))
+    val eg = Relational.equidepthBucketsFrom(edge).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some(r.getLong(3)))).toMap
+    // a singleton sample makes every cutpoint equal the one value, and
+    // the pinned ≤ rule sends it to the top bucket — degenerate but
+    // well-defined, identically on both engines
+    assert(eg == Map(1L -> Some(9L), 2L -> None, 3L -> None, 4L -> None),
+      s"edge contracts: $eg")
+    // subsample regime: 40k rows, k=4096 — every bucket must hold
+    // 10% ± 3% of the finite rows (the sampled-cutpoint rank bound)
+    val big = spark.range(40000).select(col("id").as("event_id"),
+      lit("t").as("event_type"), (col("id") % 9973).cast("double").as("value"))
+    val frac = Relational.equidepthBucketsFrom(big).groupBy("bucket")
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac.keySet == (0L to 9L).toSet, s"all deciles present: $frac")
+    frac.values.foreach(n => assert(math.abs(n / 40000.0 - 0.1) < 0.03,
+      s"decile mass off: $frac"))
+    // real corpus: every finite-valued event bucketed in [0, 9]
+    val corpus = Relational.equidepthBuckets(spark, Sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) >= 0L && r.getLong(3) <= 9L, s"range: $r")
+    }
+  }
+
   test("asofJoin: inclusive vs strict semantics and no-match NULLs") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
