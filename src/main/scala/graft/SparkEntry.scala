@@ -238,6 +238,9 @@ object SparkEntry {
       Embeddings.decontaminateSemanticExact(s, d)),
     "sample_exact_stratified" -> ((s: SparkSession, d: String) => Corpus.sampleExactStratified(s, d)),
     "quality_perplexity"    -> (Corpus.perplexityScore _),
+    // the bigram-interpolated step toward CCNet/KenLM quality filtering
+    "quality_perplexity_bigram" -> ((s: SparkSession, d: String) =>
+      Corpus.perplexityBigram(s, d)),
     "corpus_shuffle"        -> ((s: SparkSession, d: String) => Corpus.corpusShuffle(s, d)),
     "length_buckets"        -> ((s: SparkSession, d: String) => Corpus.lengthBuckets(s, d)),
     "bigram_counts"         -> ((s: SparkSession, d: String) => Corpus.bigramCounts(s, d)),
@@ -2342,6 +2345,11 @@ object SparkEntry {
         |FROM (SELECT vec_id FROM c WHERE vec_id % 10 <> 0) t
         |LEFT JOIN r ON t.vec_id = r.vec_id AND r.rk = 1""".stripMargin,
 
+    // interpolated bigram perplexity: smoothed probabilities are single
+    // divisions of exact integers, λ constants emitted as round-trip
+    // doubles, per-doc means under round(·,4) (the unigram contract)
+    "quality_perplexity_bigram" -> perplexityBigramSql(0.7),
+
     "quality_perplexity" ->
       """WITH vocab AS (
         |  SELECT token, freq FROM (
@@ -3336,6 +3344,56 @@ object SparkEntry {
        |  FROM nd CROSS JOIN nn),
        |$steps
        |SELECT node, round(rank, 6) AS rank FROM it$iters""".stripMargin
+  }
+
+  /** Generated interpolated-bigram-perplexity oracle (see the
+    * "quality_perplexity_bigram" entry). */
+  private def perplexityBigramSql(lambda: Double): String = {
+    val lam = s"CAST(${lambda} AS DOUBLE)"
+    val oml = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    s"""WITH vocab AS (
+       |  SELECT token, freq FROM (
+       |    SELECT token, freq,
+       |           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+       |    FROM (
+       |      SELECT token, count(*) AS freq FROM (
+       |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents) t
+       |      WHERE length(token) > 0
+       |      GROUP BY token HAVING count(*) >= 2) c) r
+       |  WHERE token_id <= 1000),
+       |stats AS (SELECT sum(freq) + count(*) + 1 AS denom FROM vocab),
+       |bstats AS (SELECT count(*) + 1 AS bdenom FROM vocab),
+       |p0 AS (
+       |  SELECT doc_id, t[CAST(i + 1 AS BIGINT)] AS w1,
+       |         t[CAST(i + 2 AS BIGINT)] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(0, greatest(0, len(t) - 1))) AS i
+       |        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |              FROM documents WHERE text IS NOT NULL))),
+       |pairs AS (
+       |  SELECT doc_id, w1, w2 FROM p0
+       |  WHERE length(w1) > 0 AND length(w2) > 0),
+       |bi AS (
+       |  SELECT p.w1, p.w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM pairs p
+       |  JOIN vocab v1 ON v1.token = p.w1
+       |  JOIN vocab v2 ON v2.token = p.w2
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |         ln($lam * ((coalesce(b.c12, 0) + 1)
+       |                    / (coalesce(v1.freq, 0) + (SELECT bdenom FROM bstats)))
+       |            + $oml * ((coalesce(v2.freq, 0) + 1)
+       |                      / (SELECT denom FROM stats))) AS logp,
+       |         CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+       |  FROM pairs p
+       |  LEFT JOIN vocab v1 ON v1.token = p.w1
+       |  LEFT JOIN vocab v2 ON v2.token = p.w2
+       |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2)
+       |SELECT doc_id, round(exp(-avg(logp)), 4) AS perplexity_bi,
+       |       count(*) AS n_bigrams,
+       |       CAST(sum(unseen) AS BIGINT) AS n_unseen
+       |FROM scored GROUP BY doc_id""".stripMargin
   }
 
   /** Generated equi-depth bucketing oracle (see "equidepth_buckets"). */

@@ -199,6 +199,68 @@ object Corpus {
         sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Interpolated bigram-LM perplexity per document — one modeling step
+    * past [[perplexityScore]]'s unigram toward the n-gram-LM quality
+    * filters of CCNet/KenLM pipelines (Wenzek et al. 2020): score each
+    * bigram with p = λ·p_bi(w₂|w₁) + (1−λ)·p_uni(w₂), both add-one
+    * smoothed over the shared top-1000 vocabulary (p_bi over vocab-
+    * restricted pair counts with denominator c(w₁)+|V|+1, OOV tokens
+    * take the floors through the same coalesced formula — no special
+    * cases), perplexity = exp(−mean log p) over the doc's bigrams.
+    * Repetitive/templated text scores LOW (its bigrams dominate the
+    * model), gibberish and wrong-language text HIGH — a sharper signal
+    * than unigram, which can't see word ORDER at all.
+    *
+    * Scale: the bigram model is bounded by observed vocab-pairs ≤ |V|²
+    * (1M rows at the top-1000 vocab — broadcastable at any corpus
+    * size); scoring is one bigram explode + three broadcast joins + one
+    * per-doc aggregate. Smoothed probabilities are single divisions of
+    * exact integers; λ constants reach the oracle as round-trip
+    * doubles; per-doc means are few-addend sums under round(·,4) (the
+    * unigram contract). Docs with < 2 non-empty tokens have no bigrams
+    * and drop out, identically on both engines. */
+  def perplexityBigram(spark: SparkSession, dir: String,
+      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val vocabRows = buildVocab(spark, dir).select(col("token"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val denom: Column =
+      if (vocabRows.isEmpty) lit(null).cast("double")
+      else lit((vocabRows.map(_._2).sum + vocabRows.length + 1).toDouble)
+    val bdenom = lit(vocabRows.length + 1L) // |V|+1, exact integer
+    val vocab = vocabRows.toSeq.toDF("token", "freq")
+    val docs = Tables.documents(spark, dir).where(col("text").isNotNull)
+    val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = docs.select(col("doc_id"), explode(bgs).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(length(col("w1")) > 0 && length(col("w2")) > 0)
+    // the bigram model: vocab-restricted pair counts (≤ |V|² rows)
+    val bi = pairs
+      .join(broadcast(vocab.select(col("token").as("w1"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("token").as("w2"))), Seq("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val pbi = (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + bdenom).cast("double")
+    val puni = (coalesce(col("c2"), lit(0L)) + 1).cast("double") / denom
+    pairs
+      .join(broadcast(vocab.select(col("token").as("w1"),
+        col("freq").as("c1"))), Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("token").as("w2"),
+        col("freq").as("c2"))), Seq("w2"), "left")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .withColumn("logp",
+        log(lit(lambda) * pbi + lit(1.0 - lambda) * puni))
+      .withColumn("unseen", when(col("c12").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(round(exp(-avg(col("logp"))), 4).as("perplexity_bi"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"))
+  }
+
   /** Context-window chunking: split each document into overlapping
     * `maxTokens`-token chunks (stride = maxTokens − overlap) — the step
     * between "deduped documents" and "model-ready sequences" when docs

@@ -203,6 +203,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(noEval.forall(!_.getAs[Boolean]("is_flagged")))
   }
 
+  test("quality_perplexity_bigram: word ORDER discriminates where the " +
+    "unigram can't; counts and degenerate contracts") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // corpus dominated by the pattern "a b": docs X and Y carry the SAME
+    // token multiset in different orders — unigram perplexity is blind
+    // to that, the bigram model must score the in-model order lower
+    val body = (1 to 20).map(_ => "a b").mkString(" ")
+    val docs = ((1L to 8L).map(i => (i, body)) ++ Seq(
+      (100L, "a b a b a b"), // X: in-model order
+      (101L, "b b b a a a"), // Y: same multiset, rare bigrams
+      (102L, "a qzx"))       // Z: OOV token → an unseen bigram
+      ).toDF("doc_id", "text")
+    // route through a temp dir: perplexityBigram reads via Tables +
+    // the session vocab memo keyed on the dir
+    val dir = "/tmp/graft_ppl_bi_fixture"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.perplexityBigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val uni = Corpus.perplexityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uni(100L) - uni(101L)) < 1e-9,
+      s"unigram is order-blind: ${uni(100L)} vs ${uni(101L)}")
+    assert(out(100L)._1 < out(101L)._1,
+      s"bigram must prefer the in-model order: ${out(100L)} vs ${out(101L)}")
+    // n_bigrams = tokens − 1; X and Y are in-model (the model sees its
+    // own corpus), Z's OOV token makes its one bigram unseen
+    assert(out(100L)._2 == 5L && out(101L)._2 == 5L)
+    assert(out(100L)._3 == 0L, s"X's bigrams are all in-model: ${out(100L)}")
+    assert(out(102L) == ((out(102L)._1, 1L, 1L)) && out(102L)._3 == 1L,
+      s"Z's OOV bigram must count unseen: ${out(102L)}")
+    assert(out(102L)._1 > out(100L)._1,
+      s"the OOV doc must out-perplex the in-model doc: ${out(102L)}")
+    // probabilities are < 1 → perplexity > 1; real corpus sanity too
+    assert(out.values.forall(_._1 > 1.0))
+    Corpus.releaseCache(spark)
+    val corpus = Corpus.perplexityBigram(spark, SparkTest.Sf).collect()
+    assert(corpus.nonEmpty && corpus.forall(_.getDouble(1) > 1.0))
+    // every corpus doc with >= 2 tokens reports exactly tokens−1 bigrams
+    val nTok = Tables.documents(spark, SparkTest.Sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+"))
+        .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.foreach { r =>
+      assert(r.getLong(2) == nTok(r.getLong(0)) - 1,
+        s"n_bigrams must be tokens-1: $r vs ${nTok(r.getLong(0))}")
+    }
+  }
+
   test("sample_temperature: hand-computed apportionment, flattening " +
     "laws, exact-total invariant, τ=4 flatter than τ=2") {
     import spark.implicits._
