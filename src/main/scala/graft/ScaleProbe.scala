@@ -389,6 +389,22 @@ object ScaleProbe {
       graft.operators.Corpus.retrievalEvalFrom(df,
         graft.operators.Corpus.RetrievalEvalQueries, 10)
 
+    // label propagation (forced distributed): like pagerank, the round
+    // loop is scale-free on the aggregated graph
+    def lpa(df: DataFrame): DataFrame =
+      graft.operators.Graphs.labelPropagationFrom(df, rounds = 6,
+        driverCap = 0L)
+    // equi-depth bucketing: sample bounded at k per type
+    // (WindowGroupLimit), cutpoints broadcast — growth must track the
+    // two scans (sample cut + assignment)
+    def edb(df: DataFrame): DataFrame =
+      graft.operators.Relational.equidepthBucketsFrom(df)
+    // bigram perplexity: vocab-pair model bounded by |V|²; scoring is a
+    // linear bigram explode + broadcast joins (unmemoized From variant,
+    // so the Nx run fits its own vocab)
+    def pplBi(df: DataFrame): DataFrame =
+      graft.operators.Corpus.perplexityBigramFrom(df)
+
     def point(name: String)(a: => Double, b: => Double)
         : Option[(String, Double, Double)] =
       if (want(name)) Some((name, a, b)) else None
@@ -451,6 +467,9 @@ object ScaleProbe {
       point("decon_bloom")(time("dbloom 1x")(dbloom(doc1)), time(s"dbloom ${factor}x")(dbloom(docN))),
       point("retrieval_eval")(time("reval 1x")(reval(doc1)), time(s"reval ${factor}x")(reval(docN))),
       point("pagerank")(time("pagerank 1x")(pr(ev1)), time(s"pagerank ${factor}x")(pr(evN))),
+      point("lpa")(time("lpa 1x")(lpa(ev1)), time(s"lpa ${factor}x")(lpa(evN))),
+      point("equidepth")(time("edb 1x")(edb(ev1)), time(s"edb ${factor}x")(edb(evN))),
+      point("ppl_bigram")(time("pplbi 1x")(pplBi(doc1)), time(s"pplbi ${factor}x")(pplBi(docN))),
       point("dedup_spans")(time("spans 1x")(spans(doc1)), time(s"spans ${factor}x")(spans(docN))),
       point("spans_removal")(time("spans_rm 1x")(spansRm(doc1)), time(s"spans_rm ${factor}x")(spansRm(docN))),
       point("lex_durable")(time("lex_durable 1x")(lexServe(lexIdx1)), time(s"lex_durable ${factor}x")(lexServe(lexIdxN))),

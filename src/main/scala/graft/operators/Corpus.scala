@@ -51,18 +51,23 @@ object Corpus {
       maxVocab: Int = 1000): DataFrame = {
     // evict entries of stopped sessions (see NearDup.memoBase)
     vocabMemo.filterInPlace { case ((s, _, _, _), _) => !s.sparkContext.isStopped }
-    vocabMemo.getOrElseUpdate((spark, dir, minCount, maxVocab), {
-      val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
-      Tables.documents(spark, dir)
-        .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
-        .where(length(col("token")) > 0)
-        .groupBy(col("token")).agg(count("*").as("freq"))
-        .where(col("freq") >= minCount)
-        .orderBy(col("freq").desc, col("token"))
-        .limit(maxVocab)
-        .withColumn("token_id", row_number().over(byFreq).cast("long"))
-        .persist()
-    })
+    vocabMemo.getOrElseUpdate((spark, dir, minCount, maxVocab),
+      vocabFrom(Tables.documents(spark, dir), minCount, maxVocab).persist())
+  }
+
+  /** The vocabulary chain over an explicit corpus relation — the
+    * unmemoized core [[buildVocab]] caches per (session, dir, params). */
+  private[graft] def vocabFrom(documents: DataFrame, minCount: Int,
+      maxVocab: Int): DataFrame = {
+    val byFreq = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
+    documents
+      .select(explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count("*").as("freq"))
+      .where(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(maxVocab)
+      .withColumn("token_id", row_number().over(byFreq).cast("long"))
   }
 
   /** Token-id encoding: docs → position-ordered vocab-id sequences, OOV →
@@ -220,16 +225,30 @@ object Corpus {
     * unigram contract). Docs with < 2 non-empty tokens have no bigrams
     * and drop out, identically on both engines. */
   def perplexityBigram(spark: SparkSession, dir: String,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7): DataFrame =
+    perplexityBigramCore(spark,
+      buildVocab(spark, dir).select(col("token"), col("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))),
+      Tables.documents(spark, dir), lambda)
+
+  /** Probe/spec variant over an explicit corpus (no vocab memo). */
+  private[graft] def perplexityBigramFrom(documents: DataFrame,
+      lambda: Double = 0.7): DataFrame =
+    perplexityBigramCore(documents.sparkSession,
+      vocabFrom(documents, 2, 1000).select(col("token"), col("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))),
+      documents, lambda)
+
+  private def perplexityBigramCore(spark: SparkSession,
+      vocabRows: Array[(String, Long)], documents: DataFrame,
+      lambda: Double): DataFrame = {
     import spark.implicits._
-    val vocabRows = buildVocab(spark, dir).select(col("token"), col("freq"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
     val denom: Column =
       if (vocabRows.isEmpty) lit(null).cast("double")
       else lit((vocabRows.map(_._2).sum + vocabRows.length + 1).toDouble)
     val bdenom = lit(vocabRows.length + 1L) // |V|+1, exact integer
     val vocab = vocabRows.toSeq.toDF("token", "freq")
-    val docs = Tables.documents(spark, dir).where(col("text").isNotNull)
+    val docs = documents.where(col("text").isNotNull)
     val toks = TextFns.wsTokens(TextFns.foldCase(col("text")))
     val n1 = greatest(size(toks) - 1, lit(0))
     val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
