@@ -363,7 +363,33 @@ object SparkEntry {
       Graphs.labelPropagation(s, d)),
     "label_propagation_dist" -> ((s: SparkSession, d: String) =>
       Graphs.labelPropagationFrom(graft.sources.Tables.events(s, d),
-        Graphs.LpaRounds, driverCap = 0L))
+        Graphs.LpaRounds, driverCap = 0L)),
+    // degree-ordered triangle counting + local clustering coefficient
+    // on the undirected transition graph — all-integer until the one
+    // fixed-order clustering ratio
+    "graph_triangles"       -> ((s: SparkSession, d: String) =>
+      Graphs.triangleCount(s, d)),
+    // robust (median/MAD) spike detection — the breakdown-resistant twin
+    // of anomaly_spikes; explicit sorted-array medians, no engine
+    // percentile semantics in the contract
+    "anomaly_mad"           -> ((s: SparkSession, d: String) =>
+      Series.anomalyMad(s, d)),
+    // exponential smoothing over the gap-filled timeline: pinned
+    // day-ordered left fold, α = 0.25 exact binary
+    "metrics_ewma"          -> ((s: SparkSession, d: String) =>
+      Series.metricsEwma(s, d)),
+    // pairwise Pearson r between event types' daily series from exact
+    // integer sums (never the engines' merge-order-dependent corr())
+    "corr_pairs"            -> ((s: SparkSession, d: String) =>
+      Series.corrPairs(s, d)),
+    // corpus-level source-pair shingle-set Jaccard — the contamination
+    // diagnostic behind held-out-by-source splits; full pair grid
+    "source_overlap"        -> ((s: SparkSession, d: String) =>
+      TextOps.sourceOverlap(s, d)),
+    // ASCII-alphabet char entropy per doc — the gibberish signal next
+    // to text_quality's ratios; in-row, zero shuffles
+    "text_entropy"          -> ((s: SparkSession, d: String) =>
+      TextOps.textEntropy(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3254,7 +3280,230 @@ object SparkEntry {
     "pagerank_dist" -> pagerankOracle(graft.operators.Graphs.DefaultIters),
     // label propagation: unrolled-CTE round chain, all integers/strings
     "label_propagation" -> lpaOracle(graft.operators.Graphs.LpaRounds),
-    "label_propagation_dist" -> lpaOracle(graft.operators.Graphs.LpaRounds)
+    "label_propagation_dist" -> lpaOracle(graft.operators.Graphs.LpaRounds),
+    // triangle counting: degree-ordered orientation, each triangle
+    // enumerated once; clustering = 2T / (d(d-1)) in one fixed op order
+    "graph_triangles" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts NULLS FIRST,
+        |                                         event_id NULLS FIRST) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(from_type, to_type) AS u,
+        |                  greatest(from_type, to_type) AS v
+        |  FROM p WHERE to_type IS NOT NULL AND from_type <> to_type),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN da.degree < db.degree
+        |              OR (da.degree = db.degree AND u < v)
+        |              THEN u ELSE v END AS a,
+        |         CASE WHEN da.degree < db.degree
+        |              OR (da.degree = db.degree AND u < v)
+        |              THEN v ELSE u END AS b
+        |  FROM e0 JOIN deg da ON da.node = e0.u
+        |          JOIN deg db ON db.node = e0.v),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM o e1 JOIN o e2 ON e2.a = e1.b
+        |            JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.degree, coalesce(tn.t, 0) AS triangles,
+        |       CASE WHEN d.degree >= 2
+        |            THEN round((CAST(2.0 AS DOUBLE) *
+        |                        CAST(coalesce(tn.t, 0) AS DOUBLE)) /
+        |                       CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node""".stripMargin,
+
+    // median/MAD per level over the daily grid; medians are explicit
+    // sorted-list arithmetic (odd -> middle, even -> two middles averaged
+    // in one pinned op order), identical to the Spark in-row formula
+    "anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |per AS (
+        |  SELECT level, list(n ORDER BY n) AS vals,
+        |         CAST(count(*) AS BIGINT) AS sz
+        |  FROM daily GROUP BY 1),
+        |m AS (
+        |  SELECT level,
+        |         CASE WHEN sz % 2 = 1 THEN CAST(vals[(sz+1)//2] AS DOUBLE)
+        |              ELSE (CAST(vals[sz//2] AS DOUBLE) +
+        |                    CAST(vals[sz//2+1] AS DOUBLE)) /
+        |                   CAST(2.0 AS DOUBLE) END AS med
+        |  FROM per),
+        |dv AS (
+        |  SELECT d.level, d.day, d.n, m.med,
+        |         abs(CAST(d.n AS DOUBLE) - m.med) AS dev
+        |  FROM daily d JOIN m ON d.level IS NOT DISTINCT FROM m.level),
+        |p2 AS (
+        |  SELECT level, list(dev ORDER BY dev) AS dvals,
+        |         CAST(count(*) AS BIGINT) AS sz
+        |  FROM dv GROUP BY 1),
+        |m2 AS (
+        |  SELECT level,
+        |         CASE WHEN sz % 2 = 1 THEN dvals[(sz+1)//2]
+        |              ELSE (dvals[sz//2] + dvals[sz//2+1]) /
+        |                   CAST(2.0 AS DOUBLE) END AS mad
+        |  FROM p2)
+        |SELECT dv.level, dv.day, dv.n AS n_events,
+        |       round(dv.med, 4) AS med, round(m2.mad, 4) AS mad,
+        |       CASE WHEN m2.mad > 0
+        |            THEN abs(CAST(dv.n AS DOUBLE) - dv.med) >
+        |                 CAST(3.0 AS DOUBLE) * m2.mad
+        |            ELSE CAST(dv.n AS DOUBLE) <> dv.med END AS is_anomaly
+        |FROM dv JOIN m2 ON dv.level IS NOT DISTINCT FROM m2.level""".stripMargin,
+
+    // the filled-timeline chain + a day-ordered prefix list folded with
+    // s1 = x1, s_i = 0.25*x_i + 0.75*s_{i-1} (list_reduce seeds the fold
+    // with the first element — exactly the Spark init)
+    "metrics_ewma" ->
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |d AS (
+        |  SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+        |                  '%Y-%m-%d') AS day
+        |  FROM b WHERE d0 IS NOT NULL),
+        |f AS (
+        |  SELECT d.day, coalesce(c.n_incidents, 0) AS n_incidents
+        |  FROM d LEFT JOIN c USING (day)),
+        |l AS (
+        |  SELECT day, n_incidents,
+        |         list(CAST(n_incidents AS DOUBLE)) OVER (
+        |           ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM f)
+        |SELECT day, n_incidents,
+        |       round(list_reduce(pre,
+        |         (acc, x) -> CAST(0.25 AS DOUBLE) * x +
+        |                     CAST(0.75 AS DOUBLE) * acc), 6) AS ewma
+        |FROM l""".stripMargin,
+
+    // Pearson r from exact integer sums over the zero-filled day axis:
+    // sums need no grid (zero days add 0 to every sum), only n_days
+    // references the timeline bounds; HUGEINT products mirror Spark's
+    // DECIMAL — both round the same exact integer to the same double
+    "corr_pairs" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(day AS DATE)) AS d0,
+        |             max(CAST(day AS DATE)) AS d1 FROM daily),
+        |nn AS (SELECT CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_days
+        |       FROM b WHERE d0 IS NOT NULL),
+        |s AS (SELECT t, CAST(sum(n) AS BIGINT) AS sx,
+        |             sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx
+        |      FROM daily GROUP BY 1),
+        |xy AS (SELECT a.t AS ta, b.t AS tb,
+        |              sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy
+        |       FROM daily a JOIN daily b ON a.day = b.day AND a.t < b.t
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT a.t AS ta, a.sx AS sxa, a.sxx AS sxxa,
+        |              b.t AS tb, b.sx AS sxb, b.sxx AS sxxb
+        |       FROM s a JOIN s b ON a.t < b.t)
+        |SELECT ta AS type_a, tb AS type_b, n_days,
+        |       CASE WHEN vx > 0 AND vy > 0
+        |            THEN round(cov / sqrt(vx * vy), 6) END AS r
+        |FROM (
+        |  SELECT pr.ta, pr.tb, nn.n_days,
+        |    CAST(nn.n_days AS DOUBLE) * CAST(coalesce(xy.sxy, 0) AS DOUBLE)
+        |      - CAST(pr.sxa AS DOUBLE) * CAST(pr.sxb AS DOUBLE) AS cov,
+        |    CAST(nn.n_days AS DOUBLE) * CAST(pr.sxxa AS DOUBLE)
+        |      - CAST(pr.sxa AS DOUBLE) * CAST(pr.sxa AS DOUBLE) AS vx,
+        |    CAST(nn.n_days AS DOUBLE) * CAST(pr.sxxb AS DOUBLE)
+        |      - CAST(pr.sxb AS DOUBLE) * CAST(pr.sxb AS DOUBLE) AS vy
+        |  FROM pr CROSS JOIN nn
+        |  LEFT JOIN xy ON xy.ta = pr.ta AND xy.tb = pr.tb)""".stripMargin,
+
+    // source-pair Jaccard over hashed word-3-shingle sets: the same
+    // word3 shingle semantics as the minhash family, grams hashed with
+    // the pinned md5 family on BOTH engines
+    "source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, text FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |tok AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM t),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         md5_number_lower(shingle) % 2305843009213693951 AS gh
+        |  FROM (
+        |    SELECT source,
+        |           CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+        |                ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |           END AS shingle
+        |    FROM (SELECT source, ts,
+        |                 unnest(range(1, greatest(len(ts)-1, 2))) AS i
+        |          FROM tok))),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |       FROM sh GROUP BY 1),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(count(*) AS BIGINT) AS shared
+        |       FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT a.source AS source_a, a.n AS grams_a,
+        |              b.source AS source_b, b.n AS grams_b
+        |       FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT pr.source_a, pr.source_b, pr.grams_a, pr.grams_b,
+        |       coalesce(iv.shared, 0) AS n_shared,
+        |       round(CAST(coalesce(iv.shared, 0) AS DOUBLE) /
+        |             CAST(pr.grams_a + pr.grams_b - coalesce(iv.shared, 0)
+        |                  AS DOUBLE), 6) AS jaccard
+        |FROM pr LEFT JOIN iv
+        |  ON iv.source_a = pr.source_a AND iv.source_b = pr.source_b""".stripMargin,
+
+    // char entropy per DISTINCT text joined back per row (duplicate rows
+    // emit duplicate outputs, as the per-row Spark plan does); fold over
+    // char-ascending terms, list_reduce's first-element seed == the
+    // Spark fold's 0.0 init exactly
+    "text_entropy" ->
+      """WITH b AS (
+        |  SELECT DISTINCT text FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT text, unnest(regexp_extract_all(lower(text), '[a-z0-9 ]')) AS c
+        |  FROM b),
+        |cnt AS (
+        |  SELECT text, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT text, CAST(sum(k) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM cnt GROUP BY 1),
+        |ent AS (
+        |  SELECT cnt.text,
+        |         list_reduce(
+        |           list(-((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                  ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)))
+        |                ORDER BY c),
+        |           (a, x) -> a + x) AS h
+        |  FROM cnt JOIN tot USING (text) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NOT NULL THEN coalesce(tot.n, 0) END AS n_ascii,
+        |  CASE WHEN d.text IS NOT NULL THEN coalesce(tot.nd, 0) END AS n_distinct,
+        |  CASE WHEN d.text IS NOT NULL AND coalesce(tot.n, 0) > 0
+        |       THEN round(ent.h / CAST(0.6931471805599453 AS DOUBLE), 4)
+        |  END AS entropy_bits
+        |FROM documents d
+        |LEFT JOIN tot ON tot.text = d.text
+        |LEFT JOIN ent ON ent.text = d.text""".stripMargin
   )
 
   /** Generated unrolled-CTE label-propagation oracle. */

@@ -314,6 +314,79 @@ object Graphs {
     nodeArr.map(n => (n, label(n))).toSeq.toDF("node", "label")
   }
 
+  // ----------------------------------------------------------------
+  // Triangle counting
+  // ----------------------------------------------------------------
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple transition graph — the motif statistic next to
+    * [[pagerank]]'s centrality and [[labelPropagation]]'s communities
+    * (how clique-like is each state's neighborhood). Self-loops dropped,
+    * parallel/reverse edges collapse to one undirected edge.
+    *
+    * Algorithm: degree-ordered orientation (Chiba–Nishizeki / the
+    * standard distributed formulation): orient every undirected edge
+    * from its (degree, node)-smaller endpoint to its larger one, then
+    * count directed wedges a→b→c closed by a→c. Each triangle is
+    * enumerated exactly ONCE, and every node's oriented out-degree is
+    * bounded by O(sqrt(m)) on any graph — the join never explodes on a
+    * hub the way the naive neighbor-pair join does. That bound is the
+    * whole 100 TB story: on a web-scale graph the wedge join is the
+    * only super-linear step and orientation caps it at m^(3/2) total
+    * work, evenly distributed, with no driver path needed (three
+    * equi-joins on the AGGREGATED edge relation — the corpus-sized work
+    * remains the one transitionPairs aggregation).
+    *
+    * Determinism: everything is integers and string comparisons until
+    * the final clustering ratio 2·T / (d·(d−1)) — exact integer operands
+    * into one fixed-order double expression, rounded once at the output.
+    * Node order ties in the orientation break by UTF-8 byte order (`<`
+    * on both engines is bytewise). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountFrom(Tables.events(spark, dir))
+
+  private[graft] def triangleCountFrom(events: DataFrame): DataFrame = {
+    val undirected = EventFlows.transitionPairs(events)
+      .where(col("from_type") =!= col("to_type"))
+      .select(least(col("from_type"), col("to_type")).as("u"),
+        greatest(col("from_type"), col("to_type")).as("v"))
+      .distinct()
+    triangleCountOnEdges(undirected)
+  }
+
+  /** The generic core over any distinct undirected edge set (u, v),
+    * u ≠ v. Returns (node, degree, triangles, clustering). */
+  private[graft] def triangleCountOnEdges(undirected: DataFrame): DataFrame = {
+    val deg = undirected.select(col("u").as("node"))
+      .unionByName(undirected.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
+    // orient: smaller (degree, node) endpoint -> larger; du/dv come from
+    // the aggregated degree relation (vocabulary-sized -> broadcast)
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = undirected
+      .join(broadcast(deg.select(col("node").as("u"), col("degree").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("node").as("v"), col("degree").as("dv"))), Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+    // wedges a->b->c closed by a->c: each triangle counted exactly once
+    val tri = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round((lit(2.0) * coalesce(col("t"), lit(0L)).cast("double")) /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   private def lpaDistributed(sym: DataFrame, nodes: DataFrame,
       rounds: Int): DataFrame = {
     val spark = sym.sparkSession

@@ -331,6 +331,96 @@ object TextOps {
     * Empty lines are preserved verbatim (they are structure, not
     * boilerplate) and never counted. A doc whose every line is removed
     * stays in the output with clean_text = ''. */
+  /** Corpus-level source-pair overlap matrix: the exact Jaccard between
+    * every two sources' word-3-shingle SETS — the contamination
+    * diagnostic one runs before trusting a held-out-by-source split or a
+    * mixture weight (two "independent" crawls sharing 40% of their
+    * n-grams are one source wearing two names). Complements
+    * [[dedupCrossSource]] (doc-level duplicate listing) with the
+    * corpus-level statistic.
+    *
+    * Scale shape: the pairwise work is NEVER doc-pairs — one corpus
+    * tokenize pass explodes to (source, gram-HASH) and collapses to the
+    * distinct set (8-byte [[Sketches.md5mod]] keys shuffle, raw shingles
+    * never do — the dedup_lines trade, and the same pinned md5 family
+    * the oracle replays with `md5_number_lower % m`); set sizes and the
+    * gram-keyed self-join both run on that collapsed relation behind a
+    * lazy lineage cut (one documents scan). A gram shared by S sources
+    * joins into C(S,2) pairs — bounded by the |sources|² output itself,
+    * not the corpus. Output is the full |sources|² /2 grid (overlap 0
+    * included: "these two sources share nothing" is the answer the split
+    * designer wants stated, not omitted). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrom(Tables.documents(spark, dir))
+
+  private[graft] def sourceOverlapFrom(docs: DataFrame): DataFrame = {
+    val sg = docs
+      .where(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"),
+        explode(NearDup.wordShingles(col("text"), 3)).as("g"))
+      .select(col("source"),
+        Sketches.md5mod(col("g"), 2305843009213693951L).as("gh"))
+      .distinct()
+      .localCheckpoint(false) // sizes + pair join: one documents scan
+    val sizes = sg.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val inter = sg.as("a")
+      .join(sg.as("b"),
+        col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+    val pairs = sizes
+      .select(col("source").as("source_a"), col("n").as("grams_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("grams_b")),
+        col("source_a") < col("source_b"))
+    val shared = coalesce(col("shared"), lit(0L))
+    pairs.join(broadcast(inter), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("grams_a"), col("grams_b"), shared.as("n_shared"),
+        // union >= 1: every source in the grid owns >= 1 gram
+        round(shared.cast("double") /
+          (col("grams_a") + col("grams_b") - shared).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Character-level Shannon entropy over the ASCII [a-z0-9 ] alphabet —
+    * the classic gibberish/low-diversity signal next to [[textQuality]]'s
+    * ratio heuristics and [[textRepetition]]'s n-gram dup rate: keyboard
+    * mash and single-char floods score near 0 bits, natural English sits
+    * ~4. Alphabet restricted to ASCII by CONTRACT: per-char splitting is
+    * UTF-16 code units on the JVM and codepoints in the oracle engine —
+    * an astral char would diverge; [a-z0-9 ] (post-[[TextFns.foldCase]])
+    * is identical on both. ln(2) enters as the one shared double literal
+    * (two libms may round ln(2) differently; a literal can't).
+    *
+    * Everything is per-row expression work inside codegen — the
+    * per-char counting is an O(len·|alphabet|) in-row filter-count over
+    * the ≤37-char alphabet, the entropy a pinned fold over the
+    * char-sorted distinct alphabet; zero shuffles, scan-bound at any
+    * scale. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyFrom(Tables.documents(spark, dir))
+
+  private[graft] def textEntropyFrom(docs: DataFrame): DataFrame = {
+    val ln2 = lit(0.6931471805599453) // the double nearest ln 2, verbatim
+    val chars = regexp_extract_all(
+      TextFns.foldCase(col("text")), lit("[a-z0-9 ]"), lit(0))
+    val n = size(chars).cast("long")
+    val h = aggregate(
+      transform(array_sort(array_distinct(chars)), c => {
+        val p = size(filter(chars, x => x === c)).cast("double") /
+          n.cast("double")
+        -(p * log(p))
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    docs.select(col("doc_id"),
+      when(col("text").isNotNull, n).as("n_ascii"),
+      when(col("text").isNotNull, size(array_distinct(chars)).cast("long"))
+        .as("n_distinct"),
+      when(col("text").isNotNull && n > 0, round(h / ln2, 4))
+        .as("entropy_bits"))
+  }
+
   def dedupLines(spark: SparkSession, dir: String, maxDocs: Int = 2): DataFrame =
     dedupLinesFrom(Tables.documents(spark, dir), maxDocs)
 

@@ -166,4 +166,66 @@ class GraphsSpec extends AnyFunSuite {
       rounds = 6, driverCap = Long.MaxValue)
     assert(empty.columns.toSeq == Seq("node", "label") && empty.count() == 0)
   }
+
+  private def undirectedDf(es: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    es.toDF("u", "v")
+  }
+
+  private def triOf(df: DataFrame): Map[String, (Long, Long, Double)] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("triangle counting: hand-verified motifs — K4 has 4 triangles " +
+    "(3 per node, clustering 1), a path has none, a hub's coefficient " +
+    "reflects its closed wedge fraction") {
+    // K4: every node in C(3,2)=3 triangles, degree 3, clustering
+    // 2*3/(3*2) = 1.0; 4 triangles total
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    val t4 = triOf(Graphs.triangleCountOnEdges(undirectedDf(k4)))
+    assert(t4 == Map(
+      "a" -> ((3L, 3L, 1.0)), "b" -> ((3L, 3L, 1.0)),
+      "c" -> ((3L, 3L, 1.0)), "d" -> ((3L, 3L, 1.0))), s"K4: $t4")
+    assert(t4.values.map(_._2).sum / 3 == 4, "K4 holds 4 distinct triangles")
+    // path a-b-c-d: zero triangles everywhere; degree-1 endpoints get
+    // the defined 0.0 coefficient (no wedge to close)
+    val path = triOf(Graphs.triangleCountOnEdges(
+      undirectedDf(Seq(("a", "b"), ("b", "c"), ("c", "d")))))
+    assert(path.values.forall(v => v._2 == 0L && v._3 == 0.0), s"$path")
+    // hub h joined to a,b,c with only a-b closed: h sits in 1 of its
+    // C(3,2)=3 wedges -> clustering 1/3
+    val hub = triOf(Graphs.triangleCountOnEdges(
+      undirectedDf(Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")))))
+    assert(hub("h") == ((3L, 1L, 0.333333)), s"hub: $hub")
+    assert(hub("a") == ((2L, 1L, 1.0)) && hub("b") == ((2L, 1L, 1.0)), s"$hub")
+    assert(hub("c")._2 == 0L && hub("c")._3 == 0.0, s"$hub")
+  }
+
+  test("triangle counting on events: self-loops and edge direction are " +
+    "collapsed before counting; totals consistent across nodes") {
+    import spark.implicits._
+    // u1 walks a->b->a->b (parallel + reverse edges -> ONE undirected
+    // edge), u2 walks a->a->b->c->a (self-loop dropped; closes a-b-c)
+    val ev = Seq(
+      ("e1", "2024-01-01 00:00:00", "u1", "a"),
+      ("e2", "2024-01-01 00:01:00", "u1", "b"),
+      ("e3", "2024-01-01 00:02:00", "u1", "a"),
+      ("e4", "2024-01-01 00:03:00", "u1", "b"),
+      ("e5", "2024-01-01 00:00:00", "u2", "a"),
+      ("e6", "2024-01-01 00:01:00", "u2", "a"),
+      ("e7", "2024-01-01 00:02:00", "u2", "b"),
+      ("e8", "2024-01-01 00:03:00", "u2", "c"),
+      ("e9", "2024-01-01 00:04:00", "u2", "a"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"))
+    val t = triOf(Graphs.triangleCountFrom(ev))
+    assert(t == Map("a" -> ((2L, 1L, 1.0)), "b" -> ((2L, 1L, 1.0)),
+      "c" -> ((2L, 1L, 1.0))), s"one a-b-c triangle exactly once: $t")
+    // every triangle contributes to exactly 3 nodes
+    val empty = Graphs.triangleCountOnEdges(undirectedDf(Seq.empty))
+    assert(empty.columns.toSeq ==
+      Seq("node", "degree", "triangles", "clustering") && empty.count() == 0)
+  }
 }

@@ -10,6 +10,62 @@ class TextAndStreamSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   import SparkTest.Sf
 
+  test("source_overlap: hand-computed shingle-set Jaccard, full pair " +
+    "grid including disjoint pairs, duplicates collapse") {
+    import spark.implicits._
+    // s1: 4 tokens -> shingles {a b c, b c d}; s2 shares "a b c" and adds
+    // {c d e}; s3 disjoint; a duplicate s1 doc adds NO new grams
+    val docs = Seq(
+      ("d1", "a b c d", "s1"), ("d1b", "a b c d", "s1"),
+      ("d2", "a b c", "s2"), ("d2b", "c d e", "s2"),
+      ("d3", "x y z", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlapFrom(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size == 3, s"C(3,2) grid: $out")
+    // s1={abc,bcd} (2), s2={abc,cde} (2): inter 1, union 3 -> 1/3
+    assert(out(("s1", "s2")) == ((2L, 2L, 1L, 0.333333)), s"$out")
+    assert(out(("s1", "s3")) == ((2L, 1L, 0L, 0.0)),
+      s"disjoint pairs appear with jaccard 0: $out")
+    assert(out(("s2", "s3")) == ((2L, 1L, 0L, 0.0)), s"$out")
+    // NULL source / NULL text rows are out of scope by contract
+    val withNulls = docs.union(Seq(("d4", "a b c", null),
+      ("d5", null, "s1")).toDF("doc_id", "text", "source"))
+    assert(TextOps.sourceOverlapFrom(withNulls).collect().length == 3)
+  }
+
+  test("text_entropy: analytic fixed points — single-char flood 0 bits, " +
+    "two equiprobable chars 1 bit, uniform 4-char alphabet 2 bits; " +
+    "non-ASCII is out of alphabet by contract") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "aaaa"),       // H = 0
+      ("d2", "abab"),       // two chars, p=.5 each -> 1 bit
+      ("d3", "abcd"),       // uniform 4 -> 2 bits
+      ("d4", "日本語テキスト"), // zero ASCII chars -> entropy NULL, n 0
+      ("d5", null),          // no text -> all NULL
+      ("d6", "aAbB"))        // foldCase: = abab -> 1 bit
+      .toDF("doc_id", "text")
+    val out = TextOps.textEntropyFrom(docs).collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("d1") == ((4L, Some(0.0))), s"$out")
+    assert(out("d2") == ((4L, Some(1.0))), s"$out")
+    assert(out("d3") == ((4L, Some(2.0))), s"$out")
+    assert(out("d4") == ((0L, None)), s"$out")
+    assert(out("d5") == ((-1L, None)), s"NULL text -> NULL stats: $out")
+    assert(out("d6") == ((4L, Some(1.0))), s"case folds before counting: $out")
+    // monotone diversity: natural text out-scores a keyboard flood
+    val real = Seq(("r1", "the quick brown fox jumps over the lazy dog"),
+      ("r2", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val h = TextOps.textEntropyFrom(real).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(h("r1") > 3.5 && h("r2") == 0.0, s"$h")
+  }
+
   test("lang_id classifies crafted samples") {
     import spark.implicits._
     val df = Seq(
