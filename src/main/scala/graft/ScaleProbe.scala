@@ -405,6 +405,31 @@ object ScaleProbe {
     def pplBi(df: DataFrame): DataFrame =
       graft.operators.Corpus.perplexityBigramFrom(df)
 
+    // triangle counting: corpus-sized work is the transitionPairs
+    // aggregation; the wedge join runs on the aggregated (vocab-sized)
+    // edge relation behind a lineage cut — scale-free like the rank loop
+    def tri(df: DataFrame): DataFrame =
+      graft.operators.Graphs.triangleCountFrom(df)
+    // robust MAD anomalies: one corpus aggregation + one in-row median
+    // pass over the vocab x timeline relation — growth must track the scan
+    def rmad(df: DataFrame): DataFrame =
+      graft.operators.Series.anomalyMadFrom(df, k = 3.0)
+    // exact-sum correlation: daily aggregation behind a lazy cut; the
+    // self-join and pair grid are |types|-sized at any replication
+    def corrP(df: DataFrame): DataFrame =
+      graft.operators.Series.corrPairsFrom(df)
+    // percentile rank via the count-of-counts histogram: one user
+    // aggregation + dimension-sized windows — the whole point is that
+    // NOTHING here sorts users globally, so growth must track the scan
+    def upctl(df: DataFrame): DataFrame =
+      graft.operators.Relational.userPercentilesFrom(df)
+    // source overlap: the explode grows with the corpus but the distinct
+    // (source, gram-hash) relation — and with it the pair join — is
+    // set-sized: replicate() clones text verbatim, so the collapsed set
+    // is scale-INVARIANT and growth must track the tokenize scan
+    def srcOv(df: DataFrame): DataFrame =
+      graft.operators.TextOps.sourceOverlapFrom(df)
+
     def point(name: String)(a: => Double, b: => Double)
         : Option[(String, Double, Double)] =
       if (want(name)) Some((name, a, b)) else None
@@ -476,6 +501,11 @@ object ScaleProbe {
       point("bpe")(time("bpe 1x")(bpeT(doc1)), time(s"bpe ${factor}x")(bpeT(docN))),
       point("dsir")(time("dsir 1x")(dsir(doc1)), time(s"dsir ${factor}x")(dsir(docN))),
       point("capped_report")(time("report 1x")(report(ev1)), time(s"report ${factor}x")(report(evN))),
+      point("triangles")(time("tri 1x")(tri(ev1)), time(s"tri ${factor}x")(tri(evN))),
+      point("robust_mad")(time("rmad 1x")(rmad(ev1)), time(s"rmad ${factor}x")(rmad(evN))),
+      point("corr")(time("corr 1x")(corrP(ev1)), time(s"corr ${factor}x")(corrP(evN))),
+      point("user_pctl")(time("upctl 1x")(upctl(ev1)), time(s"upctl ${factor}x")(upctl(evN))),
+      point("source_overlap")(time("srcov 1x")(srcOv(doc1)), time(s"srcov ${factor}x")(srcOv(docN))),
       point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor)))
     ).flatten
     r.foreach { case (n, a, b) =>

@@ -389,7 +389,32 @@ object SparkEntry {
     // ASCII-alphabet char entropy per doc — the gibberish signal next
     // to text_quality's ratios; in-row, zero shuffles
     "text_entropy"          -> ((s: SparkSession, d: String) =>
-      TextOps.textEntropy(s, d))
+      TextOps.textEntropy(s, d)),
+    // order-3 sequential patterns past event_transitions' bigrams —
+    // one user-keyed shuffle onto a |types|^3-bounded relation
+    "event_trigrams"        -> ((s: SparkSession, d: String) =>
+      EventFlows.eventTrigrams(s, d)),
+    // global percentile rank per user WITHOUT a global sort: the
+    // count-of-counts histogram decomposition (the oracle runs the
+    // naive single-reducer window — same answer, opposite scale story)
+    "user_percentiles"      -> ((s: SparkSession, d: String) =>
+      Relational.userPercentiles(s, d)),
+    // forward-fill (LOCF) imputation of per-level daily value totals
+    // over the shared gap-filled day grid
+    "metrics_locf"          -> ((s: SparkSession, d: String) =>
+      Series.metricsLocf(s, d)),
+    // trailing 7-day rolling MEDIAN over the zero-filled grid — the
+    // robust trend line beside the box mean and the EWMA
+    "metrics_rolling_median" -> ((s: SparkSession, d: String) =>
+      Series.metricsRollingMedian(s, d)),
+    // TPC-H Q6 shape: the pure scan-aggregate benchmark point (zero
+    // joins; every predicate must reach PushedFilters)
+    "q6_forecast_revenue"   -> ((s: SparkSession, d: String) =>
+      Relational.q6ForecastRevenue(s, d)),
+    // TPC-H Q10 shape: returned-item revenue per customer, fact⋈fact on
+    // the shuffle key, dims broadcast, deterministic top-20
+    "q10_top_returns"       -> ((s: SparkSession, d: String) =>
+      Relational.q10TopReturns(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3499,11 +3524,137 @@ object SparkEntry {
         |  CASE WHEN d.text IS NOT NULL THEN coalesce(tot.n, 0) END AS n_ascii,
         |  CASE WHEN d.text IS NOT NULL THEN coalesce(tot.nd, 0) END AS n_distinct,
         |  CASE WHEN d.text IS NOT NULL AND coalesce(tot.n, 0) > 0
-        |       THEN round(ent.h / CAST(0.6931471805599453 AS DOUBLE), 4)
+        |       THEN round(ent.h / CAST(0.6931471805599453 AS DOUBLE)
+        |                  + CAST(0.0 AS DOUBLE), 4)
         |  END AS entropy_bits
         |FROM documents d
         |LEFT JOIN tot ON tot.text = d.text
-        |LEFT JOIN ent ON ent.text = d.text""".stripMargin
+        |LEFT JOIN ent ON ent.text = d.text""".stripMargin,
+
+    // the transitionPairs window with a second lead; share normalizes
+    // by the global trigram total over the aggregated relation
+    "event_trigrams" ->
+      """WITH p AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+        |c AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE), 6)
+        |         AS share
+        |FROM c""".stripMargin,
+
+    // the NAIVE single-reducer form — a global ordered window — which
+    // is fine on the single-node oracle engine and is exactly what the
+    // Spark side decomposes into the count-of-counts histogram:
+    // rank()-1 counts strictly-smaller users because ties share a rank
+    "user_percentiles" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_events,
+        |         CAST(rank() OVER (ORDER BY n_events) - 1 AS BIGINT)
+        |           AS n_below,
+        |         CAST(count(*) OVER () AS BIGINT) AS total
+        |  FROM c)
+        |SELECT user_id, n_events, n_below,
+        |       CASE WHEN total > 1
+        |            THEN round(CAST(n_below AS DOUBLE) /
+        |                       CAST(total - 1 AS DOUBLE), 6)
+        |       END AS pct_rank
+        |FROM r""".stripMargin,
+
+    // LOCF over the level x filled-day grid; the decimal-sum guard is
+    // the metrics_by_service contract verbatim
+    "metrics_locf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                                ELSE value END AS DECIMAL(12,2)))
+        |              AS DOUBLE) AS v_obs
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(day AS DATE)) AS d0,
+        |             max(CAST(day AS DATE)) AS d1 FROM daily),
+        |d AS (SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+        |                      '%Y-%m-%d') AS day
+        |      FROM b WHERE d0 IS NOT NULL),
+        |g AS (SELECT l.level, d.day
+        |      FROM (SELECT DISTINCT level FROM daily) l CROSS JOIN d)
+        |SELECT g.level, g.day, coalesce(dd.n_events, 0) AS n_events,
+        |       dd.v_obs,
+        |       last_value(dd.v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY g.level ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS v_filled
+        |FROM g LEFT JOIN daily dd
+        |  ON dd.level = g.level AND dd.day = g.day""".stripMargin,
+
+    // trailing-7 rolling median over the zero-filled grid; the same
+    // explicit sorted-list median arithmetic as anomaly_mad
+    "metrics_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(day AS DATE)) AS d0,
+        |             max(CAST(day AS DATE)) AS d1 FROM daily),
+        |d AS (SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+        |                      '%Y-%m-%d') AS day
+        |      FROM b WHERE d0 IS NOT NULL),
+        |g AS (SELECT l.level, d.day
+        |      FROM (SELECT DISTINCT level FROM daily) l CROSS JOIN d),
+        |f AS (SELECT g.level, g.day, coalesce(dd.n, 0) AS n_events
+        |      FROM g LEFT JOIN daily dd
+        |        ON dd.level = g.level AND dd.day = g.day),
+        |l AS (SELECT level, day, n_events,
+        |             list_sort(list(n_events) OVER (
+        |               PARTITION BY level ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |      FROM f)
+        |SELECT level, day, n_events,
+        |       CASE WHEN len(arr) % 2 = 1
+        |            THEN CAST(arr[(len(arr)+1)//2] AS DOUBLE)
+        |            ELSE (CAST(arr[len(arr)//2] AS DOUBLE) +
+        |                  CAST(arr[len(arr)//2+1] AS DOUBLE)) /
+        |                 CAST(2.0 AS DOUBLE) END AS med_7d
+        |FROM l""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |            CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_top_returns" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |            (CAST(1.00 AS DECIMAL(3,2)) -
+        |             CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_returned
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
   )
 
   /** Generated unrolled-CTE label-propagation oracle. */

@@ -215,4 +215,32 @@ object EventFlows {
       .groupBy("from_type", "to_type").agg(count("*").as("n"))
       .withColumn("p", round(col("n").cast("double") /
         sum("n").over(Window.partitionBy(col("from_type"))).cast("double"), 6))
+
+  /** Frequent event-type TRIGRAMS across user journeys — order-3
+    * sequential patterns past [[eventTransitions]]' bigram adjacency
+    * (the "view→click→purchase vs view→click→view" question bigram
+    * probabilities can't answer: second-order structure). Same window
+    * shape as [[transitionPairs]] with a second lead — still ONE
+    * user-keyed shuffle (the sessionize cost) collapsing onto a
+    * ≤|types|³-sized relation, map-side combined; `share` normalizes by
+    * the global trigram total via a window over that tiny relation only.
+    * The NULL contract is transitionPairs': NULL-user/NULL-type rows
+    * have no place in a journey, NULL-ts rows order first (pinned). */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame =
+    eventTrigramsFrom(Tables.events(spark, dir))
+
+  private[graft] def eventTrigramsFrom(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+    events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(byUser).as("t2"),
+        lead(col("event_type"), 2).over(byUser).as("t3"))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+  }
 }

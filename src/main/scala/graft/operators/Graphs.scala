@@ -356,7 +356,12 @@ object Graphs {
 
   /** The generic core over any distinct undirected edge set (u, v),
     * u ≠ v. Returns (node, degree, triangles, clustering). */
-  private[graft] def triangleCountOnEdges(undirected: DataFrame): DataFrame = {
+  private[graft] def triangleCountOnEdges(undirected0: DataFrame): DataFrame = {
+    // the edge set feeds the degree aggregation AND (via orientation)
+    // three legs of the wedge join — without a lineage cut every leg
+    // replays the corpus-sized transitionPairs window (5 events scans);
+    // cut once at the aggregated (vocabulary-sized) edge relation
+    val undirected = undirected0.localCheckpoint(false)
     val deg = undirected.select(col("u").as("node"))
       .unionByName(undirected.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
@@ -369,6 +374,7 @@ object Graphs {
       .join(broadcast(deg.select(col("node").as("v"), col("degree").as("dv"))), Seq("v"))
       .select(when(lower, col("u")).otherwise(col("v")).as("a"),
         when(lower, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(false) // three wedge-join legs read it
     // wedges a->b->c closed by a->c: each triangle counted exactly once
     val tri = oriented
       .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))

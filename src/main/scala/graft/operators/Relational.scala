@@ -92,6 +92,47 @@ object Relational {
         count("*").as("n_lineitems"))
   }
 
+  /** TPC-H Q6 shape: the pure scan-aggregate — ONE filter + one global
+    * decimal sum, zero joins, zero wide shuffles (partial aggregation
+    * collapses each partition to one row before the single-row exchange).
+    * The canonical "is the scan path itself fast" benchmark point: at
+    * 100 TB this query IS the parquet reader + predicate pushdown, and
+    * `.explain` must show every predicate in PushedFilters. Decimal
+    * revenue for the q1 shuffle-order contract. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("l_shipdate") <  lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(4,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer — fact⋈fact
+    * (lineitem⋈orders) on the join key both sides shuffle by, dims
+    * (customer, nation) broadcast, deterministic top-20. The classic
+    * "who do we call about all these returns" report. */
+  def q10TopReturns(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("o_orderdate") <  lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    val li = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts.
     * Partition-local window work — one shuffle on user_id, then linear.
     */
@@ -614,4 +655,44 @@ object Relational {
     graft.streaming.StreamPipeline.windowedCounts(Tables.events(spark, dir))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user activity percentile rank — "how heavy is this user" — the
+    * global-ranking statistic computed WITHOUT a global sort. The naive
+    * form is `percent_rank() OVER (ORDER BY n_events)`: an unpartitioned
+    * ordered window, i.e. every user row through ONE reducer — the
+    * classic 100 TB killer (and exactly what the SQL oracle runs,
+    * because the oracle engine is single-node anyway). The distributed
+    * decomposition: ties share a rank, so percent_rank is a pure
+    * function of the COUNT-OF-COUNTS histogram —
+    *   pct(u) = |{v : n(v) < n(u)}| / (N − 1)
+    * — one per-user aggregation, one histogram aggregation over the
+    * distinct activity levels (a log-scale handful of rows at any corpus
+    * size), a prefix sum + total via windows over THAT tiny relation,
+    * and a broadcast join back. The per-user relation shuffles once, on
+    * user_id; nothing is ever globally sorted. Exact integers into one
+    * final divide; N = 1 → rank undefined → NULL. */
+  def userPercentiles(spark: SparkSession, dir: String): DataFrame =
+    userPercentilesFrom(Tables.events(spark, dir))
+
+  private[graft] def userPercentilesFrom(events: DataFrame): DataFrame = {
+    val counts = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .localCheckpoint(false) // histogram + join-back: one events scan
+    val hist = counts.groupBy(col("n_events").as("v"))
+      .agg(count(lit(1)).cast("long").as("nu"))
+    // unpartitioned windows, safe here and only here: they run on the
+    // count-of-counts relation, never on users (the whole point)
+    val below = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = hist
+      .withColumn("below", coalesce(sum(col("nu")).over(below), lit(0L)))
+      .withColumn("total", sum(col("nu")).over(Window.partitionBy()))
+    counts
+      .join(broadcast(pref.select(col("v").as("n_events"),
+        col("below"), col("total"))), Seq("n_events"))
+      .select(col("user_id"), col("n_events"), col("below").as("n_below"),
+        when(col("total") > 1, round(col("below").cast("double") /
+          (col("total") - 1).cast("double"), 6)).as("pct_rank"))
+  }
 }

@@ -126,6 +126,98 @@ object Series {
           .as("ewma"))
   }
 
+  /** Trailing 7-day rolling MEDIAN of each level's zero-filled daily
+    * counts — the robust trend line next to [[LogOps.metricsMovingAvg]]'s
+    * box mean and [[metricsEwma]]'s exponential decay: one planted 100×
+    * day bends a 7-day mean for a week but leaves the rolling median
+    * untouched in every window where normal days hold the majority.
+    * Same explicit sorted-array median arithmetic as [[anomalyMad]]
+    * (never engine percentile semantics); the window runs over the
+    * zero-filled level × day GRID (a gap day is a 0 in the window, and
+    * the grid sidesteps the NULL-day ordering divergence a raw trailing
+    * window would hit — Spark sorts NULLS FIRST, the oracle engine
+    * last). Short leading windows take the median of what's there.
+    * One events aggregation behind a lazy cut; everything after is
+    * grid-sized. */
+  def metricsRollingMedian(spark: SparkSession, dir: String,
+      days: Int = 7): DataFrame =
+    metricsRollingMedianFrom(Tables.events(spark, dir), days)
+
+  private[graft] def metricsRollingMedianFrom(events: DataFrame,
+      days: Int): DataFrame = {
+    require(days >= 1, s"window must span at least one day: $days")
+    val daily = events
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type").as("level"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(false) // levels + domain + grid: one events scan
+    val domain = daily
+      .agg(min(to_date(col("day"))).as("d0"), max(to_date(col("day"))).as("d1"))
+      .where(col("d0").isNotNull)
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val grid = daily.select(col("level")).distinct()
+      .crossJoin(broadcast(domain))
+    val w = Window.partitionBy(col("level")).orderBy(col("day"))
+      .rowsBetween(-(days - 1), Window.currentRow)
+    grid.join(daily, Seq("level", "day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("arr", collect_list(col("n_events")).over(w))
+      .select(col("level"), col("day"), col("n_events"),
+        medianOfSorted(array_sort(col("arr"))).as(s"med_${days}d"))
+  }
+
+  // ----------------------------------------------------------------
+  // Forward-fill imputation (LOCF)
+  // ----------------------------------------------------------------
+
+  /** Last-observation-carried-forward imputation of each event type's
+    * daily value total over the shared gap-filled day grid — the
+    * imputation leg of the timeline-repair family (gap-fill surfaces
+    * the hole as a 0-count day, [[metricsEwma]] smooths through it;
+    * LOCF answers "what was the level's last known reading" for
+    * dashboards that must not draw a dip where there was no data).
+    *
+    * A day is MISSING (and filled) in two equivalent ways: absent from
+    * the grid entirely, or present with no summable values (all
+    * NULL/non-finite under the [[LogOps.metricsByService]] try_cast
+    * contract) — both surface v_obs = NULL and inherit the last
+    * observation; leading missing days stay NULL (nothing to carry).
+    *
+    * Scale shape: one events aggregation (decimal sums — double
+    * summation is shuffle-order dependent) behind a lazy lineage cut
+    * feeds the level set and the grid join; the fill window partitions
+    * by level over the day axis — the aggregated grid, never raw
+    * events. */
+  def metricsLocf(spark: SparkSession, dir: String): DataFrame =
+    metricsLocfFrom(Tables.events(spark, dir))
+
+  private[graft] def metricsLocfFrom(events: DataFrame): DataFrame = {
+    val v = expr("try_cast(value AS DECIMAL(12,2))")
+    val daily = events
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type").as("level"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(v).cast("double").as("v_obs"))
+      .localCheckpoint(false) // levels + domain + grid: one events scan
+    val domain = daily
+      .agg(min(to_date(col("day"))).as("d0"), max(to_date(col("day"))).as("d1"))
+      .where(col("d0").isNotNull)
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val grid = daily.select(col("level")).distinct()
+      .crossJoin(broadcast(domain))
+    val w = Window.partitionBy(col("level")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("level", "day"), "left")
+      .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col("level"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v_obs"), col("v_filled"))
+  }
+
   // ----------------------------------------------------------------
   // Cross-series Pearson correlation
   // ----------------------------------------------------------------

@@ -417,7 +417,11 @@ object TextOps {
       when(col("text").isNotNull, n).as("n_ascii"),
       when(col("text").isNotNull, size(array_distinct(chars)).cast("long"))
         .as("n_distinct"),
-      when(col("text").isNotNull && n > 0, round(h / ln2, 4))
+      // + 0.0 canonicalizes the single-char corner: the fold yields
+      // -(1·ln 1) = -0.0 when it SEEDS with the first term (the oracle's
+      // list_reduce) but +0.0 from a 0.0-init fold — adding 0.0 maps
+      // -0.0 -> +0.0 and is exact everywhere else; mirrored in SQL
+      when(col("text").isNotNull && n > 0, round(h / ln2 + lit(0.0), 4))
         .as("entropy_bits"))
   }
 

@@ -335,4 +335,40 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$dsirScans direct scans:\n${dp.take(3000)}")
     assert(dp.contains("BroadcastHashJoin"), s"LM joins must broadcast:\n$dp")
   }
+
+  test("the r16 multi-consumer operators run ONE fact scan through " +
+    "their lineage cuts; no cartesians") {
+    // triangles / corr / user-percentiles / locf / source_overlap each
+    // feed 2-3 consumers (degree+wedge legs, sums+self-join+domain,
+    // histogram+join-back, levels+domain+grid, sizes+pair-join) from one
+    // aggregated base behind a lazy localCheckpoint — a formulation
+    // drift back to per-consumer re-evaluation would still be
+    // value-correct, so the scan count is pinned on the executed plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    def pin(q: String, table: String): Unit = {
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val n = scans(plan).count(_.relation.location.rootPaths
+        .exists(_.toString.contains(table)))
+      val s = plan.toString
+      assert(!s.contains("CartesianProduct"), s"$q:\n${s.take(2000)}")
+      assert(n == 0 && s.contains("ExistingRDD"),
+        s"$q must read $table once through its checkpointed base, got " +
+          s"$n direct scans:\n${s.take(3000)}")
+    }
+    pin("graph_triangles", "events")
+    pin("corr_pairs", "events")
+    pin("user_percentiles", "events")
+    pin("metrics_locf", "events")
+    pin("source_overlap", "documents")
+  }
 }

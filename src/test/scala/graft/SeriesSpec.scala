@@ -114,6 +114,102 @@ class SeriesSpec extends AnyFunSuite {
     assert(g.getDouble(3) == expected, s"hand-computed r: $g vs $expected")
   }
 
+  test("metrics_locf: a gap day and an all-NULL-value day both inherit " +
+    "the last observation; leading missing days stay NULL") {
+    import spark.implicits._
+    val ev = Seq(
+      // level e: observed 10.5 on d1; absent d2; present-but-unsummable
+      // d3 (NULL value); observed 2.0 on d4
+      ("e1", "2024-01-01 00:00:00", "u", "e", Some(5.25)),
+      ("e2", "2024-01-01 01:00:00", "u", "e", Some(5.25)),
+      ("e3", "2024-01-03 00:00:00", "u", "e", None),
+      ("e4", "2024-01-04 00:00:00", "u", "e", Some(2.0)),
+      // level f first observed on d3: its d1/d2 grid rows lead-missing
+      ("f1", "2024-01-03 00:00:00", "u", "f", Some(7.0)))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val out = graft.operators.Series.metricsLocfFrom(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out.size == 8, s"2 levels x 4 grid days: $out")
+    assert(out(("e", "2024-01-01")) == ((2L, Some(10.5), Some(10.5))))
+    assert(out(("e", "2024-01-02")) == ((0L, None, Some(10.5))),
+      s"gap day carries the last reading: $out")
+    assert(out(("e", "2024-01-03")) == ((1L, None, Some(10.5))),
+      s"an observed-but-unsummable day is missing too: $out")
+    assert(out(("e", "2024-01-04")) == ((1L, Some(2.0), Some(2.0))))
+    assert(out(("f", "2024-01-01")) == ((0L, None, None)) &&
+      out(("f", "2024-01-02")) == ((0L, None, None)),
+      s"nothing to carry before the first observation: $out")
+    assert(out(("f", "2024-01-03")) == ((1L, Some(7.0), Some(7.0))))
+    assert(out(("f", "2024-01-04")) == ((0L, None, Some(7.0))))
+  }
+
+  test("metrics_rolling_median: a planted 100x day bends the 7-day mean " +
+    "but not the window medians around it; gap days are zeros in the " +
+    "window; short leading windows are defined") {
+    // e: 7 steady days of 4, day 8 = 400, then 3 more of 4 (day 10 gap)
+    val ev = eventsOf(
+      (1 to 7).flatMap(i => day("e", f"2024-01-$i%02d", 4)) ++
+      day("e", "2024-01-08", 400) ++
+      day("e", "2024-01-09", 4) ++ day("e", "2024-01-11", 4))
+    val out = graft.operators.Series.metricsRollingMedianFrom(ev, days = 7)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // day 1: window [4] -> 4; day 8: [4,4,4,4,4,4,400] -> 4 (the spike
+    // IS in the window and the median doesn't move — the robustness
+    // contrast: the 7-day mean jumps to ~60.6)
+    assert(out("2024-01-01") == ((4L, 4.0)), s"$out")
+    assert(out("2024-01-08") == ((400L, 4.0)),
+      s"median ignores the spike it contains: $out")
+    // day 10 is a GAP: zero-filled, window [4,4,4,400,4,0,4] -> 4
+    assert(out("2024-01-10") == ((0L, 4.0)), s"$out")
+    // day 2: [4,4] -> (4+4)/2 = 4.0 (even-length short window defined)
+    assert(out("2024-01-02") == ((4L, 4.0)), s"$out")
+    assert(out.size == 11, s"continuous day grid: $out")
+  }
+
+  test("event_trigrams: order-3 windows stay inside one user's journey; " +
+    "shares sum to 1 over the trigram universe") {
+    val ev = eventsOf(Seq(
+      ("a1", "2024-01-01 00:00:00", "u1", "a"),
+      ("a2", "2024-01-01 00:01:00", "u1", "b"),
+      ("a3", "2024-01-01 00:02:00", "u1", "c"),
+      ("a4", "2024-01-01 00:03:00", "u1", "d"),
+      // u2 has only two events: no trigram may cross into u1
+      ("b1", "2024-01-01 00:00:00", "u2", "x"),
+      ("b2", "2024-01-01 00:01:00", "u2", "y")))
+    val out = graft.operators.EventFlows.eventTrigramsFrom(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("a", "b", "c") -> ((1L, 0.5)), ("b", "c", "d") -> ((1L, 0.5))),
+      s"two trigrams, half share each: $out")
+  }
+
+  test("user_percentiles: histogram decomposition matches the rank " +
+    "definition by hand; ties share a rank; N=1 is undefined") {
+    val ev = eventsOf(
+      (1 to 1).map(i => (s"p$i", "2024-01-01 00:00:00", "u_lo", "e")) ++
+      (1 to 2).map(i => (s"q$i", "2024-01-01 00:00:00", "u_m1", "e")) ++
+      (1 to 2).map(i => (s"r$i", "2024-01-01 00:00:00", "u_m2", "e")) ++
+      (1 to 5).map(i => (s"s$i", "2024-01-01 00:00:00", "u_hi", "e")))
+    val out = graft.operators.Relational.userPercentilesFrom(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("u_lo") == ((1L, 0L, Some(0.0))), s"$out")
+    assert(out("u_m1") == ((2L, 1L, Some(0.333333))) &&
+      out("u_m2") == ((2L, 1L, Some(0.333333))),
+      s"ties share below-count and rank: $out")
+    assert(out("u_hi") == ((5L, 3L, Some(1.0))), s"$out")
+    // single-user corpus: percentile of a population of one is undefined
+    val one = graft.operators.Relational.userPercentilesFrom(
+      eventsOf(Seq(("z1", "2024-01-01 00:00:00", "solo", "e")))).collect()
+    assert(one.length == 1 && one.head.isNullAt(3), s"${one.toSeq}")
+  }
+
   test("corr_pairs on real events: symmetric in magnitude, every r in " +
     "[-1, 1], pair grid is C(types, 2)") {
     val ev = graft.sources.Tables.events(spark, Sf)
