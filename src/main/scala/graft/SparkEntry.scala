@@ -414,7 +414,11 @@ object SparkEntry {
     // TPC-H Q10 shape: returned-item revenue per customer, fact⋈fact on
     // the shuffle key, dims broadcast, deterministic top-20
     "q10_top_returns"       -> ((s: SparkSession, d: String) =>
-      Relational.q10TopReturns(s, d))
+      Relational.q10TopReturns(s, d)),
+    // TPC-H Q14 shape: conditional aggregation over a broadcast part
+    // join — covers the last untouched dimension table
+    "q14_promo_share"       -> ((s: SparkSession, d: String) =>
+      Relational.q14PromoShare(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3654,7 +3658,28 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1.00 AS DECIMAL(3,2)) -
+        |          CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT month,
+        |         CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                       ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |              AS DOUBLE) AS promo_revenue,
+        |         CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |         count(*) AS n_lineitems
+        |  FROM j GROUP BY 1)
+        |SELECT month, promo_revenue, total_revenue, n_lineitems,
+        |       CASE WHEN total_revenue <> CAST(0.0 AS DOUBLE)
+        |            THEN round(CAST(100.0 AS DOUBLE) * promo_revenue /
+        |                       total_revenue, 6) END AS promo_share
+        |FROM a""".stripMargin
   )
 
   /** Generated unrolled-CTE label-propagation oracle. */

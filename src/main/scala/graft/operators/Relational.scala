@@ -133,6 +133,28 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q14 shape: conditional aggregation over a broadcast-dim join
+    * — promo parts' share of monthly revenue. Covers the `part`
+    * dimension (the one table no other query touched); the CASE-summed
+    * numerator and the total accumulate as exact decimals in ONE
+    * aggregation pass, the share is one fixed-order double ratio. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+    val promoRev = sum(when(col("p_type") === "PROMO", rev)
+      .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+    val totalRev = sum(rev).cast("double")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(promoRev.as("promo_revenue"), totalRev.as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .withColumn("promo_share",
+        when(col("total_revenue") =!= 0.0,
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)))
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts.
     * Partition-local window work — one shuffle on user_id, then linear.
     */

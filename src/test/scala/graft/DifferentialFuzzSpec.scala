@@ -530,4 +530,104 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       assert(out == expected, s"seed $seed diverged")
     }
   }
+
+  test("user_percentiles' histogram decomposition matches the naive " +
+    "global-window percent_rank on random collision-heavy worlds") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the operator's whole claim is that the count-of-counts prefix sum
+    // IS percent_rank without the single-reducer sort — fuzz it against
+    // Spark's own percent_rank over the same per-user counts
+    for (seed <- 41 to 46) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.Relational.userPercentilesFrom(evs.toDF())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      val naive = evs.toDF().groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("pr", percent_rank().over(Window.orderBy(col("n"))))
+        .collect().map { r =>
+          val bd = BigDecimal(r.getDouble(2))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          r.getLong(0) -> ((r.getLong(1), Some(bd)))
+        }.toMap
+      assert(out.view.mapValues(v => (v._1, v._3)).toMap == naive,
+        s"seed $seed diverged:\n $out\n vs $naive")
+    }
+  }
+
+  test("corr_pairs matches a brute-force zero-filled-grid reference on " +
+    "random worlds") {
+    import spark.implicits._
+    for (seed <- 51 to 55) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.Series.corrPairsFrom(evs.toDF())
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+      // brute force: materialize the full zero-filled grid per type
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val byDay = evs.groupBy(e => (e.event_type, fmt.format(e.ts)))
+        .view.mapValues(_.size.toLong).toMap
+      val days = evs.map(e => fmt.format(e.ts)).distinct.sorted
+      val d0 = java.time.LocalDate.parse(days.head)
+      val d1 = java.time.LocalDate.parse(days.last)
+      val grid = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(_.toString).toSeq
+      val types = evs.map(_.event_type).distinct.sorted
+      def series(t: String): Seq[Long] = grid.map(d => byDay.getOrElse((t, d), 0L))
+      val ref = (for {
+        a <- types; b <- types if a < b
+      } yield {
+        val (xs, ys) = (series(a), series(b))
+        val n = grid.size.toDouble
+        val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+        val sxx = xs.map(x => x * x).sum.toDouble
+        val syy = ys.map(y => y * y).sum.toDouble
+        val (cov, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+        val r = if (vx > 0 && vy > 0)
+          Some(BigDecimal(cov / math.sqrt(vx * vy))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+        (a, b) -> ((grid.size.toLong, r))
+      }).toMap
+      assert(out == ref, s"seed $seed diverged:\n $out\n vs $ref")
+    }
+  }
+
+  test("metrics_rolling_median matches a brute-force trailing-window " +
+    "reference on random worlds") {
+    import spark.implicits._
+    for (seed <- 61 to 64) {
+      val evs = randomEvents(seed)
+      val out = graft.operators.Series.metricsRollingMedianFrom(evs.toDF(), days = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val byDay = evs.groupBy(e => (e.event_type, fmt.format(e.ts)))
+        .view.mapValues(_.size.toLong).toMap
+      val days = evs.map(e => fmt.format(e.ts)).distinct.sorted
+      val d0 = java.time.LocalDate.parse(days.head)
+      val d1 = java.time.LocalDate.parse(days.last)
+      val grid = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(_.toString).toSeq
+      def med(w: Seq[Long]): Double = {
+        val s = w.sorted
+        if (s.size % 2 == 1) s(s.size / 2).toDouble
+        else (s(s.size / 2 - 1).toDouble + s(s.size / 2).toDouble) / 2.0
+      }
+      val ref = (for {
+        t <- evs.map(_.event_type).distinct
+        (d, i) <- grid.zipWithIndex
+      } yield {
+        val win = grid.slice(math.max(0, i - 2), i + 1)
+          .map(dd => byDay.getOrElse((t, dd), 0L))
+        (t, d) -> ((byDay.getOrElse((t, d), 0L), med(win)))
+      }).toMap
+      assert(out == ref, s"seed $seed diverged")
+    }
+  }
 }
