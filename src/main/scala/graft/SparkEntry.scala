@@ -418,7 +418,12 @@ object SparkEntry {
     // TPC-H Q14 shape: conditional aggregation over a broadcast part
     // join — covers the last untouched dimension table
     "q14_promo_share"       -> ((s: SparkSession, d: String) =>
-      Relational.q14PromoShare(s, d))
+      Relational.q14PromoShare(s, d)),
+    // Naive Bayes quality classifier trained on the Gopher verdict —
+    // the closed-form supervised leg of the quality family; the fitted
+    // model is an exact integer-count function, fully SQL-replayable
+    "quality_nb"            -> ((s: SparkSession, d: String) =>
+      Corpus.qualityNb(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3659,6 +3664,98 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    // the NB replay: Gopher verdict inline per ROW (a join to a label
+    // relation would square duplicate-row docs), vocab = the shared
+    // top-1000 chain, smoothed log-probs from exact integer counts,
+    // per-doc token-ordered folds (terms strictly negative — no -0.0)
+    "quality_nb" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id,
+        |    COALESCE(
+        |      len(toks) >= 50 AND len(toks) <= 100000
+        |      AND CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) >= 3.0
+        |      AND CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) <= 10.0
+        |      AND CAST(len(regexp_extract_all(text, '(#|\.\.\.|…)')) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) <= 0.1
+        |      AND CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |          / CAST(len(lns) AS DOUBLE) <= 0.9
+        |      AND CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |          / CAST(len(lns) AS DOUBLE) <= 0.3
+        |      AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) >= 0.8
+        |      AND len(list_filter(['the','a','an','and','or','of','to','in','is','it'],
+        |          s -> list_contains(toks, s))) >= 2, FALSE) AS kept,
+        |    unnest(toks) AS token
+        |  FROM (SELECT doc_id, text,
+        |               regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |               regexp_split_to_array(text, '\n') AS lns
+        |        FROM documents WHERE text IS NOT NULL)),
+        |tkc AS MATERIALIZED (
+        |  SELECT doc_id, kept, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk0 GROUP BY 1, 2, 3),
+        |db AS MATERIALIZED (SELECT DISTINCT doc_id, kept FROM tkc),
+        |vocab AS MATERIALIZED (
+        |  SELECT token FROM (
+        |    SELECT token, freq,
+        |           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+        |    FROM (
+        |      SELECT token, count(*) AS freq FROM (
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |        FROM documents) t
+        |      WHERE length(token) > 0
+        |      GROUP BY token HAVING count(*) >= 2) c) r
+        |  WHERE token_id <= 1000),
+        |cc AS MATERIALIZED (
+        |  SELECT t.token, t.kept, CAST(sum(t.c) AS BIGINT) AS ck
+        |  FROM tkc t JOIN vocab v ON v.token = t.token GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT CAST(coalesce((SELECT sum(ck) FROM cc WHERE kept), 0) AS BIGINT) AS tot_t,
+        |         CAST(coalesce((SELECT sum(ck) FROM cc WHERE NOT kept), 0) AS BIGINT) AS tot_f,
+        |         CAST((SELECT count(*) FROM vocab) AS BIGINT) AS v),
+        |lpw AS MATERIALIZED (
+        |  SELECT vocab.token,
+        |         ln((CAST(coalesce(ct.ck, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (CAST(tot_t AS DOUBLE) + CAST(v AS DOUBLE))) AS lp_t,
+        |         ln((CAST(coalesce(cf.ck, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (CAST(tot_f AS DOUBLE) + CAST(v AS DOUBLE))) AS lp_f
+        |  FROM vocab CROSS JOIN tots
+        |  LEFT JOIN (SELECT token, ck FROM cc WHERE kept) ct ON ct.token = vocab.token
+        |  LEFT JOIN (SELECT token, ck FROM cc WHERE NOT kept) cf ON cf.token = vocab.token),
+        |pri AS (
+        |  SELECT ln((CAST(nk AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (CAST(nd AS DOUBLE) + CAST(2.0 AS DOUBLE))) AS pri_t,
+        |         ln((CAST(nd - nk AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |            (CAST(nd AS DOUBLE) + CAST(2.0 AS DOUBLE))) AS pri_f
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |               CAST(coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)
+        |                    AS BIGINT) AS nk FROM db)),
+        |sc AS MATERIALIZED (
+        |  SELECT t.doc_id, CAST(sum(t.c) AS BIGINT) AS n_vocab_tokens,
+        |         list_reduce(list(CAST(t.c AS DOUBLE) * l.lp_t ORDER BY t.token),
+        |                     (a, x) -> a + x) AS s_t,
+        |         list_reduce(list(CAST(t.c AS DOUBLE) * l.lp_f ORDER BY t.token),
+        |                     (a, x) -> a + x) AS s_f
+        |  FROM tkc t JOIN lpw l ON l.token = t.token GROUP BY 1)
+        |SELECT d.doc_id, db.kept AS label,
+        |  coalesce(sc.n_vocab_tokens,
+        |           CASE WHEN db.kept IS NOT NULL THEN 0 END) AS n_vocab_tokens,
+        |  CASE WHEN db.kept IS NOT NULL
+        |       THEN round(pri.pri_t + coalesce(sc.s_t, CAST(0.0 AS DOUBLE)), 4)
+        |  END AS lp_keep,
+        |  CASE WHEN db.kept IS NOT NULL
+        |       THEN round(pri.pri_f + coalesce(sc.s_f, CAST(0.0 AS DOUBLE)), 4)
+        |  END AS lp_drop,
+        |  CASE WHEN db.kept IS NOT NULL
+        |       THEN pri.pri_t + coalesce(sc.s_t, CAST(0.0 AS DOUBLE)) >=
+        |            pri.pri_f + coalesce(sc.s_f, CAST(0.0 AS DOUBLE))
+        |  END AS pred_keep
+        |FROM documents d
+        |LEFT JOIN db ON db.doc_id = d.doc_id
+        |LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |CROSS JOIN pri""".stripMargin,
 
     "q14_promo_share" ->
       """WITH j AS (

@@ -1885,6 +1885,114 @@ object Corpus {
           6).as("log_ratio"))
   }
 
+  /** Naive Bayes document-quality classifier — the supervised-classifier
+    * leg of the quality family (the fastText-classifier shape of
+    * CCNet/RedPajama quality pipelines, with the one closed-form trainer
+    * whose fitted model is an exact integer-count function and therefore
+    * SQL-replayable). Teacher labels are the Gopher verdict
+    * ([[TextOps.gopherKept]] — ONE shared rule definition); the model is
+    * multinomial NB over the shared top-`maxVocab` vocabulary with
+    * add-one smoothing and Laplace class priors (nd+1)/(N+2), so an
+    * empty class never produces ln 0.
+    *
+    * Scale shape (the dsir_weights pattern): ONE corpus pass computes
+    * labels AND explodes tokens, collapsed to (doc, kept, token, count)
+    * behind a lazy lineage cut; class-conditional counts, class totals,
+    * priors, and per-doc scoring all read that relation. The fitted
+    * model is a ≤|V|-row broadcast; scoring is one broadcast join + one
+    * per-doc pinned fold. Only the output row basis re-touches the
+    * documents table, on a doc_id-pruned scan (NULL-text docs surface
+    * with NULL label/scores — they were never trained on and have no
+    * token evidence).
+    *
+    * Determinism: smoothed probabilities are single divisions of exact
+    * integers; per-doc log-likelihoods fold c·ln p terms in TOKEN order
+    * (every term strictly negative — no −0.0 corner); prediction ties
+    * break to kept=true identically in SQL. Rounding once, at the
+    * output. */
+  def qualityNb(spark: SparkSession, dir: String, minCount: Int = 2,
+      maxVocab: Int = 1000): DataFrame =
+    qualityNbFrom(Tables.documents(spark, dir),
+      buildVocab(spark, dir, minCount, maxVocab))
+
+  private[graft] def qualityNbFrom(documents: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    // one corpus pass: per-row teacher label + token multiset, collapsed
+    // to fixed-width rows before the cut (the dedup_spans trade — the
+    // checkpoint stores what the shared exchange would have)
+    val tkAll = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.gopherKept(col("text")).as("kept"),
+        explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("kept"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(false)
+    val db = tkAll.select(col("doc_id"), col("kept")).distinct()
+      .localCheckpoint(false) // priors + the output join both read it
+    val vsize = vocab.agg(count(lit(1)).cast("long").as("v"))
+    val tk = tkAll.join(broadcast(vocab.select(col("token"))), Seq("token"))
+    // class-conditional token counts and totals (exact integers);
+    // cut: ck_t/ck_f/tot_t/tot_f are four readers of this tiny relation
+    val cc = tk.groupBy(col("token"), col("kept"))
+      .agg(sum(col("c")).cast("long").as("ck"))
+      .localCheckpoint(false)
+    def classTotal(k: Boolean, name: String): DataFrame =
+      cc.where(col("kept") === k)
+        .agg(coalesce(sum(col("ck")), lit(0L)).cast("long").as(name))
+    // fitted model: one row per vocab token with both classes' log-probs
+    val lpW = vocab.select(col("token"))
+      .join(cc.where(col("kept") === true)
+        .select(col("token"), col("ck").as("ck_t")), Seq("token"), "left")
+      .join(cc.where(col("kept") === false)
+        .select(col("token"), col("ck").as("ck_f")), Seq("token"), "left")
+      .crossJoin(classTotal(true, "tot_t"))
+      .crossJoin(classTotal(false, "tot_f"))
+      .crossJoin(vsize)
+      .select(col("token"),
+        log((coalesce(col("ck_t"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tot_t").cast("double") + col("v").cast("double"))).as("lp_t"),
+        log((coalesce(col("ck_f"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tot_f").cast("double") + col("v").cast("double"))).as("lp_f"))
+    // Laplace class priors from the per-doc label relation
+    val priors = db
+      .agg(count(lit(1)).cast("long").as("nd"),
+        coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("nk"))
+      .select(
+        log((col("nk").cast("double") + lit(1.0)) /
+          (col("nd").cast("double") + lit(2.0))).as("pri_t"),
+        log(((col("nd") - col("nk")).cast("double") + lit(1.0)) /
+          (col("nd").cast("double") + lit(2.0))).as("pri_f"))
+    def fold(field: String): Column =
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col("token"), col("term_t"),
+            col("term_f")))),
+          p => p.getField(field)),
+        lit(0.0), (acc, x) => acc + x)
+    val scores = tk.join(broadcast(lpW), Seq("token"))
+      .select(col("doc_id"), col("token"), col("c"),
+        (col("c").cast("double") * col("lp_t")).as("term_t"),
+        (col("c").cast("double") * col("lp_f")).as("term_f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_vocab_tokens"),
+        fold("term_t").as("s_t"), fold("term_f").as("s_f"))
+    documents.select(col("doc_id"))
+      .join(db, Seq("doc_id"), "left")
+      .join(scores, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("kept").as("label"),
+        coalesce(col("n_vocab_tokens"), when(col("kept").isNotNull, lit(0L)))
+          .as("n_vocab_tokens"),
+        when(col("kept").isNotNull,
+          round(col("pri_t") + coalesce(col("s_t"), lit(0.0)), 4)).as("lp_keep"),
+        when(col("kept").isNotNull,
+          round(col("pri_f") + coalesce(col("s_f"), lit(0.0)), 4)).as("lp_drop"),
+        when(col("kept").isNotNull,
+          col("pri_t") + coalesce(col("s_t"), lit(0.0)) >=
+            col("pri_f") + coalesce(col("s_f"), lit(0.0))).as("pred_keep"))
+  }
+
   /** Pairwise Jensen–Shannon divergence (in bits) between per-source
     * unigram distributions over the shared top-`maxVocab` vocabulary —
     * the source-redundancy matrix a mixture decision reads next to

@@ -84,18 +84,23 @@ object TextOps {
     * engine-wide" is enforced by construction. */
   private[graft] val GopherStops: Seq[String] = TextFns.EnStops
 
-  private[graft] def qualityGopherFrom(docs: DataFrame, minWords: Int = 50,
-      maxWords: Int = 100000): DataFrame = {
-    val words = TextFns.wsTokens(TextFns.foldCase(col("text")))
+  /** The seven Gopher rule columns over a text column, plus the word
+    * count and mean word length — ONE definition shared by the
+    * [[qualityGopherFrom]] report and the [[Corpus.qualityNb]] teacher
+    * labels, so the rule engine and the classifier it trains can never
+    * disagree on what "kept" means. */
+  private[graft] def gopherRules(text: Column, minWords: Int,
+      maxWords: Int): (Column, Column, Seq[Column], Column) = {
+    val words = TextFns.wsTokens(TextFns.foldCase(text))
     val nWords = size(words).cast("long")
     val nWordsD = nWords.cast("double")
     // Σ token lengths ≡ chars left after removing all whitespace (the
     // fold is 1:1 so raw-text lengths equal folded-token lengths)
-    val meanLen = length(regexp_replace(col("text"), "\\s", ""))
+    val meanLen = length(regexp_replace(text, "\\s", ""))
       .cast("double") / nWordsD
-    val symbolRatio = size(regexp_extract_all(col("text"),
+    val symbolRatio = size(regexp_extract_all(text,
       lit("(#|\\.\\.\\.|…)"), lit(0))).cast("double") / nWordsD
-    val lines = split(col("text"), "\n")
+    val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
     val bulletFrac = size(filter(lines,
       l => trim(l).rlike("^[-*•]"))).cast("double") / nLines
@@ -105,21 +110,34 @@ object TextOps {
       w => w.rlike("[a-z]"))).cast("double") / nWordsD
     val nStops = size(filter(
       array(GopherStops.map(lit): _*), s => array_contains(words, s)))
-    val okWc = nWords >= minWords && nWords <= maxWords
-    val okMwl = meanLen >= lit(3.0) && meanLen <= lit(10.0)
-    val okSym = symbolRatio <= lit(0.1)
-    val okBul = bulletFrac <= lit(0.9)
-    val okEll = ellipsisFrac <= lit(0.3)
-    val okAlpha = alphaFrac >= lit(0.8)
-    val okStops = nStops >= lit(2)
+    val rules = Seq(
+      nWords >= minWords && nWords <= maxWords,
+      meanLen >= lit(3.0) && meanLen <= lit(10.0),
+      symbolRatio <= lit(0.1),
+      bulletFrac <= lit(0.9),
+      ellipsisFrac <= lit(0.3),
+      alphaFrac >= lit(0.8),
+      nStops >= lit(2))
+    val verdict = coalesce(rules.reduce(_ && _), lit(false))
+    (nWords, meanLen, rules, verdict)
+  }
+
+  /** The Gopher verdict alone, for consumers that train on it. */
+  private[graft] def gopherKept(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    gopherRules(text, minWords, maxWords)._4
+
+  private[graft] def qualityGopherFrom(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val (nWords, meanLen, rules, verdict) =
+      gopherRules(col("text"), minWords, maxWords)
     docs.select(col("doc_id"), nWords.as("n_words"),
       round(meanLen, 4).as("mean_word_len"),
-      okWc.as("ok_word_count"), okMwl.as("ok_mean_word_len"),
-      okSym.as("ok_symbol_ratio"), okBul.as("ok_bullet_lines"),
-      okEll.as("ok_ellipsis_lines"), okAlpha.as("ok_alpha_words"),
-      okStops.as("ok_stopwords"),
-      coalesce(okWc && okMwl && okSym && okBul && okEll &&
-        okAlpha && okStops, lit(false)).as("is_kept"))
+      rules(0).as("ok_word_count"), rules(1).as("ok_mean_word_len"),
+      rules(2).as("ok_symbol_ratio"), rules(3).as("ok_bullet_lines"),
+      rules(4).as("ok_ellipsis_lines"), rules(5).as("ok_alpha_words"),
+      rules(6).as("ok_stopwords"),
+      verdict.as("is_kept"))
   }
 
   /** Token counting: whitespace tokens + BPE-ish pre-tokens + chars. */

@@ -9,6 +9,54 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   import SparkTest.Sf
 
+  test("quality_nb: the fitted model separates a separable fixture, " +
+    "hand-checked priors and smoothing; NULL text and zero-vocab-token " +
+    "docs keep their contracts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // kept docs pass every Gopher rule (>=50 words, stopword-rich,
+    // alphabetic) and carry the token "clean"; dropped docs are short
+    // ("junk junk ...") and carry "junk". NB must reproduce its teacher
+    // on this separable world.
+    val keptText = (("the data is clean and it has a good signal " * 6)
+      + "the clean end").trim // 66 words, mean len ~3.6, stopwords galore
+    val docs = ((1 to 4).map(i => (s"k$i", keptText)) ++
+      (1 to 4).map(i => (s"d$i", "junk junk junk junk")) ++
+      Seq(("n1", null: String), ("z1", "zz zz zz zz")))
+      .toDF("doc_id", "text")
+    // hand vocab: only the two discriminative tokens
+    val vocab = Seq(("clean", 1L), ("junk", 2L)).toDF("token", "token_id")
+    val out = Corpus.qualityNbFrom(docs, vocab).collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5))))).toMap
+    // teacher labels: kept docs true, junk/zz docs false, null-text NULL;
+    // each kept doc holds 63 words of which 7 are "clean"
+    (1 to 4).foreach { i =>
+      assert(out(s"k$i") == ((Some(true), Some(7L), Some(true))),
+        s"k$i: ${out(s"k$i")} — 7 'clean' tokens, classified kept")
+      assert(out(s"d$i") == ((Some(false), Some(4L), Some(false))),
+        s"d$i: ${out(s"d$i")} — 4 'junk' tokens, classified dropped")
+    }
+    assert(out("n1") == ((None, None, None)),
+      s"NULL text: no label, no evidence, no prediction: ${out("n1")}")
+    // z1: dropped by the teacher, zero vocab tokens -> prior-only score;
+    // priors over the 9 labeled docs (n1 excluded): nk=4 ->
+    // pri_keep = ln(5/11) < pri_drop = ln(6/11) -> prediction drop
+    assert(out("z1") == ((Some(false), Some(0L), Some(false))),
+      s"zero-evidence doc falls to the prior: ${out("z1")}")
+    // hand-check one lp: c(clean|kept) = 7*4 = 28 = tot_keep, |V| = 2 ->
+    // lp_keep(k) = ln(5/11) + 7*ln((28+1)/(28+2))
+    val expected = BigDecimal(math.log(5.0 / 11.0) +
+      7.0 * math.log(29.0 / 30.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kRow = Corpus.qualityNbFrom(docs, vocab)
+      .where(col("doc_id") === "k1").collect().head
+    assert(kRow.getDouble(3) == expected,
+      s"hand-computed lp_keep: ${kRow.getDouble(3)} vs $expected")
+  }
+
   test("vocab ids are dense, unique, frequency-ordered") {
     val v = Corpus.buildVocab(spark, Sf).collect()
     val ids = v.map(_.getAs[Long]("token_id")).sorted
