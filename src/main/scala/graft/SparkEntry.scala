@@ -371,13 +371,17 @@ object SparkEntry {
       Graphs.triangleCount(s, d)),
     // robust (median/MAD) spike detection — the breakdown-resistant twin
     // of anomaly_spikes; explicit sorted-array medians, no engine
-    // percentile semantics in the contract
+    // percentile semantics in the contract (+ a tighter-k point)
     "anomaly_mad"           -> ((s: SparkSession, d: String) =>
       Series.anomalyMad(s, d)),
+    "anomaly_mad_k2"        -> ((s: SparkSession, d: String) =>
+      Series.anomalyMad(s, d, k = 2.0)),
     // exponential smoothing over the gap-filled timeline: pinned
-    // day-ordered left fold, α = 0.25 exact binary
+    // day-ordered left fold, exact-binary alphas (+ a faster-decay point)
     "metrics_ewma"          -> ((s: SparkSession, d: String) =>
       Series.metricsEwma(s, d)),
+    "metrics_ewma_a5"       -> ((s: SparkSession, d: String) =>
+      Series.metricsEwma(s, d, alpha = 0.5)),
     // pairwise Pearson r between event types' daily series from exact
     // integer sums (never the engines' merge-order-dependent corr())
     "corr_pairs"            -> ((s: SparkSession, d: String) =>
@@ -403,10 +407,12 @@ object SparkEntry {
     // over the shared gap-filled day grid
     "metrics_locf"          -> ((s: SparkSession, d: String) =>
       Series.metricsLocf(s, d)),
-    // trailing 7-day rolling MEDIAN over the zero-filled grid — the
-    // robust trend line beside the box mean and the EWMA
+    // trailing rolling MEDIAN over the zero-filled grid — the robust
+    // trend line beside the box mean and the EWMA (+ a 3-day point)
     "metrics_rolling_median" -> ((s: SparkSession, d: String) =>
       Series.metricsRollingMedian(s, d)),
+    "metrics_rolling_median_3d" -> ((s: SparkSession, d: String) =>
+      Series.metricsRollingMedian(s, d, days = 3)),
     // TPC-H Q6 shape: the pure scan-aggregate benchmark point (zero
     // joins; every predicate must reach PushedFilters)
     "q6_forecast_revenue"   -> ((s: SparkSession, d: String) =>
@@ -423,7 +429,12 @@ object SparkEntry {
     // the closed-form supervised leg of the quality family; the fitted
     // model is an exact integer-count function, fully SQL-replayable
     "quality_nb"            -> ((s: SparkSession, d: String) =>
-      Corpus.qualityNb(s, d))
+      Corpus.qualityNb(s, d)),
+    // LPA communities over the source-overlap graph — two r16 operators
+    // composed through one shared gram relation; edges by the exact
+    // integer Jaccard >= 1/10 test
+    "source_communities"    -> ((s: SparkSession, d: String) =>
+      TextOps.sourceCommunities(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3315,6 +3326,8 @@ object SparkEntry {
     // label propagation: unrolled-CTE round chain, all integers/strings
     "label_propagation" -> lpaOracle(graft.operators.Graphs.LpaRounds),
     "label_propagation_dist" -> lpaOracle(graft.operators.Graphs.LpaRounds),
+    "source_communities" ->
+      sourceCommunitiesOracle(graft.operators.Graphs.LpaRounds),
     // triangle counting: degree-ordered orientation, each triangle
     // enumerated once; clustering = 2T / (d(d-1)) in one fixed op order
     "graph_triangles" ->
@@ -3362,72 +3375,15 @@ object SparkEntry {
     // median/MAD per level over the daily grid; medians are explicit
     // sorted-list arithmetic (odd -> middle, even -> two middles averaged
     // in one pinned op order), identical to the Spark in-row formula
-    "anomaly_mad" ->
-      """WITH daily AS (
-        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |per AS (
-        |  SELECT level, list(n ORDER BY n) AS vals,
-        |         CAST(count(*) AS BIGINT) AS sz
-        |  FROM daily GROUP BY 1),
-        |m AS (
-        |  SELECT level,
-        |         CASE WHEN sz % 2 = 1 THEN CAST(vals[(sz+1)//2] AS DOUBLE)
-        |              ELSE (CAST(vals[sz//2] AS DOUBLE) +
-        |                    CAST(vals[sz//2+1] AS DOUBLE)) /
-        |                   CAST(2.0 AS DOUBLE) END AS med
-        |  FROM per),
-        |dv AS (
-        |  SELECT d.level, d.day, d.n, m.med,
-        |         abs(CAST(d.n AS DOUBLE) - m.med) AS dev
-        |  FROM daily d JOIN m ON d.level IS NOT DISTINCT FROM m.level),
-        |p2 AS (
-        |  SELECT level, list(dev ORDER BY dev) AS dvals,
-        |         CAST(count(*) AS BIGINT) AS sz
-        |  FROM dv GROUP BY 1),
-        |m2 AS (
-        |  SELECT level,
-        |         CASE WHEN sz % 2 = 1 THEN dvals[(sz+1)//2]
-        |              ELSE (dvals[sz//2] + dvals[sz//2+1]) /
-        |                   CAST(2.0 AS DOUBLE) END AS mad
-        |  FROM p2)
-        |SELECT dv.level, dv.day, dv.n AS n_events,
-        |       round(dv.med, 4) AS med, round(m2.mad, 4) AS mad,
-        |       CASE WHEN m2.mad > 0
-        |            THEN abs(CAST(dv.n AS DOUBLE) - dv.med) >
-        |                 CAST(3.0 AS DOUBLE) * m2.mad
-        |            ELSE CAST(dv.n AS DOUBLE) <> dv.med END AS is_anomaly
-        |FROM dv JOIN m2 ON dv.level IS NOT DISTINCT FROM m2.level""".stripMargin,
-
+    "anomaly_mad" -> anomalyMadSql(3.0),
+    // a tighter-k sensitivity point (flags more days at sf0.01)
+    "anomaly_mad_k2" -> anomalyMadSql(2.0),
     // the filled-timeline chain + a day-ordered prefix list folded with
-    // s1 = x1, s_i = 0.25*x_i + 0.75*s_{i-1} (list_reduce seeds the fold
+    // s1 = x1, s_i = a*x_i + (1-a)*s_{i-1} (list_reduce seeds the fold
     // with the first element — exactly the Spark init)
-    "metrics_ewma" ->
-      """WITH c AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
-        |  FROM events GROUP BY 1),
-        |b AS (
-        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-        |  FROM events),
-        |d AS (
-        |  SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
-        |                  '%Y-%m-%d') AS day
-        |  FROM b WHERE d0 IS NOT NULL),
-        |f AS (
-        |  SELECT d.day, coalesce(c.n_incidents, 0) AS n_incidents
-        |  FROM d LEFT JOIN c USING (day)),
-        |l AS (
-        |  SELECT day, n_incidents,
-        |         list(CAST(n_incidents AS DOUBLE)) OVER (
-        |           ORDER BY day
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
-        |  FROM f)
-        |SELECT day, n_incidents,
-        |       round(list_reduce(pre,
-        |         (acc, x) -> CAST(0.25 AS DOUBLE) * x +
-        |                     CAST(0.75 AS DOUBLE) * acc), 6) AS ewma
-        |FROM l""".stripMargin,
+    "metrics_ewma" -> ewmaSql(0.25),
+    // a faster-decay point; 0.5 is exact binary like 0.25
+    "metrics_ewma_a5" -> ewmaSql(0.5),
 
     // Pearson r from exact integer sums over the zero-filled day axis:
     // sums need no grid (zero days add 0 to every sum), only n_days
@@ -3609,34 +3565,9 @@ object SparkEntry {
 
     // trailing-7 rolling median over the zero-filled grid; the same
     // explicit sorted-list median arithmetic as anomaly_mad
-    "metrics_rolling_median" ->
-      """WITH daily AS (
-        |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
-        |b AS (SELECT min(CAST(day AS DATE)) AS d0,
-        |             max(CAST(day AS DATE)) AS d1 FROM daily),
-        |d AS (SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
-        |                      '%Y-%m-%d') AS day
-        |      FROM b WHERE d0 IS NOT NULL),
-        |g AS (SELECT l.level, d.day
-        |      FROM (SELECT DISTINCT level FROM daily) l CROSS JOIN d),
-        |f AS (SELECT g.level, g.day, coalesce(dd.n, 0) AS n_events
-        |      FROM g LEFT JOIN daily dd
-        |        ON dd.level = g.level AND dd.day = g.day),
-        |l AS (SELECT level, day, n_events,
-        |             list_sort(list(n_events) OVER (
-        |               PARTITION BY level ORDER BY day
-        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
-        |      FROM f)
-        |SELECT level, day, n_events,
-        |       CASE WHEN len(arr) % 2 = 1
-        |            THEN CAST(arr[(len(arr)+1)//2] AS DOUBLE)
-        |            ELSE (CAST(arr[len(arr)//2] AS DOUBLE) +
-        |                  CAST(arr[len(arr)//2+1] AS DOUBLE)) /
-        |                 CAST(2.0 AS DOUBLE) END AS med_7d
-        |FROM l""".stripMargin,
+    "metrics_rolling_median" -> rollingMedianSql(7),
+    // a tighter window (more reactive, still majority-robust over 3)
+    "metrics_rolling_median_3d" -> rollingMedianSql(3),
 
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
@@ -3779,9 +3710,11 @@ object SparkEntry {
         |FROM a""".stripMargin
   )
 
-  /** Generated unrolled-CTE label-propagation oracle. */
-  private def lpaOracle(rounds: Int): String = {
-    val steps = (1 to rounds).map { i =>
+  /** The unrolled label-propagation round chain over CTEs `sym`
+    * (u, v, w) and `l0` (node, label) — shared by the transition-graph
+    * LPA oracle and the source-communities oracle. */
+  private def lpaStepCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""b$i AS MATERIALIZED (
          |  SELECT u AS node, nl AS best FROM (
          |    SELECT u, nl,
@@ -3795,6 +3728,10 @@ object SparkEntry {
          |  SELECT l.node, coalesce(b$i.best, l.label) AS label
          |  FROM l${i - 1} l LEFT JOIN b$i USING (node))""".stripMargin
     }.mkString(",\n")
+
+  /** Generated unrolled-CTE label-propagation oracle. */
+  private def lpaOracle(rounds: Int): String = {
+    val steps = lpaStepCtes(rounds)
     s"""WITH p AS (
        |  SELECT event_type AS from_type,
        |         lead(event_type) OVER (PARTITION BY user_id
@@ -3818,6 +3755,161 @@ object SparkEntry {
        |$steps
        |SELECT node, label FROM l$rounds""".stripMargin
   }
+
+  /** Generated source-communities oracle: the source_overlap gram CTEs
+    * feeding an edge set (exact-integer Jaccard-≥-1/10 test:
+    * 10·shared ≥ union — no float boundary) into an unrolled MIN-LABEL
+    * round chain (components, not weighted LPA — see the operator
+    * scaladoc for why); isolated sources keep their own name. */
+  private def sourceCommunitiesOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT s.u AS node, min(l.label) AS best
+         |  FROM sym s JOIN l${i - 1} l ON l.node = s.v
+         |  GROUP BY 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT l.node,
+         |         least(l.label, coalesce(b$i.best, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN b$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT source, text FROM documents
+       |  WHERE source IS NOT NULL AND text IS NOT NULL),
+       |tok AS (
+       |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM t),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |         md5_number_lower(shingle) % 2305843009213693951 AS gh
+       |  FROM (
+       |    SELECT source,
+       |           CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+       |                ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |           END AS shingle
+       |    FROM (SELECT source, ts,
+       |                 unnest(range(1, greatest(len(ts)-1, 2))) AS i
+       |          FROM tok))),
+       |sz AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |      FROM sh GROUP BY 1),
+       |iv AS (SELECT a.source AS sa, b.source AS sb,
+       |              CAST(count(*) AS BIGINT) AS shared
+       |       FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+       |       GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT iv.sa AS u0, iv.sb AS v0
+       |  FROM iv JOIN sz a ON a.source = iv.sa
+       |          JOIN sz b ON b.source = iv.sb
+       |  WHERE 10 * iv.shared >= a.n + b.n - iv.shared),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u0 AS u, v0 AS v FROM e
+       |    UNION ALL
+       |    SELECT v0 AS u, u0 AS v FROM e)),
+       |nd AS MATERIALIZED (
+       |  SELECT u0 AS node FROM e UNION SELECT v0 FROM e),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nd),
+       |$steps
+       |SELECT sz.source, coalesce(l.label, sz.source) AS community
+       |FROM sz LEFT JOIN l$rounds l ON l.node = sz.source""".stripMargin
+  }
+
+  /** Generated median/MAD anomaly oracle at sensitivity k (see the
+    * "anomaly_mad" entry). */
+  private def anomalyMadSql(k: Double): String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |per AS (
+       |  SELECT level, list(n ORDER BY n) AS vals,
+       |         CAST(count(*) AS BIGINT) AS sz
+       |  FROM daily GROUP BY 1),
+       |m AS (
+       |  SELECT level,
+       |         CASE WHEN sz % 2 = 1 THEN CAST(vals[(sz+1)//2] AS DOUBLE)
+       |              ELSE (CAST(vals[sz//2] AS DOUBLE) +
+       |                    CAST(vals[sz//2+1] AS DOUBLE)) /
+       |                   CAST(2.0 AS DOUBLE) END AS med
+       |  FROM per),
+       |dv AS (
+       |  SELECT d.level, d.day, d.n, m.med,
+       |         abs(CAST(d.n AS DOUBLE) - m.med) AS dev
+       |  FROM daily d JOIN m ON d.level IS NOT DISTINCT FROM m.level),
+       |p2 AS (
+       |  SELECT level, list(dev ORDER BY dev) AS dvals,
+       |         CAST(count(*) AS BIGINT) AS sz
+       |  FROM dv GROUP BY 1),
+       |m2 AS (
+       |  SELECT level,
+       |         CASE WHEN sz % 2 = 1 THEN dvals[(sz+1)//2]
+       |              ELSE (dvals[sz//2] + dvals[sz//2+1]) /
+       |                   CAST(2.0 AS DOUBLE) END AS mad
+       |  FROM p2)
+       |SELECT dv.level, dv.day, dv.n AS n_events,
+       |       round(dv.med, 4) AS med, round(m2.mad, 4) AS mad,
+       |       CASE WHEN m2.mad > 0
+       |            THEN abs(CAST(dv.n AS DOUBLE) - dv.med) >
+       |                 CAST($k AS DOUBLE) * m2.mad
+       |            ELSE CAST(dv.n AS DOUBLE) <> dv.med END AS is_anomaly
+       |FROM dv JOIN m2 ON dv.level IS NOT DISTINCT FROM m2.level""".stripMargin
+
+  /** Generated EWMA oracle at smoothing alpha (exact-binary alphas only
+    * — 0.25, 0.5 — so the coefficient literals carry no noise). */
+  private def ewmaSql(alpha: Double): String =
+    s"""WITH c AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_incidents
+       |  FROM events GROUP BY 1),
+       |b AS (
+       |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+       |  FROM events),
+       |d AS (
+       |  SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+       |                  '%Y-%m-%d') AS day
+       |  FROM b WHERE d0 IS NOT NULL),
+       |f AS (
+       |  SELECT d.day, coalesce(c.n_incidents, 0) AS n_incidents
+       |  FROM d LEFT JOIN c USING (day)),
+       |l AS (
+       |  SELECT day, n_incidents,
+       |         list(CAST(n_incidents AS DOUBLE)) OVER (
+       |           ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+       |  FROM f)
+       |SELECT day, n_incidents,
+       |       round(list_reduce(pre,
+       |         (acc, x) -> CAST($alpha AS DOUBLE) * x +
+       |                     CAST(${1.0 - alpha} AS DOUBLE) * acc), 6) AS ewma
+       |FROM l""".stripMargin
+
+  /** Generated rolling-median oracle over a trailing `days` window. */
+  private def rollingMedianSql(days: Int): String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS level, strftime(ts, '%Y-%m-%d') AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+       |b AS (SELECT min(CAST(day AS DATE)) AS d0,
+       |             max(CAST(day AS DATE)) AS d1 FROM daily),
+       |d AS (SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+       |                      '%Y-%m-%d') AS day
+       |      FROM b WHERE d0 IS NOT NULL),
+       |g AS (SELECT l.level, d.day
+       |      FROM (SELECT DISTINCT level FROM daily) l CROSS JOIN d),
+       |f AS (SELECT g.level, g.day, coalesce(dd.n, 0) AS n_events
+       |      FROM g LEFT JOIN daily dd
+       |        ON dd.level = g.level AND dd.day = g.day),
+       |l AS (SELECT level, day, n_events,
+       |             list_sort(list(n_events) OVER (
+       |               PARTITION BY level ORDER BY day
+       |               ROWS BETWEEN ${days - 1} PRECEDING AND CURRENT ROW)) AS arr
+       |      FROM f)
+       |SELECT level, day, n_events,
+       |       CASE WHEN len(arr) % 2 = 1
+       |            THEN CAST(arr[(len(arr)+1)//2] AS DOUBLE)
+       |            ELSE (CAST(arr[len(arr)//2] AS DOUBLE) +
+       |                  CAST(arr[len(arr)//2+1] AS DOUBLE)) /
+       |                 CAST(2.0 AS DOUBLE) END AS med_${days}d
+       |FROM l""".stripMargin
 
   /** Generated unrolled-CTE PageRank oracle (see the "pagerank" entry). */
   private def pagerankOracle(iters: Int): String = {

@@ -333,4 +333,41 @@ object Kernels {
     java.util.Arrays.sort(distinct)
     new GenericArrayData(distinct)
   }
+
+  /** One-pass char-entropy kernel over the ASCII [a-z0-9 ] alphabet of an
+    * (already case-folded) string: (n_ascii, n_distinct, entropy-in-nats).
+    * Byte-wise scan — every alphabet char is a single UTF-8 byte and
+    * every byte ≥ 0x80 (multibyte lead or continuation) is out of
+    * alphabet by construction. The entropy sum folds −(p·ln p) in
+    * ASCENDING char order (space < digits < letters — UTF-8 byte order),
+    * matching the oracle's ORDER BY c fold term-for-term; the HOF
+    * formulation this replaces was interpreted and O(len·|alphabet|)
+    * per row (the r16 bench caught it at 18.8 s). */
+  def charEntropy(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val counts = new Array[Long](123) // 'z' = 122
+    var i = 0
+    var n = 0L
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b == ' ' || (b >= '0' && b <= '9') || (b >= 'a' && b <= 'z')) {
+        counts(b) += 1; n += 1
+      }
+      i += 1
+    }
+    var nd = 0L
+    var acc = 0.0
+    var c = 0
+    while (c < 123) {
+      val k = counts(c)
+      if (k > 0) {
+        nd += 1
+        val p = k.toDouble / n.toDouble
+        acc += -(p * java.lang.Math.log(p))
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nd, acc))
+  }
 }

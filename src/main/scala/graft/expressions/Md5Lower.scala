@@ -35,6 +35,34 @@ case class Md5Lower(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row ASCII char-entropy statistics — see [[Kernels.charEntropy]].
+  * A native kernel, not higher-order functions: HOFs evaluate interpreted
+  * and the per-distinct-char filter-count was O(len·|alphabet|)/row. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_ascii", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.charEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** UNSIGNED `md5_number_lower(s) mod m` — the selection predicate form.
   * The kernel's remainderUnsigned matches the oracle's native UBIGINT
   * `%` exactly, so neither side needs signed-reinterpretation gymnastics

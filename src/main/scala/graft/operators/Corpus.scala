@@ -1895,15 +1895,21 @@ object Corpus {
     * add-one smoothing and Laplace class priors (nd+1)/(N+2), so an
     * empty class never produces ln 0.
     *
-    * Scale shape (the dsir_weights pattern): ONE corpus pass computes
-    * labels AND explodes tokens, collapsed to (doc, kept, token, count)
-    * behind a lazy lineage cut; class-conditional counts, class totals,
-    * priors, and per-doc scoring all read that relation. The fitted
-    * model is a ≤|V|-row broadcast; scoring is one broadcast join + one
-    * per-doc pinned fold. Only the output row basis re-touches the
-    * documents table, on a doc_id-pruned scan (NULL-text docs surface
-    * with NULL label/scores — they were never trained on and have no
-    * token evidence).
+    * Scale shape (the dsir_weights pattern, plus one lesson the bench
+    * taught): the LABEL pass and the TOKEN pass are two separate scans —
+    * a single projection computing the verdict next to the explode looks
+    * like one pass but Catalyst collapses the verdict expression into the
+    * Generate and re-evaluates the full Gopher rule chain once per TOKEN
+    * row (the r16 bench caught that at 75 s; two scans run in ~3). Labels
+    * collapse to one (doc_id, kept) row per document ENTITY (doc_id
+    * names one document — duplicate rows are redeliveries, the
+    * click_attribution contract) and join the collapsed token relation
+    * by doc_id; token counts sit behind a lazy lineage cut feeding
+    * class-conditional counts, totals, and scoring. The fitted model is
+    * a ≤|V|-row broadcast; scoring is one broadcast join + one per-doc
+    * pinned fold. The output row basis re-touches documents on a
+    * doc_id-pruned scan (NULL-text docs surface with NULL label/scores —
+    * never trained on, no token evidence).
     *
     * Determinism: smoothed probabilities are single divisions of exact
     * integers; per-doc log-likelihoods fold c·ln p terms in TOKEN order
@@ -1917,18 +1923,25 @@ object Corpus {
 
   private[graft] def qualityNbFrom(documents: DataFrame,
       vocab: DataFrame): DataFrame = {
-    // one corpus pass: per-row teacher label + token multiset, collapsed
-    // to fixed-width rows before the cut (the dedup_spans trade — the
-    // checkpoint stores what the shared exchange would have)
+    // label pass: the verdict evaluated exactly once per document row,
+    // collapsed to the document entity (see the scaladoc for why this
+    // must NOT share a projection with the token explode)
+    val db = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.gopherKept(col("text")).as("kept"))
+      .distinct()
+      .localCheckpoint(false) // priors + label join + output join read it
+    // token pass: the multiset, collapsed to fixed-width rows before the
+    // cut (the dedup_spans trade — the checkpoint stores what the shared
+    // exchange would have), labels joined on the COLLAPSED relation
     val tkAll = documents
       .where(col("text").isNotNull)
-      .select(col("doc_id"), TextOps.gopherKept(col("text")).as("kept"),
+      .select(col("doc_id"),
         explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
-      .groupBy(col("doc_id"), col("kept"), col("token"))
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("long").as("c"))
+      .join(db, Seq("doc_id"))
       .localCheckpoint(false)
-    val db = tkAll.select(col("doc_id"), col("kept")).distinct()
-      .localCheckpoint(false) // priors + the output join both read it
     val vsize = vocab.agg(count(lit(1)).cast("long").as("v"))
     val tk = tkAll.join(broadcast(vocab.select(col("token"))), Seq("token"))
     // class-conditional token counts and totals (exact integers);

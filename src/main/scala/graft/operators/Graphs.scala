@@ -314,6 +314,56 @@ object Graphs {
     nodeArr.map(n => (n, label(n))).toSeq.toDF("node", "label")
   }
 
+  /** Fixed-budget MIN-LABEL propagation over an undirected string-keyed
+    * edge list — connected components as a pure fixed-round function
+    * (each round every node takes the minimum of its own and its
+    * neighbors' labels; converges to true components once the budget
+    * covers the component diameter, and is a well-defined pure function
+    * of the graph at ANY budget — the pagerank/LPA fixed-budget
+    * contract, replayable as an unrolled CTE chain). Unlike weighted
+    * LPA, min-label CANNOT oscillate: labels are monotone non-increasing
+    * per node, so a 2-node component merges in one round (the symmetric
+    * pair that synchronous LPA swaps forever on an even budget —
+    * discovered by [[TextOps.sourceCommunitiesFrom]]'s spec). String
+    * minima are UTF-8/binary on both engines. Dimension-sized inputs
+    * only (the caller aggregates the corpus first); one equi-join + one
+    * min aggregation per round, lineage cut per round, previous cut
+    * freed. */
+  private[graft] def minLabelComponents(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    freePendingCut()
+    val sym = edges
+      .select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().persist()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(labels)
+    var k = 0
+    while (k < rounds) {
+      val best = sym
+        .join(labels.select(col("node").as("v"), col("label").as("nl")),
+          Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("nl")).as("best"))
+      val next = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("best"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      Corpus.freeCheckpoint(spark, lastCutId)
+      lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(next)
+      labels = next
+      k += 1
+    }
+    sym.unpersist()
+    pendingCut.set((spark, lastCutId))
+    labels
+  }
+
   // ----------------------------------------------------------------
   // Triangle counting
   // ----------------------------------------------------------------

@@ -371,22 +371,33 @@ object TextOps {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapFrom(Tables.documents(spark, dir))
 
-  private[graft] def sourceOverlapFrom(docs: DataFrame): DataFrame = {
-    val sg = docs
-      .where(col("source").isNotNull && col("text").isNotNull)
-      .select(col("source"),
-        explode(NearDup.wordShingles(col("text"), 3)).as("g"))
-      .select(col("source"),
-        Sketches.md5mod(col("g"), 2305843009213693951L).as("gh"))
-      .distinct()
-      .localCheckpoint(false) // sizes + pair join: one documents scan
-    val sizes = sg.groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val inter = sg.as("a")
+  /** The distinct (source, gram-hash) set behind a lazy lineage cut —
+    * shared by [[sourceOverlapFrom]] and [[sourceCommunitiesFrom]] so
+    * the overlap matrix and the communities built on it read ONE
+    * documents pass and one definition of "gram". */
+  private[graft] def sourceGrams(docs: DataFrame): DataFrame = docs
+    .where(col("source").isNotNull && col("text").isNotNull)
+    .select(col("source"),
+      explode(NearDup.wordShingles(col("text"), 3)).as("g"))
+    .select(col("source"),
+      Sketches.md5mod(col("g"), 2305843009213693951L).as("gh"))
+    .distinct()
+    .localCheckpoint(false) // sizes + pair join: one documents scan
+
+  private[graft] def sourceSizes(sg: DataFrame): DataFrame =
+    sg.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+
+  private[graft] def sourceInter(sg: DataFrame): DataFrame =
+    sg.as("a")
       .join(sg.as("b"),
         col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).cast("long").as("shared"))
+
+  private[graft] def sourceOverlapFrom(docs: DataFrame): DataFrame = {
+    val sg = sourceGrams(docs)
+    val sizes = sourceSizes(sg)
+    val inter = sourceInter(sg)
     val pairs = sizes
       .select(col("source").as("source_a"), col("n").as("grams_a"))
       .join(sizes.select(col("source").as("source_b"), col("n").as("grams_b")),
@@ -401,6 +412,43 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Source-community detection: fixed-budget min-label components over
+    * the [[sourceOverlapFrom]] graph — the actionable form of the
+    * overlap matrix ("these five crawls are one corpus wearing five
+    * names"); composition of two operators through ONE shared gram
+    * relation. Edges are source pairs with Jaccard ≥ 1/10, tested as
+    * the exact INTEGER inequality 10·shared ≥ union (no float boundary
+    * can flip an edge between engines). Components, NOT weighted LPA:
+    * the intended verdict is the transitive closure of "shares ≥10% of
+    * its grams", and synchronous LPA provably never merges a symmetric
+    * 2-node pair on an even budget (it swaps labels forever — this
+    * operator's own spec caught that); min-label is monotone and merges
+    * any diameter-≤rounds component deterministically. Isolated and
+    * sub-threshold sources keep their own name. Scale: everything after
+    * the shared gram cut is |sources|-sized. */
+  def sourceCommunities(spark: SparkSession, dir: String,
+      rounds: Int = Graphs.LpaRounds): DataFrame =
+    sourceCommunitiesFrom(Tables.documents(spark, dir), rounds)
+
+  private[graft] def sourceCommunitiesFrom(docs: DataFrame,
+      rounds: Int): DataFrame = {
+    val sg = sourceGrams(docs)
+    val sizes = sourceSizes(sg)
+    val edges = sourceInter(sg)
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("ga"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("gb"))), Seq("source_b"))
+      .where(col("shared") * 10 >= col("ga") + col("gb") - col("shared"))
+      .select(col("source_a").as("u"), col("source_b").as("v"))
+    val labels = Graphs.minLabelComponents(edges, rounds)
+    sizes.select(col("source"))
+      .join(broadcast(labels.withColumnRenamed("node", "source")),
+        Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("label"), col("source")).as("community"))
+  }
+
   /** Character-level Shannon entropy over the ASCII [a-z0-9 ] alphabet —
     * the classic gibberish/low-diversity signal next to [[textQuality]]'s
     * ratio heuristics and [[textRepetition]]'s n-gram dup rate: keyboard
@@ -411,36 +459,30 @@ object TextOps {
     * is identical on both. ln(2) enters as the one shared double literal
     * (two libms may round ln(2) differently; a literal can't).
     *
-    * Everything is per-row expression work inside codegen — the
-    * per-char counting is an O(len·|alphabet|) in-row filter-count over
-    * the ≤37-char alphabet, the entropy a pinned fold over the
-    * char-sorted distinct alphabet; zero shuffles, scan-bound at any
+    * Per-row work is the ONE-PASS native [[graft.expressions.CharEntropy]]
+    * kernel (codegen'd byte scan; the original higher-order-function
+    * formulation evaluated interpreted at O(len·|alphabet|) per row —
+    * the r16 bench caught it at 18.8 s and the kernel rule at the top of
+    * TextSigExpressions.scala applied); zero shuffles, scan-bound at any
     * scale. */
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     textEntropyFrom(Tables.documents(spark, dir))
 
   private[graft] def textEntropyFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val ln2 = lit(0.6931471805599453) // the double nearest ln 2, verbatim
-    val chars = regexp_extract_all(
-      TextFns.foldCase(col("text")), lit("[a-z0-9 ]"), lit(0))
-    val n = size(chars).cast("long")
-    val h = aggregate(
-      transform(array_sort(array_distinct(chars)), c => {
-        val p = size(filter(chars, x => x === c)).cast("double") /
-          n.cast("double")
-        -(p * log(p))
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    val st = Bridge.column(graft.expressions.CharEntropy(
+      Bridge.expression(TextFns.foldCase(col("text")))))
+    val n = st.getField("n_ascii")
     docs.select(col("doc_id"),
       when(col("text").isNotNull, n).as("n_ascii"),
-      when(col("text").isNotNull, size(array_distinct(chars)).cast("long"))
-        .as("n_distinct"),
-      // + 0.0 canonicalizes the single-char corner: the fold yields
-      // -(1·ln 1) = -0.0 when it SEEDS with the first term (the oracle's
-      // list_reduce) but +0.0 from a 0.0-init fold — adding 0.0 maps
-      // -0.0 -> +0.0 and is exact everywhere else; mirrored in SQL
-      when(col("text").isNotNull && n > 0, round(h / ln2 + lit(0.0), 4))
-        .as("entropy_bits"))
+      when(col("text").isNotNull, st.getField("n_distinct")).as("n_distinct"),
+      // + 0.0 canonicalizes the single-char corner: the oracle's
+      // list_reduce SEEDS its fold with the first term and yields
+      // -(1·ln 1) = -0.0 where a 0.0-init fold yields +0.0 — adding 0.0
+      // maps -0.0 -> +0.0 and is exact everywhere else; mirrored in SQL
+      when(col("text").isNotNull && n > 0,
+        round(st.getField("h") / ln2 + lit(0.0), 4)).as("entropy_bits"))
   }
 
   def dedupLines(spark: SparkSession, dir: String, maxDocs: Int = 2): DataFrame =

@@ -35,6 +35,41 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(TextOps.sourceOverlapFrom(withNulls).collect().length == 3)
   }
 
+  test("source_communities: near-duplicate sources merge into one " +
+    "community, sub-threshold and disjoint sources keep their own name") {
+    import spark.implicits._
+    // s1/s2 share most of their shingles (one community); s3 shares one
+    // gram with s1 — below the Jaccard >= 1/10 edge threshold... use
+    // fully disjoint s3 and an isolated s4 to pin both no-edge paths
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      ("a1", s"$shared one", "s1"), ("a2", s"$shared two", "s2"),
+      ("b1", "xx yy zz ww vv uu tt ss rr qq", "s3"),
+      ("c1", "mm nn oo pp", "s4"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceCommunitiesFrom(docs, rounds = 6).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == 4, s"every source appears once: $out")
+    assert(out("s1") == "s1" && out("s2") == "s1",
+      s"heavily-overlapping sources merge onto the min name — the " +
+        s"symmetric 2-node case weighted LPA would oscillate on: $out")
+    assert(out("s3") == "s3" && out("s4") == "s4",
+      s"disjoint sources keep their own name: $out")
+    assert(out("s1") != out("s3") && out("s1") != out("s4"), s"$out")
+    // threshold is EXACT integer arithmetic: a pair sharing exactly 1/10
+    // of its union is an edge, one gram fewer is not — spec the boundary
+    // via hand-built gram sets: s5 has 6 grams {g1..g6}, s6 has 5 grams
+    // {g1, h2..h5}: shared 1, union 10 -> 10*1 >= 10 -> edge
+    val t5 = "t1 t2 t3 t4 t5 t6 t7 t8" // 6 word-3-shingles
+    val t6 = "t1 t2 t3 u4 u5 u6 u7"    // 5 shingles, shares "t1 t2 t3"
+    val boundary = Seq(("d1", t5, "s5"), ("d2", t6, "s6"))
+      .toDF("doc_id", "text", "source")
+    val b = TextOps.sourceCommunitiesFrom(boundary, rounds = 6).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(b("s5") == b("s6"),
+      s"shared 1 of union 10 sits exactly ON the edge threshold: $b")
+  }
+
   test("text_entropy: analytic fixed points — single-char flood 0 bits, " +
     "two equiprobable chars 1 bit, uniform 4-char alphabet 2 bits; " +
     "non-ASCII is out of alphabet by contract") {
