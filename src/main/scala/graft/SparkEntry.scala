@@ -434,7 +434,13 @@ object SparkEntry {
     // composed through one shared gram relation; edges by the exact
     // integer Jaccard >= 1/10 test
     "source_communities"    -> ((s: SparkSession, d: String) =>
-      TextOps.sourceCommunities(s, d))
+      TextOps.sourceCommunities(s, d)),
+    // per-column profiling (row/NULL/exact-distinct counts) — the
+    // ANALYZE-TABLE pass, one Expand-based aggregation over the scan
+    "profile_events"        -> ((s: SparkSession, d: String) =>
+      Relational.profileEvents(s, d)),
+    "profile_documents"     -> ((s: SparkSession, d: String) =>
+      Relational.profileDocuments(s, d))
   )
 
   /** The NRQL-ingest oracle at a parameter point (mirror of
@@ -3688,6 +3694,14 @@ object SparkEntry {
         |LEFT JOIN sc ON sc.doc_id = d.doc_id
         |CROSS JOIN pri""".stripMargin,
 
+    // one stats row per column via UNION ALL of per-column aggregates
+    // (the single-pass Expand plan is Spark's side of the contract; the
+    // VALUES are engine-independent integers either way)
+    "profile_events" -> profileSql("events",
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+    "profile_documents" -> profileSql("documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
+
     "q14_promo_share" ->
       """WITH j AS (
         |  SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
@@ -3812,6 +3826,15 @@ object SparkEntry {
        |SELECT sz.source, coalesce(l.label, sz.source) AS community
        |FROM sz LEFT JOIN l$rounds l ON l.node = sz.source""".stripMargin
   }
+
+  /** Generated per-column profile oracle (see "profile_events"). */
+  private def profileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** Generated median/MAD anomaly oracle at sensitivity k (see the
     * "anomaly_mad" entry). */

@@ -155,6 +155,41 @@ object Relational {
           round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)))
   }
 
+  /** Per-column table profile — the ANALYZE-TABLE / data-quality pass a
+    * pipeline runs before trusting a new drop: row count, NULL count,
+    * and EXACT distinct count for every column, one output row per
+    * column. All-integer (no min/max rendering — cross-engine string
+    * forms of doubles/timestamps disagree; the extreme probe's NaN
+    * would poison a min anyway). Spark plans the multi-column distinct
+    * aggregation as ONE pass over the scan (Expand — each row fans out
+    * |cols| tagged copies, partially aggregated map-side before the one
+    * exchange); the approximate sibling at unbounded cardinality is
+    * approx_distinct's HLL. */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame =
+    profileFrom(Tables.events(spark, dir),
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame =
+    profileFrom(Tables.documents(spark, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  private[graft] def profileFrom(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).cast("long").as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).cast("long").as(s"nn_$c"),
+      countDistinct(col(c)).cast("long").as(s"nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single stats row to one output row per column: explode a
+    // literal column-name array against the broadcast 1-row relation
+    one.select(col("n_rows"),
+        explode(array(cols.map { c =>
+          struct(lit(c).as("column"),
+            (col("n_rows") - col(s"nn_$c")).as("n_null"),
+            col(s"nd_$c").as("n_distinct"))
+        }: _*)).as("s"))
+      .select(col("s.column").as("column"), col("n_rows"),
+        col("s.n_null").as("n_null"), col("s.n_distinct").as("n_distinct"))
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts.
     * Partition-local window work — one shuffle on user_id, then linear.
     */

@@ -127,6 +127,28 @@ class CoreSpec extends AnyFunSuite {
     assert(graft.operators.TextOps.dedupExact(spark, Sf).count() == distinctTexts)
   }
 
+  test("table profile: one row per column, shared row count, exact " +
+    "distinct/null invariants, single Expand pass") {
+    val p = graft.operators.Relational.profileEvents(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(p.keySet == Set("event_id", "ts", "user_id", "event_type",
+      "value", "props"))
+    val nRows = p.values.map(_._1).toSet
+    assert(nRows.size == 1, s"every column reports the same row count: $p")
+    assert(p("event_id") == ((nRows.head, 0L, nRows.head)),
+      s"the key column is dense and unique: $p")
+    p.foreach { case (c, (n, nulls, nd)) =>
+      assert(nd <= n - nulls, s"$c: distincts bounded by non-null rows: $p")
+      assert(nulls >= 0 && nd >= 0, s"$c: $p")
+    }
+    val df = graft.operators.Relational.profileEvents(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"multi-column distinct must plan as one Expand pass:\n${plan.take(1500)}")
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)
