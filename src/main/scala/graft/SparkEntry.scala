@@ -425,6 +425,18 @@ object SparkEntry {
     // join — covers the last untouched dimension table
     "q14_promo_share"       -> ((s: SparkSession, d: String) =>
       Relational.q14PromoShare(s, d)),
+    // TPC-H Q4 shape: the EXISTS semi-join (LeftSemi — no fan-out, no
+    // DISTINCT repair); ~52% of windowed orders qualify at sf0.01
+    "q4_order_priority"     -> ((s: SparkSession, d: String) =>
+      Relational.q4OrderPriority(s, d)),
+    // TPC-H Q13 shape: outer-join histogram with the filter in the ON
+    // clause — zero-order customers stay in the histogram at bucket 0
+    "q13_customer_distribution" -> ((s: SparkSession, d: String) =>
+      Relational.q13CustomerDistribution(s, d)),
+    // TPC-H Q22 shape: scalar-subquery average + LeftAnti dormancy test
+    // against the date-pruned orders scan
+    "q22_dormant_customers" -> ((s: SparkSession, d: String) =>
+      Relational.q22DormantCustomers(s, d)),
     // Naive Bayes quality classifier trained on the Gopher verdict —
     // the closed-form supervised leg of the quality family; the fitted
     // model is an exact integer-count function, fully SQL-replayable
@@ -3701,6 +3713,45 @@ object SparkEntry {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
     "profile_documents" -> profileSql("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate
+        |                AND l_quantity >= 40)
+        |GROUP BY 1""".stripMargin,
+
+    // the classic Q13 form (LEFT JOIN, then count the non-NULL keys) —
+    // an independent derivation of the Spark side's pre-aggregated
+    // outer join; the ON-clause filter must NOT move to a WHERE
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS n_custs FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1) d
+        |GROUP BY 1""".stripMargin,
+
+    // scalar average as an exact decimal sum over one double division —
+    // never avg(double), whose merge order the engines don't share
+    "q22_dormant_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        |         count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_acctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     "q14_promo_share" ->
       """WITH j AS (

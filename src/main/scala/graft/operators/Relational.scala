@@ -155,6 +155,80 @@ object Relational {
           round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)))
   }
 
+  /** TPC-H Q4 shape: the EXISTS semi-join — orders in a quarter window
+    * with at least one high-volume line shipped after the order date,
+    * counted by priority. The semi-join is the shape that matters at
+    * scale: lineitem never fans the orders side out (an inner join plus
+    * DISTINCT would shuffle every matching line; LeftSemi emits each
+    * order at most once and short-circuits on first match), both fact
+    * sides shuffle once on the orderkey, and the quantity predicate is
+    * pushed to the lineitem scan so non-qualifying lines never leave it.
+    * The date window plus the qty≥40 floor keep the EXISTS genuinely
+    * selective (~52% of windowed orders qualify at sf0.01). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("o_orderdate") <  lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q13 shape: the outer-join histogram — how many customers
+    * placed 0, 1, 2, … non-urgent orders. The ON-clause filter (not a
+    * WHERE) is the point of Q13: a customer whose every order is urgent
+    * still belongs in the histogram, at bucket 0. Spark-side the orders
+    * fact is aggregated to (custkey, count) BEFORE the outer join — the
+    * join then moves one row per customer instead of one per order, so
+    * the only fact-sized shuffle is the pre-aggregation (map-side
+    * partials collapse it). The oracle derives the same histogram the
+    * classic way (LEFT JOIN then count(o_orderkey)) — an independent
+    * re-derivation of the null-extension semantics. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ordCnt = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ordCnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
+  /** TPC-H Q22 shape: anti-join plus scalar subquery — above-average-
+    * balance customers with NO order since the dormancy cutoff, grouped
+    * by segment. Two classic pieces: the global average is an exact
+    * decimal sum divided once (never the engines' merge-order-dependent
+    * double avg()), broadcast as a 1-row relation into the filter; the
+    * "no recent order" test is a LeftAnti against the date-pruned orders
+    * scan (the predicate reaches PushedFilters, so at 100 TB the anti
+    * side reads only the cutoff-recent partitions — NOT the whole fact).
+    * LeftAnti needs no DISTINCT on the orders side: multiplicity is
+    * irrelevant to non-existence. */
+  def q22DormantCustomers(spark: SparkSession, dir: String,
+      cutoff: String = "2000-01-01 00:00:00"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(cutoff).cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_acctbal"))
+  }
+
   /** Per-column table profile — the ANALYZE-TABLE / data-quality pass a
     * pipeline runs before trusting a new drop: row count, NULL count,
     * and EXACT distinct count for every column, one output row per

@@ -149,6 +149,65 @@ class CoreSpec extends AnyFunSuite {
       s"multi-column distinct must plan as one Expand pass:\n${plan.take(1500)}")
   }
 
+  test("q4 semi-join counts orders once, never per matching line") {
+    val ord = graft.sources.Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("o_orderdate") <  lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    // independent derivation: inner join + distinct orderkeys (the
+    // fan-out-then-repair form LeftSemi exists to avoid)
+    val li = graft.sources.Tables.lineitem(spark, Sf)
+      .where(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val expected = ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Relational.q4OrderPriority(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the EXISTS must bite: strictly fewer qualifying orders than
+    // windowed orders, and at least one per priority on this data
+    assert(got.values.sum < ord.count())
+    assert(got.nonEmpty && got.values.forall(_ > 0))
+  }
+
+  test("q13 histogram partitions the customer universe, bucket 0 real") {
+    val custs = graft.sources.Tables.customer(spark, Sf).count()
+    val h = Relational.q13CustomerDistribution(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == custs,
+      s"every customer lands in exactly one bucket: $h")
+    // bucket 0 == customers with NO non-urgent order (independent anti)
+    val zero = graft.sources.Tables.customer(spark, Sf)
+      .join(graft.sources.Tables.orders(spark, Sf)
+          .where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(h.getOrElse(0L, 0L) == zero)
+  }
+
+  test("q22 dormant customers: above-average balance and truly orderless " +
+    "since the cutoff") {
+    val cust = graft.sources.Tables.customer(spark, Sf)
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)))).head().getDouble(0)
+    val recentCusts = graft.sources.Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+      .collect()
+      .filter(r => r.getDouble(2) > avgBal && !recentCusts(r.getLong(0)))
+      .groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length.toLong }
+    val got = Relational.q22DormantCustomers(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.sum > 0, "the dormancy cutoff must bite on sf0.001")
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)
