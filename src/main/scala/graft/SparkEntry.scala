@@ -252,6 +252,11 @@ object SparkEntry {
     // containment relevance oracle — the measured retrieval-eval harness
     "retrieval_eval"        -> ((s: SparkSession, d: String) =>
       Corpus.retrievalEval(s, d)),
+    // DPR-style hard-negative mining: per query the top relevant doc
+    // (pos) + top-5 non-relevant BM25 hits (neg) — training triples off
+    // the same single qid-tagged ranking plan as retrieval_eval
+    "mine_hard_negatives"   -> ((s: SparkSession, d: String) =>
+      Corpus.mineHardNegatives(s, d)),
     // k=3 parameter point on a different term set: the cut bites at a
     // different rank boundary
     "search_bm25_k3"        -> ((s: SparkSession, d: String) =>
@@ -437,6 +442,16 @@ object SparkEntry {
     // against the date-pruned orders scan
     "q22_dormant_customers" -> ((s: SparkSession, d: String) =>
       Relational.q22DormantCustomers(s, d)),
+    // bucketed interval join: arbitrary [start,end] windows (top-20
+    // sessions ±5 min) meet the fact through a bin equi-join + residual
+    // range filter — never a nested-loop range join
+    "interval_join"         -> ((s: SparkSession, d: String) =>
+      JoinOps.intervalJoinEvents(s, d)),
+    // exact join-cardinality probe: a prospective join's output size,
+    // hottest key, and amplification from the per-key count relations —
+    // without materializing one joined row
+    "join_size_probe"       -> ((s: SparkSession, d: String) =>
+      Relational.joinSizeProbe(s, d)),
     // Naive Bayes quality classifier trained on the Gopher verdict —
     // the closed-form supervised leg of the quality family; the fitted
     // model is an exact integer-count function, fully SQL-replayable
@@ -711,7 +726,12 @@ object SparkEntry {
     * is relevant — DuckDB's list_reduce cannot see an empty list); a
     * no-hit query re-enters through the qid-universe VALUES relation.
     * log2 wobble under round(·,6). */
-  private def retrievalEvalSql(qs: Seq[(Long, String)], topK: Int): String = {
+  /** The CTE chain from the corpus scan through the qid-tagged `ranked`
+    * (with scores) and `rel` relations — shared by the retrieval-eval
+    * and hard-negative-mining oracles, exactly as the Spark side shares
+    * [[graft.operators.Corpus.retrievalRankRel]]. */
+  private def retrievalRankRelCtes(qs: Seq[(Long, String)],
+      topK: Int): String = {
     val perQ = qs.map { case (qid, q) =>
       (qid, graft.operators.Corpus.bm25Terms(q).map(_.replace("'", "''")))
     }
@@ -719,7 +739,6 @@ object SparkEntry {
     val inList = allTerms.map(t => s"'$t'").mkString(", ")
     val qtVals = perQ.flatMap { case (qid, ts) =>
       ts.map(t => s"($qid, '$t')") }.mkString(", ")
-    val qidVals = perQ.map { case (qid, _) => s"($qid)" }.mkString(", ")
     def d(v: String) = s"CAST($v AS DOUBLE)"
     s"""WITH docs AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
@@ -754,7 +773,7 @@ object SparkEntry {
        |                           (a, b) -> a + b), 6) AS score
        |  FROM scored GROUP BY 1, 2),
        |ranked AS (
-       |  SELECT qid, doc_id,
+       |  SELECT qid, doc_id, score,
        |         CAST(row_number() OVER (PARTITION BY qid
        |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
        |  FROM perdoc QUALIFY rk <= $topK),
@@ -762,7 +781,13 @@ object SparkEntry {
        |  SELECT q.qid, t.doc_id
        |  FROM tf t JOIN qt q USING (term) JOIN ntq n ON n.qid = q.qid
        |  GROUP BY q.qid, t.doc_id, n.ntq
-       |  HAVING CAST(count(*) AS BIGINT) = n.ntq),
+       |  HAVING CAST(count(*) AS BIGINT) = n.ntq)""".stripMargin
+  }
+
+  private def retrievalEvalSql(qs: Seq[(Long, String)], topK: Int): String = {
+    val qidVals = qs.map { case (qid, _) => s"($qid)" }.mkString(", ")
+    def d(v: String) = s"CAST($v AS DOUBLE)"
+    retrievalRankRelCtes(qs, topK) + "," + s"""
        |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
        |         FROM rel GROUP BY 1),
        |j AS (
@@ -2973,6 +2998,25 @@ object SparkEntry {
     "search_bm25"      -> searchBm25Sql("spark join window customer", 10),
     "retrieval_eval"   -> retrievalEvalSql(
       graft.operators.Corpus.RetrievalEvalQueries, 10),
+    // same ranked/rel CTE chain as retrieval_eval; pos = first relevant
+    // rank, neg = top-5 non-relevant ranks, per-role rank over the
+    // unique rk order
+    "mine_hard_negatives" ->
+      (retrievalRankRelCtes(
+        graft.operators.Corpus.MineQueries, 30) + "," + s"""
+        |tagged AS (
+        |  SELECT r.qid, r.doc_id, r.score, r.rk,
+        |         rel.doc_id IS NOT NULL AS isrel,
+        |         CAST(row_number() OVER (PARTITION BY r.qid,
+        |           rel.doc_id IS NOT NULL ORDER BY r.rk) AS BIGINT)
+        |           AS role_rank
+        |  FROM ranked r
+        |  LEFT JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id)
+        |SELECT qid, CASE WHEN isrel THEN 'pos' ELSE 'neg' END AS role,
+        |       role_rank, doc_id, score, rk
+        |FROM tagged
+        |WHERE (isrel AND role_rank = 1)
+        |   OR (NOT isrel AND role_rank <= 5)""".stripMargin),
     "search_bm25_k3"   -> searchBm25Sql("data stream sort", 3),
     "search_bm25_none" -> searchBm25Sql("zqxjkv", 10),
     // the durable-index serving path is bit-identical to the scan path
@@ -3713,6 +3757,75 @@ object SparkEntry {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
     "profile_documents" -> profileSql("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
+
+    // the oracle states interval containment DIRECTLY (BETWEEN join) —
+    // the bin decomposition is Spark's side of the contract only; window
+    // bounds ride raw timestamps until the output formatting
+    "interval_join" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         min(ts) AS t0, max(ts) AS t1,
+        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+        |  FROM s GROUP BY user_id, session_id),
+        |win AS (
+        |  SELECT user_id AS window_user,
+        |         t0 - INTERVAL 5 MINUTE AS w0,
+        |         t1 + INTERVAL 5 MINUTE AS w1
+        |  FROM sess
+        |  ORDER BY n_events DESC, user_id, session_start
+        |  LIMIT 20)
+        |SELECT window_user,
+        |       strftime(w0, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+        |       strftime(w1, '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+        |       count(*) AS n_events,
+        |       count(DISTINCT e.user_id) AS n_users,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(e.value) THEN NULL
+        |                              ELSE e.value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value
+        |FROM win JOIN events e ON e.ts >= win.w0 AND e.ts <= win.w1
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // one CTE pair per probed join; NULL keys drop at the count-join
+    // (= never equi-join) but stay in left/right_rows; hot key = struct
+    // max over (pairs, key) — keys unique per join relation, total order
+    "join_size_probe" -> {
+      def one(name: String, lt: String, lk: String, rt: String,
+          rk: String): String =
+        s"""SELECT '$name' AS join_name,
+           |  (SELECT count(*) FROM $lt) AS left_rows,
+           |  (SELECT count(*) FROM $rt) AS right_rows,
+           |  count(*) AS n_join_keys,
+           |  CAST(coalesce(sum(pairs), 0) AS BIGINT) AS pairs,
+           |  max(struct_pack(p := pairs, k := key)).p AS max_key_pairs,
+           |  max(struct_pack(p := pairs, k := key)).k AS hot_key,
+           |  round(CAST(coalesce(sum(pairs), 0) AS DOUBLE) /
+           |        (SELECT count(*) FROM $lt), 6) AS amplification
+           |FROM (
+           |  SELECT lc.key, lc.cl * rc.cr AS pairs
+           |  FROM (SELECT CAST($lk AS VARCHAR) AS key, count(*) AS cl
+           |        FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) lc
+           |  JOIN (SELECT CAST($rk AS VARCHAR) AS key, count(*) AS cr
+           |        FROM $rt WHERE $rk IS NOT NULL GROUP BY 1) rc
+           |  ON lc.key = rc.key) j""".stripMargin
+      one("events_self_user", "events", "user_id", "events", "user_id") +
+        "\nUNION ALL\n" +
+        one("lineitem_orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey") +
+        "\nUNION ALL\n" +
+        one("orders_customer", "orders", "o_custkey", "customer",
+          "c_custkey")
+    },
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders

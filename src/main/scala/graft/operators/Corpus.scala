@@ -1198,8 +1198,14 @@ object Corpus {
     retrievalEvalFrom(Tables.documents(spark, dir), RetrievalEvalQueries,
       topK)
 
-  private[graft] def retrievalEvalFrom(documents: DataFrame,
-      queries: Seq[(Long, String)], topK: Int): DataFrame = {
+  /** The qid-tagged BM25 ranking and conjunctive-containment relevance
+    * relations shared by [[retrievalEvalFrom]] (which scores them) and
+    * [[mineHardNegativesFrom]] (which diffs them): one corpus tokenize
+    * pass behind a lazy cut, one explode+aggregation for every query's
+    * tf AND df, one qid-partitioned rank window. Returns
+    * (ranked(qid, doc_id, score, rk ≤ topK), rel(qid, doc_id)). */
+  private[graft] def retrievalRankRel(documents: DataFrame,
+      queries: Seq[(Long, String)], topK: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
     val perQ = queries.map { case (qid, q) => (qid, bm25Terms(q)) }
@@ -1255,6 +1261,17 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("nmatch"))
       .join(ntq, "qid").where(col("nmatch") === col("ntq"))
       .select(col("qid"), col("doc_id"))
+    (ranked, rel)
+  }
+
+  private[graft] def retrievalEvalFrom(documents: DataFrame,
+      queries: Seq[(Long, String)], topK: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val perQ = queries.map { case (qid, q) => (qid, bm25Terms(q)) }
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val (ranked, rel) = retrievalRankRel(documents, queries, topK)
     val nrel = rel.groupBy(col("qid"))
       .agg(count(lit(1)).cast("long").as("n_rel"))
     val j = ranked
@@ -1282,6 +1299,52 @@ object Corpus {
           lit(0.0)), 6).as("mrr"),
         when(nRel > 0, round(col("dcg") / idcg, 6)).as("ndcg"))
       .orderBy(col("qid"))
+  }
+
+  /** Hard-negative mining for retrieval training data (the DPR recipe:
+    * the best training negatives are the top BM25 hits that are NOT
+    * relevant — lexically close, semantically wrong). Per query: the
+    * top-ranked RELEVANT doc as the positive (`role = 'pos'`) and the
+    * `nNeg` highest-ranked NON-relevant docs as hard negatives
+    * (`role = 'neg'`), with their BM25 scores and original ranks — the
+    * (query, positive, negatives) triple a contrastive trainer consumes.
+    * Relevance is [[retrievalRankRel]]'s conjunctive containment, so the
+    * labels are a pure corpus function and the SQL oracle replays them.
+    *
+    * Shares [[retrievalRankRel]]'s single qid-tagged plan — the miner
+    * costs exactly the eval harness's ranking pass plus one |topK·queries|
+    * window. A single-term query yields no negatives (every ranked doc
+    * contains the term → relevant); a no-hit query yields nothing. */
+  /** Mining queries: conjunctions anchored on the corpus's RAREST term
+    * plus several common ones — the regime where hard negatives exist
+    * (full matchers are few, partial matchers outscore them lexically).
+    * The eval queries' full-match sets exceed any sane ranking depth on
+    * this corpus, so mining them yields positives only. */
+  private[graft] val MineQueries: Seq[(Long, String)] = Seq(
+    (1L, "dup join hash"),
+    (2L, "dup fast query sort the"),
+    (3L, "dup merge filter row order slow"))
+
+  def mineHardNegatives(spark: SparkSession, dir: String, topK: Int = 30,
+      nNeg: Int = 5): DataFrame =
+    mineHardNegativesFrom(Tables.documents(spark, dir),
+      MineQueries, topK, nNeg)
+
+  private[graft] def mineHardNegativesFrom(documents: DataFrame,
+      queries: Seq[(Long, String)], topK: Int, nNeg: Int): DataFrame = {
+    val (ranked, rel) = retrievalRankRel(documents, queries, topK)
+    val tagged = ranked
+      .join(rel.withColumn("isrel", lit(true)), Seq("qid", "doc_id"), "left")
+      .withColumn("isrel", coalesce(col("isrel"), lit(false)))
+    // rk is unique per qid, so the per-role rank is deterministic
+    val roleRank = row_number().over(
+      Window.partitionBy(col("qid"), col("isrel")).orderBy(col("rk")))
+    tagged.withColumn("role_rank", roleRank.cast("long"))
+      .where((col("isrel") && col("role_rank") === 1) ||
+        (!col("isrel") && col("role_rank") <= nNeg))
+      .select(col("qid"),
+        when(col("isrel"), lit("pos")).otherwise(lit("neg")).as("role"),
+        col("role_rank"), col("doc_id"), col("score"), col("rk"))
   }
 
   private[graft] def searchBm25From(documents: DataFrame, query: String,

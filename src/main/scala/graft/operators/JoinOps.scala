@@ -35,6 +35,62 @@ object JoinOps {
       aggs: Seq[Column]): DataFrame =
     fact.groupBy(key).agg(aggs.head, aggs.tail: _*).join(dim, key)
 
+  /** Bucketed interval join: all activity inside derived incident
+    * windows — the top-K busiest sessions, widened ±margin — counted per
+    * window. The window relation has arbitrary, unaligned [start, end]
+    * bounds with NO natural equi-key, so the naive plan is a nested-loop
+    * range join (every event tested against every window). The scalable
+    * formulation turns containment into an EQUI-join: time is cut into
+    * fixed-width bins, each window explodes into the bins it overlaps
+    * (cheap — the exploded side grows by window length / bin width, not
+    * by the fact), and each event maps to exactly ONE bin (its ts DIV
+    * bin width) — so the plan is a hash join on `bin` with the range
+    * test as a residual filter, and needs NO post-join dedup (an event's
+    * single bin can meet a given window at most once). Here the exploded
+    * window side is tiny → broadcast, and the fact never shuffles; with
+    * a fact-sized window table the same plan shuffles both sides by
+    * `bin` (salt a hot bin via [[saltedJoin]]).
+    *
+    * Contracts: a NULL-ts event has no bin and no window (the oracle's
+    * BETWEEN is never true for NULL); value sums are guarded decimals
+    * (NaN/±Inf/≥1e10 → NULL, excluded from the sum, still counted);
+    * the top-K window set is totally ordered (n_events DESC, user,
+    * start) so the derived window relation is deterministic.
+    */
+  def intervalJoinEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String, topK: Int = 20, marginMin: Int = 5,
+      binHours: Int = 1): DataFrame = {
+    val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val binUs = binHours.toLong * 3600L * 1000000L
+    val sess = Relational.sessionizeFrom(
+      graft.sources.Tables.events(spark, dir))
+    val win = sess
+      .orderBy(col("n_events").desc, col("user_id"), col("session_start"))
+      .limit(topK)
+      .select(col("user_id").as("window_user"),
+        (to_timestamp(col("session_start"), tsUs) -
+          expr(s"INTERVAL $marginMin MINUTES")).as("w0"),
+        (to_timestamp(col("session_end"), tsUs) +
+          expr(s"INTERVAL $marginMin MINUTES")).as("w1"))
+    val winBins = win.withColumn("bin",
+      explode(sequence(expr(s"unix_micros(w0) DIV $binUs"),
+        expr(s"unix_micros(w1) DIV $binUs"))))
+    val ev = graft.sources.Tables.events(spark, dir)
+      .where(col("ts").isNotNull)
+      .withColumn("bin", expr(s"unix_micros(ts) DIV $binUs"))
+    val v = expr("try_cast(value AS DECIMAL(12,2))")
+    ev.join(broadcast(winBins), Seq("bin"))
+      .where(col("ts") >= col("w0") && col("ts") <= col("w1"))
+      .groupBy(col("window_user"), col("w0"), col("w1"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(v).cast("double").as("total_value"))
+      .select(col("window_user"),
+        date_format(col("w0"), tsUs).as("window_start"),
+        date_format(col("w1"), tsUs).as("window_end"),
+        col("n_events"), col("n_users"), col("total_value"))
+  }
+
   /** As-of join (LEFT): for each left row, the latest right row at or
     * before (`strict`: strictly before) the left row's time, per key —
     * right's non-key columns arrive as one struct column `payloadName`

@@ -229,6 +229,54 @@ object Relational {
           .as("total_acctbal"))
   }
 
+  /** Exact join-cardinality probe — [[skewProfile]]'s two-relation
+    * sibling, and the pre-flight a planner (or an engineer) runs before
+    * committing a 100 TB shuffle join: the output size of a prospective
+    * equi-join is Σ_k cnt_left(k)·cnt_right(k), computable from the two
+    * per-key COUNT relations without materializing a single joined row.
+    * Cost: one aggregation per side (map-side partials collapse each
+    * fact to its |keys| relation) plus a |keys|⋈|keys| join — versus the
+    * join itself, whose very size is the unknown being probed. One row
+    * per candidate join: exact pair count, matching-key count, the
+    * hottest key and its contribution (the salting decision input), and
+    * the left-side amplification factor.
+    *
+    * Determinism: the hot key rides a (pairs, key) struct max — total
+    * order, since keys are unique in the count-join relation (ties on
+    * pairs break to the lexicographically largest key in both engines).
+    * NULL keys never equi-join, so both count relations drop them before
+    * pairing (they still count toward left/right_rows). */
+  def joinSizeProbe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    probeJoinSize("events_self_user", ev, col("user_id"), ev, col("user_id"))
+      .unionByName(probeJoinSize("lineitem_orders",
+        Tables.lineitem(spark, dir), col("l_orderkey"),
+        Tables.orders(spark, dir), col("o_orderkey")))
+      .unionByName(probeJoinSize("orders_customer",
+        Tables.orders(spark, dir), col("o_custkey"),
+        Tables.customer(spark, dir), col("c_custkey")))
+  }
+
+  private def probeJoinSize(name: String, l: DataFrame, lKey: Column,
+      r: DataFrame, rKey: Column): DataFrame = {
+    val lc = l.groupBy(lKey.cast("string").as("key")).agg(count(lit(1)).as("cl"))
+    val rc = r.groupBy(rKey.cast("string").as("key")).agg(count(lit(1)).as("cr"))
+    val lr = lc.agg(sum("cl").as("left_rows"))
+    val rr = rc.agg(sum("cr").as("right_rows"))
+    val j = lc.where(col("key").isNotNull)
+      .join(rc.where(col("key").isNotNull), "key")
+      .select(col("key"), (col("cl") * col("cr")).as("pairs"))
+    j.agg(count(lit(1)).as("n_join_keys"),
+        coalesce(sum("pairs"), lit(0L)).as("pairs"),
+        max(struct(col("pairs").as("p"), col("key").as("k"))).as("m"))
+      .crossJoin(broadcast(lr)).crossJoin(broadcast(rr))
+      .select(lit(name).as("join_name"), col("left_rows"), col("right_rows"),
+        col("n_join_keys"), col("pairs"),
+        col("m.p").as("max_key_pairs"), col("m.k").as("hot_key"),
+        round(col("pairs").cast("double") / col("left_rows"), 6)
+          .as("amplification"))
+  }
+
   /** Per-column table profile — the ANALYZE-TABLE / data-quality pass a
     * pipeline runs before trusting a new drop: row count, NULL count,
     * and EXACT distinct count for every column, one output row per

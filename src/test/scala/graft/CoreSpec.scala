@@ -208,6 +208,28 @@ class CoreSpec extends AnyFunSuite {
     assert(got.values.sum > 0, "the dormancy cutoff must bite on sf0.001")
   }
 
+  test("join_size_probe predicts the executed join's cardinality exactly") {
+    val probe = Relational.joinSizeProbe(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    val ev = graft.sources.Tables.events(spark, Sf)
+    // the ground truth the probe exists to avoid computing: run the joins
+    val selfPairs = ev.select(col("user_id").as("k")).where(col("k").isNotNull)
+      .join(ev.select(col("user_id").as("k")).where(col("k").isNotNull), "k")
+      .count()
+    assert(probe("events_self_user")._1 == selfPairs)
+    val loPairs = graft.sources.Tables.lineitem(spark, Sf)
+      .join(graft.sources.Tables.orders(spark, Sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(probe("lineitem_orders")._1 == loPairs)
+    // hot key: the self-join's hottest key contributes max(c)² pairs
+    val hot = ev.where(col("user_id").isNotNull)
+      .groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id").cast("string").desc)
+      .head()
+    assert(probe("events_self_user")._2 == hot.getLong(1) * hot.getLong(1))
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)

@@ -1233,4 +1233,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"PMI law violated: ${bad.take(3).mkString(";")}")
     pmi.unpersist()
   }
+
+  test("mine_hard_negatives: positives contain every query term, " +
+    "negatives lack at least one, both roles present per query") {
+    import graft.functions.TextFns
+    val mined = Corpus.mineHardNegatives(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byQ = mined.groupBy(_._1)
+    assert(byQ.keySet == Corpus.MineQueries.map(_._1).toSet,
+      "every mining query yields rows on this corpus")
+    // ground truth containment per doc
+    val docToks = graft.sources.Tables.documents(spark, Sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFns.wsTokens(TextFns.foldCase(col("text"))).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    val terms = Corpus.MineQueries.toMap.map { case (q, s) =>
+      q -> s.split("\\s+").toSet }
+    mined.foreach { case (qid, role, _, docId) =>
+      val hasAll = terms(qid).subsetOf(docToks(docId))
+      if (role == "pos") assert(hasAll, s"pos $qid/$docId must match all terms")
+      else assert(!hasAll, s"neg $qid/$docId must miss a term")
+    }
+    byQ.foreach { case (q, rows) =>
+      assert(rows.count(_._2 == "pos") == 1, s"exactly one positive for $q")
+      assert(rows.count(_._2 == "neg") > 0, s"negatives exist for $q")
+    }
+  }
 }

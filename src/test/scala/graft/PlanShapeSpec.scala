@@ -202,6 +202,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("interval join is a bin equi-join, never a nested-loop range join") {
+    val p = plan("interval_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bin key must carry the join as a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"a raw range predicate would plan a nested loop over the fact:\n$p")
+    // TPC-H join-shape pins: semi and anti joins must stay semi/anti —
+    // a rewrite through fan-out+distinct or an inner join would still
+    // pass value checks on mild data
+    val q4 = plan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), s"Q4 EXISTS must plan as LeftSemi:\n$q4")
+    val q22 = plan("q22_dormant_customers")
+    assert(q22.contains("LeftAnti"), s"Q22 NOT EXISTS must plan as LeftAnti:\n$q22")
+  }
+
   test("incremental dedup pre-filters the index side with a broadcast semi-join") {
     val p = plan("dedup_incremental")
     // the corpus/index side must be pruned by the batch's band-key set

@@ -22,6 +22,62 @@ class StatefulAndJoinSpec extends AnyFunSuite {
       windowed.agg(sum("n_events")).head().getLong(0))
   }
 
+  test("interval join equals the nested-loop range join, boundaries inclusive") {
+    // independent derivation: the naive formulation the bin decomposition
+    // exists to avoid — window × event cross with the raw range predicate
+    val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val sess = Relational.sessionize(spark, Sf)
+    val win = sess
+      .orderBy(col("n_events").desc, col("user_id"), col("session_start"))
+      .limit(20)
+      .select(col("user_id").as("window_user"),
+        (to_timestamp(col("session_start"), tsUs) -
+          expr("INTERVAL 5 MINUTES")).as("w0"),
+        (to_timestamp(col("session_end"), tsUs) +
+          expr("INTERVAL 5 MINUTES")).as("w1"))
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .where(col("ts").isNotNull)
+    val naive = ev.crossJoin(broadcast(win))
+      .where(col("ts") >= col("w0") && col("ts") <= col("w1"))
+      .groupBy(col("window_user"), col("w0"), col("w1"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window_user"), date_format(col("w0"), tsUs).as("ws"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = JoinOps.intervalJoinEvents(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got == naive)
+    assert(got.size == 20, s"every window overlaps its own session: $got")
+  }
+
+  test("interval join boundary: an event exactly at a window edge is inside") {
+    import spark.implicits._
+    // hand fixture through the same bin arithmetic: bin width 1h, window
+    // [10:00:00, 11:30:00] — events at both exact edges, one 1µs outside
+    // each, and one in a bin the window overlaps but outside the range
+    val binUs = 3600L * 1000000L
+    val w = Seq((7L, "2024-01-01 10:00:00.000000", "2024-01-01 11:30:00.000000"))
+      .toDF("window_user", "s0", "s1")
+      .select(col("window_user"),
+        to_timestamp(col("s0")).as("w0"), to_timestamp(col("s1")).as("w1"))
+    val winBins = w.withColumn("bin",
+      explode(sequence(expr(s"unix_micros(w0) DIV $binUs"),
+        expr(s"unix_micros(w1) DIV $binUs"))))
+    val ev = Seq(
+      "2024-01-01 09:59:59.999999", // 1µs early — out
+      "2024-01-01 10:00:00.000000", // exact start — in
+      "2024-01-01 11:30:00.000000", // exact end — in
+      "2024-01-01 11:30:00.000001", // 1µs late, same bin — out
+      "2024-01-01 11:59:59.000000"  // overlapped bin, outside range — out
+    ).toDF("s").select(to_timestamp(col("s")).as("ts"))
+      .withColumn("bin", expr(s"unix_micros(ts) DIV $binUs"))
+    val hits = ev.join(broadcast(winBins), Seq("bin"))
+      .where(col("ts") >= col("w0") && col("ts") <= col("w1"))
+      .select(date_format(col("ts"), "HH:mm:ss.SSSSSS"))
+      .as[String].collect().sorted
+    assert(hits.toSeq == Seq("10:00:00.000000", "11:30:00.000000"))
+  }
+
   test("streaming stateful sessionize closes sessions on gap and watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
