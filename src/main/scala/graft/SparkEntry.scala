@@ -452,6 +452,24 @@ object SparkEntry {
     // without materializing one joined row
     "join_size_probe"       -> ((s: SparkSession, d: String) =>
       Relational.joinSizeProbe(s, d)),
+    // z-order layout plan: 16×16 equi-depth buckets over (user, day)
+    // bit-interleaved into 32 target files — both dimensions' file
+    // fan-in bounded (≤4 / ≤8 of 32), which no 1-D sort gives
+    "layout_zorder"         -> ((s: SparkSession, d: String) =>
+      Relational.layoutZorder(s, d)),
+    // CCNet head/middle/tail: per-language perplexity terciles from
+    // sampled cutoffs — the LM-based quality split of CCNet/RedPajama
+    "ccnet_buckets"         -> ((s: SparkSession, d: String) =>
+      Corpus.ccnetBuckets(s, d)),
+    // k-anonymity / l-diversity audit over the (event_type, day)
+    // quasi-identifier — the pre-release privacy gate next to pii_scan
+    "k_anonymity"           -> ((s: SparkSession, d: String) =>
+      LogOps.kAnonymity(s, d)),
+    // runtime-filter join: a k=2 md5 Bloom over the selective build
+    // side's keys prunes the fact SCAN-side before any shuffle; false
+    // positives die in the join, so the plain join IS the oracle
+    "bloom_pruned_join"     -> ((s: SparkSession, d: String) =>
+      JoinOps.bloomPrunedJoin(s, d)),
     // Naive Bayes quality classifier trained on the Gopher verdict —
     // the closed-form supervised leg of the quality family; the fitted
     // model is an exact integer-count function, fully SQL-replayable
@@ -2491,6 +2509,82 @@ object SparkEntry {
         |       CAST(sum(oov) AS BIGINT) AS n_oov
         |FROM scored GROUP BY doc_id""".stripMargin,
 
+    // quality_perplexity's scoring chain + the sampled tercile cutpoints
+    // per lang (exact integer sample ranks over the ROUNDED perplexity);
+    // NULL lang is a real stratum (IS NOT DISTINCT FROM join)
+    "ccnet_buckets" ->
+      """WITH vocab AS (
+        |  SELECT token, freq FROM (
+        |    SELECT token, freq,
+        |           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+        |    FROM (
+        |      SELECT token, count(*) AS freq FROM (
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |        FROM documents) t
+        |      WHERE length(token) > 0
+        |      GROUP BY token HAVING count(*) >= 2) c) r
+        |  WHERE token_id <= 1000),
+        |stats AS (SELECT sum(freq) + count(*) + 1 AS denom FROM vocab),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |         ln((coalesce(v.freq, 0) + 1) / (SELECT denom FROM stats)) AS logp
+        |  FROM toks t LEFT JOIN vocab v USING (token)
+        |  WHERE length(t.token) > 0),
+        |pp AS (SELECT doc_id, round(exp(-avg(logp)), 4) AS perplexity
+        |       FROM sc GROUP BY doc_id),
+        |dl AS (SELECT DISTINCT doc_id, lang FROM documents),
+        |j AS (SELECT dl.doc_id, dl.lang, pp.perplexity
+        |      FROM pp JOIN dl USING (doc_id)),
+        |samp AS (
+        |  SELECT lang, perplexity, doc_id FROM (
+        |    SELECT lang, perplexity, doc_id,
+        |           row_number() OVER (PARTITION BY lang ORDER BY
+        |             md5_number_lower('ccnet:' || CAST(doc_id AS VARCHAR))
+        |               % 2305843009213693951, doc_id) AS srk
+        |    FROM j) WHERE srk <= 4096),
+        |rk AS (
+        |  SELECT lang, perplexity,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY perplexity, doc_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s
+        |  FROM samp),
+        |cuts AS (
+        |  SELECT lang AS c_lang, list(v ORDER BY jj) AS cuts FROM (
+        |    SELECT lang, jj, max(CASE WHEN rn = greatest(1,
+        |             CAST(floor(CAST(jj * n_s AS DOUBLE) / 3.0) AS BIGINT))
+        |           THEN perplexity END) AS v
+        |    FROM rk CROSS JOIN range(1, 3) t(jj)
+        |    GROUP BY lang, jj) GROUP BY lang)
+        |SELECT dl.doc_id, dl.lang, pp.perplexity,
+        |       CASE WHEN pp.perplexity IS NOT NULL AND cuts IS NOT NULL
+        |            THEN ['head', 'middle', 'tail'][
+        |              len(list_filter(cuts, c -> c <= pp.perplexity)) + 1]
+        |       END AS bucket
+        |FROM dl
+        |LEFT JOIN pp USING (doc_id)
+        |LEFT JOIN cuts ON dl.lang IS NOT DISTINCT FROM cuts.c_lang""".stripMargin,
+
+    // NULL day/type are real quasi-id groups; the sensitive bucket is
+    // NULL for non-finite values (count DISTINCT skips it in both
+    // engines); width-10 bucket = one exact IEEE division + floor
+    "k_anonymity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_subjects,
+        |       count(DISTINCT CASE WHEN value IS NOT NULL
+        |                            AND NOT isnan(value) AND isfinite(value)
+        |                      THEN CAST(floor(value / 10.0) AS BIGINT)
+        |                      END) AS l_diversity,
+        |       count(DISTINCT user_id) >= 5 AS k_anonymous,
+        |       count(DISTINCT CASE WHEN value IS NOT NULL
+        |                            AND NOT isnan(value) AND isfinite(value)
+        |                      THEN CAST(floor(value / 10.0) AS BIGINT)
+        |                      END) >= 3 AS l_diverse
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang, text,
@@ -3826,6 +3920,75 @@ object SparkEntry {
         one("orders_customer", "orders", "o_custkey", "customer",
           "c_custkey")
     },
+
+    // same sample (md5 bottom-k), same exact integer cut ranks, same
+    // bit arithmetic: the Morton key is pure integer math both engines
+    // share; NULL-dim rows form the NULL file_id group
+    "layout_zorder" -> {
+      val zexpr = (0 until 4).map(i =>
+        s"((ub >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((db >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day_idx
+         |  FROM events),
+         |nn AS (
+         |  SELECT *, md5_number_lower('sample:' || CAST(event_id AS VARCHAR))
+         |            % 2305843009213693951 AS hk
+         |  FROM ev WHERE user_id IS NOT NULL AND day_idx IS NOT NULL),
+         |samp AS (
+         |  SELECT user_id, day_idx, event_id FROM (
+         |    SELECT user_id, day_idx, event_id,
+         |           row_number() OVER (ORDER BY hk, event_id) AS srk
+         |    FROM nn) WHERE srk <= 4096),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM samp),
+         |ru AS (SELECT user_id AS v,
+         |              row_number() OVER (ORDER BY user_id, event_id) AS rn
+         |       FROM samp),
+         |rd AS (SELECT day_idx AS v,
+         |              row_number() OVER (ORDER BY day_idx, event_id) AS rn
+         |       FROM samp),
+         |cu AS (
+         |  SELECT list(v ORDER BY j) AS cuts_u FROM (
+         |    SELECT j, max(CASE WHEN rn = greatest(1,
+         |             CAST(floor(CAST(j * n_s AS DOUBLE) / 16.0) AS BIGINT))
+         |           THEN v END) AS v
+         |    FROM ru CROSS JOIN ns CROSS JOIN range(1, 16) t(j)
+         |    GROUP BY j)),
+         |cd AS (
+         |  SELECT list(v ORDER BY j) AS cuts_d FROM (
+         |    SELECT j, max(CASE WHEN rn = greatest(1,
+         |             CAST(floor(CAST(j * n_s AS DOUBLE) / 16.0) AS BIGINT))
+         |           THEN v END) AS v
+         |    FROM rd CROSS JOIN ns CROSS JOIN range(1, 16) t(j)
+         |    GROUP BY j)),
+         |z AS (
+         |  SELECT CASE WHEN user_id IS NOT NULL THEN
+         |           CAST(len(list_filter(cuts_u, c -> c <= user_id)) AS BIGINT)
+         |         END AS ub,
+         |         CASE WHEN day_idx IS NOT NULL THEN
+         |           CAST(len(list_filter(cuts_d, c -> c <= day_idx)) AS BIGINT)
+         |         END AS db
+         |  FROM ev CROSS JOIN cu CROSS JOIN cd),
+         |zz AS (SELECT ub, db, $zexpr AS z FROM z)
+         |SELECT z // 8 AS file_id, count(*) AS n_rows,
+         |       count(DISTINCT ub) AS n_user_buckets,
+         |       count(DISTINCT db) AS n_day_buckets,
+         |       min(z) AS z_min, max(z) AS z_max
+         |FROM zz GROUP BY 1""".stripMargin
+    },
+
+    // the UNPRUNED join — the identity contract: the Bloom may only
+    // remove rows the join would discard anyway
+    "bloom_pruned_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |            (CAST(1.00 AS DECIMAL(3,2)) -
+        |             CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders

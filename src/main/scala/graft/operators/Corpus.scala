@@ -204,6 +204,56 @@ object Corpus {
         sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per LANGUAGE,
+    * split documents into head / middle / tail by LM perplexity terciles
+    * — the head (lowest perplexity = closest to the clean LM) ships to
+    * training, the tail is dropped or down-weighted. Cutoffs come from a
+    * per-language bottom-k-by-md5 SAMPLE exactly as CCNet fits its
+    * percentile cutoffs on a sample, never a full per-language sort: the
+    * rank window prunes to k rows per language map-side
+    * (WindowGroupLimit), cut values are exact integer sample ranks over
+    * the rounded perplexity (bit-identical in both engines), and the
+    * assignment join broadcasts one 2-cut row per language. A doc with
+    * no perplexity (NULL/empty text — no scoreable tokens) keeps a NULL
+    * bucket; a NULL lang is a real stratum with its own cutoffs. */
+  def ccnetBuckets(spark: SparkSession, dir: String,
+      k: Int = 4096): DataFrame = {
+    val thKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if (spark.conf.get(thKey).toLong < k) spark.conf.set(thKey, k)
+    val pp = perplexityScore(spark, dir)
+      .select(col("doc_id"), col("perplexity"))
+    // duplicate corpus rows collapse to one doc entity (the dup-probe
+    // contract); lang rides the entity
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).distinct()
+    val scored = pp.join(dl, Seq("doc_id"))
+    val hk = graft.operators.Sketches.md5mod(
+      concat(lit("ccnet:"), col("doc_id").cast("string")),
+      graft.expressions.SigUtil.P)
+    val samp = scored.withColumn("hk", hk)
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))))
+      .where(col("srk") <= k)
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy(col("lang"))).cast("long"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("perplexity"), col("doc_id"))).cast("long"))
+    def cutRank(j: Int): Column = greatest(lit(1L),
+      floor((lit(j.toLong) * col("n_s")).cast("double") / lit(3.0))
+        .cast("long"))
+    val cuts = samp.groupBy(col("lang").as("c_lang"))
+      .agg(array((1 to 2).map(j =>
+        max(when(col("rn") === cutRank(j), col("perplexity")))): _*)
+        .as("cuts"))
+    dl.join(pp, Seq("doc_id"), "left")
+      .join(broadcast(cuts), col("lang") <=> col("c_lang"), "left")
+      .select(col("doc_id"), col("lang"), col("perplexity"),
+        when(col("perplexity").isNotNull && col("cuts").isNotNull,
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            size(filter(col("cuts"), c => c <= col("perplexity"))) + 1))
+          .as("bucket"))
+  }
+
   /** Interpolated bigram-LM perplexity per document — one modeling step
     * past [[perplexityScore]]'s unigram toward the n-gram-LM quality
     * filters of CCNet/KenLM pipelines (Wenzek et al. 2020): score each

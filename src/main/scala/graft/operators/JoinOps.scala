@@ -91,6 +91,56 @@ object JoinOps {
         col("n_events"), col("n_users"), col("total_value"))
   }
 
+  /** Bloom-pruned join — the runtime-filter / sideways-information-passing
+    * pattern: when a join's build side is SELECTIVE (here: one quarter's
+    * orders) but the probe side is the 100 TB fact, the naive plan
+    * shuffles every probe row just to discard most of them in the join.
+    * Building a Bloom filter over the build side's keys and testing it at
+    * the probe SCAN kills non-matching rows before they ever shuffle.
+    * The k=2 Bloom is two md5-salted bit relations (≤ |build keys| longs
+    * each — kilobytes at any scale) applied as successive broadcast
+    * LeftSemi joins on computed bit columns: zero shuffles, no explode,
+    * codegen-friendly, and false positives are harmless BY CONSTRUCTION —
+    * they die in the real join, so the result is IDENTICAL to the
+    * unpruned join. That identity is the correctness contract: the SQL
+    * oracle runs the plain join and must hash-match exactly.
+    *
+    * This is what Spark's adaptive runtime bloom filters do implicitly;
+    * the explicit operator form works on any engine version, any join the
+    * optimizer declines, and lets the bit relations persist for reuse
+    * across queries (the durable-store shape). */
+  def bloomPrunedJoin(spark: org.apache.spark.sql.SparkSession, dir: String,
+      mBits: Long = 1L << 21): DataFrame = {
+    val ord = graft.sources.Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("o_orderdate") <  lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    bloomPrune(li, "l_orderkey", ord, "o_orderkey", mBits)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** The reusable prune: keep probe rows whose key passes the k=2 Bloom
+    * built from `build[buildKey]` — two broadcast LeftSemi joins on
+    * md5-salted bit columns, all scan-side, zero shuffles. Guaranteed a
+    * SUPERSET of the true matches (one-sided like every Bloom). */
+  private[graft] def bloomPrune(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String, mBits: Long): DataFrame = {
+    def bitOf(j: Int, c: Column): Column = Sketches.md5mod(
+      concat(lit(s"jb$j:"), c.cast("string")), mBits)
+    (0 until 2).foldLeft(probe) { (d, j) =>
+      val bits = build.select(bitOf(j, col(buildKey)).as(s"bit$j")).distinct()
+      d.join(broadcast(bits), bitOf(j, col(probeKey)) === col(s"bit$j"),
+        "left_semi")
+    }
+  }
+
   /** As-of join (LEFT): for each left row, the latest right row at or
     * before (`strict`: strictly before) the left row's time, per key —
     * right's non-key columns arrive as one struct column `payloadName`

@@ -247,6 +247,41 @@ object LogOps {
         col("base_n"), col("is_spike"))
   }
 
+  /** k-anonymity / l-diversity audit — the privacy gate a pipeline runs
+    * before releasing an "anonymized" extract (Sweeney '02; Machanavajjhala
+    * '07): rows grouped by the quasi-identifier combination
+    * (event_type, day) must each contain ≥k distinct subjects (else the
+    * combination re-identifies), and the sensitive attribute (the value's
+    * width-10 bucket — one exact IEEE division, never a cross-libm log
+    * whose last-ulp wobble could flip floor() at boundary-exact inputs)
+    * must take ≥l distinct values inside the group
+    * (else membership alone discloses it — k-anonymous but homogeneous).
+    * One map-side-combined aggregation over the scan; the output is the
+    * quasi-id-combination relation, tiny at any corpus size. NULL day /
+    * type are real quasi-id values (a NULL group is as linkable as any
+    * other); non-finite or NULL values form sensitive bucket NULL, which
+    * counts toward diversity like any distinct bucket (count(DISTINCT)
+    * ignores it — mirrored in both engines). */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5,
+      l: Int = 3): DataFrame =
+    kAnonymityFrom(Tables.events(spark, dir), k, l)
+
+  private[graft] def kAnonymityFrom(events: DataFrame, k: Int,
+      l: Int): DataFrame =
+    events
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"),
+        when(!isnan(col("value")) &&
+            abs(col("value")) <= lit(Double.MaxValue),
+          floor(col("value") / lit(10.0)).cast("long")).as("vbucket"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_subjects"),
+        countDistinct(col("vbucket")).as("l_diversity"))
+      .withColumn("k_anonymous", col("n_subjects") >= k)
+      .withColumn("l_diverse", col("l_diversity") >= l)
+
   /** Counts by service (app.py:28-29; user_id stands in for container).
     * value is summed as DECIMAL (double summation is shuffle-order
     * dependent) and the outputs deliberately unrounded — engines disagree

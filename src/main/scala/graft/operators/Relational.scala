@@ -229,6 +229,106 @@ object Relational {
           .as("total_acctbal"))
   }
 
+  /** Z-order layout planner — the multi-dimensional file-clustering pass
+    * a 100 TB lakehouse table runs before writing (Delta/Iceberg OPTIMIZE
+    * ZORDER): queries filter events by user AND by time, but a 1-D sort
+    * serves only its own dimension (day-sorted files: a user predicate
+    * reads every file). Interleaving the bits of both dimensions' ranks
+    * bounds the file fan-in of BOTH: with 16×16 buckets into 32 files, a
+    * user bucket lives in ≤4 files and a day bucket in ≤8 — the z-curve
+    * locality guarantee (spec-pinned, not just asserted in prose).
+    *
+    * Pipeline: each dimension maps to a `2^bits` equi-depth bucket id via
+    * cutpoints from the shared bottom-k-by-md5 sample (the
+    * RangePartitioner primitive, [[equidepthBucketsFrom]]'s machinery,
+    * computed here for BOTH dims from ONE sample pass); bucket ids
+    * bit-interleave into the Morton key z; `file_id = z DIV (z-span /
+    * files)`. All integer arithmetic end to end — the oracle replays the
+    * sample, the cutpoints, and the interleave exactly. Rows with a NULL
+    * dimension are unplaceable: file_id NULL (a real group, reported).
+    * Output: the layout plan summary — per target file: row count, z
+    * range, and how many distinct buckets of each dimension landed there.
+    */
+  def layoutZorder(spark: SparkSession, dir: String, bits: Int = 4,
+      files: Int = 32, k: Int = 4096): DataFrame =
+    zorderRows(Tables.events(spark, dir), bits, files, k)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("ub")).as("n_user_buckets"),
+        countDistinct(col("db")).as("n_day_buckets"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+
+  /** Per-row z-order assignment: (event_id, ub, db, z, file_id). */
+  private[graft] def zorderRows(ev0: DataFrame, bits: Int, files: Int,
+      k: Int): DataFrame = {
+    val buckets = 1 << bits
+    val zspan = buckets.toLong * buckets
+    require(files > 0 && zspan % files == 0,
+      s"files must divide the z-span $zspan: $files")
+    val spark = ev0.sparkSession
+    // the shared sample machinery's WindowGroupLimit raise (pinned at
+    // value_percentiles_sampled): without it the global bottom-k rank
+    // window sorts the whole fact instead of map-side-pruning to k
+    val thKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if (spark.conf.get(thKey).toLong < k) spark.conf.set(thKey, k)
+    val ev = ev0.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+    val hk = Sketches.md5mod(
+      concat(lit("sample:"), col("event_id").cast("string")),
+      graft.expressions.SigUtil.P)
+    // two-phase global bottom-k: per-salt bottom-k first (the rank limit
+    // pushes map-side as WindowGroupLimit, partitioned — a GLOBAL rank
+    // window gets no such pushdown and would sort the whole fact on one
+    // reducer), then the true global bottom-k over the ≤64k survivors.
+    // Bottom-k of a union of per-partition bottom-k IS the global
+    // bottom-k, so the sample set — and the oracle's single global
+    // row_number replay — are unchanged.
+    val phase1 = ev
+      .where(col("user_id").isNotNull && col("day_idx").isNotNull)
+      .withColumn("hk", hk)
+      .withColumn("salt", pmod(col("hk"), lit(64L)))
+      .withColumn("s1", row_number().over(
+        Window.partitionBy(col("salt")).orderBy(col("hk"), col("event_id"))))
+      .where(col("s1") <= k)
+    val sample = phase1
+      .withColumn("srk", row_number().over(
+        Window.orderBy(col("hk"), col("event_id"))))
+      .where(col("srk") <= k)
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+    def cutRank(j: Int): Column = greatest(lit(1L),
+      floor((lit(j.toLong) * col("n_s")).cast("double") /
+        lit(buckets.toDouble)).cast("long"))
+    // one 1-row relation carries both dimensions' cutpoint arrays
+    val cuts = broadcast(sample
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("user_id"), col("event_id"))).cast("long"))
+      .withColumn("rn_d", row_number().over(
+        Window.orderBy(col("day_idx"), col("event_id"))).cast("long"))
+      .agg(
+        array((1 until buckets).map(j =>
+          max(when(col("rn") === cutRank(j), col("user_id")))): _*)
+          .as("cuts_u"),
+        array((1 until buckets).map(j =>
+          max(when(col("rn_d") === cutRank(j), col("day_idx")))): _*)
+          .as("cuts_d")))
+    def bucketOf(dim: String, cutsCol: String): Column =
+      when(col(dim).isNotNull,
+        size(filter(col(cutsCol), c => c <= col(dim))).cast("long"))
+    def interleave(ub: Column, db: Column): Column =
+      (0 until bits).map { i =>
+        shiftright(ub, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+          shiftright(db, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+      }.reduce(_ + _)
+    ev.crossJoin(cuts)
+      .withColumn("ub", bucketOf("user_id", "cuts_u"))
+      .withColumn("db", bucketOf("day_idx", "cuts_d"))
+      .withColumn("z", interleave(col("ub"), col("db")))
+      .withColumn("file_id", expr(s"z DIV ${zspan / files}"))
+      .select(col("event_id"), col("ub"), col("db"), col("z"),
+        col("file_id"))
+  }
+
   /** Exact join-cardinality probe — [[skewProfile]]'s two-relation
     * sibling, and the pre-flight a planner (or an engineer) runs before
     * committing a 100 TB shuffle join: the output size of a prospective

@@ -230,6 +230,61 @@ class CoreSpec extends AnyFunSuite {
     assert(probe("events_self_user")._2 == hot.getLong(1) * hot.getLong(1))
   }
 
+  test("z-order layout bounds BOTH dimensions' file fan-in; interleave " +
+    "arithmetic exact; rows conserved") {
+    // hand-checked Morton points: interleave(ub=1010b, db=0101b)
+    // = 10011001b = 153; (15,15) = 255; (0,0) = 0
+    def morton(ub: Long, db: Long): Long =
+      (0 until 4).map(i => ((ub >> i) & 1L) << (2 * i + 1) |
+        ((db >> i) & 1L) << (2 * i)).sum
+    assert(morton(10, 5) == 153 && morton(15, 15) == 255 && morton(0, 0) == 0)
+    val rows = graft.operators.Relational.zorderRows(
+      graft.sources.Tables.events(spark, Sf), bits = 4, files = 32, k = 4096)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == graft.sources.Tables.events(spark, Sf).count())
+    rows.foreach { case (ub, db, z, f) =>
+      assert(ub >= 0 && ub < 16 && db >= 0 && db < 16)
+      assert(z == morton(ub, db), s"z must be the Morton key: ($ub,$db)->$z")
+      assert(f == z / 8 && f >= 0 && f < 32)
+    }
+    // the z-curve locality guarantee — file_id = z's top 5 bits
+    // (ub3,db3,ub2,db2,ub1): a fixed user bucket frees only (db3,db2)
+    // → ≤4 files; a fixed day bucket frees (ub3,ub2,ub1) → ≤8 files.
+    // A 1-D day sort would put a hot user in EVERY file.
+    val byUb = rows.groupBy(_._1).map { case (_, rs) => rs.map(_._4).distinct.size }
+    val byDb = rows.groupBy(_._2).map { case (_, rs) => rs.map(_._4).distinct.size }
+    assert(byUb.max <= 4, s"user-bucket fan-in must be ≤4: ${byUb.max}")
+    assert(byDb.max <= 8, s"day-bucket fan-in must be ≤8: ${byDb.max}")
+    assert(byUb.max == 4 && byDb.max == 8,
+      "the bound is tight on a dense corpus — both curves fully used")
+  }
+
+  test("k-anonymity flags re-identifiable and homogeneous groups") {
+    import spark.implicits._
+    // group A: 3 subjects (fails k=3? no — k=3 needs >=3: passes),
+    // values all one bucket (fails l=2); group B: 2 subjects (fails
+    // k=3), two buckets (passes l=2); repeated rows of one subject
+    // must not inflate n_subjects
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00", 1L, 5.0),
+      ("a", "2024-01-01 11:00:00", 2L, 6.0),
+      ("a", "2024-01-01 12:00:00", 3L, 7.0),
+      ("a", "2024-01-01 13:00:00", 3L, 8.0),
+      ("b", "2024-01-01 10:00:00", 1L, 5.0),
+      ("b", "2024-01-01 11:00:00", 2L, 15.0)
+    ).toDF("event_type", "s", "user_id", "value")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"),
+        col("user_id"), col("value"))
+    val out = graft.operators.LogOps.kAnonymityFrom(ev, k = 3, l = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out("a") == ((4L, 3L, 1L, true, false)),
+      s"A: 4 rows, 3 subjects (dup collapsed), 1 bucket: $out")
+    assert(out("b") == ((2L, 2L, 2L, false, true)),
+      s"B: 2 rows, 2 subjects, 2 buckets: $out")
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)

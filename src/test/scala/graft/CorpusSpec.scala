@@ -1234,6 +1234,36 @@ class CorpusSpec extends AnyFunSuite {
     pmi.unpersist()
   }
 
+  test("ccnet_buckets: per-lang terciles ordered and balanced, full " +
+    "coverage, head is the low-perplexity (clean) side") {
+    val rows = Corpus.ccnetBuckets(spark, Sf).collect()
+      .map(r => (r.getString(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+        Option(r.getString(3))))
+    // every doc entity reports exactly once
+    val nDocs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id").distinct().count()
+    assert(rows.length == nDocs)
+    // a doc has a bucket iff it has a perplexity
+    rows.foreach { case (_, p, b) => assert(p.isDefined == b.isDefined) }
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byB = rs.flatMap(r => r._3.map(_ -> r._2.get))
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+      if (byB.keySet == Set("head", "middle", "tail")) {
+        // the defining order law: head below middle below tail
+        assert(byB("head").max <= byB("middle").min,
+          s"$lang: head must not exceed middle")
+        assert(byB("middle").max <= byB("tail").min,
+          s"$lang: middle must not exceed tail")
+        // the sample covers the whole corpus at this sf → near-exact
+        // tercile masses (ties at a cutpoint can shift a few docs)
+        val n = byB.values.map(_.length).sum
+        byB.values.foreach(v => assert(
+          math.abs(v.length - n / 3.0) <= math.max(3, n * 0.05),
+          s"$lang terciles must be balanced: ${byB.view.mapValues(_.length).toMap}"))
+      }
+    }
+  }
+
   test("mine_hard_negatives: positives contain every query term, " +
     "negatives lack at least one, both roles present per query") {
     import graft.functions.TextFns

@@ -218,6 +218,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(q22.contains("LeftAnti"), s"Q22 NOT EXISTS must plan as LeftAnti:\n$q22")
   }
 
+  test("bloom-pruned join: both bit probes are broadcast semi-joins, " +
+    "no extra fact shuffle") {
+    val p = plan("bloom_pruned_join")
+    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size
+    assert(semis >= 2, s"both Bloom bit relations must probe as broadcast " +
+      s"LeftSemi at the scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the z-order sample must map-side-prune, not sort the fact globally
+    val z = plan("layout_zorder")
+    assert(z.contains("WindowGroupLimit"),
+      s"the bottom-k sample window must push its rank limit:\n$z")
+  }
+
   test("incremental dedup pre-filters the index side with a broadcast semi-join") {
     val p = plan("dedup_incremental")
     // the corpus/index side must be pruned by the batch's band-key set

@@ -78,6 +78,28 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq("10:00:00.000000", "11:30:00.000000"))
   }
 
+  test("bloom prune is a strict superset of true matches and actually prunes") {
+    val ord = graft.sources.Tables.orders(spark, Sf)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+             col("o_orderdate") <  lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+      .select(col("o_orderkey"))
+    val li = graft.sources.Tables.lineitem(spark, Sf).select(col("l_orderkey"))
+    val pruned = JoinOps.bloomPrune(li, "l_orderkey", ord, "o_orderkey", 1L << 21)
+    val truth = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val (nAll, nPruned, nTruth) = (li.count(), pruned.count(), truth.count())
+    // one-sided: never drops a real match
+    assert(pruned.join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count() == nTruth)
+    assert(nPruned >= nTruth, "Bloom survivors cover every true match")
+    // and it must BITE: the selective build side kills most of the fact
+    assert(nPruned < nAll / 2,
+      s"prune must remove the non-matching majority: $nPruned of $nAll")
+    // with 2 salted bits over m=2^21 and a few hundred keys, false
+    // positives are ~0 at this scale — survivors ≈ truth
+    assert(nPruned - nTruth <= nAll / 100,
+      s"false-positive tail stays negligible: $nPruned vs $nTruth")
+  }
+
   test("streaming stateful sessionize closes sessions on gap and watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
