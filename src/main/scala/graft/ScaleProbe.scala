@@ -506,7 +506,57 @@ object ScaleProbe {
       point("corr")(time("corr 1x")(corrP(ev1)), time(s"corr ${factor}x")(corrP(evN))),
       point("user_pctl")(time("upctl 1x")(upctl(ev1)), time(s"upctl ${factor}x")(upctl(evN))),
       point("source_overlap")(time("srcov 1x")(srcOv(doc1)), time(s"srcov ${factor}x")(srcOv(docN))),
-      point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor)))
+      point("connected_comp")(time("cc 1x")(cc(100000L)), time(s"cc ${factor}x")(cc(100000L * factor))),
+      // interval join: windows stay top-20 at any scale (the exploded bin
+      // side is window-length-bounded and broadcast), so growth must track
+      // the sessionize shuffle + the fact scan — never |windows|×|events|
+      point("interval_join")(
+        time("ivjoin 1x")(graft.operators.JoinOps.intervalJoinEventsFrom(ev1)),
+        time(s"ivjoin ${factor}x")(graft.operators.JoinOps.intervalJoinEventsFrom(evN))),
+      // z-order: the salted bottom-k sample prunes map-side and cutpoints
+      // broadcast — growth must track the two scans (sample + assignment)
+      point("zorder")(
+        time("zorder 1x")(graft.operators.Relational.zorderRows(ev1, 4, 32, 4096)),
+        time(s"zorder ${factor}x")(graft.operators.Relational.zorderRows(evN, 4, 32, 4096))),
+      // join-size probe: two map-side-partial count aggregations + a
+      // |keys|⋈|keys| join — the whole point is NOT paying the join, so
+      // growth must track the scans (keys grow with replicate()'s id
+      // rewrite, but the count relations stay ≪ fact)
+      point("join_size")(
+        time("jsize 1x")(graft.operators.Relational.probeJoinSize(
+          "ev_self", ev1, col("user_id"), ev1, col("user_id"))),
+        time(s"jsize ${factor}x")(graft.operators.Relational.probeJoinSize(
+          "ev_self", evN, col("user_id"), evN, col("user_id")))),
+      // hard negatives: retrieval_eval's ranking pass + one per-role
+      // window over ≤ topK·|queries| rows — growth tracks the ranking leg
+      point("hard_neg")(
+        time("hneg 1x")(graft.operators.Corpus.mineHardNegativesFrom(
+          doc1, graft.operators.Corpus.MineQueries, 30, 5)),
+        time(s"hneg ${factor}x")(graft.operators.Corpus.mineHardNegativesFrom(
+          docN, graft.operators.Corpus.MineQueries, 30, 5))),
+      // ccnet buckets (unmemoized: the Nx run fits its own vocab +
+      // cutoffs): vocab agg + scoring explode + per-lang sampled cuts —
+      // all linear scans; the cut relation is |langs|-sized
+      point("ccnet")(
+        time("ccnet 1x")(graft.operators.Corpus.ccnetBucketsFrom(doc1)),
+        time(s"ccnet ${factor}x")(graft.operators.Corpus.ccnetBucketsFrom(docN))),
+      // k-anonymity: one map-side-combined aggregation, combo-relation
+      // output — growth must track the scan exactly
+      point("k_anon")(
+        time("kanon 1x")(graft.operators.LogOps.kAnonymityFrom(ev1, 5, 3)),
+        time(s"kanon ${factor}x")(graft.operators.LogOps.kAnonymityFrom(evN, 5, 3))),
+      // bloom prune: two broadcast semi-joins on computed bits — pure
+      // scan-side map work, zero shuffles; growth must track the scan.
+      // replicate() scales user ids, so the build set is the 1x users.
+      point("bloom_prune")(
+        time("bprune 1x")(graft.operators.JoinOps.bloomPrune(
+          ev1.select(col("event_id"), col("user_id")), "user_id",
+          ev1.where(pmod(col("user_id"), lit(20L)) === 0)
+            .select(col("user_id").as("bk")).distinct(), "bk", 1L << 21)),
+        time(s"bprune ${factor}x")(graft.operators.JoinOps.bloomPrune(
+          evN.select(col("event_id"), col("user_id")), "user_id",
+          evN.where(pmod(col("user_id"), lit(20L)) === 0)
+            .select(col("user_id").as("bk")).distinct(), "bk", 1L << 21)))
     ).flatten
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")

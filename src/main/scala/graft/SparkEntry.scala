@@ -2575,12 +2575,12 @@ object SparkEntry {
         |       count(*) AS n_rows,
         |       count(DISTINCT user_id) AS n_subjects,
         |       count(DISTINCT CASE WHEN value IS NOT NULL
-        |                            AND NOT isnan(value) AND isfinite(value)
+        |                            AND NOT isnan(value) AND abs(value) < 1e10
         |                      THEN CAST(floor(value / 10.0) AS BIGINT)
         |                      END) AS l_diversity,
         |       count(DISTINCT user_id) >= 5 AS k_anonymous,
         |       count(DISTINCT CASE WHEN value IS NOT NULL
-        |                            AND NOT isnan(value) AND isfinite(value)
+        |                            AND NOT isnan(value) AND abs(value) < 1e10
         |                      THEN CAST(floor(value / 10.0) AS BIGINT)
         |                      END) >= 3 AS l_diverse
         |FROM events GROUP BY 1, 2""".stripMargin,
@@ -3903,8 +3903,10 @@ object SparkEntry {
            |  CAST(coalesce(sum(pairs), 0) AS BIGINT) AS pairs,
            |  max(struct_pack(p := pairs, k := key)).p AS max_key_pairs,
            |  max(struct_pack(p := pairs, k := key)).k AS hot_key,
-           |  round(CAST(coalesce(sum(pairs), 0) AS DOUBLE) /
-           |        (SELECT count(*) FROM $lt), 6) AS amplification
+           |  CASE WHEN (SELECT count(*) FROM $lt) > 0 THEN
+           |    round(CAST(coalesce(sum(pairs), 0) AS DOUBLE) /
+           |          (SELECT count(*) FROM $lt), 6)
+           |  END AS amplification
            |FROM (
            |  SELECT lc.key, lc.cl * rc.cr AS pairs
            |  FROM (SELECT CAST($lk AS VARCHAR) AS key, count(*) AS cl

@@ -178,20 +178,31 @@ object Corpus {
     * perplexity = exp(−mean log p(token)), rounded — per-doc means are
     * few-addend sums, safe to round (SURVEY §5).
     */
-  def perplexityScore(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def perplexityScore(spark: SparkSession, dir: String): DataFrame =
     // collect the dimension-sized vocab ONCE (≤ maxVocab rows) — deriving
     // denom and the broadcast side from the same collected rows avoids
     // paying the full-corpus vocab aggregation twice
-    val vocabRows = buildVocab(spark, dir).select(col("token"), col("freq"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    perplexityScoreCore(Tables.documents(spark, dir),
+      buildVocab(spark, dir).select(col("token"), col("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))))
+
+  /** Unmemoized twin for probe fits: the vocab comes from THIS corpus. */
+  private[graft] def perplexityScoreFrom(documents: DataFrame): DataFrame =
+    perplexityScoreCore(documents,
+      vocabFrom(documents, 2, 1000).select(col("token"), col("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))))
+
+  private def perplexityScoreCore(documents: DataFrame,
+      vocabRows: Array[(String, Long)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     // empty vocab → NULL denom → NULL perplexity, matching the oracle's
     // NULL propagation (sum over zero rows is NULL in SQL)
     val denom: Column =
       if (vocabRows.isEmpty) lit(null).cast("double")
       else lit((vocabRows.map(_._2).sum + vocabRows.length + 1).toDouble)
     val vocab = vocabRows.toSeq.toDF("token", "freq")
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"),
         explode(TextFns.wsTokens(TextFns.foldCase(col("text")))).as("token"))
       .where(length(col("token")) > 0)
@@ -217,14 +228,26 @@ object Corpus {
     * no perplexity (NULL/empty text — no scoreable tokens) keeps a NULL
     * bucket; a NULL lang is a real stratum with its own cutoffs. */
   def ccnetBuckets(spark: SparkSession, dir: String,
-      k: Int = 4096): DataFrame = {
+      k: Int = 4096): DataFrame =
+    ccnetBucketsCore(
+      perplexityScore(spark, dir).select(col("doc_id"), col("perplexity")),
+      Tables.documents(spark, dir), k)
+
+  /** Unmemoized twin for probe fits (vocab + cutoffs from THIS corpus). */
+  private[graft] def ccnetBucketsFrom(documents: DataFrame,
+      k: Int = 4096): DataFrame =
+    ccnetBucketsCore(
+      perplexityScoreFrom(documents).select(col("doc_id"), col("perplexity")),
+      documents, k)
+
+  private def ccnetBucketsCore(pp: DataFrame, documents: DataFrame,
+      k: Int): DataFrame = {
+    val spark = documents.sparkSession
     val thKey = "spark.sql.optimizer.windowGroupLimitThreshold"
     if (spark.conf.get(thKey).toLong < k) spark.conf.set(thKey, k)
-    val pp = perplexityScore(spark, dir)
-      .select(col("doc_id"), col("perplexity"))
     // duplicate corpus rows collapse to one doc entity (the dup-probe
     // contract); lang rides the entity
-    val dl = Tables.documents(spark, dir)
+    val dl = documents
       .select(col("doc_id"), col("lang")).distinct()
     val scored = pp.join(dl, Seq("doc_id"))
     val hk = graft.operators.Sketches.md5mod(

@@ -59,11 +59,15 @@ object JoinOps {
     */
   def intervalJoinEvents(spark: org.apache.spark.sql.SparkSession,
       dir: String, topK: Int = 20, marginMin: Int = 5,
-      binHours: Int = 1): DataFrame = {
+      binHours: Int = 1): DataFrame =
+    intervalJoinEventsFrom(graft.sources.Tables.events(spark, dir),
+      topK, marginMin, binHours)
+
+  private[graft] def intervalJoinEventsFrom(events: DataFrame,
+      topK: Int = 20, marginMin: Int = 5, binHours: Int = 1): DataFrame = {
     val tsUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val binUs = binHours.toLong * 3600L * 1000000L
-    val sess = Relational.sessionizeFrom(
-      graft.sources.Tables.events(spark, dir))
+    val sess = Relational.sessionizeFrom(events)
     val win = sess
       .orderBy(col("n_events").desc, col("user_id"), col("session_start"))
       .limit(topK)
@@ -75,7 +79,7 @@ object JoinOps {
     val winBins = win.withColumn("bin",
       explode(sequence(expr(s"unix_micros(w0) DIV $binUs"),
         expr(s"unix_micros(w1) DIV $binUs"))))
-    val ev = graft.sources.Tables.events(spark, dir)
+    val ev = events
       .where(col("ts").isNotNull)
       .withColumn("bin", expr(s"unix_micros(ts) DIV $binUs"))
     val v = expr("try_cast(value AS DECIMAL(12,2))")

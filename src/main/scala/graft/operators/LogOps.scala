@@ -272,8 +272,10 @@ object LogOps {
       .select(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("user_id"),
-        when(!isnan(col("value")) &&
-            abs(col("value")) <= lit(Double.MaxValue),
+        // the metric value-domain contract (|v| < 1e10, cf. the decimal
+        // sums): NaN/±Inf/out-of-range values get a NULL bucket instead
+        // of overflowing the BIGINT cast (ANSI aborts, DuckDB errors)
+        when(!isnan(col("value")) && abs(col("value")) < lit(1e10),
           floor(col("value") / lit(10.0)).cast("long")).as("vbucket"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_rows"),

@@ -357,12 +357,14 @@ object Relational {
         Tables.customer(spark, dir), col("c_custkey")))
   }
 
-  private def probeJoinSize(name: String, l: DataFrame, lKey: Column,
+  private[graft] def probeJoinSize(name: String, l: DataFrame, lKey: Column,
       r: DataFrame, rKey: Column): DataFrame = {
     val lc = l.groupBy(lKey.cast("string").as("key")).agg(count(lit(1)).as("cl"))
     val rc = r.groupBy(rKey.cast("string").as("key")).agg(count(lit(1)).as("cr"))
-    val lr = lc.agg(sum("cl").as("left_rows"))
-    val rr = rc.agg(sum("cr").as("right_rows"))
+    // sum over an EMPTY count relation is NULL; the oracle's count(*)
+    // over the empty table is 0 — state the same total
+    val lr = lc.agg(coalesce(sum("cl"), lit(0L)).as("left_rows"))
+    val rr = rc.agg(coalesce(sum("cr"), lit(0L)).as("right_rows"))
     val j = lc.where(col("key").isNotNull)
       .join(rc.where(col("key").isNotNull), "key")
       .select(col("key"), (col("cl") * col("cr")).as("pairs"))
@@ -373,8 +375,11 @@ object Relational {
       .select(lit(name).as("join_name"), col("left_rows"), col("right_rows"),
         col("n_join_keys"), col("pairs"),
         col("m.p").as("max_key_pairs"), col("m.k").as("hot_key"),
-        round(col("pairs").cast("double") / col("left_rows"), 6)
-          .as("amplification"))
+        // guarded: an EMPTY probe side has no amplification (NULL, both
+        // engines) — ANSI aborts even a double division by zero
+        when(col("left_rows") > 0,
+          round(col("pairs").cast("double") / col("left_rows").cast("double"),
+            6)).as("amplification"))
   }
 
   /** Per-column table profile — the ANALYZE-TABLE / data-quality pass a
