@@ -545,6 +545,22 @@ object ScaleProbe {
       point("k_anon")(
         time("kanon 1x")(graft.operators.LogOps.kAnonymityFrom(ev1, 5, 3)),
         time(s"kanon ${factor}x")(graft.operators.LogOps.kAnonymityFrom(evN, 5, 3))),
+      // scd2: one user-keyed shuffle + partition-local windows; the
+      // closing lead runs on the interval relation — growth tracks the
+      // sessionize-class shuffle
+      point("scd2")(
+        time("scd2 1x")(graft.operators.EventFlows.scd2IntervalsFrom(ev1)),
+        time(s"scd2 ${factor}x")(graft.operators.EventFlows.scd2IntervalsFrom(evN))),
+      // dq RI: fact-keyed left join against the distinct-key relation —
+      // growth must track the two scans (replicate() scales both sides'
+      // ids together, so match semantics are preserved)
+      point("dq_ri")(
+        time("dq_ri 1x")(graft.operators.Relational.riCheck(
+          "ri", ev1.select(col("user_id")), "user_id",
+          ev1.select(col("user_id")), "user_id")),
+        time(s"dq_ri ${factor}x")(graft.operators.Relational.riCheck(
+          "ri", evN.select(col("user_id")), "user_id",
+          evN.select(col("user_id")), "user_id"))),
       // bloom prune: two broadcast semi-joins on computed bits — pure
       // scan-side map work, zero shuffles; growth must track the scan.
       // replicate() scales user ids, so the build set is the 1x users.

@@ -196,6 +196,10 @@ object SparkEntry {
     // — near-duplicate detection (rows-only) —
     "dedup_minhash"         -> ((s: SparkSession, d: String) => NearDup.dedupMinhash(s, d)),
     "dedup_clusters"        -> ((s: SparkSession, d: String) => NearDup.dedupClusters(s, d)),
+    // golden-record survivorship: per near-dup cluster elect the longest
+    // member (the ER "richest record wins" rule) + merge evidence
+    "golden_records"        -> ((s: SparkSession, d: String) =>
+      NearDup.goldenRecords(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -470,6 +474,41 @@ object SparkEntry {
     // positives die in the join, so the plain join IS the oracle
     "bloom_pruned_join"     -> ((s: SparkSession, d: String) =>
       JoinOps.bloomPrunedJoin(s, d)),
+    // SCD type-2 state history: gaps-and-islands run collapse into
+    // validity intervals — the warehouse dimension-history build
+    "scd2_intervals"        -> ((s: SparkSession, d: String) =>
+      EventFlows.scd2Intervals(s, d)),
+    // streaming SCD2 twin (the sessionize_stateful pairing): closed
+    // intervals emit on state change, batch mode ≡ the window twin →
+    // same oracle
+    "scd2_stateful"         -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .as[graft.streaming.Scd2Event]
+      graft.streaming.StatefulScd2(ev).toDF()
+        .select(col("user_id"), col("state_seq"), col("state"),
+          date_format(col("valid_from"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("n_events"))
+    }),
+    // small-file compaction planning: ordered day runs coalesced into
+    // ~target-row merge groups via an exclusive prefix sum
+    "compaction_plan"       -> ((s: SparkSession, d: String) =>
+      Relational.compactionPlan(s, d)),
+    // dbt/Deequ-style contract gate: referential integrity, key
+    // uniqueness, NOT-NULL rates — one row per check
+    "dq_checks"             -> ((s: SparkSession, d: String) =>
+      Relational.dqChecks(s, d)),
+    // lang_id confusion matrix + per-class recall — the measured eval
+    // of the classifier the routing operators depend on
+    "lang_id_eval"          -> ((s: SparkSession, d: String) =>
+      TextOps.langIdEval(s, d)),
     // Naive Bayes quality classifier trained on the Gopher verdict —
     // the closed-form supervised leg of the quality family; the fitted
     // model is an exact integer-count function, fully SQL-replayable
@@ -492,6 +531,35 @@ object SparkEntry {
     * [[graft.operators.LogOps.ingestErrors]]'s window/filter/limit). */
   /** Shared by `sessionize` and `sessionize_native` — the window-function
     * and built-in session_window plans must agree session-for-session. */
+  /** Shared by the window and stateful SCD2 twins (both reproduce the
+    * same island collapse; the stateful twin emits the identical rows
+    * in batch mode). */
+  private def scd2Oracle: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER w AS prev_state,
+      |         row_number() OVER w AS rn
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(sum(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev_state
+      |                       THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS island
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, island AS state_seq, min(event_type) AS state,
+      |         count(*) AS n_events, min(ts) AS from_ts
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, state_seq, state,
+      |       strftime(from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |       strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY state_seq),
+      |                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |       n_events
+      |FROM g""".stripMargin
+
   private def sessionizeOracle: String =
     """WITH g AS (
       |  SELECT user_id, ts, event_id, value,
@@ -2924,6 +2992,25 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
+    // same recursive label CTEs; survivor = (n_chars DESC NULLS LAST,
+    // doc_id) per cluster, evidence from the joined member relation
+    "golden_records" ->
+      s"""WITH RECURSIVE $word3LabelCtes,
+         |docs AS (SELECT DISTINCT doc_id, n_chars, source FROM documents),
+         |j AS (SELECT l.cluster, d.doc_id, d.n_chars, d.source
+         |      FROM lab l JOIN docs d ON d.doc_id = l.id),
+         |rep AS (
+         |  SELECT cluster, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk
+         |  FROM j),
+         |agg AS (
+         |  SELECT cluster, count(*) AS n_members,
+         |         count(DISTINCT source) AS n_sources
+         |  FROM j GROUP BY 1)
+         |SELECT r.cluster AS cluster_id, r.rep_doc_id, r.rep_n_chars,
+         |       a.n_members, a.n_sources
+         |FROM rep r JOIN agg a USING (cluster) WHERE rk = 1""".stripMargin,
     "dedup_incremental" -> dedupIncrementalSql,
     "train_test_split" -> trainTestSplitSql,
     "doc_fingerprint" -> docFingerprintSql,
@@ -3991,6 +4078,102 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    // the streaming twin reproduces the window build exactly in batch
+    // mode — one oracle checks both
+    "scd2_stateful" -> scd2Oracle,
+
+    // islands break on IS DISTINCT FROM state change; the closing lead
+    // runs over the interval relation; NULL-ts rows stay off the timeline
+    "scd2_intervals" -> scd2Oracle,
+
+    // group = exclusive prefix sum DIV target over the day grid; NULL
+    // day files group as 'unknown' (engines disagree on NULL sort order)
+    "compaction_plan" ->
+      """WITH d AS (
+        |  SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'unknown') AS day,
+        |         count(*) AS n_rows
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_rows,
+        |       CAST(coalesce(sum(n_rows) OVER (ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS cum_before,
+        |       CAST(coalesce(sum(n_rows) OVER (ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) // 2000 AS group_id
+        |FROM d""".stripMargin,
+
+    // RI via NOT EXISTS (NULL FKs are not orphans); duplicate surplus =
+    // count minus distinct non-null ids (a NULL id is a violation — a
+    // row without identity can't be deduplicated or upserted)
+    "dq_checks" ->
+      """SELECT 'lineitem_fk_orderkey' AS check, count(*) AS n_checked,
+        |       count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |         (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_violations,
+        |       count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |         (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) = 0 AS ok
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_fk_custkey', count(*),
+        |       count(*) FILTER (WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |         (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+        |       count(*) FILTER (WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |         (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer_fk_nationkey', count(*),
+        |       count(*) FILTER (WHERE c_nationkey IS NOT NULL AND NOT EXISTS
+        |         (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)),
+        |       count(*) FILTER (WHERE c_nationkey IS NOT NULL AND NOT EXISTS
+        |         (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)) = 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events_unique_event_id', count(*),
+        |       count(*) - count(DISTINCT event_id),
+        |       count(*) - count(DISTINCT event_id) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_ts_not_null', count(*),
+        |       count(*) FILTER (WHERE ts IS NULL),
+        |       count(*) FILTER (WHERE ts IS NULL) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'documents_text_not_null', count(*),
+        |       count(*) FILTER (WHERE text IS NULL),
+        |       count(*) FILTER (WHERE text IS NULL) = 0
+        |FROM documents""".stripMargin,
+
+    // the lang_id CASE verbatim, then the confusion matrix; NULL cells
+    // are real (IS NOT DISTINCT FROM for `correct`, null-safe grouping)
+    "lang_id_eval" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) / length(text) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|you|that|for)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|est|pour|que)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|para|por|con|del|una)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|zu|mit|ein|nicht)\b')) AS s_de
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang AS labeled_lang,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         WHEN cjk > 0.3 THEN 'zh'
+        |         WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_de THEN 'es'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM s),
+        |m AS (
+        |  SELECT labeled_lang, pred_lang, count(*) AS n_docs
+        |  FROM p GROUP BY 1, 2)
+        |SELECT labeled_lang, pred_lang, n_docs,
+        |       CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+        |         AS labeled_total,
+        |       labeled_lang IS NOT DISTINCT FROM pred_lang AS correct,
+        |       round(CAST(n_docs AS DOUBLE) /
+        |             CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE),
+        |             6) AS share
+        |FROM m""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders

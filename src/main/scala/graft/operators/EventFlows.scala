@@ -19,6 +19,48 @@ import graft.sources.Tables
   */
 object EventFlows {
 
+  /** SCD type-2 state history — the gaps-and-islands warehouse staple:
+    * collapse each user's event stream into validity intervals
+    * [valid_from, valid_to) of CONSECUTIVE same-state runs (state =
+    * event_type), the dimension-history build every warehouse runs to
+    * answer "what was this entity's state AT time t" with an as-of join.
+    * Differs from sessionize (islands break on state CHANGE, not time
+    * gaps) and from event_transitions (full run-length intervals, not
+    * adjacent pairs).
+    *
+    * One user-keyed shuffle; the change-flag lag, the island running sum,
+    * and the closing lead(valid_from) are all partition-local, and the
+    * lead runs over the INTERVAL relation (≈ |events| / run length).
+    * Contracts: NULL-ts events have no place on a timeline (the shared
+    * sessionizer rule); a NULL state is a real state — runs of NULL
+    * collapse like any other (null-safe change test) and surface with
+    * state NULL; the current (open) interval has valid_to NULL. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsFrom(Tables.events(spark, dir))
+
+  private[graft] def scd2IntervalsFrom(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = events.where(col("ts").isNotNull)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("chg", when(col("rn") === 1 ||
+        !(col("event_type") <=> col("prev_state")), 1).otherwise(0))
+      .withColumn("island", sum("chg").over(run).cast("long"))
+    val iv = st.groupBy(col("user_id"), col("island"))
+      // the state is constant within an island (that's its definition);
+      // min() extracts it and yields NULL for all-NULL islands
+      .agg(min(col("event_type")).as("state"),
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("from_ts"))
+    val byIsland = Window.partitionBy("user_id").orderBy(col("island"))
+    iv.withColumn("to_ts", lead(col("from_ts"), 1).over(byIsland))
+      .select(col("user_id"), col("island").as("state_seq"), col("state"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("n_events"))
+  }
+
   /** Ordered conversion funnel: per user, the furthest stage reached with
     * strictly increasing timestamps (a click before the first view does
     * NOT count — the stage sequence must actually happen in order).

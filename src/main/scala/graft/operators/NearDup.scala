@@ -282,6 +282,35 @@ object NearDup {
     * fingerprints). The emitted `n_fps` stays the doc's raw fingerprint
     * count, for reference.
     */
+  /** Golden-record selection — the entity-resolution step AFTER
+    * clustering: per near-dup cluster, elect the canonical SURVIVOR by a
+    * real merge policy (keep the longest member — richest text wins, the
+    * standard ER survivorship rule) instead of dedup_clusters' min-id
+    * convention, plus the merge evidence a steward reviews (member
+    * count, distinct sources). Reuses the memoized cluster labels; the
+    * election window runs per cluster (clusters are capped-candidate
+    * components, never corpus-sized) with a pinned NULLS LAST order so
+    * both engines seat the same survivor. One row per cluster. */
+  def goldenRecords(spark: SparkSession, dir: String,
+      thr: Double = 0.8): DataFrame = {
+    val labels = clusterLabels(spark, dir, thr)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("source")).distinct()
+    val j = labels.join(docs, labels("id") === docs("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc_nulls_last, col("doc_id"))
+    val rep = j.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_doc_id"),
+        col("n_chars").as("rep_n_chars"))
+    val agg = j.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"))
+    rep.join(agg, "cluster")
+      .select(col("cluster").as("cluster_id"), col("rep_doc_id"),
+        col("rep_n_chars"), col("n_members"), col("n_sources"))
+  }
+
   def dedupContainment(spark: SparkSession, dir: String, thr: Double = 0.8,
       k: Int = 5, w: Int = 4): DataFrame =
     // the corpus path memoizes its fingerprint base like every other

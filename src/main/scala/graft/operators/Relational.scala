@@ -329,6 +329,81 @@ object Relational {
         col("file_id"))
   }
 
+  /** Compaction planner — [[layoutZorder]]'s maintenance sibling: given
+    * per-partition (day) row counts, assign consecutive partitions to
+    * merge groups of ~`targetRows` — the small-file coalescing pass a
+    * lakehouse table needs continuously (many tiny daily files → scan
+    * task flood; OPTIMIZE/rewrite planning). Ordered run coalescing, not
+    * general bin packing: preserving day order keeps time-locality for
+    * pruning, and the assignment is a pure prefix-sum function
+    * (group = exclusive-cumulative-rows DIV target) both engines replay.
+    * One fact aggregation; the prefix window runs over the DAY grid only
+    * (dimension-sized — the no-global-fact-sort rule). NULL days group
+    * as 'unknown' (engines disagree on NULL sort order, and an unplaced
+    * file is still a file). */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetRows: Long = 2000L): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .groupBy(coalesce(date_format(col("ts"), "yyyy-MM-dd"),
+        lit("unknown")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val before = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .withColumn("cum_before", coalesce(sum("n_rows").over(before), lit(0L)))
+      .withColumn("group_id", expr(s"cum_before DIV $targetRows"))
+      .select(col("day"), col("n_rows"), col("cum_before"), col("group_id"))
+  }
+
+  /** Data-quality checks — the dbt-test / Deequ-style contract gate a
+    * pipeline runs on every drop, one row per check: referential
+    * integrity (orphan foreign keys, via aggregate-then-left-join so the
+    * key relation, not the fact, is the join's build side), key
+    * uniqueness (duplicate event ids — NULL ids count as violations: a
+    * row without identity can't be deduplicated or upserted), and
+    * NOT-NULL rates on the columns the operators contractually filter.
+    * All integer counts; the RI checks are honest fact-keyed shuffles
+    * with the dimension side pre-aggregated to distinct keys. */
+  private[graft] def riCheck(name: String, fact: DataFrame, fk: String,
+      dim: DataFrame, dk: String): DataFrame =
+    fact.select(col(fk).as("k"))
+      .join(dim.select(col(dk).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        // sum over an EMPTY fact is NULL; the oracle's FILTER count is 0
+        coalesce(sum(when(col("k").isNotNull && col("hit").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("ok"))
+
+  private[graft] def nullCheck(name: String, t: DataFrame,
+      c: String): DataFrame =
+    t.agg(count(lit(1)).as("n_checked"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      .select(lit(name).as("check"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("ok"))
+
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    def ri(name: String, fact: DataFrame, fk: String, dim: DataFrame,
+        dk: String): DataFrame = riCheck(name, fact, fk, dim, dk)
+    val ev = Tables.events(spark, dir)
+    val uniq = ev.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"))
+      .select(lit("events_unique_event_id").as("check"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("ok"))
+    ri("lineitem_fk_orderkey", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(ri("orders_fk_custkey", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(ri("customer_fk_nationkey", Tables.customer(spark, dir),
+        "c_nationkey", Tables.nation(spark, dir), "n_nationkey"))
+      .unionByName(uniq)
+      .unionByName(nullCheck("events_ts_not_null", ev, "ts"))
+      .unionByName(nullCheck("documents_text_not_null",
+        Tables.documents(spark, dir), "text"))
+  }
+
   /** Exact join-cardinality probe — [[skewProfile]]'s two-relation
     * sibling, and the pre-flight a planner (or an engineer) runs before
     * committing a 100 TB shuffle join: the output size of a prospective

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
@@ -224,6 +225,27 @@ object TextOps {
       .select(col("doc_id"),
         when(col("text").isNotNull, langIdCol(col("text"))).as("pred_lang"),
         col("lang").as("labeled_lang"))
+
+  /** Language-ID evaluation harness — the measured form of "is the
+    * classifier good enough to route documents" (retrieval_eval's
+    * pairing for the lang_id leg): the full confusion matrix of
+    * predicted vs labeled language plus per-labeled-class recall share.
+    * NULL prediction (NULL text) and any unexpected labeled value are
+    * real matrix cells — an eval that drops them overstates accuracy.
+    * One scan + one |langs|²-bounded aggregation; the recall window runs
+    * over the matrix relation only. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val m = langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val byLabel = Window.partitionBy(col("labeled_lang"))
+    m.withColumn("labeled_total", sum(col("n_docs")).over(byLabel))
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        col("labeled_total"),
+        (col("labeled_lang") <=> col("pred_lang")).as("correct"),
+        round(col("n_docs").cast("double") /
+          col("labeled_total").cast("double"), 6).as("share"))
+  }
 
   /** Repetition quality filter (the Gopher-rules family): fraction of
     * duplicate lines and duplicate tokens within each document —

@@ -285,6 +285,114 @@ class CoreSpec extends AnyFunSuite {
       s"B: 2 rows, 2 subjects, 2 buckets: $out")
   }
 
+  test("scd2 intervals tile each user's timeline: runs alternate state, " +
+    "valid_to chains to the next valid_from, events conserved") {
+    val iv = graft.operators.EventFlows.scd2Intervals(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getString(3), Option(r.getString(4)), r.getLong(5)))
+    val evCount = graft.sources.Tables.events(spark, Sf)
+      .where(col("ts").isNotNull).count()
+    assert(iv.map(_._6).sum == evCount, "every timed event is in one interval")
+    iv.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $u: island ids are dense from 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user $u: consecutive runs must differ")
+          assert(a._5.contains(b._4),
+            s"user $u: valid_to must chain to the next valid_from")
+          assert(a._4 <= b._4, s"user $u: intervals ordered")
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty, s"user $u: the open interval has no end")
+    }
+  }
+
+  test("compaction plan: prefix arithmetic exact, rows conserved, groups " +
+    "ordered and target-bounded") {
+    val p = graft.operators.Relational.compactionPlan(spark, Sf, 500L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(p.map(_._2).sum ==
+      graft.sources.Tables.events(spark, Sf).count())
+    var cum = 0L
+    p.foreach { case (_, n, cumBefore, g) =>
+      assert(cumBefore == cum, "exclusive prefix sum in day order")
+      assert(g == cum / 500L, "group = cum_before DIV target")
+      cum += n
+    }
+    // every group except possibly the last accumulates >= target
+    val byG = p.groupBy(_._4).map { case (g, rs) => g -> rs.map(_._2).sum }
+    val lastG = byG.keys.max
+    byG.foreach { case (g, tot) =>
+      if (g != lastG) assert(tot >= 500L - p.map(_._2).max,
+        s"group $g holds ~target rows (modulo one file crossing the cut)")
+    }
+  }
+
+  test("dq fixtures: planted orphan and planted NULLs are counted; clean " +
+    "corpus passes every check") {
+    import spark.implicits._
+    val fact = Seq(1L, 2L, 2L, 99L).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val ri = graft.operators.Relational
+      .riCheck("t", fact, "fk", dim, "dk").head()
+    assert(ri.getLong(1) == 4 && ri.getLong(2) == 1 && !ri.getBoolean(3))
+    // a NULL FK is not an orphan
+    val riNull = graft.operators.Relational.riCheck("t",
+      Seq(Some(1L), None).toDF("fk"), "fk", dim, "dk").head()
+    assert(riNull.getLong(2) == 0 && riNull.getBoolean(3))
+    val nn = graft.operators.Relational.nullCheck("t",
+      Seq(Some("a"), None, None).toDF("c"), "c").head()
+    assert(nn.getLong(1) == 3 && nn.getLong(2) == 2 && !nn.getBoolean(3))
+    val all = graft.operators.Relational.dqChecks(spark, Sf).collect()
+    assert(all.length == 6 && all.forall(_.getBoolean(3)),
+      s"the clean testdata passes every contract: ${all.mkString(";")}")
+  }
+
+  test("lang_id_eval: shares sum to 1 per class, matrix covers the corpus") {
+    val m = graft.operators.TextOps.langIdEval(spark, Sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getBoolean(4), r.getDouble(5)))
+    assert(m.map(_._3).sum ==
+      graft.sources.Tables.documents(spark, Sf).count())
+    m.groupBy(_._1).foreach { case (lbl, rows) =>
+      val s = rows.map(_._5).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$lbl shares sum to 1: $s")
+    }
+    m.foreach { case (lbl, pred, _, correct, _) =>
+      assert(correct == (lbl == pred), "correct flag is the diagonal")
+    }
+  }
+
+  test("golden records: survivor is a maximal member, evidence consistent " +
+    "with the cluster relation, every doc accounted for") {
+    val clusters = graft.operators.NearDup.dedupClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chars = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "n_chars").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val golden = graft.operators.NearDup.goldenRecords(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val members = clusters.groupBy(_._2)
+    assert(golden.keySet == members.keySet, "one golden row per cluster")
+    assert(golden.values.map(_._3).sum == chars.size,
+      "members partition the corpus")
+    members.foreach { case (c, ms) =>
+      val (rep, repChars, nMembers, _) = golden(c)
+      assert(ms.exists(_._1 == rep), s"cluster $c: survivor is a member")
+      assert(repChars == chars(rep))
+      assert(nMembers == ms.length && nMembers == ms.head._3,
+        s"cluster $c: member count matches dedup_clusters")
+      val maxChars = ms.map(m => chars(m._1)).max
+      assert(repChars == maxChars, s"cluster $c: longest member survives")
+      // deterministic tie-break: smallest doc_id among the longest
+      assert(rep == ms.filter(m => chars(m._1) == maxChars).map(_._1).min)
+    }
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)

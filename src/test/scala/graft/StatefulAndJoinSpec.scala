@@ -1120,6 +1120,56 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     assert(windowed == stateful, s"twins must agree: $windowed vs $stateful")
   }
 
+  test("batch stateful scd2 equals the window-function interval build") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[graft.streaming.Scd2Event]
+    val stateful = graft.streaming.StatefulScd2(ev).toDF()
+      .select(col("user_id"), col("state_seq"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("f"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val windowed = graft.operators.EventFlows.scd2Intervals(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(stateful == windowed, "twins must emit identical interval rows")
+  }
+
+  test("streaming scd2 emits an interval only when its run closes") {
+    import spark.implicits._
+    import graft.streaming.{StatefulScd2, Scd2Event}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Scd2Event]
+    val q = StatefulScd2(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    try {
+      // trigger 1: a 2-event view run — still OPEN, nothing may emit
+      mem.addData(
+        Scd2Event(Some(1L), ts("2024-01-01 10:00:00"), Some(1L), Some("view")),
+        Scd2Event(Some(1L), ts("2024-01-01 10:05:00"), Some(2L), Some("view")))
+      q.processAllAvailable()
+      assert(spark.table("scd2_test").count() == 0,
+        "an open run must stay in state, not emit")
+      // trigger 2: the state changes — the view run closes with
+      // valid_to = the click's timestamp and BOTH its events counted
+      mem.addData(
+        Scd2Event(Some(1L), ts("2024-01-01 10:20:00"), Some(3L), Some("click")))
+      q.processAllAvailable()
+      val b2 = spark.table("scd2_test").collect()
+      assert(b2.length == 1, s"exactly the closed run emits: ${b2.mkString(";")}")
+      val r = b2(0)
+      assert(r.getLong(1) == 1L && r.getString(2) == "view" &&
+        r.getLong(5) == 2L &&
+        r.getTimestamp(4) == ts("2024-01-01 10:20:00"),
+        s"closed interval carries its run and chains valid_to: $r")
+    } finally q.stop()
+  }
+
   test("streaming transitions pair across triggers via carried state") {
     import spark.implicits._
     import graft.streaming.{StatefulTransitions, TransEvent}
