@@ -200,6 +200,12 @@ object SparkEntry {
     // member (the ER "richest record wins" rule) + merge evidence
     "golden_records"        -> ((s: SparkSession, d: String) =>
       NearDup.goldenRecords(s, d)),
+    // 2-D predicate served from the durable z-clustered table: the
+    // cutpoints map (user, day-range) onto ≤4 of 32 file dirs, the scan
+    // partition-prunes, the exact predicate is residual — same answer
+    // as the raw-table filter (the oracle)
+    "events_2d_served"      -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2d(s, d, 3L, "2024-01-03", "2024-02-15")),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -4082,6 +4088,18 @@ object SparkEntry {
     // the streaming twin reproduces the window build exactly in batch
     // mode — one oracle checks both
     "scd2_stateful" -> scd2Oracle,
+
+    // the raw-table filter: z-pruning must be invisible in the answer
+    "events_2d_served" ->
+      """SELECT CAST(3 AS BIGINT) AS user_id, count(*) AS n_events,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                              ELSE value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |WHERE user_id = 3
+        |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-16 00:00:00'""".stripMargin,
 
     // islands break on IS DISTINCT FROM state change; the closing lead
     // runs over the interval relation; NULL-ts rows stay off the timeline

@@ -260,7 +260,16 @@ object Relational {
 
   /** Per-row z-order assignment: (event_id, ub, db, z, file_id). */
   private[graft] def zorderRows(ev0: DataFrame, bits: Int, files: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    zorderAssigned(ev0, bits, files, k)._1
+      .select(col("event_id"), col("ub"), col("db"), col("z"),
+        col("file_id"))
+
+  /** The full assignment (every event column + ub/db/z/file_id, no
+    * join-back — duplicate event ids must not multiply rows) plus the
+    * 1-row cutpoint relation the durable store persists for readers. */
+  private[graft] def zorderAssigned(ev0: DataFrame, bits: Int, files: Int,
+      k: Int): (DataFrame, DataFrame) = {
     val buckets = 1 << bits
     val zspan = buckets.toLong * buckets
     require(files > 0 && zspan % files == 0,
@@ -271,8 +280,11 @@ object Relational {
     // window sorts the whole fact instead of map-side-pruning to k
     val thKey = "spark.sql.optimizer.windowGroupLimitThreshold"
     if (spark.conf.get(thKey).toLong < k) spark.conf.set(thKey, k)
-    val ev = ev0.select(col("event_id"), col("user_id"),
-      expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+    // all event columns ride through — the durable store persists the
+    // clustered TABLE, not a key list (and a join-back on event_id would
+    // multiply duplicate ids); the planner output projects them away
+    val ev = ev0.withColumn("day_idx",
+      expr("unix_micros(ts) DIV 86400000000"))
     val hk = Sketches.md5mod(
       concat(lit("sample:"), col("event_id").cast("string")),
       graft.expressions.SigUtil.P)
@@ -320,14 +332,135 @@ object Relational {
         shiftright(ub, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
           shiftright(db, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
       }.reduce(_ + _)
-    ev.crossJoin(cuts)
+    val assigned = ev.crossJoin(cuts)
       .withColumn("ub", bucketOf("user_id", "cuts_u"))
       .withColumn("db", bucketOf("day_idx", "cuts_d"))
       .withColumn("z", interleave(col("ub"), col("db")))
       .withColumn("file_id", expr(s"z DIV ${zspan / files}"))
-      .select(col("event_id"), col("ub"), col("db"), col("z"),
-        col("file_id"))
+      .drop("cuts_u", "cuts_d", "day_idx")
+    (assigned, cuts)
   }
+
+  /** Durable z-clustered TABLE — [[layoutZorder]]'s plan made real, and
+    * the fifth durable store (IVF / signature / lexical / BPE siblings):
+    * the events table rewritten into `files` directory partitions in
+    * Morton-key order, plus the 1-row cutpoint relation readers need to
+    * map raw predicates onto bucket ids. Layout:
+    *   path/cuts            1 row (cuts_u, cuts_d)
+    *   path/data            all event columns + ub/db/z, directory-
+    *                        partitioned by fid (z DIV span/files;
+    *                        unplaceable NULL-dim rows land in fid -1 —
+    *                        partitionBy would otherwise write them to a
+    *                        Hive default-partition dir)
+    * Published via the shared tmp + _SUCCESS + rename-aside protocol
+    * ([[graft.sources.IO.publishStore]]): a crash leaves the old
+    * complete table or the new one, never cuts of one generation over
+    * data of another. */
+  def writeZorderTable(spark: SparkSession, dir: String, path: String,
+      bits: Int = 4, files: Int = 32, k: Int = 4096): Unit = {
+    val (assigned, cuts) = zorderAssigned(Tables.events(spark, dir),
+      bits, files, k)
+    graft.sources.IO.publishStore(spark, path, "__zorder_tmp") { tmp =>
+      cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
+      assigned
+        .withColumn("fid", coalesce(col("file_id"), lit(-1L)))
+        .drop("file_id")
+        // one file per target directory: the repartition key IS the
+        // partition key (the IVF writer's rule)
+        .repartition(col("fid"))
+        .write.mode("overwrite").partitionBy("fid").parquet(s"$tmp/data")
+    }
+  }
+
+  /** The file ids a (user, day-range) predicate can possibly touch —
+    * the z-curve pruning set: ub is fixed by the user, db ranges over
+    * the day window, and every (ub, db) cell maps to one file. For any
+    * single user this set is bounded by the curve (≤ files/2^(bits-
+    * log₂(files)/2) — 4 of 32 at the defaults) no matter how wide the
+    * day range. */
+  private[graft] def zorderPrunedFids(cutsU: Seq[Long], cutsD: Seq[Long],
+      userId: Long, dayLo: Long, dayHi: Long, bits: Int,
+      files: Int): Seq[Long] = {
+    val buckets = 1 << bits
+    val zspan = buckets.toLong * buckets
+    def bucketOf(cuts: Seq[Long], v: Long): Long = cuts.count(_ <= v).toLong
+    def morton(ub: Long, db: Long): Long =
+      (0 until bits).map(i => (((ub >> i) & 1L) << (2 * i + 1)) |
+        (((db >> i) & 1L) << (2 * i))).sum
+    val ub = bucketOf(cutsU, userId)
+    val dbLo = bucketOf(cutsD, dayLo)
+    val dbHi = bucketOf(cutsD, dayHi)
+    (dbLo to dbHi).map(db => morton(ub, db) / (zspan / files)).distinct
+  }
+
+  /** Serve a 2-D point-range predicate (user_id = ? AND day ∈ [lo, hi])
+    * from the persisted z-table: the cutpoints map the predicate to its
+    * ≤4-of-32 file set, the scan partition-prunes to those directories,
+    * and the exact predicate runs as a residual — at 100 TB the query
+    * reads ~1/8th of the table instead of all of it, for EITHER
+    * dimension (a 1-D day-sorted table serves only day predicates).
+    * Result is exact (pruning is a superset by construction); the
+    * oracle is the plain filter on the raw table. */
+  def eventsServed2d(spark: SparkSession, dir: String, userId: Long,
+      dayLo: String, dayHi: String): DataFrame = {
+    val path = servedZorderPath(spark, dir)
+    graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
+    // an EMPTY corpus publishes a cuts row of NULL cutpoints and zero
+    // data directories (partitionBy writes nothing): serve the same
+    // answer the raw-table aggregate gives — one row of zero counts
+    val dataDirs = Option(new java.io.File(s"$path/data").listFiles())
+      .map(_.count(_.getName.startsWith("fid="))).getOrElse(0)
+    if (dataDirs == 0)
+      return spark.range(1).select(lit(userId).as("user_id"),
+        lit(0L).as("n_events"), lit(null).cast("double").as("total_value"),
+        lit(0L).as("n_types"))
+    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    def longs(field: String): Seq[Long] =
+      cutsRow.getSeq[Any](cutsRow.fieldIndex(field)).collect {
+        case l: java.lang.Long => l.longValue
+      }
+    val cutsU = longs("cuts_u")
+    val cutsD = longs("cuts_d")
+    val loDay = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hiDay = java.time.LocalDate.parse(dayHi).toEpochDay
+    val fids = zorderPrunedFids(cutsU, cutsD, userId, loDay, hiDay, 4, 32)
+    val lo = lit(s"$dayLo 00:00:00").cast("timestamp_ntz")
+    val hi = lit(java.time.LocalDate.parse(dayHi).plusDays(1).toString +
+      " 00:00:00").cast("timestamp_ntz")
+    val v = expr("try_cast(value AS DECIMAL(12,2))")
+    spark.read.parquet(s"$path/data")
+      .where(col("fid").isin(fids: _*))
+      .where(col("user_id") === userId &&
+        col("ts") >= lo && col("ts") < hi)
+      .agg(count(lit(1)).as("n_events"),
+        sum(v).cast("double").as("total_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(lit(userId).as("user_id"), col("n_events"),
+        col("total_value"), col("n_types"))
+  }
+
+  private val zorderMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Session-memoized served table (the lex-store pattern: md5 of the
+    * raw dir + a per-JVM nonce — collision-proof, never a predictable
+    * shared /tmp name; a new session always rebuilds). */
+  private[graft] def servedZorderPath(spark: SparkSession,
+      dir: String): String = {
+    zorderMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    zorderMemo.getOrElseUpdate((spark, dir), {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zorder_${safe}_${key}_$zorderNonce").getAbsolutePath
+      writeZorderTable(spark, dir, path)
+      path
+    })
+  }
+
+  private lazy val zorderNonce: String = java.lang.Long.toHexString(
+    new java.security.SecureRandom().nextLong())
 
   /** Compaction planner — [[layoutZorder]]'s maintenance sibling: given
     * per-partition (day) row counts, assign consecutive partitions to

@@ -393,6 +393,33 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("z-table pruning law: any (user, day-range) predicate touches " +
+    "at most 4 of 32 files, and the pruned set covers the true files") {
+    val (assigned, cutsDf) = graft.operators.Relational.zorderAssigned(
+      graft.sources.Tables.events(spark, Sf), 4, 32, 4096)
+    val cutsRow = cutsDf.head()
+    val cutsU = cutsRow.getSeq[Long](0)
+    val cutsD = cutsRow.getSeq[Long](1)
+    val rows = assigned
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"), col("file_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = rows.map(_._1).distinct.take(20)
+    val (dLo, dHi) = (rows.map(_._2).min, rows.map(_._2).max)
+    users.foreach { u =>
+      for ((lo, hi) <- Seq((dLo, dHi), (dLo, dLo + 3), (dHi - 2, dHi))) {
+        val fids = graft.operators.Relational.zorderPrunedFids(
+          cutsU, cutsD, u, lo, hi, 4, 32)
+        assert(fids.size <= 4, s"user $u days [$lo,$hi]: ${fids.size} files")
+        val truth = rows.filter(r => r._1 == u && r._2 >= lo && r._2 <= hi)
+          .map(_._3).distinct
+        assert(truth.forall(fids.contains),
+          s"pruned set must cover every file holding matches: $truth vs $fids")
+      }
+    }
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)

@@ -232,6 +232,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the bottom-k sample window must push its rank limit:\n$z")
   }
 
+  test("z-table serving partition-prunes to the predicate's file set") {
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the
+    // scan node until execution
+    val exec = SparkEntry.queries("events_2d_served")(spark, Sf)
+      .queryExecution.sparkPlan
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.getOrElse("Location", "").contains("/data") => s
+    }
+    assert(scans.nonEmpty, "the served query scans the z-table data dirs")
+    scans.foreach { s =>
+      val pf = s.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("fid"),
+        s"the fid predicate must reach PartitionFilters: $pf")
+      assert(s.selectedPartitions.partitionCount <= 4,
+        s"a single-user predicate reads ≤4 of 32 dirs, " +
+          s"got ${s.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("incremental dedup pre-filters the index side with a broadcast semi-join") {
     val p = plan("dedup_incremental")
     // the corpus/index side must be pruned by the batch's band-key set
