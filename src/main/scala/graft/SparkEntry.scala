@@ -200,6 +200,18 @@ object SparkEntry {
     // member (the ER "richest record wins" rule) + merge evidence
     "golden_records"        -> ((s: SparkSession, d: String) =>
       NearDup.goldenRecords(s, d)),
+    // estimator-vs-exact calibration of the MinHash family: error-band
+    // histogram + at-threshold confusion over the LSH candidates
+    "minhash_calibration"   -> ((s: SparkSession, d: String) =>
+      NearDup.minhashCalibration(s, d)),
+    // TPC-H Q18 shape: the HAVING-subquery join, collapsed to ONE
+    // lineitem pass by aggregating before the join
+    "q18_large_orders"      -> ((s: SparkSession, d: String) =>
+      Relational.q18LargeOrders(s, d)),
+    // exact media dedup by payload digest — the multimodal dedup leg;
+    // payloads never shuffle, the digest is computed at the scan
+    "dedup_media"           -> ((s: SparkSession, d: String) =>
+      Multimodal.dedupMedia(s, d)),
     // 2-D predicate served from the durable z-clustered table: the
     // cutpoints map (user, day-range) onto ≤4 of 32 file dirs, the scan
     // partition-prunes, the exact predicate is residual — same answer
@@ -1307,6 +1319,38 @@ object SparkEntry {
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
        |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1)""".stripMargin
+
+  /** Estimate-vs-exact calibration: the sims CTEs give the signature
+    * estimates, `sh` is already the DISTINCT shingle set, exact Jaccard
+    * is one integer division per candidate pair. */
+  private def minhashCalibrationSql: String =
+    s"""WITH ${sigCtes(word3ShingleCte, 4, 128)},
+       |$simsCtes,
+       |shc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT s.id_a, s.id_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM sims s JOIN sh a ON a.doc_id = s.id_a
+       |              JOIN sh b ON b.doc_id = s.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |cal AS (
+       |  SELECT s.sim,
+       |         CAST(coalesce(i.i, 0) AS DOUBLE) /
+       |         CAST(ca.n + cb.n - coalesce(i.i, 0) AS DOUBLE) AS exact
+       |  FROM sims s
+       |  LEFT JOIN inter i ON i.id_a = s.id_a AND i.id_b = s.id_b
+       |  JOIN shc ca ON ca.doc_id = s.id_a
+       |  JOIN shc cb ON cb.doc_id = s.id_b)
+       |SELECT CAST(floor(abs(sim - exact) / CAST(0.05 AS DOUBLE)) AS BIGINT)
+       |         AS err_band,
+       |       count(*) AS n_pairs,
+       |       CAST(count(*) FILTER (WHERE sim >= CAST(0.8 AS DOUBLE))
+       |            AS BIGINT) AS n_est_dup,
+       |       CAST(count(*) FILTER (WHERE exact >= CAST(0.8 AS DOUBLE))
+       |            AS BIGINT) AS n_exact_dup,
+       |       CAST(count(*) FILTER (WHERE sim >= CAST(0.8 AS DOUBLE)
+       |                              AND exact >= CAST(0.8 AS DOUBLE))
+       |            AS BIGINT) AS n_both
+       |FROM cal GROUP BY 1""".stripMargin
 
   private def dedupClustersSql: String =
     s"""WITH RECURSIVE $word3LabelCtes,
@@ -2998,6 +3042,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
+    "minhash_calibration" -> minhashCalibrationSql,
     // same recursive label CTEs; survivor = (n_chars DESC NULLS LAST,
     // doc_id) per cluster, evidence from the joined member relation
     "golden_records" ->
@@ -4192,6 +4237,33 @@ object SparkEntry {
         |             CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE),
         |             6) AS share
         |FROM m""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice, CAST(q.total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |             sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 180) q
+        |  ON o_orderkey = q.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    // the media entity universe (distinct non-NULL payloads), digest
+    // groups with keeper/min-id, copy count, and kind spread
+    "dedup_media" ->
+      """WITH m AS (
+        |  SELECT DISTINCT doc_id, text FROM documents WHERE text IS NOT NULL)
+        |SELECT md5(text) AS payload_digest,
+        |       min(doc_id) AS keeper_media_id,
+        |       count(*) AS n_copies,
+        |       count(DISTINCT (['image', 'audio', 'video'])[(doc_id % 3) + 1])
+        |         AS n_kinds,
+        |       count(*) > 1 AS is_dup
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -127,6 +127,25 @@ object Multimodal {
         // this, the typed decode NPEs on the first missing blob
         .where(col("payload").isNotNull))
 
+  /** Exact media dedup — the multimodal leg of the dedup family: media
+    * blobs dedupe by PAYLOAD DIGEST, never by decoding (two byte-identical
+    * blobs are the same asset regardless of filename/kind metadata — and
+    * at 100 TB hashing is the only affordable equality). One row per
+    * distinct payload: the keeper (min media_id — the upsert convention),
+    * copy count, and how many metadata kinds the copies claim (the same
+    * bytes labeled image AND video is a catalog bug this surfaces).
+    * One map-side-combined aggregation on the 16-byte digest — payloads
+    * never shuffle (the digest is computed at the scan). */
+  def dedupMedia(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(md5(col("payload")).as("payload_digest"), col("media_id"),
+        col("kind"))
+      .groupBy(col("payload_digest"))
+      .agg(min(col("media_id")).as("keeper_media_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("kind")).as("n_kinds"))
+      .withColumn("is_dup", col("n_copies") > 1)
+
   /** STUB decode fallback for payloads with no recognized container
     * signature — replace with a real JNI/native decoder in production.
     * Deterministic: all outputs derive from the payload bytes alone. */

@@ -282,6 +282,65 @@ object NearDup {
     * fingerprints). The emitted `n_fps` stays the doc's raw fingerprint
     * count, for reference.
     */
+  /** MinHash calibration harness — the measured "how good is the
+    * estimator" eval for the signature family (retrieval_eval's pairing
+    * for the dedup leg): for every LSH candidate pair, the 128-perm
+    * signature estimate is compared against the EXACT shingle-set
+    * Jaccard, histogrammed into 0.05-wide error bands, with the
+    * at-threshold confusion counts (estimate-positive / exact-positive /
+    * both) that tell an operator what a 0.8 signature cut actually
+    * means in exact terms. The theory says SE ≈ √(J(1−J)/128) ≈ 0.035 —
+    * this measures it on the corpus of record.
+    *
+    * Scale: estimates ride the capped candidate-pair relation; the raw
+    * shingle SETS join only for matched pair ids (pairs are hot-bucket
+    * capped, so shingle arrays shuffle for candidates only, never
+    * corpus-wide — the family rule). All counts integer; the exact
+    * Jaccard is one division of integers; the band floor runs on
+    * identical IEEE inputs in both engines. */
+  def minhashCalibration(spark: SparkSession, dir: String,
+      thr: Double = 0.8): DataFrame =
+    minhashCalibrationCore(word3Base(spark, dir),
+      Tables.documents(spark, dir), thr)
+
+  /** Unmemoized fixture twin: base and sets from THIS relation. */
+  private[graft] def minhashCalibrationFrom(docs: DataFrame,
+      thr: Double): DataFrame = {
+    val sh = wordShingles(col("text"), 3)
+    val base = Shuffles.distinctEntities(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("id"), minhashSig(sh, 128).as("sig"),
+        minhashBandKeys(sh, 32, 4).as("keys"))
+      .persist()
+    try minhashCalibrationCore(base, docs, thr)
+      .localCheckpoint(true) // materialize before the base unpersists
+    finally { base.unpersist(); () }
+  }
+
+  private def minhashCalibrationCore(base: DataFrame, docs: DataFrame,
+      thr: Double): DataFrame = {
+    val pairs = scoredPairs(base, minhashJaccard)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    val sets = Shuffles.distinctEntities(
+        docs.select(col("doc_id"), col("text")))
+      .where(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    val j = pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("exact", exactJaccard(col("sha"), col("shb")))
+    j.select(
+        floor(abs(col("sim") - col("exact")) / lit(0.05)).cast("long")
+          .as("err_band"),
+        (col("sim") >= thr).as("ep"), (col("exact") >= thr).as("xp"))
+      .groupBy(col("err_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ep"), 1L).otherwise(0L)).as("n_est_dup"),
+        sum(when(col("xp"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("ep") && col("xp"), 1L).otherwise(0L)).as("n_both"))
+  }
+
   /** Golden-record selection — the entity-resolution step AFTER
     * clustering: per near-dup cluster, elect the canonical SURVIVOR by a
     * real merge policy (keep the longest member — richest text wins, the

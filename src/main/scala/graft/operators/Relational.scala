@@ -341,6 +341,31 @@ object Relational {
     (assigned, cuts)
   }
 
+  /** TPC-H Q18 shape: the HAVING-subquery join — large-volume orders
+    * (total quantity above a floor) with their customers. The classic
+    * form re-joins lineitem against its own HAVING aggregate and sums
+    * quantity twice; here the aggregate-before-join rule collapses that
+    * to ONE lineitem pass (the pre-aggregated relation carries total_qty
+    * into the join), orders⋈big shuffles once on the orderkey, customer
+    * broadcasts, and the top-20 is a distributed TakeOrdered with a
+    * unique tiebreak. Quantity sums as exact decimals (the q1 rule). */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Int = 180): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Durable z-clustered TABLE — [[layoutZorder]]'s plan made real, and
     * the fifth durable store (IVF / signature / lexical / BPE siblings):
     * the events table rewritten into `files` directory partitions in

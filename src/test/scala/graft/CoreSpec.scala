@@ -420,6 +420,56 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("q18 equals the classic double-aggregate formulation") {
+    // the textbook Q18 re-joins lineitem against its own HAVING subquery
+    // and sums quantity a second time — the pre-aggregated form must give
+    // the identical relation
+    val li = graft.sources.Tables.lineitem(spark, Sf)
+    val qty = sum(col("l_quantity").cast("decimal(12,2)"))
+    val keys = li.groupBy(col("l_orderkey").as("k")).agg(qty.as("tq"))
+      .where(col("tq") > 180).select(col("k"))
+    val classic = graft.sources.Tables.orders(spark, Sf)
+      .join(keys, col("o_orderkey") === col("k"), "left_semi")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .agg(qty.cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    val got = Relational.q18LargeOrders(spark, Sf)
+      .collect().map(r => (r.getLong(2), r.getDouble(5))).toSeq
+    assert(got == classic)
+  }
+
+  test("dedup_media: digest groups partition the media universe; the " +
+    "keeper is the smallest copy; identical bytes collapse across kinds") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.mediaTable(spark, Sf)
+    val out = graft.operators.Multimodal.dedupMedia(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(out.map(_._2._2).sum == media.count(),
+      "every media row lands in exactly one digest group")
+    out.foreach { case (_, (keeper, n, kinds, dup)) =>
+      assert(dup == (n > 1) && kinds >= 1 && kinds <= math.min(n, 3))
+      assert(keeper >= 0)
+    }
+    // planted: one payload under three ids (and three kinds by id % 3)
+    val planted = Seq((3L, "same bytes"), (4L, "same bytes"),
+      (5L, "same bytes"), (7L, "unique bytes")).toDF("doc_id", "text")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("media_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val g = planted
+      .select(md5(col("payload")).as("d"), col("media_id"), col("kind"))
+      .groupBy("d").agg(min("media_id").as("keeper"),
+        count(lit(1)).as("n"), countDistinct("kind").as("k"))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(g(3L) == ((3L, 3L)), s"three copies, three kinds, keeper 3: $g")
+    assert(g(7L) == ((1L, 1L)))
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)

@@ -1,3 +1,4 @@
+// calibration spec appended at the bottom of this suite (r16)
 package graft
 
 import org.apache.spark.sql.SparkSession
@@ -397,5 +398,36 @@ class SignatureLawsSpec extends AnyFunSuite {
         "a 500-copy clone cluster crosses the cap and must be refused " +
           "(dedup_exact's job), not partially paired")
     } finally { base.unpersist(); () }
+  }
+
+  test("minhash calibration: planted mid-similarity pairs spread the " +
+    "error bands; laws hold (pairs conserved, both <= each side)") {
+    import spark.implicits._
+    // 30 pairs of docs sharing a prefix of 3-shingles with a per-pair
+    // unique suffix — exact Jaccard lands mid-range (~0.45-0.65), where
+    // the 128-perm estimate has real variance (SE ~ 0.035), unlike the
+    // corpus's exact-dup candidates (err_band 0, trivially calibrated)
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 30).flatMap { p =>
+      val shared = words.take(22).mkString(" ")
+      val a = shared + " " + (0 until 12).map(j => s"a${p}x$j").mkString(" ")
+      val b = shared + " " + (0 until 12).map(j => s"b${p}x$j").mkString(" ")
+      Seq((p * 2L, a), (p * 2L + 1, b))
+    }.toDF("doc_id", "text")
+    val cal = NearDup.minhashCalibrationFrom(docs, 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val totalPairs = cal.map(_._2._1).sum
+    assert(totalPairs >= 20, s"the shared prefixes must pair: $totalPairs")
+    cal.foreach { case (band, (n, est, ex, both)) =>
+      assert(band >= 0 && n > 0)
+      assert(both <= math.min(est, ex),
+        s"band $band: agreement bounded by each side")
+    }
+    // mid-similarity estimates genuinely differ from exact somewhere:
+    // at least one pair outside band 0 OR a confusion asymmetry exists
+    val spread = cal.exists(_._1 > 0) ||
+      cal.exists { case (_, (_, est, ex, _)) => est != ex }
+    assert(spread, s"mid-range similarities must show estimator noise: ${cal.mkString(";")}")
   }
 }
