@@ -208,6 +208,15 @@ object SparkEntry {
     // lineitem pass by aggregating before the join
     "q18_large_orders"      -> ((s: SparkSession, d: String) =>
       Relational.q18LargeOrders(s, d)),
+    // TPC-H Q2 shape: correlated scalar-min as a rank window over the
+    // distinct (part, supplier) relation; oracle keeps the classic
+    // double-correlated subquery form
+    "q2_min_supplier"       -> ((s: SparkSession, d: String) =>
+      Relational.q2MinSupplier(s, d)),
+    // DSAR subject-access report: everything held about each subject in
+    // the (deterministic) request set — the governance export leg
+    "dsar_report"           -> ((s: SparkSession, d: String) =>
+      LogOps.dsarReport(s, d)),
     // exact media dedup by payload digest — the multimodal dedup leg;
     // payloads never shuffle, the digest is computed at the scan
     "dedup_media"           -> ((s: SparkSession, d: String) =>
@@ -4237,6 +4246,38 @@ object SparkEntry {
         |             CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE),
         |             6) AS share
         |FROM m""".stripMargin,
+
+    // the classic correlated form: min balance per part, then min
+    // suppkey among tied balances — independently derives the window
+    // plan's (s_acctbal, l_suppkey) rank-1 selection
+    "q2_min_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |j AS (SELECT l_partkey, l_suppkey, s_acctbal, s_name
+        |      FROM ps JOIN supplier ON s_suppkey = l_suppkey),
+        |m AS (
+        |  SELECT * FROM j a
+        |  WHERE s_acctbal = (SELECT min(s_acctbal) FROM j b
+        |                     WHERE b.l_partkey = a.l_partkey)
+        |    AND l_suppkey = (SELECT min(l_suppkey) FROM j c
+        |                     WHERE c.l_partkey = a.l_partkey
+        |                       AND c.s_acctbal = a.s_acctbal))
+        |SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name, s_acctbal
+        |FROM m JOIN part ON p_partkey = l_partkey
+        |ORDER BY s_acctbal DESC, p_partkey
+        |LIMIT 50""".stripMargin,
+
+    "dsar_report" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_event_types,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                              ELSE value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND md5_number_lower('dsar:' || CAST(user_id AS VARCHAR)) % 20 = 0
+        |GROUP BY 1""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT c_custkey, c_name, o_orderkey,

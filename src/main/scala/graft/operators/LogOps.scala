@@ -284,6 +284,32 @@ object LogOps {
       .withColumn("k_anonymous", col("n_subjects") >= k)
       .withColumn("l_diverse", col("l_diversity") >= l)
 
+  /** DSAR / subject-access report — the governance export a data-subject
+    * request triggers (GDPR art. 15) and the pre-flight an erasure (art.
+    * 17) plans from: for each subject in the request set, everything the
+    * engine holds about them — row count, activity span, event-type
+    * spread, value total. The request set here is the deterministic
+    * md5-family pick (≈1/20 of subjects) so the oracle replays it; in
+    * production it's a broadcast list. One fact aggregation; the subject
+    * predicate is a scan-side hash test (no join); NULL-ts activity
+    * keeps NULL bounds (min/max skip NULLs, both engines); value totals
+    * ride the guarded decimal contract. */
+  def dsarReport(spark: SparkSession, dir: String, mod: Long = 20): DataFrame = {
+    val inSet = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge
+        .expression(concat(lit("dsar:"), col("user_id").cast("string"))),
+        mod)) === 0
+    val v = expr("try_cast(value AS DECIMAL(12,2))")
+    Tables.events(spark, dir)
+      .where(col("user_id").isNotNull && inSet)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+        sum(v).cast("double").as("total_value"))
+  }
+
   /** Counts by service (app.py:28-29; user_id stands in for container).
     * value is summed as DECIMAL (double summation is shuffle-order
     * dependent) and the outputs deliberately unrounded — engines disagree

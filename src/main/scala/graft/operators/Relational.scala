@@ -366,6 +366,32 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q2 shape: the correlated scalar-min subquery — per part, the
+    * supplier with the minimum account balance among its line-item
+    * suppliers (standing in for Q2's min supplycost over partsupp, which
+    * this schema lacks). The Spark-first form replaces the correlated
+    * subquery with a rank window over the distinct (part, supplier)
+    * relation (WindowGroupLimit-pushed), supplier/part broadcast, ties
+    * pinned to the smallest suppkey; the oracle keeps the CLASSIC
+    * double-correlated form (min balance, then min suppkey among tied
+    * balances) — an independent derivation of the same selection. */
+  def q2MinSupplier(spark: SparkSession, dir: String,
+      topK: Int = 50): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val j = ps.join(broadcast(Tables.supplier(spark, dir)),
+      col("l_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("s_acctbal"), col("l_suppkey"))
+    j.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(topK)
+  }
+
   /** Durable z-clustered TABLE — [[layoutZorder]]'s plan made real, and
     * the fifth durable store (IVF / signature / lexical / BPE siblings):
     * the events table rewritten into `files` directory partitions in

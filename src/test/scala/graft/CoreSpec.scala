@@ -470,6 +470,49 @@ class CoreSpec extends AnyFunSuite {
     assert(g(7L) == ((1L, 1L)))
   }
 
+  test("q2 min-supplier: every selected supplier is its part's true " +
+    "minimum, ties to the smallest suppkey") {
+    val ps = graft.sources.Tables.lineitem(spark, Sf)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(graft.sources.Tables.supplier(spark, Sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("l_partkey", "l_suppkey", "s_acctbal")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPart = ps.groupBy(_._1)
+    val got = Relational.q2MinSupplier(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    assert(got.length == 50)
+    got.foreach { case (part, supp, bal) =>
+      val members = byPart(part)
+      val minBal = members.map(_._3).min
+      assert(bal == minBal, s"part $part: $bal must be the min $minBal")
+      assert(supp == members.filter(_._3 == minBal).map(_._2).min,
+        s"part $part: tie must break to the smallest suppkey")
+    }
+    // deterministic final order: acctbal DESC then partkey
+    assert(got.map(r => (-r._3, r._1)).toSeq ==
+      got.map(r => (-r._3, r._1)).sorted.toSeq)
+  }
+
+  test("dsar report covers exactly the request set with faithful totals") {
+    val rep = graft.operators.LogOps.dsarReport(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .where(col("user_id").isNotNull)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Md5LowerMod is the UNSIGNED mod — Long.remainderUnsigned, not a
+    // sign-normalized % (2^64 is not a multiple of 20)
+    val expected = ev.keySet.filter { u =>
+      java.lang.Long.remainderUnsigned(graft.expressions.Kernels.md5LowerOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"dsar:$u")),
+        20L) == 0L
+    }
+    assert(rep.keySet == expected, "the report serves exactly the request set")
+    rep.foreach { case (u, n) => assert(n == ev(u), s"subject $u row count") }
+    assert(rep.nonEmpty)
+  }
+
   test("heavy_hitters only returns users above the threshold") {
     val hh = Relational.heavyHitters(spark, Sf)
     val minN = hh.agg(min("n_events")).head().getLong(0)
