@@ -4078,7 +4078,11 @@ object SparkEntry {
         s"((ub >> $i) & 1) * ${1L << (2 * i + 1)} + " +
           s"((db >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
       s"""WITH ev AS (
-         |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day_idx
+         |  -- FLOOR day index (remainder-subtract form, exact integers):
+         |  -- mirrors the Spark write path; // alone truncates pre-1970
+         |  SELECT event_id, user_id,
+         |         (epoch_us(ts) - ((epoch_us(ts) % 86400000000)
+         |            + 86400000000) % 86400000000) // 86400000000 AS day_idx
          |  FROM events),
          |nn AS (
          |  SELECT *, md5_number_lower('sample:' || CAST(event_id AS VARCHAR))

@@ -8,9 +8,10 @@ import graft.sources.Tables
 /** Iterative graph centrality over the event-transition graph — the
   * "which state dominates user journeys" statistic next to
   * [[EventFlows.eventTransitions]]'s local probabilities (the reference
-  * renders the transition structure of incident timelines,
-  * /root/reference/src/analysis/incident_analyzer.py; centrality is the
-  * whole-graph summary of the same adjacency).
+  * dashboard aggregates incident timelines per service/level/day,
+  * /root/reference/src/dashboard/app.py:14-43; centrality is the
+  * whole-graph summary of the transition adjacency those timelines
+  * induce).
   *
   * PageRank (Page et al. 1999) with damping `d`, uniform teleport, and
   * dangling-mass redistribution, run for a FIXED iteration budget — the

@@ -193,7 +193,10 @@ object Relational {
     val ordCnt = Tables.orders(spark, dir)
       .where(col("o_orderpriority") =!= "1-URGENT")
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("cnt"))
+      // count the KEY, not the row: the oracle's classic LEFT JOIN form
+      // counts count(o_orderkey) — non-NULL keys only — and a NULL
+      // o_orderkey row must not inflate a customer's bucket here either
+      .agg(count(col("o_orderkey")).as("cnt"))
     Tables.customer(spark, dir).select(col("c_custkey"))
       .join(ordCnt, col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
@@ -283,8 +286,16 @@ object Relational {
     // all event columns ride through — the durable store persists the
     // clustered TABLE, not a key list (and a join-back on event_id would
     // multiply duplicate ids); the planner output projects them away
+    //
+    // FLOOR division, not DIV (which truncates toward zero): the serve
+    // path maps day predicates via LocalDate.toEpochDay — floor
+    // semantics — and a pre-1970 timestamp under DIV would land one day
+    // high, breaking the pruning-is-a-superset contract. Integer-exact
+    // floor: subtract the non-negative remainder first (never a double
+    // floor(), whose 2^53 mantissa cannot carry unix_micros exactly).
     val ev = ev0.withColumn("day_idx",
-      expr("unix_micros(ts) DIV 86400000000"))
+      expr("(unix_micros(ts) - ((unix_micros(ts) % 86400000000) " +
+        "+ 86400000000) % 86400000000) DIV 86400000000"))
     val hk = Sketches.md5mod(
       concat(lit("sample:"), col("event_id").cast("string")),
       graft.expressions.SigUtil.P)
@@ -324,6 +335,33 @@ object Relational {
         array((1 until buckets).map(j =>
           max(when(col("rn_d") === cutRank(j), col("day_idx")))): _*)
           .as("cuts_d")))
+    // the cuts relation carries its own GEOMETRY (bits, files): a reader
+    // or appender must never assume the writer's parameters — a store
+    // written with non-default geometry served with hard-coded constants
+    // would prune a NON-superset silently (r16 advisor finding)
+    val cutsWithGeom = broadcast(cuts
+      .withColumn("bits", lit(bits)).withColumn("files", lit(files)))
+    (zorderApplyCuts(ev0, cutsWithGeom, bits, files), cutsWithGeom)
+  }
+
+  /** FLOOR day index of `ts` — matches the serve path's
+    * LocalDate.toEpochDay exactly, including pre-1970 (see the comment
+    * in [[zorderAssigned]]). ONE definition for the build and append
+    * paths: a drift here silently breaks pruning-is-a-superset. */
+  private def zorderDayIdx: Column =
+    expr("(unix_micros(ts) - ((unix_micros(ts) % 86400000000) " +
+      "+ 86400000000) % 86400000000) DIV 86400000000")
+
+  /** Assign every event row its (ub, db, z, file_id) against an EXISTING
+    * 1-row cutpoint relation — shared by the full build and the append
+    * path, so an increment's rows land in exactly the files a rebuild
+    * would put them in. `cutsDf` must be broadcast-sized (it is 1 row). */
+  private[graft] def zorderApplyCuts(ev0: DataFrame, cutsDf: DataFrame,
+      bits: Int, files: Int): DataFrame = {
+    val buckets = 1 << bits
+    val zspan = buckets.toLong * buckets
+    require(files > 0 && zspan % files == 0,
+      s"files must divide the z-span $zspan: $files")
     def bucketOf(dim: String, cutsCol: String): Column =
       when(col(dim).isNotNull,
         size(filter(col(cutsCol), c => c <= col(dim))).cast("long"))
@@ -332,13 +370,13 @@ object Relational {
         shiftright(ub, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
           shiftright(db, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
       }.reduce(_ + _)
-    val assigned = ev.crossJoin(cuts)
+    ev0.withColumn("day_idx", zorderDayIdx)
+      .crossJoin(broadcast(cutsDf.select(col("cuts_u"), col("cuts_d"))))
       .withColumn("ub", bucketOf("user_id", "cuts_u"))
       .withColumn("db", bucketOf("day_idx", "cuts_d"))
       .withColumn("z", interleave(col("ub"), col("db")))
       .withColumn("file_id", expr(s"z DIV ${zspan / files}"))
       .drop("cuts_u", "cuts_d", "day_idx")
-    (assigned, cuts)
   }
 
   /** TPC-H Q18 shape: the HAVING-subquery join — large-volume orders
@@ -379,7 +417,13 @@ object Relational {
       topK: Int = 50): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val j = ps.join(broadcast(Tables.supplier(spark, dir)),
+    // NULL balances drop BEFORE the rank: the oracle's correlated
+    // min(s_acctbal) skips NULLs, so `s_acctbal = (SELECT min …)` can
+    // never seat a NULL-balance supplier — and a part whose suppliers
+    // are ALL NULL-balance vanishes from both engines identically.
+    // (Spark's default asc NULLS FIRST would seat it at rank 1.)
+    val j = ps.join(broadcast(Tables.supplier(spark, dir)
+        .where(col("s_acctbal").isNotNull)),
       col("l_suppkey") === col("s_suppkey"))
     val w = Window.partitionBy(col("l_partkey"))
       .orderBy(col("s_acctbal"), col("l_suppkey"))

@@ -35,6 +35,15 @@ case class Scd2Out(user_id: Option[Long], state_seq: Long,
   * user cardinality (the dimension size — exactly what a warehouse's
   * current-state table holds anyway).
   *
+  * Late/out-of-order arrival (streaming only): events WITHIN a trigger
+  * sort before folding, but an event older than the open run's
+  * valid_from arriving in a LATER trigger is dropped — intervals before
+  * the open run have already emitted (Append mode is immutable output),
+  * so the only alternatives are a corrupt valid_to < valid_from interval
+  * or a retraction the mode cannot express. Cross-trigger order within
+  * each user is therefore the streaming delivery contract; the batch
+  * twin (the declared path of record) is order-insensitive.
+  *
   * Streaming emits CLOSED intervals only (Append mode: the open run may
   * still extend); batch mode sees each user whole and additionally
   * emits the open interval with valid_to NULL at end-of-group, making
@@ -60,7 +69,16 @@ object StatefulScd2 {
           val out = ArrayBuffer.empty[Scd2Out]
           var cur = state.getOption
           it.toSeq.sortBy(sortKey).foreach { e =>
-            cur match {
+            // STREAMING late-arrival guard: an event older than the open
+            // run's valid_from (delivered in a later trigger) cannot be
+            // retro-inserted into an island chain whose earlier intervals
+            // already emitted — treating it as a state change at its own
+            // timestamp would emit valid_to < valid_from and corrupt the
+            // chain. Drop it: the batch path (the declared path of
+            // record) sees each history whole and orders it correctly,
+            // so the guard never fires there.
+            if (streaming && cur.exists(_.fromUs > tsToUs(e.ts))) ()
+            else cur match {
               case Some(s) if s.state == e.event_type =>
                 cur = Some(s.copy(n = s.n + 1))
               case Some(s) =>
