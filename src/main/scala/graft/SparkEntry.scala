@@ -227,6 +227,21 @@ object SparkEntry {
     // as the raw-table filter (the oracle)
     "events_2d_served"      -> ((s: SparkSession, d: String) =>
       Relational.eventsServed2d(s, d, 3L, "2024-01-03", "2024-02-15")),
+    // the z-store APPEND lifecycle: base build over 3/5 of the corpus,
+    // two increments assigned against the STORED cutpoints, one replayed
+    // verbatim (the content-keyed ledger makes it a no-op) — served
+    // result must equal the raw filter over the union corpus
+    "events_2d_appended"    -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2dAppended(s, d)),
+    // the COMPACTION lifecycle: multi-file fid dirs rewritten to one
+    // file each via the two-phase tmp+swap; compaction must be invisible
+    "events_2d_compacted"   -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2dCompacted(s, d)),
+    // the ERASURE lifecycle (dsar_report's executable art-17 leg):
+    // subject 3 tombstoned — served as the zero row a from-scratch store
+    // without the subject gives; subject 5 untouched, from the SAME store
+    "events_2d_erasure"     -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2dErasure(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -4146,6 +4161,59 @@ object SparkEntry {
     // the streaming twin reproduces the window build exactly in batch
     // mode — one oracle checks both
     "scd2_stateful" -> scd2Oracle,
+
+    // the raw filter over the UNION corpus: the append path (stored-cuts
+    // assignment + per-file promote + replayed-increment ledger no-op)
+    // must be invisible in the answer
+    "events_2d_appended" ->
+      """SELECT CAST(5 AS BIGINT) AS user_id, count(*) AS n_events,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                              ELSE value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |WHERE user_id = 5
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-21 00:00:00'""".stripMargin,
+
+    // compaction (two-phase per-dir tmp+swap rewrite) must be invisible
+    "events_2d_compacted" ->
+      """SELECT CAST(7 AS BIGINT) AS user_id, count(*) AS n_events,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                              ELSE value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-03-02 00:00:00'""".stripMargin,
+
+    // the erased corpus IS events minus the subject: the subject-3 leg
+    // aggregates over the empty remainder (count 0 / NULL sum / 0
+    // distinct — exactly what the store serves through the tombstone
+    // anti-join), the subject-5 leg must be untouched
+    "events_2d_erasure" ->
+      """SELECT CAST(3 AS BIGINT) AS user_id, count(*) AS n_events,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                              ELSE value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |WHERE NOT (user_id IS NOT DISTINCT FROM 3)
+        |  AND user_id = 3
+        |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-16 00:00:00'
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT) AS user_id, count(*) AS n_events,
+        |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+        |                              ELSE value END AS DECIMAL(12,2)))
+        |            AS DOUBLE) AS total_value,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |WHERE NOT (user_id IS NOT DISTINCT FROM 3)
+        |  AND user_id = 5
+        |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-16 00:00:00'""".stripMargin,
 
     // the raw-table filter: z-pruning must be invisible in the answer
     "events_2d_served" ->

@@ -452,10 +452,22 @@ object Relational {
     * complete table or the new one, never cuts of one generation over
     * data of another. */
   def writeZorderTable(spark: SparkSession, dir: String, path: String,
+      bits: Int = 4, files: Int = 32, k: Int = 4096): Unit =
+    writeZorderTableFrom(Tables.events(spark, dir), path, bits, files, k)
+
+  private[graft] def writeZorderTableFrom(events: DataFrame, path: String,
       bits: Int = 4, files: Int = 32, k: Int = 4096): Unit = {
-    val (assigned, cuts) = zorderAssigned(Tables.events(spark, dir),
-      bits, files, k)
+    val spark = events.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (assigned, cuts) = zorderAssigned(events, bits, files, k)
     graft.sources.IO.publishStore(spark, path, "__zorder_tmp") { tmp =>
+      // writer entry: a crashed append's COMPLETE tmp promotes into the
+      // OLD generation first (the IVF/lex contract — the rebuild
+      // supersedes the store either way, and no append tmp may leak
+      // into the new generation); a crashed compaction heals the same way
+      recoverZorderAppend(fs, p)
+      recoverZorderCompact(fs, p)
       cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
       assigned
         .withColumn("fid", coalesce(col("file_id"), lit(-1L)))
@@ -466,6 +478,132 @@ object Relational {
         .write.mode("overwrite").partitionBy("fid").parquet(s"$tmp/data")
     }
   }
+
+  /** Content-keyed increment id of an event batch — the lex-index
+    * `statsOf` convention (XOR fold of row hashes + the count, NUL-
+    * separated fields so ("ab","c") never keys like ("a","bc")): a
+    * byte-identical redelivery of the same increment keys identically,
+    * which is exactly what makes the append ledger idempotent. */
+  private[graft] def zorderIncId(events: DataFrame): String =
+    events.agg(concat_ws("_",
+        coalesce(expr("bit_xor(xxhash64(concat_ws(CHR(0), " +
+          "coalesce(CAST(event_id AS STRING), 'null'), " +
+          "coalesce(CAST(unix_micros(ts) AS STRING), 'null'), " +
+          "coalesce(CAST(user_id AS STRING), 'null'), " +
+          "coalesce(event_type, 'null'), " +
+          "coalesce(CAST(value AS STRING), 'null'), " +
+          "coalesce(props, 'null'))))"), lit(0L)),
+        count(lit(1))).as("inc_id"))
+      .head().getString(0)
+
+  /** Append an event increment to a persisted z-table — the store-family
+    * contract ("increments at increment cost", the appendIvfIndex /
+    * appendLexIndex shape): assignment runs against the STORED cutpoint
+    * relation and geometry (never a recomputed sample — the increment's
+    * rows must land in exactly the fid directories the serve path will
+    * prune to), compute and I/O are ∝ the increment, and new files move
+    * INSIDE the live fid directories via per-file rename.
+    *
+    * Exactly-once by content, unlike the IVF/lex appends (whose read
+    * sides collapse redelivered rows): duplicate event rows are LEGAL
+    * data here — the serve path counts rows, so a replayed increment
+    * must not land twice. Two mechanisms, both keyed by the increment's
+    * content id: (1) a ledger marker (`path/incs/<inc_id>`) created
+    * after promote — a replay of a fully-promoted append is a no-op
+    * before any write happens; (2) deterministic increment file names
+    * (`inc-<inc_id>-<i>.parquet`) — a resumed or raced promote renames
+    * each file at most once (an existing target means this file already
+    * landed).
+    *
+    * Crash contract (the IVF append's): the increment writes COMPLETE to
+    * a tmp (root _SUCCESS = completeness marker, the inc id persisted in
+    * the tmp as `INCID_<id>`), then files move; a crashed move RESUMES at
+    * the next writer entry; readers never heal and simply don't see a
+    * crashed increment until a writer promotes it. Single-flight
+    * writers, like every store here. */
+  def appendZorderTable(spark: SparkSession, path: String,
+      newEvents: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__zorder_tmp"))
+    recoverZorderAppend(fs, p)
+    recoverZorderCompact(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cuts")),
+      s"cannot append to a missing z-table at $path — build with writeZorderTable")
+    val cutsDf = spark.read.parquet(s"$path/cuts")
+    val cutsRow = cutsDf.head()
+    require(!cutsRow.isNullAt(cutsRow.fieldIndex("cuts_u")),
+      s"cannot append to an EMPTY-corpus z-table at $path (NULL cutpoints " +
+        "place nothing) — rebuild with writeZorderTable over the union")
+    val (bits, files) = zorderGeometry(cutsRow)
+    val incId = zorderIncId(newEvents)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/incs/$incId")))
+      return // fully-promoted replay: the at-least-once no-op
+    val tmp = new org.apache.hadoop.fs.Path(path + "__append_tmp")
+    fs.delete(tmp, true) // stale no-_SUCCESS debris from a crashed write
+    zorderApplyCuts(newEvents, broadcast(cutsDf), bits, files)
+      .withColumn("fid", coalesce(col("file_id"), lit(-1L)))
+      .drop("file_id")
+      .repartition(col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(s"$tmp/data")
+    // the inc id rides IN the tmp (as a filename) so a crashed promote
+    // can resume with the same deterministic target names
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"INCID_$incId")).close()
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    promoteZorderAppend(fs, tmp, p, incId)
+  }
+
+  /** Move a COMPLETE append tmp's fid files into the live data dirs under
+    * deterministic names, then cut the ledger marker and drop the tmp.
+    * Idempotent: each target name is a pure function of (inc id, fid,
+    * file rank) — re-running after a crash moves whatever remains. */
+  private def promoteZorderAppend(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
+      incId: String): Unit = {
+    val dataTmp = new org.apache.hadoop.fs.Path(tmp, "data")
+    if (fs.exists(dataTmp))
+      fs.listStatus(dataTmp).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("fid=")).foreach { fdir =>
+        val dst = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(p, "data"), fdir.getPath.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(fdir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
+            case (f, i) =>
+              val target = new org.apache.hadoop.fs.Path(dst,
+                s"inc-$incId-$i.parquet")
+              if (fs.exists(target)) fs.delete(f, false) // already landed
+              else if (!fs.rename(f, target))
+                sys.error(s"append: cannot move $f into $target")
+          }
+      }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "incs"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(p, "incs"), incId)).close()
+    fs.delete(tmp, true)
+  }
+
+  /** WRITER-entry healing for a crashed append: a tmp with the root
+    * _SUCCESS is a complete increment — resume its move under the inc id
+    * persisted in the tmp; one without is partial debris — drop it (the
+    * caller replays the batch, and the content key makes that safe). */
+  private def recoverZorderAppend(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__append_tmp")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.listStatus(tmp).map(_.getPath.getName)
+        .find(_.startsWith("INCID_")).map(_.stripPrefix("INCID_"))
+        .foreach(incId => promoteZorderAppend(fs, tmp, p, incId))
+    else fs.delete(tmp, true)
+  }
+
+  /** (bits, files) persisted in the cuts relation — a reader must never
+    * assume the writer's geometry. */
+  private def zorderGeometry(cutsRow: org.apache.spark.sql.Row): (Int, Int) =
+    (cutsRow.getAs[Int]("bits"), cutsRow.getAs[Int]("files"))
 
   /** The file ids a (user, day-range) predicate can possibly touch —
     * the z-curve pruning set: ub is fixed by the user, db ranges over
@@ -497,8 +635,19 @@ object Relational {
     * Result is exact (pruning is a superset by construction); the
     * oracle is the plain filter on the raw table. */
   def eventsServed2d(spark: SparkSession, dir: String, userId: Long,
+      dayLo: String, dayHi: String): DataFrame =
+    eventsServed2dFrom(spark, servedZorderPath(spark, dir), userId,
+      dayLo, dayHi)
+
+  /** [[eventsServed2d]] against an explicit store path — geometry comes
+    * from the persisted cuts relation (never hard-coded constants: a
+    * store written with non-default (bits, files) must prune with ITS
+    * geometry or the pruned set stops being a superset), and erased
+    * subjects drop via a broadcast anti-join against the tombstone
+    * relation (see [[eraseZorderSubject]]) until the next compaction
+    * rewrites them away physically. */
+  def eventsServed2dFrom(spark: SparkSession, path: String, userId: Long,
       dayLo: String, dayHi: String): DataFrame = {
-    val path = servedZorderPath(spark, dir)
     graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
     // an EMPTY corpus publishes a cuts row of NULL cutpoints and zero
     // data directories (partitionBy writes nothing): serve the same
@@ -510,28 +659,212 @@ object Relational {
         lit(0L).as("n_events"), lit(null).cast("double").as("total_value"),
         lit(0L).as("n_types"))
     val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    // NULL cut arrays (a corpus whose every row lacks one dimension —
+    // the sample is empty but fid=-1 still holds data) place everything
+    // in bucket 0 / fid -1; bucketOf over the empty seq below does the
+    // same, so pruning stays a superset
     def longs(field: String): Seq[Long] =
-      cutsRow.getSeq[Any](cutsRow.fieldIndex(field)).collect {
-        case l: java.lang.Long => l.longValue
-      }
+      Option(cutsRow.getSeq[Any](cutsRow.fieldIndex(field)))
+        .map(_.collect { case l: java.lang.Long => l.longValue })
+        .getOrElse(Seq.empty)
     val cutsU = longs("cuts_u")
     val cutsD = longs("cuts_d")
+    val (bits, files) = zorderGeometry(cutsRow)
     val loDay = java.time.LocalDate.parse(dayLo).toEpochDay
     val hiDay = java.time.LocalDate.parse(dayHi).toEpochDay
-    val fids = zorderPrunedFids(cutsU, cutsD, userId, loDay, hiDay, 4, 32)
+    val fids = zorderPrunedFids(cutsU, cutsD, userId, loDay, hiDay,
+      bits, files)
     val lo = lit(s"$dayLo 00:00:00").cast("timestamp_ntz")
     val hi = lit(java.time.LocalDate.parse(dayHi).plusDays(1).toString +
       " 00:00:00").cast("timestamp_ntz")
     val v = expr("try_cast(value AS DECIMAL(12,2))")
-    spark.read.parquet(s"$path/data")
+    val scan = spark.read.parquet(s"$path/data")
       .where(col("fid").isin(fids: _*))
       .where(col("user_id") === userId &&
         col("ts") >= lo && col("ts") < hi)
+    zorderTombstones(spark, path)
+      .map(t => scan.join(broadcast(t), Seq("user_id"), "left_anti"))
+      .getOrElse(scan)
       .agg(count(lit(1)).as("n_events"),
         sum(v).cast("double").as("total_value"),
         countDistinct(col("event_type")).as("n_types"))
       .select(lit(userId).as("user_id"), col("n_events"),
         col("total_value"), col("n_types"))
+  }
+
+  /** The tombstone relation of a store, if any subject was erased and
+    * not yet physically compacted away — subject-count-sized (a
+    * dimension, never a fact), hence always broadcast. */
+  private def zorderTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$path/tombstones")
+    val has = Option(d.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (has) Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("user_id")).distinct())
+    else None
+  }
+
+  /** GDPR-article-17 erasure for the z-table — the executable leg of
+    * [[graft.operators.LogOps.dsarReport]]'s erasure plan: the store is
+    * append-only, so erasure lands as a TOMBSTONE (one single-row
+    * parquet per subject, deterministically named — a replayed erasure
+    * request is a no-op) that every serve consults via broadcast
+    * anti-join, and the next [[compactZorderStore]] makes it PHYSICAL:
+    * the subject's candidate fid directories (cuts-pruned — bounded by
+    * the z-curve, never the whole store) rewrite without the subject's
+    * rows, after which the tombstone retires. Serving is therefore
+    * hash-identical to a from-scratch store built without the subject
+    * at EVERY point of the lifecycle. */
+  def eraseZorderSubject(spark: SparkSession, path: String,
+      userId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__zorder_tmp"))
+    recoverZorderAppend(fs, p)
+    recoverZorderCompact(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cuts")),
+      s"cannot erase from a missing z-table at $path")
+    val target = new org.apache.hadoop.fs.Path(s"$path/tombstones/sub-$userId.parquet")
+    if (fs.exists(target)) return // replayed erasure request: no-op
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tomb_tmp")
+    fs.delete(tmp, true)
+    spark.range(1).select(lit(userId).as("user_id"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"erase: no parquet part under $tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tombstones"))
+    if (!fs.exists(target) && !fs.rename(part, target))
+      sys.error(s"erase: cannot move $part to $target")
+    fs.delete(tmp, true)
+  }
+
+  /** Compact a z-table in place — [[compactionPlan]] made executable
+    * against the durable store, plus the physical half of
+    * [[eraseZorderSubject]]: every fid directory that (a) accumulated
+    * more than one file (appends land one file per increment — the
+    * small-file decay compaction exists to reverse) or (b) may hold a
+    * tombstoned subject's rows (cuts-pruned over the subject's user
+    * bucket across ALL day buckets, plus the fid=-1 NULL-dim residue —
+    * a superset by the same construction serving relies on) rewrites to
+    * ONE file, tombstoned rows filtered out; untouched directories keep
+    * their files (at 100 TB compaction is incremental maintenance,
+    * never a full-store rewrite). Tombstones retire afterwards — every
+    * physical row of an erased subject is gone.
+    *
+    * Crash contract (two-phase, the publishStore discipline applied
+    * per directory): phase 1 writes ALL replacement directories COMPLETE
+    * under `path__compact_tmp` and cuts a root _SUCCESS; phase 2 swaps
+    * each live fid dir aside and renames its replacement in; phase 3
+    * retires tombstones and debris. A crash anywhere RESUMES at the next
+    * writer entry ([[recoverZorderCompact]]): no _SUCCESS → the tmp is
+    * debris (live store untouched — serve on); _SUCCESS → finish the
+    * per-dir swaps (each dir is either pre-swap, aside-but-not-replaced,
+    * or done — all three states are distinguishable and resumable).
+    * Readers never heal; a reader racing phase 2 can transiently miss a
+    * mid-swap directory (the lex append's documented visibility window —
+    * the store's consistency point is compact completion). Returns
+    * (filesBefore, filesAfter) over the touched directories. */
+  def compactZorderStore(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__zorder_tmp"))
+    recoverZorderAppend(fs, p)
+    recoverZorderCompact(fs, p)
+    val dataDir = new org.apache.hadoop.fs.Path(p, "data")
+    if (!fs.exists(dataDir)) return (0, 0)
+    def dataFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    val fidDirs = fs.listStatus(dataDir).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("fid=")).map(_.getPath)
+    val tombIds = zorderTombstones(spark, path)
+      .map(_.collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Nil)
+    val tombFidNames: Set[String] = if (tombIds.isEmpty) Set.empty else {
+      val cutsRow = spark.read.parquet(s"$path/cuts").head()
+      val (bits, files) = zorderGeometry(cutsRow)
+      def longs(field: String): Seq[Long] =
+        Option(cutsRow.getSeq[Any](cutsRow.fieldIndex(field)))
+          .map(_.collect { case l: java.lang.Long => l.longValue })
+          .getOrElse(Seq.empty)
+      val (cutsU, cutsD) = (longs("cuts_u"), longs("cuts_d"))
+      // every day bucket of the subject's user bucket: pass day values
+      // that bracket ALL cutpoints (the full db range 0..buckets-1)
+      val (dayLo, dayHi) =
+        if (cutsD.isEmpty) (0L, 0L) else (cutsD.min - 1, cutsD.max + 1)
+      tombIds.flatMap(u => zorderPrunedFids(cutsU, cutsD, u, dayLo, dayHi,
+        bits, files)).map(f => s"fid=$f").toSet + "fid=-1"
+    }
+    val touched = fidDirs.filter(d =>
+      dataFiles(d).length > 1 || tombFidNames.contains(d.getName))
+    if (touched.isEmpty) { clearZorderTombstones(fs, p); return (0, 0) }
+    val before = touched.map(dataFiles(_).length).sum
+    // phase 1: complete replacement dirs under the tmp, then _SUCCESS
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    fs.delete(tmp, true)
+    touched.foreach { d =>
+      var df = spark.read.parquet(d.toString)
+      if (tombIds.nonEmpty)
+        df = df.where(col("user_id").isNull ||
+          !col("user_id").isin(tombIds.map(Long.box): _*))
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, d.getName).toString)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    commitZorderCompact(fs, p, tmp)
+    clearZorderTombstones(fs, p)
+    val after = touched.map(dataFiles(_).length).sum
+    (before, after)
+  }
+
+  /** Phase 2 of [[compactZorderStore]]: per touched directory, swap the
+    * live dir aside and rename the replacement in. Idempotent per dir. */
+  private def commitZorderCompact(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + "__compact_old")
+    fs.mkdirs(old)
+    fs.listStatus(tmp).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("fid=")).foreach { rd =>
+      val name = rd.getPath.getName
+      val live = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(p, "data"), name)
+      val aside = new org.apache.hadoop.fs.Path(old, name)
+      // aside-absent → this dir hasn't swapped yet; aside-present → a
+      // resumed run already moved the live dir (or there was none)
+      if (!fs.exists(aside) && fs.exists(live) && !fs.rename(live, aside))
+        sys.error(s"compact: cannot move $live aside")
+      if (!fs.rename(rd.getPath, live))
+        sys.error(s"compact: cannot move ${rd.getPath} into $live")
+    }
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+  }
+
+  /** WRITER-entry healing for a crashed compaction: a tmp with the root
+    * _SUCCESS resumes phase 2 (every per-dir state is resumable); one
+    * without is debris — the live store was never touched. Stray aside
+    * dirs without a tmp are a finished compact's crashed cleanup. */
+  private def recoverZorderCompact(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.toString + "__compact_old")
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      commitZorderCompact(fs, p, tmp)
+    else {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+  }
+
+  private def clearZorderTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val t = new org.apache.hadoop.fs.Path(p, "tombstones")
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   private val zorderMemo =
@@ -541,17 +874,91 @@ object Relational {
     * raw dir + a per-JVM nonce — collision-proof, never a predictable
     * shared /tmp name; a new session always rebuilds). */
   private[graft] def servedZorderPath(spark: SparkSession,
-      dir: String): String = {
+      dir: String): String =
+    zorderStorePath(spark, dir, "base")(writeZorderTable(spark, dir, _))
+
+  private def zorderStorePath(spark: SparkSession, dir: String,
+      variant: String)(build: String => Unit): String = {
     zorderMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    zorderMemo.getOrElseUpdate((spark, dir), {
+    zorderMemo.getOrElseUpdate((spark, s"$variant:$dir"), {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zorder_${safe}_${key}_$zorderNonce").getAbsolutePath
-      writeZorderTable(spark, dir, path)
+        s"graft_zorder_${variant}_${safe}_${key}_$zorderNonce").getAbsolutePath
+      build(path)
       path
     })
+  }
+
+  /** The base/increment split the lifecycle stores exercise: increments
+    * are ~2/5 of the corpus by a deterministic event_id residue (NULL
+    * ids stay in the base — a residue of NULL places nowhere). */
+  private def zorderSplit(spark: SparkSession, dir: String,
+      residues: Seq[Long]): (DataFrame, Seq[DataFrame]) = {
+    val ev = Tables.events(spark, dir)
+    val r = pmod(coalesce(col("event_id"), lit(0L)), lit(5L))
+    (ev.where(!r.isin(residues.map(Long.box): _*)),
+      residues.map(x => ev.where(r === lit(x))))
+  }
+
+  /** Store for `events_2d_appended`: base build over ~3/5 of the corpus
+    * against its OWN sample's cutpoints, then two content-keyed
+    * increments appended against the STORED cutpoints — the second
+    * append replayed verbatim to exercise the ledger no-op in the query
+    * path itself. Serving reads base + increment files through one
+    * partition-pruned scan; the oracle is the raw-table filter over the
+    * UNION corpus, so the hash proves append-served ≡ rebuild ≡ raw. */
+  private def appendedZorderPath(spark: SparkSession, dir: String): String =
+    zorderStorePath(spark, dir, "app") { path =>
+      val (base, incs) = zorderSplit(spark, dir, Seq(3L, 4L))
+      writeZorderTableFrom(base, path)
+      incs.foreach(appendZorderTable(spark, path, _))
+      appendZorderTable(spark, path, incs.last) // at-least-once replay
+    }
+
+  /** Store for `events_2d_compacted`: the appended store's lifecycle
+    * continued — after the increments land (3 files in the hottest fid
+    * dirs), [[compactZorderStore]] rewrites every multi-file dir to one
+    * file. Same serve, same oracle: compaction must be invisible. */
+  private def compactedZorderPath(spark: SparkSession, dir: String): String =
+    zorderStorePath(spark, dir, "cmp") { path =>
+      val (base, incs) = zorderSplit(spark, dir, Seq(3L, 4L))
+      writeZorderTableFrom(base, path)
+      incs.foreach(appendZorderTable(spark, path, _))
+      compactZorderStore(spark, path)
+    }
+
+  /** Store for `events_2d_erasure`: full build, then subject 3 erased
+    * (tombstone only — the serve-side anti-join path; the physical
+    * rewrite is spec-verified via [[compactZorderStore]]). */
+  private def erasedZorderPath(spark: SparkSession, dir: String): String =
+    zorderStorePath(spark, dir, "ers") { path =>
+      writeZorderTable(spark, dir, path)
+      eraseZorderSubject(spark, path, 3L)
+      eraseZorderSubject(spark, path, 3L) // replayed request: no-op
+    }
+
+  /** 2-D serve from the appended store (base + 2 increments + a replayed
+    * increment) — the registered append-lifecycle query. */
+  def eventsServed2dAppended(spark: SparkSession, dir: String): DataFrame =
+    eventsServed2dFrom(spark, appendedZorderPath(spark, dir), 5L,
+      "2024-01-05", "2024-02-20")
+
+  /** 2-D serve from the appended-then-compacted store — the registered
+    * compaction-lifecycle query. */
+  def eventsServed2dCompacted(spark: SparkSession, dir: String): DataFrame =
+    eventsServed2dFrom(spark, compactedZorderPath(spark, dir), 7L,
+      "2024-01-10", "2024-03-01")
+
+  /** Erasure verification — the registered governance query: subject 3
+    * erased (served as the zero row a from-scratch store without the
+    * subject would give), subject 5 untouched; both rows from ONE store
+    * so the oracle proves erasure removed exactly the subject. */
+  def eventsServed2dErasure(spark: SparkSession, dir: String): DataFrame = {
+    val path = erasedZorderPath(spark, dir)
+    eventsServed2dFrom(spark, path, 3L, "2024-01-03", "2024-02-15")
+      .unionAll(eventsServed2dFrom(spark, path, 5L, "2024-01-03", "2024-02-15"))
   }
 
   private lazy val zorderNonce: String = java.lang.Long.toHexString(

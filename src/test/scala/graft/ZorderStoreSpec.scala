@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Durable z-clustered table lifecycle: geometry plumbing, incremental
+  * append against the STORED cutpoints, content-keyed replay idempotence,
+  * two-phase compaction, subject erasure (tombstone serving + physical
+  * rewrite), and crash recovery at every protocol point — the 2-D store's
+  * twin of IvfIndexSpec/LexIndexSpec (the reference persists its own
+  * serving index the same way, faiss_db.py:24-58). */
+class ZorderStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  private val Sf = "/root/testdata/sf0.001"
+  private val Root = "/tmp/graft_ztable_spec"
+
+  private def wipe(path: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    ()
+  }
+
+  private def fs = new org.apache.hadoop.fs.Path(Root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ev: DataFrame = Tables.events(spark, Sf)
+
+  /** The base/increment split: increments = event_id residues 3 and 4
+    * mod 5 (the registered events_2d_appended split). */
+  private def split: (DataFrame, DataFrame, DataFrame) = {
+    val r = pmod(coalesce(col("event_id"), lit(0L)), lit(5L))
+    (ev.where(r =!= 3L && r =!= 4L), ev.where(r === 3L), ev.where(r === 4L))
+  }
+
+  private def serve(path: String, user: Long): Seq[(Long, Long, Option[Double], Long)] =
+    Relational.eventsServed2dFrom(spark, path, user, "2024-01-01", "2024-02-15")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))).toSeq
+
+  private def rawAnswer(user: Long, excludeUser: Option[Long] = None)
+      : Seq[(Long, Long, Option[Double], Long)] = {
+    val lo = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    val hi = lit("2024-02-16 00:00:00").cast("timestamp_ntz")
+    var base = ev.where(col("user_id") === user &&
+      col("ts") >= lo && col("ts") < hi)
+    excludeUser.foreach(u => base = base.where(col("user_id") =!= u))
+    base.agg(count(lit(1)).as("n_events"),
+        sum(expr("try_cast(value AS DECIMAL(12,2))")).cast("double")
+          .as("total_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(lit(user).as("user_id"), col("n_events"),
+        col("total_value"), col("n_types"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))).toSeq
+  }
+
+  private def dataFileCount(path: String): Int = {
+    val d = new java.io.File(s"$path/data")
+    Option(d.listFiles()).map(_.filter(_.getName.startsWith("fid=")).map {
+      fd => Option(fd.listFiles()).map(_.count { f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+      }).getOrElse(0)
+    }.sum).getOrElse(0)
+  }
+
+  test("append against stored cuts serves identically to a full rebuild and the raw filter") {
+    val full = s"$Root/full"
+    val app = s"$Root/app"
+    wipe(full); wipe(app)
+    Relational.writeZorderTableFrom(ev, full)
+    val (base, inc1, inc2) = split
+    Relational.writeZorderTableFrom(base, app)
+    Relational.appendZorderTable(spark, app, inc1)
+    Relational.appendZorderTable(spark, app, inc2)
+    // row conservation across the whole store, duplicates included
+    assert(spark.read.parquet(s"$app/data").count() == ev.count())
+    for (u <- Seq(3L, 5L, 7L)) {
+      val raw = rawAnswer(u)
+      assert(serve(full, u) == raw, s"full-rebuild serve diverged for $u")
+      assert(serve(app, u) == raw, s"append serve diverged for $u")
+    }
+  }
+
+  test("a replayed increment is a ledger no-op: no new files, same answer") {
+    val app = s"$Root/app" // built by the test above (suite-ordered)
+    val (_, inc1, _) = split
+    val filesBefore = dataFileCount(app)
+    val ansBefore = serve(app, 5L)
+    Relational.appendZorderTable(spark, app, inc1) // byte-identical replay
+    assert(dataFileCount(app) == filesBefore,
+      "replayed increment must not land a second time")
+    assert(serve(app, 5L) == ansBefore)
+  }
+
+  test("geometry is read from the cuts relation, never assumed: non-default (bits, files) serves exactly") {
+    val p = s"$Root/geom"
+    wipe(p)
+    Relational.writeZorderTableFrom(ev, p, bits = 3, files = 16, k = 512)
+    for (u <- Seq(3L, 7L))
+      assert(serve(p, u) == rawAnswer(u), s"non-default geometry diverged for $u")
+    // and appends honor the stored geometry too
+    val (base, inc1, _) = split
+    val p2 = s"$Root/geom2"
+    wipe(p2)
+    Relational.writeZorderTableFrom(base, p2, bits = 3, files = 16, k = 512)
+    Relational.appendZorderTable(spark, p2, inc1)
+    val r = pmod(coalesce(col("event_id"), lit(0L)), lit(5L))
+    val lo = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    val expect = ev.where(r =!= 4L).where(col("user_id") === 3L &&
+      col("ts") >= lo && col("ts") < lit("2024-02-16 00:00:00").cast("timestamp_ntz"))
+      .count()
+    assert(serve(p2, 3L).head._2 == expect)
+  }
+
+  test("append crash walk: partial tmp drops, complete tmp resumes, at the next writer entry") {
+    import org.apache.hadoop.fs.Path
+    val p = s"$Root/crash"
+    wipe(p)
+    val (base, inc1, inc2) = split
+    Relational.writeZorderTableFrom(base, p)
+    // 1) PARTIAL append tmp (no _SUCCESS): debris — the next writer entry
+    // must drop it and the increment must not surface
+    val tmp = new Path(p + "__append_tmp")
+    fs.mkdirs(new Path(tmp, "data/fid=0"))
+    fs.create(new Path(tmp, "data/fid=0/part-junk.parquet")).close()
+    Relational.appendZorderTable(spark, p, inc1) // writer entry heals first
+    assert(!fs.exists(tmp), "partial append tmp must be dropped")
+    // 2) COMPLETE append tmp (root _SUCCESS + INCID): a crashed promote —
+    // fabricate one the way the writer lays it, then let the next writer
+    // entry resume the move
+    val cutsDf = spark.read.parquet(s"$p/cuts")
+    Relational.zorderApplyCuts(inc2, broadcast(cutsDf), 4, 32)
+      .withColumn("fid", coalesce(col("file_id"), lit(-1L)))
+      .drop("file_id")
+      .repartition(col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(s"$tmp/data")
+    val incId = Relational.zorderIncId(inc2)
+    fs.create(new Path(tmp, s"INCID_$incId")).close()
+    fs.create(new Path(tmp, "_SUCCESS")).close()
+    Relational.compactZorderStore(spark, p) // any writer entry resumes it
+    assert(!fs.exists(tmp), "complete append tmp must be promoted")
+    assert(fs.exists(new Path(s"$p/incs/$incId")),
+      "resumed append must cut its ledger marker")
+    for (u <- Seq(3L, 5L))
+      assert(serve(p, u) == rawAnswer(u),
+        s"store after resumed append + compact must equal the union corpus for $u")
+    // 3) and the resumed increment replayed through the normal path is a no-op
+    val files = dataFileCount(p)
+    Relational.appendZorderTable(spark, p, inc2)
+    assert(dataFileCount(p) == files)
+    assert(serve(p, 5L) == rawAnswer(5L))
+  }
+
+  test("compaction collapses multi-file dirs to one file each and is invisible to serving") {
+    val p = s"$Root/cmp"
+    wipe(p)
+    val (base, inc1, inc2) = split
+    Relational.writeZorderTableFrom(base, p)
+    Relational.appendZorderTable(spark, p, inc1)
+    Relational.appendZorderTable(spark, p, inc2)
+    val ansBefore = Seq(3L, 5L, 7L).map(serve(p, _))
+    val (before, after) = Relational.compactZorderStore(spark, p)
+    assert(before > after, s"compaction must shrink touched files: $before -> $after")
+    // every dir is single-file now
+    val d = new java.io.File(s"$p/data")
+    d.listFiles().filter(_.getName.startsWith("fid=")).foreach { fd =>
+      val n = fd.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(n == 1, s"${fd.getName} still has $n files")
+    }
+    assert(Seq(3L, 5L, 7L).map(serve(p, _)) == ansBefore,
+      "compaction changed served answers")
+    assert(spark.read.parquet(s"$p/data").count() == ev.count())
+    // idempotent second run: nothing multi-file left to touch
+    assert(Relational.compactZorderStore(spark, p) == ((0, 0)))
+  }
+
+  test("compaction crash walk: debris tmp is dropped, a _SUCCESS tmp resumes mid-commit") {
+    import org.apache.hadoop.fs.Path
+    val p = s"$Root/cmpcrash"
+    wipe(p)
+    val (base, inc1, _) = split
+    Relational.writeZorderTableFrom(base, p)
+    Relational.appendZorderTable(spark, p, inc1)
+    val ans = serve(p, 5L)
+    val tmp = new Path(p + "__compact_tmp")
+    val old = new Path(p + "__compact_old")
+    // 1) no-_SUCCESS tmp: live store untouched, debris dropped
+    fs.mkdirs(new Path(tmp, "fid=0"))
+    fs.create(new Path(tmp, "fid=0/part-junk.parquet")).close()
+    val (b1, a1) = Relational.compactZorderStore(spark, p)
+    assert(!fs.exists(tmp) && !fs.exists(old))
+    assert(b1 > a1 && serve(p, 5L) == ans)
+    // rebuild a fragmented store for the mid-commit walk
+    wipe(p)
+    Relational.writeZorderTableFrom(base, p)
+    Relational.appendZorderTable(spark, p, inc1)
+    // pick a fid dir with >1 file and fabricate the exact crash states
+    val dataDir = new java.io.File(s"$p/data")
+    val fidName = dataDir.listFiles().filter(_.getName.startsWith("fid="))
+      .find(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_")) > 1).map(_.getName)
+      .getOrElse(fail("need a multi-file fid dir"))
+    val live = new Path(s"$p/data/$fidName")
+    // phase-1 output: the replacement dir + _SUCCESS
+    spark.read.parquet(live.toString).coalesce(1)
+      .write.mode("overwrite").parquet(new Path(tmp, fidName).toString)
+    fs.create(new Path(tmp, "_SUCCESS")).close()
+    // state (b): live moved aside, replacement not yet in — the worst point
+    fs.mkdirs(old)
+    assert(fs.rename(live, new Path(old, fidName)))
+    Relational.compactZorderStore(spark, p) // writer entry resumes commit
+    assert(!fs.exists(tmp) && !fs.exists(old))
+    assert(serve(p, 5L) == ans, "resumed mid-commit compact lost rows")
+    assert(spark.read.parquet(s"$p/data").count() ==
+      split._1.unionAll(split._2).count())
+  }
+
+  test("erasure: tombstone serving equals a from-scratch store without the subject; compaction makes it physical") {
+    val p = s"$Root/erase"
+    val scratch = s"$Root/erase_scratch"
+    wipe(p); wipe(scratch)
+    Relational.writeZorderTableFrom(ev, p)
+    Relational.eraseZorderSubject(spark, p, 3L)
+    Relational.eraseZorderSubject(spark, p, 3L) // replayed request: no-op
+    Relational.writeZorderTableFrom(
+      ev.where(col("user_id").isNull || col("user_id") =!= 3L), scratch)
+    // tombstone-phase serving ≡ from-scratch-without-subject serving
+    for (u <- Seq(3L, 5L, 7L))
+      assert(serve(p, u) == serve(scratch, u),
+        s"tombstone serving diverged from the scratch store for $u")
+    assert(serve(p, 3L) == rawAnswer(3L, excludeUser = Some(3L)))
+    // the tombstone read path must be a BROADCAST anti-join (a shuffled
+    // anti over the fact would make every erased subject a full shuffle)
+    val plan = Relational.eventsServed2dFrom(spark, p, 5L,
+      "2024-01-01", "2024-02-15").queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+      s"tombstone path must broadcast-anti-join:\n$plan")
+    // physical rewrite: compact filters the subject out and retires the
+    // tombstones; serving identical before/after
+    Relational.compactZorderStore(spark, p)
+    assert(!new java.io.File(s"$p/tombstones").exists(),
+      "tombstones must retire once physical")
+    assert(spark.read.parquet(s"$p/data")
+      .where(col("user_id") === 3L).count() == 0L,
+      "erased subject must have no physical rows after compaction")
+    for (u <- Seq(3L, 5L, 7L))
+      assert(serve(p, u) == serve(scratch, u),
+        s"post-compaction serving diverged for $u")
+  }
+}
