@@ -318,6 +318,14 @@ object SparkEntry {
     "search_bm25_served"    -> ((s: SparkSession, d: String) =>
       LexIndex.searchBm25Against(s, LexIndex.servedIndexPath(s, d),
         query = "customer window order part", topK = 5)),
+    // the lexical store's ERASURE lifecycle (dsar_report's retrieval
+    // leg): subject docs (id ≡ 3 mod 7) tombstoned + their mass
+    // subtracted from the corpus constants — serving must equal a
+    // from-scratch index built without them (two of this query's
+    // unerased top five vanish, so the erasure visibly re-ranks)
+    "search_bm25_erased"    -> ((s: SparkSession, d: String) =>
+      LexIndex.searchBm25Against(s, LexIndex.erasedIndexPath(s, d),
+        query = "customer window order part", topK = 5)),
     "search_hybrid_rrf_served" -> ((s: SparkSession, d: String) =>
       Embeddings.searchHybridRrfServed(s, d, LexIndex.servedIndexPath(s, d),
         query = "data stream sort", qvecId = 11)),
@@ -788,15 +796,15 @@ object SparkEntry {
     * doubles the operator actually multiplies with (a bare SQL 2.2 is a
     * DECIMAL whose nearest double may differ from Scala's k1 + 1.0). */
   private def searchBm25Sql(query: String, topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): String =
-    s"""WITH ${bm25Ctes(query, topK, k1, b)}
+      k1: Double = 1.2, b: Double = 0.75, docsWhere: String = ""): String =
+    s"""WITH ${bm25Ctes(query, topK, k1, b, docsWhere)}
        |SELECT doc_id, n_terms, score, rk FROM bm25r""".stripMargin
 
   /** The BM25 CTE chain ending in `bm25r` (the ranked, topK-limited
     * lexical relation) — shared by the standalone oracle and the hybrid
     * fusion oracle. */
   private def bm25Ctes(query: String, topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): String = {
+      k1: Double = 1.2, b: Double = 0.75, docsWhere: String = ""): String = {
     val terms = graft.operators.Corpus.bm25Terms(query)
       .map(_.replace("'", "''")) // SQL string-literal escape
     def d(v: Double) = s"CAST('$v' AS DOUBLE)"
@@ -809,7 +817,7 @@ object SparkEntry {
     }
     s"""docs AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL$docsWhere),
        |stats AS (
        |  SELECT CAST(sum(len(toks)) AS BIGINT) AS total_len,
        |         CAST(count(*) AS BIGINT) AS n_docs
@@ -3280,6 +3288,12 @@ object SparkEntry {
     // verifies it — on a DIFFERENT query/k point so the two entries
     // aren't one result checked twice
     "search_bm25_served" -> searchBm25Sql("customer window order part", 5),
+    // the erased corpus IS documents minus the subject set: the SAME
+    // from-scratch derivation, restricted — proving the tombstone
+    // anti-join AND the negative stats increment compose to exactly a
+    // rebuild without the subjects (idf/avgdl included)
+    "search_bm25_erased" -> searchBm25Sql("customer window order part", 5,
+      docsWhere = " AND NOT (doc_id % 7 = 3)"),
     "search_bm25_batch" -> searchBm25BatchSql(
       Seq(1L -> "spark join window customer", 2L -> "data stream sort",
         3L -> "zqxjkv"), 5),

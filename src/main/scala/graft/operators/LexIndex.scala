@@ -112,11 +112,12 @@ object LexIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.IO.publishStore(spark, path, "__lex_tmp") { tmp =>
-      // a crashed append's COMPLETE tmp is promoted into the OLD
-      // generation first (the IVF writer-entry contract): the rebuild
-      // supersedes the whole store either way, and no append tmp can
-      // leak into the new generation
+      // a crashed append's or erasure's COMPLETE tmp is promoted into the
+      // OLD generation first (the IVF writer-entry contract): the rebuild
+      // supersedes the whole store either way, and no append/erase tmp
+      // can leak into the new generation
       recoverLexAppend(fs, p)
+      recoverLexErase(fs, p)
       statsOf(documents)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
       postingsOf(documents)
@@ -160,6 +161,7 @@ object LexIndex {
     graft.sources.IO.recoverStore(fs, p,
       new org.apache.hadoop.fs.Path(path + "__lex_tmp"))
     recoverLexAppend(fs, p)
+    recoverLexErase(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
       s"cannot append to a missing lexical index at $path — " +
         "build one with writeLexIndex")
@@ -253,13 +255,16 @@ object LexIndex {
       .agg(coalesce(sum(col("total_len")), lit(0L)).cast("long").as("total_len"),
         coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs")))
 
-  /** The postings relation of a store, shared by BOTH serving paths. An
-    * EMPTY corpus writes a postings dir with no data files (partitionBy
-    * of zero rows) — schema inference fails there, and the correct
-    * serving result is the empty relation with the store's canonical
-    * posting schema. */
-  private def readPostings(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(s"$path/postings") catch {
+  /** The postings relation of a store, shared by BOTH serving paths —
+    * erased subjects drop here via a broadcast anti-join against the
+    * tombstone relation ([[eraseLexDocs]]), so every consumer (single
+    * query, batch, compaction) sees the post-erasure corpus through one
+    * definition. An EMPTY corpus writes a postings dir with no data
+    * files (partitionBy of zero rows) — schema inference fails there,
+    * and the correct serving result is the empty relation with the
+    * store's canonical posting schema. */
+  private def readPostings(spark: SparkSession, path: String): DataFrame = {
+    val raw = try spark.read.parquet(s"$path/postings") catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         import org.apache.spark.sql.types._
@@ -270,6 +275,164 @@ object LexIndex {
             StructField("tf", LongType), StructField("dl", LongType),
             StructField("tb", IntegerType))))
     }
+    lexTombstones(spark, path)
+      .map(t => raw.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(raw)
+  }
+
+  /** The tombstone relation of a store, if any subject was erased and
+    * not yet compacted away — erasure-request-sized (a dimension),
+    * hence always broadcast at the consumer. */
+  private def lexTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$path/tombstones")
+    val has = Option(d.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (has) Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("doc_id")).distinct())
+    else None
+  }
+
+  /** GDPR-article-17 erasure for the lexical index — the retrieval-store
+    * leg of the governance family (the z-table's [[graft.operators
+    * .Relational.eraseZorderSubject]] sibling): the store is append-only,
+    * so erasure lands as a TOMBSTONE every postings read anti-joins, PLUS
+    * a NEGATIVE stats increment (the BM25 corpus constants are exact sums
+    * over stats rows — without the subtraction an erased doc would keep
+    * deflating every surviving document's idf/avgdl normalization).
+    * `subjectDocs` is the (doc_id, text) relation of the erasure request
+    * — the subtraction replays the build's own tokenizer on it
+    * ([[statsOf]]), so post-erasure serving is hash-identical to a
+    * from-scratch index built without the subject, zero-token and
+    * NULL-text docs included. The caller passes the content AS INDEXED
+    * (the raw corpus is the single-writer store's source of truth).
+    *
+    * Idempotent by content: already-tombstoned doc_ids are excluded
+    * before the subtraction (an overlapping second request must not
+    * subtract a shared doc twice), and a fully-replayed request finds
+    * nothing fresh and returns before writing. Crash contract: both
+    * artifacts (tombstone rows + negative stats row) write COMPLETE to a
+    * tmp first (root _SUCCESS, the request's content key persisted as a
+    * filename), then promote under deterministic names — a crashed
+    * promote RESUMES at the next writer entry; a reader racing the
+    * window can transiently see one artifact without the other (the
+    * documented append-visibility caveat; the consistency point is
+    * promote completion). Tombstones retire when [[compactLexIndex]]
+    * rewrites the store physically. */
+  def eraseLexDocs(spark: SparkSession, path: String,
+      subjectDocs: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__lex_tmp"))
+    recoverLexAppend(fs, p)
+    recoverLexErase(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"cannot erase from a missing lexical index at $path")
+    val fresh0 = subjectDocs.select(col("doc_id"), col("text"))
+      .where(col("doc_id").isNotNull).dropDuplicates("doc_id")
+    val fresh = lexTombstones(spark, path)
+      .map(t => fresh0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(fresh0).localCheckpoint()
+    if (fresh.isEmpty) return // fully-replayed or empty request: no-op
+    val key = fresh.agg(concat_ws("_",
+        coalesce(expr("bit_xor(xxhash64(CAST(doc_id AS STRING)))"), lit(0L)),
+        count(lit(1))).as("k")).head().getString(0)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__erase_tmp")
+    fs.delete(tmp, true)
+    fresh.select(col("doc_id")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    statsOf(fresh).select(
+        concat(lit("erase:"), col("inc_id")).as("inc_id"),
+        (-col("total_len")).as("total_len"),
+        (-col("n_docs")).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"KEY_$key")).close()
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    promoteLexErase(fs, tmp, p, key)
+  }
+
+  /** Move a COMPLETE erase tmp's two artifacts into the live store under
+    * names keyed by the request content. Idempotent: each target renames
+    * at most once. */
+  private def promoteLexErase(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
+      key: String): Unit = {
+    def moveOne(sub: String, dstDir: String): Unit = {
+      val from = new org.apache.hadoop.fs.Path(tmp, sub)
+      if (!fs.exists(from)) return
+      val dst = new org.apache.hadoop.fs.Path(p, dstDir)
+      fs.mkdirs(dst)
+      fs.listStatus(from)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
+          case (f, i) =>
+            val target = new org.apache.hadoop.fs.Path(dst,
+              s"ers-$key-$i.parquet")
+            if (fs.exists(target)) fs.delete(f, false)
+            else if (!fs.rename(f, target))
+              sys.error(s"erase: cannot move $f to $target")
+        }
+    }
+    moveOne("tombstones", "tombstones")
+    moveOne("stats", "stats")
+    fs.delete(tmp, true)
+  }
+
+  /** WRITER-entry healing for a crashed erasure: a tmp with the root
+    * _SUCCESS resumes its promote under the key persisted in the tmp;
+    * one without is debris — dropped (the caller replays the request,
+    * and the content key plus the already-tombstoned exclusion make
+    * that safe). */
+  private def recoverLexErase(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__erase_tmp")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.listStatus(tmp).map(_.getPath.getName)
+        .find(_.startsWith("KEY_")).map(_.stripPrefix("KEY_"))
+        .foreach(key => promoteLexErase(fs, tmp, p, key))
+    else fs.delete(tmp, true)
+  }
+
+  /** Physical compaction of the lexical store — the maintenance pass
+    * that makes erasure physical and reverses append decay: postings
+    * rewrite without tombstoned docs (and with replayed-append duplicate
+    * rows collapsed), stats consolidate to ONE row (negative erase
+    * increments folded in), and the generation swap retires the
+    * tombstone relation wholesale. A full-store rewrite, deliberately:
+    * postings are term-bucketed, not doc-keyed, so an erased doc's rows
+    * scatter across every bucket — this is the standing OPTIMIZE cost of
+    * an inverted index, run at maintenance cadence (the z-table's
+    * per-directory incremental compaction has no analog here). Published
+    * through the shared tmp + _SUCCESS + rename-aside protocol: a crash
+    * leaves the old complete generation (tombstones intact — serving
+    * stays post-erasure correct throughout). */
+  def compactLexIndex(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverLexAppend(fs, p)
+    recoverLexErase(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"cannot compact a missing lexical index at $path")
+    // force the consolidated inputs BEFORE the swap: their plans read the
+    // generation the swap replaces
+    val postings = readPostings(spark, path).distinct().localCheckpoint()
+    val statsRow = spark.read.parquet(s"$path/stats")
+      .dropDuplicates("inc_id")
+      .agg(concat_ws("_", lit("compact"),
+          coalesce(expr("bit_xor(xxhash64(inc_id))"), lit(0L)),
+          count(lit(1))).as("inc_id"),
+        coalesce(sum(col("total_len")), lit(0L)).cast("long").as("total_len"),
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs"))
+      .localCheckpoint()
+    graft.sources.IO.publishStore(spark, path, "__lex_tmp") { tmp =>
+      statsRow.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+      postings
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
+    }
+  }
 
   /** Query-BATCH serving from a persisted index — the shape a production
     * retriever actually runs (the IVF serve's `queries` relation, on the
@@ -346,6 +509,27 @@ object LexIndex {
       // a new session always rebuilds (publishStore swaps atomically), so
       // a stale store from an earlier JVM can never serve this session
       writeLexIndex(spark, dir, path)
+      path
+    })
+  }
+
+  /** Store for `search_bm25_erased`: full build, then every doc of the
+    * deterministic subject set (doc_id ≡ 3 mod 7 — it holds two of the
+    * served query's unerased top five, so the erasure visibly reshapes
+    * the ranking) erased via [[eraseLexDocs]], the request replayed
+    * verbatim to exercise the content-keyed no-op. Serving reads the
+    * tombstone-phase paths (anti-joined postings + negative stats); the
+    * physical [[compactLexIndex]] identity is spec-pinned. */
+  def erasedIndexPath(spark: SparkSession, dir: String): String = {
+    servedMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    servedMemo.getOrElseUpdate((spark, s"ers:$dir"), {
+      val path = storePathFor(s"ers:$dir")
+      writeLexIndex(spark, dir, path)
+      val subjects = Tables.documents(spark, dir)
+        .where(pmod(col("doc_id"), lit(7L)) === 3L)
+        .select(col("doc_id"), col("text"))
+      eraseLexDocs(spark, path, subjects)
+      eraseLexDocs(spark, path, subjects) // replayed request: no-op
       path
     })
   }

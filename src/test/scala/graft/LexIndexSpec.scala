@@ -313,6 +313,117 @@ class LexIndexSpec extends AnyFunSuite {
         s"(expected ${idf * tnorm})")
   }
 
+  test("erasure: tombstone serving equals a from-scratch index without the subjects") {
+    import graft.sources.Tables
+    val idx = "/tmp/graft_lex_erase"
+    val scratch = "/tmp/graft_lex_erase_scratch"
+    wipe(idx); wipe(scratch)
+    LexIndex.writeLexIndex(spark, Sf, idx)
+    val subjects = Tables.documents(spark, Sf)
+      .where(pmod(col("doc_id"), lit(7L)) === 3L)
+      .select(col("doc_id"), col("text"))
+    val before = rows(LexIndex.searchBm25Against(spark, idx,
+      "customer window order part", topK = 5))
+    LexIndex.eraseLexDocs(spark, idx, subjects)
+    LexIndex.writeLexIndexFrom(Tables.documents(spark, Sf)
+      .where(col("doc_id").isNull || pmod(col("doc_id"), lit(7L)) =!= 3L),
+      scratch)
+    val points = Seq(("customer window order part", 5),
+      ("spark join window customer", 10), ("zqxjkv", 10))
+    points.foreach { case (q, k) =>
+      val erased = rows(LexIndex.searchBm25Against(spark, idx, q, topK = k))
+      val rebuilt = rows(LexIndex.searchBm25Against(spark, scratch, q, topK = k))
+      assert(erased == rebuilt, s"erased serve diverged from rebuild for ($q,$k)")
+      assert(erased.forall(_._1 % 7 != 3), "an erased doc surfaced")
+    }
+    // the erasure visibly re-ranked (two of the unerased top five vanish)
+    assert(rows(LexIndex.searchBm25Against(spark, idx,
+      "customer window order part", topK = 5)) != before,
+      "the subject set was chosen to bite — the ranking must change")
+    // replayed and OVERLAPPING requests must not double-subtract the
+    // corpus constants: serve again after both, still rebuild-identical
+    LexIndex.eraseLexDocs(spark, idx, subjects)
+    LexIndex.eraseLexDocs(spark, idx, Tables.documents(spark, Sf)
+      .where(pmod(col("doc_id"), lit(7L)) === 3L ||
+        col("doc_id") === 317L).select(col("doc_id"), col("text")))
+    val scratch2 = "/tmp/graft_lex_erase_scratch2"
+    wipe(scratch2)
+    LexIndex.writeLexIndexFrom(Tables.documents(spark, Sf)
+      .where(col("doc_id").isNull || (pmod(col("doc_id"), lit(7L)) =!= 3L &&
+        col("doc_id") =!= 317L)), scratch2)
+    points.foreach { case (q, k) =>
+      assert(rows(LexIndex.searchBm25Against(spark, idx, q, topK = k)) ==
+        rows(LexIndex.searchBm25Against(spark, scratch2, q, topK = k)),
+        s"overlapping erasure diverged from rebuild for ($q,$k)")
+    }
+  }
+
+  test("erasure goes physical at compaction: tombstones retire, no subject rows remain, serving unchanged") {
+    import graft.sources.Tables
+    val idx = "/tmp/graft_lex_erase_phys"
+    wipe(idx)
+    LexIndex.writeLexIndex(spark, Sf, idx)
+    LexIndex.eraseLexDocs(spark, idx, Tables.documents(spark, Sf)
+      .where(pmod(col("doc_id"), lit(7L)) === 3L)
+      .select(col("doc_id"), col("text")))
+    val points = Seq(("customer window order part", 5),
+      ("spark join window customer", 10))
+    val served = points.map { case (q, k) =>
+      rows(LexIndex.searchBm25Against(spark, idx, q, topK = k)) }
+    LexIndex.compactLexIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "tombstones must retire once physical")
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(pmod(col("doc_id"), lit(7L)) === 3L).count() == 0L,
+      "erased subjects must have no physical postings after compaction")
+    assert(points.map { case (q, k) =>
+      rows(LexIndex.searchBm25Against(spark, idx, q, topK = k)) } == served,
+      "compaction changed served results")
+    // stats consolidated to ONE row whose sums already fold the erasure
+    assert(spark.read.parquet(s"$idx/stats").count() == 1L)
+  }
+
+  test("erasure crash walk: partial tmp drops, complete tmp resumes, at the next writer entry") {
+    import graft.sources.Tables
+    import org.apache.hadoop.fs.Path
+    val idx = "/tmp/graft_lex_erase_crash"
+    wipe(idx)
+    LexIndex.writeLexIndex(spark, Sf, idx)
+    val p = new Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(idx + "__erase_tmp")
+    val subjects = Tables.documents(spark, Sf)
+      .where(pmod(col("doc_id"), lit(7L)) === 3L)
+      .select(col("doc_id"), col("text"))
+    // 1) PARTIAL erase tmp (no _SUCCESS): debris — dropped, store unchanged
+    fs.mkdirs(new Path(tmp, "tombstones"))
+    fs.create(new Path(tmp, "tombstones/part-junk.parquet")).close()
+    val clean = rows(LexIndex.searchBm25Against(spark, idx,
+      "customer window order part", topK = 5))
+    LexIndex.eraseLexDocs(spark, idx, subjects.limit(0)) // writer entry
+    assert(!fs.exists(tmp), "partial erase tmp must drop")
+    assert(rows(LexIndex.searchBm25Against(spark, idx,
+      "customer window order part", topK = 5)) == clean)
+    // 2) COMPLETE erase tmp: fabricate the writer's exact layout, then a
+    // writer entry resumes the promote
+    subjects.select(col("doc_id")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    spark.range(1).select(lit("erase:probe_1").as("inc_id"),
+        lit(-100L).as("total_len"), lit(-1L).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    fs.create(new Path(tmp, "KEY_probe")).close()
+    fs.create(new Path(tmp, "_SUCCESS")).close()
+    LexIndex.appendLexIndex(spark, idx,
+      Tables.documents(spark, Sf).limit(0)) // any writer entry
+    assert(!fs.exists(tmp), "complete erase tmp must promote")
+    assert(new java.io.File(s"$idx/tombstones").listFiles()
+      .exists(_.getName == "ers-probe-0.parquet"),
+      "promoted tombstone must land under its content-keyed name")
+    // the tombstone now bites: no subject doc can surface
+    assert(rows(LexIndex.searchBm25Against(spark, idx,
+      "customer window order part", topK = 5)).forall(_._1 % 7 != 3))
+  }
+
   test("servedIndexPath is collision-proof: dirs that sanitize alike " +
     "get distinct stores; the path is session-unpredictable") {
     val p1 = LexIndex.storePathFor("/data/a b")
