@@ -221,6 +221,12 @@ object SparkEntry {
     // payloads never shuffle, the digest is computed at the scan
     "dedup_media"           -> ((s: SparkSession, d: String) =>
       Multimodal.dedupMedia(s, d)),
+    // perceptual media near-dup: weighted SimHash over the 64-bin byte
+    // histogram, LSH-banded with the hot-bucket cap, candidates verified
+    // by EXACT cross-multiplied integer L1 — catches the re-encoded /
+    // re-wrapped copy whose byte digest differs
+    "dedup_media_perceptual" -> ((s: SparkSession, d: String) =>
+      Multimodal.dedupMediaPerceptual(s, d)),
     // 2-D predicate served from the durable z-clustered table: the
     // cutpoints map (user, day-range) onto ≤4 of 32 file dirs, the scan
     // partition-prunes, the exact predicate is residual — same answer
@@ -3136,6 +3142,66 @@ object SparkEntry {
       |       md5(CASE WHEN orig_n = 0 THEN '00'
       |                ELSE substr(hx, 1, (keep * 2)::INT) END) AS thumb_sig
       |FROM rz2""".stripMargin),
+
+    // the perceptual pipeline replayed end to end in SQL: byte histogram
+    // from the hex rendering, pinned md5 bin-vote signs, 32 signature
+    // bits, 4x8-bit band keys with the kn>=2..<=64 cap, exact integer
+    // cross-L1 verify, and the (sim DESC, other DESC) best-match rank —
+    // every step integer-exact except the single mirrored float division
+    "dedup_media_perceptual" -> (multimodalCtes + """,
+      |pbl AS (
+      |  SELECT media_id, n,
+      |         list_transform(range(0, n::INT),
+      |           i -> CAST('0x' || substr(hx, (i*2+1)::INT, 2) AS BIGINT)) AS bytes
+      |  FROM b WHERE n > 0),
+      |pcnt AS (
+      |  SELECT media_id, n,
+      |         list_transform(range(0, 64),
+      |           j -> len(list_filter(bytes, x -> x % 64 = j))::BIGINT) AS counts
+      |  FROM pbl),
+      |phh AS (
+      |  SELECT list_transform(range(0, 64),
+      |           j -> md5_number_lower('ph:' || j)) AS hs),
+      |pbits AS (
+      |  SELECT media_id, t,
+      |         CASE WHEN list_sum(list_transform(range(0, 64),
+      |           j -> counts[(j+1)::INT] *
+      |                (CAST((hs[(j+1)::INT] >> t::INT) & 1 AS BIGINT) * 2 - 1)))
+      |           >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM pcnt CROSS JOIN phh CROSS JOIN (SELECT unnest(range(0, 32)) AS t)),
+      |psig AS (
+      |  SELECT media_id, sum(bit * (1::BIGINT << t::INT))::BIGINT AS sig
+      |  FROM pbits GROUP BY 1),
+      |pkeys AS (
+      |  SELECT media_id,
+      |         CAST(c AS VARCHAR) || '|' ||
+      |         CAST((sig >> (8 * c)::INT) & 255 AS VARCHAR) AS key
+      |  FROM psig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+      |pkc AS (SELECT key, count(*) AS kn FROM pkeys GROUP BY 1),
+      |pek AS (SELECT k.media_id, k.key FROM pkeys k JOIN pkc USING (key)
+      |        WHERE kn >= 2 AND kn <= 64),
+      |pprs AS (SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b
+      |         FROM pek l JOIN pek r ON l.key = r.key AND l.media_id < r.media_id),
+      |psims AS (
+      |  SELECT p.id_a, p.id_b,
+      |         round(CAST(1 AS DOUBLE) -
+      |           list_sum(list_transform(range(0, 64),
+      |             j -> abs(a.counts[(j+1)::INT] * b2.n
+      |                      - b2.counts[(j+1)::INT] * a.n)))
+      |           / (CAST(2 AS DOUBLE) * a.n * b2.n), 6) AS sim
+      |  FROM pprs p JOIN pcnt a ON a.media_id = p.id_a
+      |              JOIN pcnt b2 ON b2.media_id = p.id_b),
+      |pdirs AS (SELECT id_a AS id, id_b AS other, sim FROM psims
+      |          UNION ALL SELECT id_b, id_a, sim FROM psims),
+      |pbest AS (SELECT id, other, sim,
+      |                 row_number() OVER (PARTITION BY id
+      |                   ORDER BY sim DESC, other DESC) AS rk,
+      |                 count(*) OVER (PARTITION BY id) AS nc FROM pdirs)
+      |SELECT m.media_id, COALESCE(pb.nc, 0) AS n_candidates,
+      |       pb.other AS best_match_id, pb.sim AS best_sim,
+      |       COALESCE(pb.sim >= CAST('0.98' AS DOUBLE), false) AS is_dup
+      |FROM m LEFT JOIN (SELECT * FROM pbest WHERE rk = 1) pb
+      |  ON pb.id = m.media_id""".stripMargin),
 
     "multimodal_features" -> (multimodalCtes + """,
       |bl AS (

@@ -284,6 +284,135 @@ object Multimodal {
         md5(col("counts_csv")).as("feat_sig"))
   }
 
+  /** Perceptual signature constants: one pinned 64-bit hash per histogram
+    * bin (md5 of "ph:<bin>", the engine-wide md5_number_lower family the
+    * SQL oracle replays verbatim); bit t of bin j's hash is j's vote sign
+    * for signature bit t. Driver-computed once — 64 longs. */
+  private lazy val PerceptualBinHash: Array[Long] =
+    Array.tabulate(64)(j => graft.expressions.Kernels.md5LowerOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"ph:$j")))
+
+  /** Signature bits (32): the weighted-SimHash vote over the byte
+    * histogram — s_t = Σ_j counts(j)·sign(j,t), bit t = [s_t ≥ 0]. */
+  val PerceptualBits = 32
+
+  /** Perceptual media near-dup — the leg [[dedupMedia]]'s byte-digest
+    * equality CANNOT catch: a re-encoded / re-wrapped / lightly-corrupted
+    * copy of the same asset hashes differently byte-for-byte but keeps a
+    * near-identical BYTE-VALUE DISTRIBUTION. The signature is a weighted
+    * SimHash over the 64-bin histogram ([[byteHistogram]]'s integer
+    * counts — the deterministic stand-in for a perceptual feature
+    * network; swap in pHash/chromaprint features in production, the
+    * plumbing is identical): each bin votes its count into 32 signature
+    * bits under pinned md5-derived signs, so near-identical histograms
+    * agree on almost every bit (SimHash's Goemans–Williamson guarantee,
+    * applied to the L1 geometry the histogram lives in).
+    *
+    * Scale shape = the text near-dup family's (NearDup.dedupSimhash):
+    * LSH-block on 4×8-bit signature bands (any shared band → candidate,
+    * band keys capped at the hot-bucket bound so a degenerate corpus of
+    * one repeated asset can't go quadratic), then EXACT verification on
+    * candidates only — the normalized L1 distance between the two
+    * histograms, computed in CROSS-MULTIPLIED integer arithmetic
+    * (Σ_j |a_j·n_b − b_j·n_a| over exact longs; the single float step,
+    * sim = 1 − S/(2·n_a·n_b), mirrors the oracle token-for-token).
+    * Payloads never ride the candidate join — only the 64-long count
+    * vector (~0.5 KB), the signature-sized state rule every near-dup
+    * operator here follows. Zero-byte payloads have no perceptual
+    * content and take no part (the NULL-text contract's media twin).
+    *
+    * Output: one row per media entity — candidate count, best match,
+    * best similarity, is_dup at `thr` — the lshSummary shape. */
+  def dedupMediaPerceptual(spark: SparkSession, dir: String,
+      thr: Double = 0.98): DataFrame =
+    dedupMediaPerceptualFrom(mediaTable(spark, dir), thr)
+
+  /** [[dedupMediaPerceptual]] over an explicit (media_id, kind, payload)
+    * relation — `media` must already be entity-distinct (the mediaTable
+    * contract). */
+  private[graft] def dedupMediaPerceptualFrom(media: DataFrame,
+      thr: Double): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val binHash = PerceptualBinHash
+    val nBits = PerceptualBits
+    val base = media.as[MediaRecord]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val counts = new Array[Long](64)
+        var i = 0
+        while (i < m.payload.length) { counts((m.payload(i) & 0xff) % 64) += 1L; i += 1 }
+        var sig = 0L
+        var t = 0
+        while (t < nBits) {
+          var s = 0L
+          var j = 0
+          while (j < 64) {
+            s += counts(j) * (((binHash(j) >>> t) & 1L) * 2L - 1L)
+            j += 1
+          }
+          if (s >= 0L) sig |= 1L << t
+          t += 1
+        }
+        val keys = (0 until nBits / 8).map(c =>
+          s"$c|${(sig >>> (8 * c)) & 0xffL}")
+        (m.media_id, m.payload.length.toLong, counts.toSeq, sig, keys)
+      }))
+      .toDF("id", "n", "counts", "sig", "keys")
+      .where(col("n") > 0)
+    // the signature base feeds the key explode, the key-count cap, and
+    // both sides of the candidate join — persist it once (the NearDup
+    // memoBase rationale, scoped to this call)
+    base.persist()
+    try {
+      val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
+      val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
+      // kn >= 2 (a solo key can never pair) and <= the hot-bucket cap
+      // (one viral asset re-encoded 10^6 times must not go quadratic;
+      // its copies still pair through exact dedup_media + the capped
+      // residue, and the drop is the family's documented trade)
+      val exploded = allKeys.join(
+          keyCounts.where(col("kn") >= 2 && col("kn") <= 64), "key")
+        .select(col("id"), col("key"))
+      val pairs = exploded.as("l")
+        .join(exploded.as("r"),
+          col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val sides = base.select(col("id"), col("n"), col("counts"))
+      // exact integer cross-L1 over the fixed 64 bins: a plain codegen'd
+      // 64-term sum, no interpreted lambdas in the hot path
+      val l1x = (0 until 64).map(j =>
+        abs(element_at(col("ca"), j + 1) * col("nb") -
+          element_at(col("cb"), j + 1) * col("na"))).reduce(_ + _)
+      val scored = pairs
+        .join(sides.select(col("id").as("id_a"), col("n").as("na"),
+          col("counts").as("ca")), "id_a")
+        .join(sides.select(col("id").as("id_b"), col("n").as("nb"),
+          col("counts").as("cb")), "id_b")
+        .withColumn("sim", round(lit(1.0) -
+          l1x.cast("double") / (lit(2.0) * col("na") * col("nb")), 6))
+        .select(col("id_a"), col("id_b"), col("sim"))
+      val perDoc = scored
+        .select(col("id_a").as("id"), col("id_b").as("other"), col("sim"))
+        .unionAll(scored
+          .select(col("id_b").as("id"), col("id_a").as("other"), col("sim")))
+        .groupBy("id")
+        .agg(count("*").as("n_candidates"),
+          max(struct(col("sim"), col("other"))).as("best"))
+        .select(col("id"), col("n_candidates"),
+          col("best.other").as("best_match_id"), col("best.sim").as("best_sim"))
+      // every media entity reports, zero-byte payloads included (they
+      // carry no signature, hence no candidates)
+      media.select(col("media_id"))
+        .join(perDoc, col("media_id") === col("id"), "left")
+        .select(col("media_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("best_match_id"), col("best_sim"),
+          coalesce(col("best_sim") >= thr, lit(false)).as("is_dup"))
+        .localCheckpoint() // free the persisted base eagerly below
+    } finally base.unpersist()
+  }
+
   /** Frame sampling: explode the decode plan into per-frame rows with
     * deterministic offsets — the input shape for a frame-featurizer. */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =

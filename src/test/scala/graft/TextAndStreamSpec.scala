@@ -306,6 +306,64 @@ class TextAndStreamSpec extends AnyFunSuite {
     assert(f.count() == graft.sources.Tables.documents(spark, Sf).count())
   }
 
+  test("perceptual media near-dup pairs planted re-encodes and leaves disjoint media unpaired") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 30 "originals": distinct synthetic blobs with DIFFERENT byte
+    // profiles (each biased to its own byte band — disjoint media must
+    // not pair on a shared language profile)
+    def blob(seed: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => (((seed * 37 + i * i * 13 + i) % 97 +
+        (seed % 8) * 32) & 0xff).toByte)
+    val originals = (0 until 30).map(i => (i.toLong, "image", blob(i, 3000)))
+    // 10 "re-encodes": the original bytes re-wrapped (a prepended header
+    // stanza) plus light noise — byte digests differ, histograms nearly
+    // identical. ids 100+i re-encode original i.
+    val reencodes = (0 until 10).map { i =>
+      val src = blob(i, 3000)
+      val header = Array.tabulate(24)(j => ((j * 7 + i) & 0xff).toByte)
+      val noisy = src.clone()
+      (0 until 15).foreach { _ =>
+        noisy(rnd.nextInt(noisy.length)) = rnd.nextInt(256).toByte }
+      (100L + i, "video", header ++ noisy)
+    }
+    val media = (originals ++ reencodes)
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.dedupMediaPerceptualFrom(media, thr = 0.98)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    // every planted re-encode pairs with ITS original, above threshold
+    (0 until 10).foreach { i =>
+      val (_, best, dup) = out(100L + i)
+      assert(dup, s"re-encode of $i must flag as perceptual dup")
+      assert(best.contains(i.toLong),
+        s"re-encode of $i must best-match its original, got $best")
+      assert(out(i.toLong)._3, s"original $i must flag back")
+    }
+    // disjoint originals (no planted copy) must not flag
+    (10 until 30).foreach { i =>
+      assert(!out(i.toLong)._3, s"disjoint media $i must not flag as dup")
+    }
+    // the hot-bucket cap: a degenerate corpus of ONE asset re-encoded
+    // 100 times would pair quadratically (C(100,2) per band key) — keys
+    // with kn > 64 drop instead (the family's documented trade; exact
+    // dedup_media still catches byte-identical floods)
+    val flood = (0 until 100).map(i => (500L + i, "image", blob(1, 3000)))
+      .toDF("media_id", "kind", "payload")
+    val fl = Multimodal.dedupMediaPerceptualFrom(flood, thr = 0.98)
+    assert(fl.where(col("n_candidates") > 0).count() == 0,
+      "kn>cap band keys must drop — the flood cannot go quadratic")
+    // a byte-identical clone is ALSO a perceptual dup (sim 1.0) — the
+    // exact-dedup overlap is inclusive, not exclusive
+    val withClone = media.unionAll(
+      Seq((200L, "image", blob(5, 3000))).toDF("media_id", "kind", "payload"))
+    val c = Multimodal.dedupMediaPerceptualFrom(withClone, thr = 0.98)
+      .where(col("media_id") === 200L).collect().head
+    assert(c.getBoolean(4) && c.getDouble(3) == 1.0,
+      s"byte-identical clone must score sim 1.0: $c")
+  }
+
   test("multimodal frame offsets are monotone within a video") {
     val fr = Multimodal.multimodalFrames(spark, Sf).where(col("kind") === "video")
     val bad = fr.as("a").join(fr.as("b"),
