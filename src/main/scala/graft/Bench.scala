@@ -25,9 +25,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated query filter for LOCAL A/B runs (the
+    // driver never sets it, so official records always cover the full
+    // registry): isolates one query's cost from suite neighbors when
+    // re-baselining a drift
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.map(o => SparkEntry.queries.view.filterKeys(o).toMap)
+      .getOrElse(SparkEntry.queries)
     // JIT/codegen warm-up on the smallest scale so per-query numbers
     // measure the operator, not first-call compilation.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
@@ -40,7 +48,7 @@ object Bench {
     // Releasing the caches between passes keeps each pass's cost model
     // identical to a production run: the builder pays once, sharers reuse.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = selected.keys.toSeq.sorted
     // a failed query must not record its (near-zero) elapsed time — that
     // would report a BROKEN operator as the fastest one and silently
     // improve the official total. Failures are excluded from the medians
@@ -56,7 +64,7 @@ object Bench {
         // don't burn wall-clock re-running it in later passes
         if (failed(name)) name -> 0.0
         else {
-          val fn = SparkEntry.queries(name)
+          val fn = selected(name)
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
