@@ -430,6 +430,39 @@ object ScaleProbe {
     def srcOv(df: DataFrame): DataFrame =
       graft.operators.TextOps.sourceOverlapFrom(df)
 
+    // DURABLE Z-TABLE serving decay: ONE fixed 2-D point-range query
+    // against the SAME Nx corpus persisted two ways — a one-shot rebuild
+    // vs base + appended increment (the production lifecycle). The
+    // pruned fid set is geometry-bounded (≤4 of 32) either way, so the
+    // claim is not "flat vs N" (the pruned dirs hold N× rows — serving
+    // tracks the pruned fraction, which is the design) but "appends are
+    // FREE at serve time": appended/rebuilt ≈ 1, and compaction keeps it
+    // there while restoring the one-file-per-dir layout.
+    val zPts: Seq[Option[(String, Double, Double)]] =
+      if (want("z2d_append") || want("z2d_compact")) {
+        val zR = "/tmp/graft_probe_zR"
+        val zA = "/tmp/graft_probe_zA"
+        import scala.reflect.io.Directory
+        Seq(zR, zA).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        graft.operators.Relational.writeZorderTableFrom(evN, zR)
+        val rs = pmod(coalesce(col("event_id"), lit(0L)), lit(4L))
+        graft.operators.Relational.writeZorderTableFrom(
+          evN.where(rs =!= 0L), zA)
+        graft.operators.Relational.appendZorderTable(spark, zA,
+          evN.where(rs === 0L))
+        def zServe(p: String): DataFrame =
+          graft.operators.Relational.eventsServed2dFrom(spark, p, 5L,
+            "2024-01-03", "2024-02-15")
+        val a1 = time("z2d rebuilt")(zServe(zR))
+        val a2 = time("z2d appended")(zServe(zA))
+        graft.operators.Relational.compactZorderStore(spark, zA)
+        val c1 = time("z2d rebuilt'")(zServe(zR))
+        val c2 = time("z2d compacted")(zServe(zA))
+        Seq(if (want("z2d_append")) Some(("z2d_append", a1, a2)) else None,
+          if (want("z2d_compact")) Some(("z2d_compact", c1, c2)) else None)
+      } else Seq.empty
+
     def point(name: String)(a: => Double, b: => Double)
         : Option[(String, Double, Double)] =
       if (want(name)) Some((name, a, b)) else None
@@ -573,7 +606,7 @@ object ScaleProbe {
           evN.select(col("event_id"), col("user_id")), "user_id",
           evN.where(pmod(col("user_id"), lit(20L)) === 0)
             .select(col("user_id").as("bk")).distinct(), "bk", 1L << 21)))
-    ).flatten
+    ).flatten ++ zPts.flatten
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
     }

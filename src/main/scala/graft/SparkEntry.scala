@@ -173,6 +173,11 @@ object SparkEntry {
     // deterministically sampled centroids — the one IVF path whose
     // BLOCKING geometry the oracle replays value-for-value
     "ann_ivf_seeded"        -> ((s: SparkSession, d: String) => Embeddings.annIvfSeeded(s, d)),
+    // IVF-store ERASURE lifecycle: the seeded assignment persisted as a
+    // durable index, subject vectors (vec_id ≡ 2 mod 13) tombstoned +
+    // anti-joined at serve (before the candidate cap), centroids kept
+    "ann_ivf_erased"        -> ((s: SparkSession, d: String) =>
+      Embeddings.annIvfErasedServed(s, d)),
     // product quantization (FAISS IndexPQ shape): 8-byte codes, ADC scan,
     // exact re-rank — seeded codebook, so the compression pipeline itself
     // is oracle-hash-verified
@@ -1151,6 +1156,34 @@ object SparkEntry {
     * each query's nprobe probed buckets (with the inert-but-mirrored
     * 1024 hot-bucket cap), PQ codes score them by the same fixed-order
     * ADC as ann_pq, and the top-50 re-rank by exact cosine. */
+  /** The seeded-IVF serve replayed in SQL (ann_ivf_seeded), with an
+    * optional candidate-side WHERE — the erasure twin filters the
+    * subjects out before the per-bucket cap, exactly where the store's
+    * tombstone anti-join runs. */
+  private def seededIvfSql(cappedWhere: String = ""): String =
+    s"""WITH $seededAssignCte,
+      |np AS (SELECT greatest(8, CAST(ceil(k * 0.25) AS BIGINT)) AS nprobe FROM kk),
+      |q0 AS (SELECT vec_id AS qid, e AS qe FROM assign WHERE vec_id < 100),
+      |p0 AS (
+      |  SELECT q.qid, q.qe, s.bucket,
+      |         list_dot_product(list_transform(list_zip(q.qe, s.ce), x -> x[1] - x[2]),
+      |                          list_transform(list_zip(q.qe, s.ce), x -> x[1] - x[2])) AS cdist
+      |  FROM q0 q, seeds s),
+      |probes AS (
+      |  SELECT qid, qe, bucket FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, bucket) AS crk FROM p0)
+      |  WHERE crk <= (SELECT nprobe FROM np)),
+      |capped AS (
+      |  SELECT vec_id, e, bucket FROM (
+      |    SELECT vec_id, e, bucket, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+      |    FROM assign$cappedWhere) WHERE bn <= 1024),
+      |s1 AS (
+      |  SELECT p.qid, a.vec_id, round(${cosSql("a.e", "p.qe")}, 6) AS sim
+      |  FROM capped a JOIN probes p USING (bucket) WHERE a.vec_id <> p.qid),
+      |r AS (SELECT qid, vec_id, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s1)
+      |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin
+
   private def annIvfPqSql: String = {
     val codes = graft.operators.Embeddings.PqCodes
     s"""WITH $seededAssignCte,
@@ -2949,29 +2982,13 @@ object SparkEntry {
         |FROM r ORDER BY singleton DESC, outlier_ratio DESC, vec_id
         |LIMIT 100""".stripMargin,
 
-    "ann_ivf_seeded" ->
-      s"""WITH $seededAssignCte,
-        |np AS (SELECT greatest(8, CAST(ceil(k * 0.25) AS BIGINT)) AS nprobe FROM kk),
-        |q0 AS (SELECT vec_id AS qid, e AS qe FROM assign WHERE vec_id < 100),
-        |p0 AS (
-        |  SELECT q.qid, q.qe, s.bucket,
-        |         list_dot_product(list_transform(list_zip(q.qe, s.ce), x -> x[1] - x[2]),
-        |                          list_transform(list_zip(q.qe, s.ce), x -> x[1] - x[2])) AS cdist
-        |  FROM q0 q, seeds s),
-        |probes AS (
-        |  SELECT qid, qe, bucket FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, bucket) AS crk FROM p0)
-        |  WHERE crk <= (SELECT nprobe FROM np)),
-        |capped AS (
-        |  SELECT vec_id, e, bucket FROM (
-        |    SELECT vec_id, e, bucket, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
-        |    FROM assign) WHERE bn <= 1024),
-        |s1 AS (
-        |  SELECT p.qid, a.vec_id, round(${cosSql("a.e", "p.qe")}, 6) AS sim
-        |  FROM capped a JOIN probes p USING (bucket) WHERE a.vec_id <> p.qid),
-        |r AS (SELECT qid, vec_id, sim,
-        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s1)
-        |SELECT qid, rk, vec_id, sim FROM r WHERE rk <= 10""".stripMargin,
+    "ann_ivf_seeded" -> seededIvfSql(),
+
+    // the erased store IS the same seeded geometry minus the subjects:
+    // centroids/probes unchanged (erase the vectors, keep the
+    // quantizer), the candidate side filtered BEFORE the per-bucket cap
+    // — erased vectors neither surface nor hold cap slots
+    "ann_ivf_erased" -> seededIvfSql(" WHERE NOT (vec_id % 13 = 2)"),
 
     // PQ replayed end-to-end: seeded codebook (md5 sample), per-subspace
     // first-min argmin codes, per-query LUT, fixed-order ADC sums

@@ -519,6 +519,46 @@ object Embeddings {
     ivfSearchOn(assigned, cents, q, nprobe)
   }
 
+  private val erasedIvfMemo = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String), String]
+
+  /** Store for `ann_ivf_erased`: the SEEDED assignment persisted as a
+    * durable index (deterministic centroids — the one IVF geometry the
+    * SQL oracle can replay), then every vector of the deterministic
+    * subject set (vec_id ≡ 2 mod 13) erased via [[eraseIvfVectors]], the
+    * request replayed verbatim to exercise the content-keyed no-op.
+    * Serving reads the tombstone-phase path; [[compactIvfIndex]]'s
+    * physical identity is spec-pinned. */
+  private def erasedIvfPath(spark: SparkSession, dir: String): String = {
+    erasedIvfMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    erasedIvfMemo.getOrElseUpdate((spark, dir), {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val nonce = java.lang.Long.toHexString(
+        new java.security.SecureRandom().nextLong())
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivf_ers_${safe}_${key}_$nonce").getAbsolutePath
+      val (assigned, cents) = seededAssignFor(spark, dir)
+      writeIvfIndexFrom(assigned, cents, path)
+      val subjects = corpus(spark, dir)
+        .where(pmod(col("vec_id"), lit(13L)) === 2L).select(col("vec_id"))
+      eraseIvfVectors(spark, path, subjects)
+      eraseIvfVectors(spark, path, subjects) // replayed request: no-op
+      path
+    })
+  }
+
+  /** The registered IVF-erasure query: the seeded query batch served
+    * from the erased durable store — erased vectors neither surface nor
+    * hold candidate-cap slots, centroids unchanged (erase the vectors,
+    * keep the quantizer — the standard ANN-store erasure semantics). */
+  def annIvfErasedServed(spark: SparkSession, dir: String): DataFrame = {
+    val q = corpus(spark, dir).where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    annIvfAgainst(spark, erasedIvfPath(spark, dir), q)
+  }
+
   // ---- product quantization -------------------------------------------
 
   /** PQ geometry: [[Dim]] splits into PqM subspaces of Dim/PqM dims, each
@@ -737,6 +777,8 @@ object Embeddings {
     // can survive into the new generation (no mixing).
     graft.sources.IO.publishStore(spark, indexPath, "__index_tmp") { tmp =>
       recoverIvfAppend(fs, p)
+      recoverIvfErase(fs, p)
+      recoverIvfCompact(fs, p)
       centDf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
       assigned.select(col("vec_id"), col("emb"), col("label"), col("bucket"))
         // one file per bucket directory (the repartition key IS the
@@ -793,11 +835,155 @@ object Embeddings {
       .collect().map(_.getAs[Int]("bucket")).sorted
     if (touched.isEmpty) // empty index or empty query batch
       return emptyServeResult(spark, queries)
-    val assigned = Shuffles.distinctEntities(
+    // erased subjects drop BEFORE the per-bucket candidate cap: an
+    // erased vector must neither surface nor consume a cap slot a
+    // surviving vector would have had in a store built without it
+    val assigned0 = Shuffles.distinctEntities(
       spark.read.parquet(s"$indexPath/assign")
         .where(col("bucket").isin(touched.map(Int.box).toIndexedSeq: _*)))
+    val assigned = ivfTombstones(spark, indexPath)
+      .map(t => assigned0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(assigned0)
     rankProbed(assigned, probes, topK)
   }
+
+  /** The tombstone relation of an IVF store, if any subject's vectors
+    * were erased and not yet compacted away — request-sized, always
+    * broadcast at the consumer. */
+  private def ivfTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$indexPath/tombstones")
+    val has = Option(d.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (has) Some(spark.read.parquet(s"$indexPath/tombstones")
+      .select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** GDPR-article-17 erasure for the IVF store — the vector-store leg of
+    * the governance family (the z-table / lexical-index siblings;
+    * embeddings of a subject's content are personal data too): erasure
+    * lands as a TOMBSTONE every serve anti-joins before the candidate
+    * cap, and [[compactIvfIndex]] makes it physical. The CENTROIDS stay
+    * — the model was fit before the request and removing training
+    * influence is a refit, not an erasure (the standard ANN-index
+    * erasure semantics: remove the vectors, keep the quantizer) — so
+    * post-erasure serving is hash-identical to an index holding the same
+    * centroids and the assignment MINUS the subjects. Idempotent by
+    * content key (replayed requests no-op); crash contract = the lex
+    * erasure's (COMPLETE tmp with the key persisted, promote under
+    * deterministic names, resume at writer entries). */
+  def eraseIvfVectors(spark: SparkSession, indexPath: String,
+      subjects: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+    recoverIvfAppend(fs, p)
+    recoverIvfErase(fs, p)
+    recoverIvfCompact(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids")),
+      s"cannot erase from a missing IVF index at $indexPath")
+    val fresh0 = subjects.select(col("vec_id"))
+      .where(col("vec_id").isNotNull).distinct()
+    val fresh = ivfTombstones(spark, indexPath)
+      .map(t => fresh0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(fresh0).localCheckpoint()
+    if (fresh.isEmpty) return // fully-replayed or empty request: no-op
+    val key = fresh.agg(concat_ws("_",
+        coalesce(expr("bit_xor(xxhash64(CAST(vec_id AS STRING)))"), lit(0L)),
+        count(lit(1))).as("k")).head().getString(0)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__erase_tmp")
+    fs.delete(tmp, true)
+    fresh.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombstones")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"KEY_$key")).close()
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    promoteIvfErase(fs, tmp, p, key)
+  }
+
+  private def promoteIvfErase(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
+      key: String): Unit = {
+    val from = new org.apache.hadoop.fs.Path(tmp, "tombstones")
+    if (fs.exists(from)) {
+      val dst = new org.apache.hadoop.fs.Path(p, "tombstones")
+      fs.mkdirs(dst)
+      fs.listStatus(from)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
+          case (f, i) =>
+            val target = new org.apache.hadoop.fs.Path(dst, s"ers-$key-$i.parquet")
+            if (fs.exists(target)) fs.delete(f, false)
+            else if (!fs.rename(f, target))
+              sys.error(s"erase: cannot move $f to $target")
+        }
+    }
+    fs.delete(tmp, true)
+  }
+
+  private def recoverIvfErase(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__erase_tmp")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.listStatus(tmp).map(_.getPath.getName)
+        .find(_.startsWith("KEY_")).map(_.stripPrefix("KEY_"))
+        .foreach(key => promoteIvfErase(fs, tmp, p, key))
+    else fs.delete(tmp, true)
+  }
+
+  /** Physical compaction of the IVF store — per-bucket two-phase rewrite
+    * (the shared [[graft.sources.IO.commitDirSwaps]] protocol the
+    * z-table uses): every bucket directory that holds tombstoned vectors
+    * or append-decayed multi-file layout rewrites to one entity-distinct
+    * file without the subjects; tombstones retire afterwards. A
+    * subject's bucket is unknowable from its id alone (assignment needs
+    * the embedding), so when tombstones exist EVERY bucket is a
+    * candidate — erasure without a vector-id index is a store scan, the
+    * honest governance cost (the lexical store pays the same). */
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+    recoverIvfAppend(fs, p)
+    recoverIvfErase(fs, p)
+    recoverIvfCompact(fs, p)
+    val assignDir = new org.apache.hadoop.fs.Path(p, "assign")
+    if (!fs.exists(assignDir)) return
+    val tombs = ivfTombstones(spark, indexPath)
+    def files(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    val touched = fs.listStatus(assignDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(_.getPath)
+      .filter(d => tombs.isDefined || files(d) > 1)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(indexPath + "__compact_old")
+    if (touched.nonEmpty) {
+      fs.delete(tmp, true)
+      touched.foreach { d =>
+        var df = Shuffles.distinctEntities(spark.read.parquet(d.toString))
+        tombs.foreach(t =>
+          df = df.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, d.getName).toString)
+      }
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+      graft.sources.IO.commitDirSwaps(fs, tmp, assignDir, old, "bucket=")
+    }
+    val t = new org.apache.hadoop.fs.Path(p, "tombstones")
+    if (fs.exists(t)) fs.delete(t, true)
+  }
+
+  private def recoverIvfCompact(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.IO.recoverDirSwaps(fs,
+      new org.apache.hadoop.fs.Path(p.toString + "__compact_tmp"),
+      new org.apache.hadoop.fs.Path(p, "assign"),
+      new org.apache.hadoop.fs.Path(p.toString + "__compact_old"), "bucket=")
 
   /** Empty serving result with the SAME schema as the non-empty path:
     * qid keeps the caller's type, but vec_id/rk/sim carry the index
@@ -873,6 +1059,8 @@ object Embeddings {
     graft.sources.IO.recoverStore(fs, p,
       new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
     recoverIvfAppend(fs, p)
+    recoverIvfErase(fs, p)
+    recoverIvfCompact(fs, p)
     val centDf = readCentroids(spark, indexPath)
     require(centDf.count() > 0,
       s"cannot append to an empty IVF index at $indexPath — rebuild with writeIvfIndex")

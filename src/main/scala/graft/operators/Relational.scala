@@ -821,45 +821,23 @@ object Relational {
     (before, after)
   }
 
-  /** Phase 2 of [[compactZorderStore]]: per touched directory, swap the
-    * live dir aside and rename the replacement in. Idempotent per dir. */
+  /** Phase 2 of [[compactZorderStore]] — the shared two-phase protocol
+    * ([[graft.sources.IO.commitDirSwaps]]), fid-prefixed. */
   private def commitZorderCompact(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
-      tmp: org.apache.hadoop.fs.Path): Unit = {
-    val old = new org.apache.hadoop.fs.Path(p.toString + "__compact_old")
-    fs.mkdirs(old)
-    fs.listStatus(tmp).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("fid=")).foreach { rd =>
-      val name = rd.getPath.getName
-      val live = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(p, "data"), name)
-      val aside = new org.apache.hadoop.fs.Path(old, name)
-      // aside-absent → this dir hasn't swapped yet; aside-present → a
-      // resumed run already moved the live dir (or there was none)
-      if (!fs.exists(aside) && fs.exists(live) && !fs.rename(live, aside))
-        sys.error(s"compact: cannot move $live aside")
-      if (!fs.rename(rd.getPath, live))
-        sys.error(s"compact: cannot move ${rd.getPath} into $live")
-    }
-    fs.delete(old, true)
-    fs.delete(tmp, true)
-  }
+      tmp: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.IO.commitDirSwaps(fs, tmp,
+      new org.apache.hadoop.fs.Path(p, "data"),
+      new org.apache.hadoop.fs.Path(p.toString + "__compact_old"), "fid=")
 
-  /** WRITER-entry healing for a crashed compaction: a tmp with the root
-    * _SUCCESS resumes phase 2 (every per-dir state is resumable); one
-    * without is debris — the live store was never touched. Stray aside
-    * dirs without a tmp are a finished compact's crashed cleanup. */
+  /** WRITER-entry healing for a crashed compaction — the shared
+    * [[graft.sources.IO.recoverDirSwaps]]. */
   private def recoverZorderCompact(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(p.toString + "__compact_old")
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      commitZorderCompact(fs, p, tmp)
-    else {
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(old)) fs.delete(old, true)
-    }
-  }
+      p: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.IO.recoverDirSwaps(fs,
+      new org.apache.hadoop.fs.Path(p.toString + "__compact_tmp"),
+      new org.apache.hadoop.fs.Path(p, "data"),
+      new org.apache.hadoop.fs.Path(p.toString + "__compact_old"), "fid=")
 
   private def clearZorderTombstones(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {

@@ -21,6 +21,50 @@ object IO {
 
   private def oldPath(p: Path) = new Path(p.toString + "__swap_old")
 
+  /** Phase 2 of a PER-DIRECTORY two-phase compaction (the z-table / IVF
+    * store protocol): for every `prefix`-named replacement dir under a
+    * COMPLETE tmp (root _SUCCESS already cut by the writer), swap the
+    * live dir aside and rename the replacement in, then drop the aside
+    * copies and the tmp. Idempotent per dir — a crash at any point
+    * resumes from [[recoverDirSwaps]] at the next writer entry: each dir
+    * is pre-swap (live present, aside absent, replacement present),
+    * mid-swap (live absent, aside present, replacement present), or done
+    * (replacement renamed away) — all three distinguishable. Readers of
+    * `liveParent` never see tmp/aside (they are SIBLINGS of the store
+    * root, outside partition discovery); a reader racing phase 2 can
+    * transiently miss a mid-swap dir (the documented append-visibility
+    * caveat — the consistency point is commit completion). */
+  def commitDirSwaps(fs: FileSystem, tmp: Path, liveParent: Path,
+      old: Path, prefix: String): Unit = {
+    fs.mkdirs(old)
+    fs.listStatus(tmp).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(prefix)).foreach { rd =>
+      val name = rd.getPath.getName
+      val live = new Path(liveParent, name)
+      val aside = new Path(old, name)
+      if (!fs.exists(aside) && fs.exists(live) && !fs.rename(live, aside))
+        sys.error(s"compact: cannot move $live aside")
+      if (!fs.rename(rd.getPath, live))
+        sys.error(s"compact: cannot move ${rd.getPath} into $live")
+    }
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+  }
+
+  /** WRITER-entry healing for a crashed [[commitDirSwaps]]: a tmp with
+    * the root _SUCCESS resumes phase 2; one without is phase-1 debris —
+    * the live store was never touched. A stray aside dir without a
+    * _SUCCESS'd tmp is a finished commit's crashed cleanup. */
+  def recoverDirSwaps(fs: FileSystem, tmp: Path, liveParent: Path,
+      old: Path, prefix: String): Unit = {
+    if (fs.exists(new Path(tmp, "_SUCCESS")))
+      commitDirSwaps(fs, tmp, liveParent, old, prefix)
+    else {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+  }
+
   /** Crash-safe replacement of a store directory with a freshly written
     * tmp dir. A delete(p)+rename(tmp,p) swap has a window where NO store
     * exists — a crash there silently loses all previously merged state

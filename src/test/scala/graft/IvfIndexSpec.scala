@@ -215,4 +215,43 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     ()
   }
+
+  test("erasure: tombstone serving equals the same centroids minus the subjects; compaction makes it physical") {
+    val idx = "/tmp/graft_ivf_erase"
+    val scratch = "/tmp/graft_ivf_erase_scratch"
+    wipe(idx); wipe(scratch)
+    // ONE fit shared by both stores: identity must isolate the erasure,
+    // never a refit (erase the vectors, keep the quantizer)
+    val (assigned, cents) = Embeddings.ivfAssignFrom(corpusDf)
+    try {
+      Embeddings.writeIvfIndexFrom(assigned, cents, idx)
+      Embeddings.writeIvfIndexFrom(assigned.where(
+        pmod(col("vec_id"), lit(13L)) =!= 2L), cents, scratch)
+    } finally { assigned.unpersist(); () }
+    val subjects = corpusDf.where(pmod(col("vec_id"), lit(13L)) === 2L)
+      .select(col("vec_id"))
+    Embeddings.eraseIvfVectors(spark, idx, subjects)
+    Embeddings.eraseIvfVectors(spark, idx, subjects) // replayed: no-op
+    val q = corpusDf.where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def serve(p: String) = rows(Embeddings.annIvfAgainst(spark, p, q, nprobe = 4))
+    val erased = serve(idx)
+    assert(erased == serve(scratch),
+      "tombstone serving diverged from the minus-subjects store")
+    assert(erased.forall(_._3 % 13 != 2), "an erased vector surfaced")
+    // the tombstone read path must broadcast-anti-join, never shuffle
+    val plan = Embeddings.annIvfAgainst(spark, idx, q, nprobe = 4)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+      s"tombstone path must broadcast-anti-join:\n$plan")
+    // physical: per-bucket two-phase rewrite, tombstones retire, serving
+    // unchanged, no subject rows remain anywhere in the assign store
+    Embeddings.compactIvfIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "tombstones must retire once physical")
+    assert(spark.read.parquet(s"$idx/assign")
+      .where(pmod(col("vec_id"), lit(13L)) === 2L).count() == 0L,
+      "erased subjects must have no physical rows after compaction")
+    assert(serve(idx) == erased, "compaction changed served results")
+  }
 }

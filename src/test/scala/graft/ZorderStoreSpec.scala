@@ -219,6 +219,40 @@ class ZorderStoreSpec extends AnyFunSuite {
       split._1.unionAll(split._2).count())
   }
 
+  test("2-D serving partition-prunes to the geometry-bounded fid set") {
+    val p = s"$Root/full" // built by the first test (suite-ordered)
+    if (!new java.io.File(s"$p/cuts").exists())
+      Relational.writeZorderTableFrom(ev, p)
+    val out = Relational.eventsServed2dFrom(spark, p, 5L,
+      "2024-01-05", "2024-01-20")
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      pl match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val dataScans = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/data")))
+    assert(dataScans.nonEmpty, "the serve must scan the store's data dirs")
+    val totalDirs = new java.io.File(s"$p/data").listFiles()
+      .count(_.getName.startsWith("fid="))
+    assert(totalDirs >= 16, s"the corpus should populate most fid dirs: $totalDirs")
+    dataScans.foreach { scan =>
+      // the z-curve bound: one user bucket touches <= 4 of 32 files no
+      // matter how wide the day range — the pruned read IS the design
+      val parts = scan.selectedPartitions.partitionCount
+      assert(parts > 0 && parts <= 4,
+        s"2-D serve must prune to the z-curve's fid set: read $parts of $totalDirs dirs")
+      // and the user/ts residual predicate reaches the scan
+      assert(scan.dataFilters.nonEmpty,
+        s"the exact residual must run at the scan: $scan")
+    }
+  }
+
   test("erasure: tombstone serving equals a from-scratch store without the subject; compaction makes it physical") {
     val p = s"$Root/erase"
     val scratch = s"$Root/erase_scratch"
