@@ -430,6 +430,22 @@ object ScaleProbe {
     def srcOv(df: DataFrame): DataFrame =
       graft.operators.TextOps.sourceOverlapFrom(df)
 
+    // perceptual media near-dup end-to-end: the signature pass is one
+    // linear scan (64-long histogram + 32-bit vote per blob); banding,
+    // the kn-cap, and the exact-L1 verify run on the signature relation.
+    // replicate() clones text verbatim, so at Nx every band key's count
+    // grows Nx and keys past the cap DROP — candidate work is bounded by
+    // cap² per key (the family's documented trade), growth must track
+    // the scan
+    def mediaPerc(df: DataFrame): DataFrame =
+      graft.operators.Multimodal.dedupMediaPerceptualFrom(
+        graft.operators.Shuffles.distinctEntities(df.select(
+          col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+          encode(col("text"), "UTF-8").as("payload"))
+          .where(col("payload").isNotNull)), 0.98)
+
     // DURABLE Z-TABLE serving decay: ONE fixed 2-D point-range query
     // against the SAME Nx corpus persisted two ways — a one-shot rebuild
     // vs base + appended increment (the production lifecycle). The
@@ -605,7 +621,10 @@ object ScaleProbe {
         time(s"bprune ${factor}x")(graft.operators.JoinOps.bloomPrune(
           evN.select(col("event_id"), col("user_id")), "user_id",
           evN.where(pmod(col("user_id"), lit(20L)) === 0)
-            .select(col("user_id").as("bk")).distinct(), "bk", 1L << 21)))
+            .select(col("user_id").as("bk")).distinct(), "bk", 1L << 21))),
+      point("media_perceptual")(
+        time("mperc 1x")(mediaPerc(doc1)),
+        time(s"mperc ${factor}x")(mediaPerc(docN)))
     ).flatten ++ zPts.flatten
     r.foreach { case (n, a, b) =>
       println(f"RATIO $n%-14s ${b / a}%5.1fx time for ${factor}x data")
