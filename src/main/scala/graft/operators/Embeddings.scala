@@ -554,7 +554,11 @@ object Embeddings {
     * hold candidate-cap slots, centroids unchanged (erase the vectors,
     * keep the quantizer — the standard ANN-store erasure semantics). */
   def annIvfErasedServed(spark: SparkSession, dir: String): DataFrame = {
-    val q = corpus(spark, dir).where(col("vec_id") < 100)
+    // entity-distinct queries (the seeded path takes its batch from the
+    // collapsed assignment; a redelivered query row must not duplicate
+    // its result rows — the oracle's q0 reads the DISTINCT corpus CTE)
+    val q = Shuffles.distinctEntities(
+        corpus(spark, dir).where(col("vec_id") < 100))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     annIvfAgainst(spark, erasedIvfPath(spark, dir), q)
   }

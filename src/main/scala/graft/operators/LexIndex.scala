@@ -329,18 +329,27 @@ object LexIndex {
     recoverLexErase(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
       s"cannot erase from a missing lexical index at $path")
-    val fresh0 = subjectDocs.select(col("doc_id"), col("text"))
-      .where(col("doc_id").isNotNull).dropDuplicates("doc_id")
+    // MULTIPLICITY-PRESERVING, deliberately: the build's statsOf counts
+    // every delivered row (the oracle's docs CTE does too — the bm25
+    // family treats at-least-once copies consistently on both sides, it
+    // never collapses), so the subtraction must remove exactly what the
+    // build counted — a subject doc delivered twice was counted twice.
+    // The request therefore carries the subject's content at INDEXED
+    // multiplicity (it is the same relation the build consumed,
+    // filtered). Already-tombstoned doc_ids drop with ALL their copies —
+    // their full multiplicity was subtracted by the earlier request.
     val fresh = lexTombstones(spark, path)
-      .map(t => fresh0.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      .getOrElse(fresh0).localCheckpoint()
+      .map(t => subjectDocs.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(subjectDocs)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id").isNotNull).localCheckpoint()
     if (fresh.isEmpty) return // fully-replayed or empty request: no-op
     val key = fresh.agg(concat_ws("_",
         coalesce(expr("bit_xor(xxhash64(CAST(doc_id AS STRING)))"), lit(0L)),
         count(lit(1))).as("k")).head().getString(0)
     val tmp = new org.apache.hadoop.fs.Path(path + "__erase_tmp")
     fs.delete(tmp, true)
-    fresh.select(col("doc_id")).coalesce(1)
+    fresh.select(col("doc_id")).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/tombstones")
     statsOf(fresh).select(
         concat(lit("erase:"), col("inc_id")).as("inc_id"),

@@ -533,11 +533,16 @@ object Relational {
       s"cannot append to a missing z-table at $path — build with writeZorderTable")
     val cutsDf = spark.read.parquet(s"$path/cuts")
     val cutsRow = cutsDf.head()
-    require(!cutsRow.isNullAt(cutsRow.fieldIndex("cuts_u")),
-      s"cannot append to an EMPTY-corpus z-table at $path (NULL cutpoints " +
-        "place nothing) — rebuild with writeZorderTable over the union")
-    val (bits, files) = zorderGeometry(cutsRow)
     val incId = zorderIncId(newEvents)
+    // an EMPTY increment is a legal no-op (an ingest tick with no new
+    // rows — including against an empty-base store, whose NULL cutpoints
+    // would otherwise fail below with nothing to place anyway)
+    if (incId.split('_').last == "0") return
+    require(!cutsRow.isNullAt(cutsRow.fieldIndex("cuts_u")),
+      s"cannot append a non-empty increment to an EMPTY-corpus z-table " +
+        s"at $path (NULL cutpoints place nothing) — rebuild with " +
+        "writeZorderTable over the union")
+    val (bits, files) = zorderGeometry(cutsRow)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/incs/$incId")))
       return // fully-promoted replay: the at-least-once no-op
     val tmp = new org.apache.hadoop.fs.Path(path + "__append_tmp")
