@@ -185,6 +185,35 @@ object StreamPipeline {
       .start()
   }
 
+  /** Continuous ingest into the durable z-clustered table — the fifth
+    * store's streaming leg (the dedupingIndexSink / IVF-append family):
+    * each micro-batch appends through
+    * [[graft.operators.Relational.appendZorderTable]] — assignment
+    * against the STORED cutpoints, I/O ∝ the batch, writer-entry healing
+    * at every batch. Exactly-once: the append's content-keyed ledger
+    * absorbs a BYTE-IDENTICAL batch replay (the checkpoint-recovery
+    * case — a restarted query re-runs the same batch with the same
+    * rows), so a crash between the append and the checkpoint commit
+    * cannot double-land the increment. Re-batching the same rows under
+    * DIFFERENT boundaries is a different increment by construction —
+    * recover from the checkpoint, don't re-plan the source (the
+    * standard foreachBatch contract). The base table must exist
+    * (writeZorderTable over the bootstrap corpus): cutpoints FREEZE at
+    * build time and increments cluster against them — re-cluster by
+    * rebuild at maintenance cadence, never per batch (the lakehouse
+    * OPTIMIZE pattern). */
+  def zorderAppendSink(events: DataFrame, storePath: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Relational.appendZorderTable(
+          batch.sparkSession, storePath, batch.toDF())
+        ()
+      }
+      .start()
+
   /** File-source deployment shape: stream new parquet drops under `dir`,
     * aggregate, append to a sink. Used for wiring checks, not the oracle. */
   def fileStream(spark: SparkSession, dir: String, checkpoint: String,

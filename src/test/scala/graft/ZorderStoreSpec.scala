@@ -253,6 +253,38 @@ class ZorderStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest: micro-batch appends land through the ledger; a full checkpoint-replay is a no-op") {
+    val p = s"$Root/stream"
+    val drops = s"$Root/stream_drops"
+    val ck1 = s"$Root/stream_ck1"
+    val ck2 = s"$Root/stream_ck2"
+    Seq(p, drops, ck1, ck2).foreach(wipe)
+    val (base, inc1, inc2) = split
+    Relational.writeZorderTableFrom(base, p)
+    new java.io.File(drops).mkdirs()
+    inc1.coalesce(1).write.parquet(s"$drops/b1")
+    inc2.coalesce(1).write.parquet(s"$drops/b2")
+    val schema = ev.schema
+    def start(ck: String) = graft.streaming.StreamPipeline.zorderAppendSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .option("basePath", drops).parquet(s"$drops/*"), p, ck)
+    val q = start(ck1)
+    q.processAllAvailable(); q.stop()
+    for (u <- Seq(3L, 5L, 7L))
+      assert(serve(p, u) == rawAnswer(u),
+        s"streamed store must serve the union corpus for $u")
+    assert(spark.read.parquet(s"$p/data").count() == ev.count())
+    val files = dataFileCount(p)
+    // FULL redelivery (fresh checkpoint, same one-file batches): every
+    // increment replays byte-identical — the content-keyed ledger must
+    // absorb both, no new files, same answers
+    val q2 = start(ck2)
+    q2.processAllAvailable(); q2.stop()
+    assert(dataFileCount(p) == files,
+      "a byte-identical batch replay must be a ledger no-op")
+    assert(serve(p, 5L) == rawAnswer(5L))
+  }
+
   test("erasure: tombstone serving equals a from-scratch store without the subject; compaction makes it physical") {
     val p = s"$Root/erase"
     val scratch = s"$Root/erase_scratch"
