@@ -253,6 +253,84 @@ class ZorderStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("differential fuzz: random worlds x geometry x splits x predicates serve the raw filter exactly") {
+    import spark.implicits._
+    // small adversarial worlds: duplicate event ids (at-least-once),
+    // NULL user_id / NULL ts (unplaceable rows -> fid -1), NaN values,
+    // heavy user skew, tiny day pools (cutpoint ties) — the shapes the
+    // fixed sf corpus never exercises. Seeds fixed: failures reproduce.
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val dayPool = (1 to 4 + rnd.nextInt(6)).map(d => f"2024-0${1 + rnd.nextInt(3)}%s-${1 + rnd.nextInt(27)}%02d")
+      val types = Seq("view", "click", "purchase", "error")
+      val n = 150 + rnd.nextInt(150)
+      val rows = (1 to n).map { i =>
+        val id = if (rnd.nextInt(10) == 0) (i / 2 + 1).toLong else i.toLong
+        val uid: Option[Long] =
+          if (rnd.nextInt(10) == 0) None
+          else if (rnd.nextInt(3) == 0) Some(1L) // skew
+          else Some(1L + rnd.nextInt(8))
+        val ts: Option[java.sql.Timestamp] =
+          if (rnd.nextInt(20) == 0) None
+          else Some(java.sql.Timestamp.valueOf(
+            s"${dayPool(rnd.nextInt(dayPool.length))} " +
+              f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+        val v: Option[Double] =
+          if (rnd.nextInt(15) == 0) None
+          else if (rnd.nextInt(25) == 0) Some(Double.NaN)
+          else Some(rnd.nextInt(10000) / 100.0)
+        (id, ts, uid, types(rnd.nextInt(types.length)), v,
+          if (rnd.nextBoolean()) Some(s"""{"k":$i}""") else None)
+      }
+      val world = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      val (bits, files) = Seq((4, 32), (3, 16), (2, 8))(rnd.nextInt(3))
+      val p = s"$Root/fuzz$seed"
+      wipe(p)
+      val r = pmod(coalesce(col("event_id"), lit(0L)), lit(3L))
+      Relational.writeZorderTableFrom(world.where(r =!= 0L), p,
+        bits, files, k = 64)
+      Relational.appendZorderTable(spark, p, world.where(r === 0L))
+      def rawRef(u: Long, lo: String, hi: String, exclude: Option[Long]) = {
+        var base = world.where(col("user_id") === u &&
+          col("ts") >= lit(s"$lo 00:00:00").cast("timestamp") &&
+          col("ts") < lit(java.time.LocalDate.parse(hi).plusDays(1).toString +
+            " 00:00:00").cast("timestamp"))
+        exclude.foreach(x => base = base.where(col("user_id") =!= x))
+        base.agg(count(lit(1)), sum(expr("try_cast(value AS DECIMAL(12,2))"))
+            .cast("double"), countDistinct(col("event_type")))
+          .collect().map(row => (u, row.getLong(0),
+            if (row.isNullAt(1)) None else Some(row.getDouble(1)),
+            row.getLong(2))).toSeq
+      }
+      for (_ <- 1 to 4) {
+        val u = 1L + rnd.nextInt(9) // sometimes absent from the world
+        val Seq(lo, hi) = Seq(dayPool(rnd.nextInt(dayPool.length)),
+          dayPool(rnd.nextInt(dayPool.length))).sorted
+        val served = Relational.eventsServed2dFrom(spark, p, u, lo, hi)
+          .collect().map(row => (row.getLong(0), row.getLong(1),
+            if (row.isNullAt(2)) None else Some(row.getDouble(2)),
+            row.getLong(3))).toSeq
+        assert(served == rawRef(u, lo, hi, None),
+          s"seed=$seed geometry=($bits,$files) predicate=($u,$lo,$hi) diverged")
+      }
+      // random-subject erasure + physical compaction, then re-probe
+      val victim = 1L + rnd.nextInt(8)
+      Relational.eraseZorderSubject(spark, p, victim)
+      Relational.compactZorderStore(spark, p)
+      val (lo2, hi2) = (dayPool.min, dayPool.max)
+      val afterErase = Relational.eventsServed2dFrom(spark, p, victim, lo2, hi2)
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          if (row.isNullAt(2)) None else Some(row.getDouble(2)),
+          row.getLong(3))).toSeq
+      assert(afterErase == rawRef(victim, lo2, hi2, Some(victim)),
+        s"seed=$seed erased subject $victim still serves rows")
+      assert(spark.read.parquet(s"$p/data")
+        .where(col("user_id") === victim).count() == 0L,
+        s"seed=$seed erased subject $victim has physical rows")
+    }
+  }
+
   test("streaming ingest: micro-batch appends land through the ledger; a full checkpoint-replay is a no-op") {
     val p = s"$Root/stream"
     val drops = s"$Root/stream_drops"
