@@ -257,6 +257,12 @@ object SparkEntry {
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
     "dedup_incremental"     -> ((s: SparkSession, d: String) => NearDup.dedupIncremental(s, d)),
+    // signature-store ERASURE lifecycle: the corpus split persisted as a
+    // durable index, subject docs (id ≡ 8 mod 9) tombstoned — they
+    // neither pair nor count toward the hot-bucket cap; ALSO the first
+    // entry serving the incremental contract from the durable store
+    "dedup_incremental_erased" -> ((s: SparkSession, d: String) =>
+      NearDup.dedupIncrementalErased(s, d)),
     // — multimodal plumbing (rows-only) —
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
@@ -1436,11 +1442,16 @@ object SparkEntry {
        |            THEN 'train' ELSE 'test' END AS split
        |FROM lab""".stripMargin
 
-  private def dedupIncrementalSql: String =
+  /** The incremental-dedup derivation; `corpusWhere` restricts the INDEX
+    * side only — the erasure twin drops the subjects before the matched
+    * set (and therefore before the hot-bucket count), exactly where the
+    * store's tombstone anti-join runs. */
+  private def dedupIncrementalSql(corpusWhere: String = ""): String =
     s"""WITH ${sigCtes(word3ShingleCte, 4, 128)},
        |mem AS (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0 AS is_batch FROM t),
        |bkeys AS (SELECT k.doc_id, k.key FROM keys k JOIN mem USING (doc_id) WHERE is_batch),
-       |ckeys AS (SELECT k.doc_id, k.key FROM keys k JOIN mem USING (doc_id) WHERE NOT is_batch),
+       |ckeys AS (SELECT k.doc_id, k.key FROM keys k JOIN mem USING (doc_id)
+       |          WHERE NOT is_batch$corpusWhere),
        |matched AS (SELECT c.doc_id, c.key FROM ckeys c WHERE c.key IN (SELECT DISTINCT key FROM bkeys)),
        |hot AS (SELECT key, count(*) AS kn FROM matched GROUP BY 1),
        |cok AS (SELECT m.key, m.doc_id AS corpus_id FROM matched m JOIN hot USING (key) WHERE kn <= 64),
@@ -3117,7 +3128,12 @@ object SparkEntry {
          |SELECT r.cluster AS cluster_id, r.rep_doc_id, r.rep_n_chars,
          |       a.n_members, a.n_sources
          |FROM rep r JOIN agg a USING (cluster) WHERE rk = 1""".stripMargin,
-    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental" -> dedupIncrementalSql(),
+    // the erased index IS the corpus split minus the subjects: same
+    // derivation, index side restricted before matched/hot — proving the
+    // tombstone anti-join lands exactly where a rebuild would
+    "dedup_incremental_erased" ->
+      dedupIncrementalSql(" AND NOT (doc_id % 9 = 8)"),
     "train_test_split" -> trainTestSplitSql,
     "doc_fingerprint" -> docFingerprintSql,
 

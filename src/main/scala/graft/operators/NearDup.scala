@@ -518,6 +518,12 @@ object NearDup {
     // swap — tmp never survives healing, so the writes start clean
     graft.sources.IO.publishStore(base.sparkSession, indexPath,
         "__index_tmp") { tmp =>
+      // a crashed erasure's COMPLETE tmp promotes into the OLD
+      // generation first (the family's writer-entry contract) — the
+      // rebuild supersedes the store either way
+      recoverSigErase(new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(indexPath))
       base.select(col("id"), col("sig"))
         .write.mode("overwrite").parquet(s"$tmp/docs")
       base.select(col("id"), explode(col("keys")).as("key"))
@@ -529,16 +535,132 @@ object NearDup {
   /** The increment's key-index scan: partition-pruned to the buckets the
     * batch's own band keys touch. `touched` is ≤ IndexBuckets values — a
     * dimension-sized driver list, the partition-pruning analog of a
-    * predicate the user typed. Exposed for the pruning spec. */
+    * predicate the user typed. Exposed for the pruning spec. Erased
+    * subjects drop here (broadcast anti-join), BEFORE the hot-bucket
+    * count — a tombstoned doc must neither pair nor push a bucket over
+    * the cap a store built without it would stay under. */
   private[graft] def prunedKeyIndex(spark: SparkSession, indexPath: String,
       batch: DataFrame): DataFrame = {
     val touched = batch
       .select(explode(col("keys")).as("key"))
       .select(pmod(col("key"), lit(IndexBuckets.toLong)).as("kb"))
       .distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$indexPath/keys")
+    val raw = spark.read.parquet(s"$indexPath/keys")
       .where(col("kb").isin(touched.toIndexedSeq: _*))
       .select(col("id"), col("key"))
+    sigTombstones(spark, indexPath)
+      .map(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+      .getOrElse(raw)
+  }
+
+  /** The tombstone relation of a signature store, if any subject was
+    * erased and not yet compacted away — request-sized, broadcast. */
+  private def sigTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$indexPath/tombstones")
+    val has = Option(d.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (has) Some(spark.read.parquet(s"$indexPath/tombstones")
+      .select(col("id")).distinct())
+    else None
+  }
+
+  /** GDPR-article-17 erasure for the signature index — the near-dup
+    * store's governance leg (the z-table / lexical / IVF siblings; a
+    * subject's MinHash signatures are derived personal data): erasure
+    * lands as a TOMBSTONE every serve anti-joins before the hot-bucket
+    * count, and [[compactSignatureIndex]] makes it physical. The store
+    * has no corpus constants to adjust (unlike the lexical index) —
+    * the verdict math is per-pair, so dropping the subject's key and
+    * signature rows IS the whole erasure. Idempotent by content key;
+    * crash contract = the family's (COMPLETE tmp + persisted key,
+    * promote under deterministic names, resume at writer entries). */
+  def eraseSignatureDocs(spark: SparkSession, indexPath: String,
+      subjects: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
+    recoverSigErase(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/docs")),
+      s"cannot erase from a missing signature index at $indexPath")
+    val fresh0 = subjects.select(col("doc_id").as("id"))
+      .where(col("id").isNotNull).distinct()
+    val fresh = sigTombstones(spark, indexPath)
+      .map(t => fresh0.join(broadcast(t), Seq("id"), "left_anti"))
+      .getOrElse(fresh0).localCheckpoint()
+    if (fresh.isEmpty) return // fully-replayed or empty request: no-op
+    val key = fresh.agg(concat_ws("_",
+        coalesce(expr("bit_xor(xxhash64(CAST(id AS STRING)))"), lit(0L)),
+        count(lit(1))).as("k")).head().getString(0)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__erase_tmp")
+    fs.delete(tmp, true)
+    fresh.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombstones")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"KEY_$key")).close()
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    promoteSigErase(fs, tmp, p, key)
+  }
+
+  private def promoteSigErase(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
+      key: String): Unit = {
+    val from = new org.apache.hadoop.fs.Path(tmp, "tombstones")
+    if (fs.exists(from)) {
+      val dst = new org.apache.hadoop.fs.Path(p, "tombstones")
+      fs.mkdirs(dst)
+      fs.listStatus(from)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
+          case (f, i) =>
+            val target = new org.apache.hadoop.fs.Path(dst, s"ers-$key-$i.parquet")
+            if (fs.exists(target)) fs.delete(f, false)
+            else if (!fs.rename(f, target))
+              sys.error(s"erase: cannot move $f to $target")
+        }
+    }
+    fs.delete(tmp, true)
+  }
+
+  private def recoverSigErase(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__erase_tmp")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.listStatus(tmp).map(_.getPath.getName)
+        .find(_.startsWith("KEY_")).map(_.stripPrefix("KEY_"))
+        .foreach(key => promoteSigErase(fs, tmp, p, key))
+    else fs.delete(tmp, true)
+  }
+
+  /** Physical compaction of the signature store: a full-generation
+    * rewrite (the lexical pattern — an erased doc's key rows scatter
+    * across every kb bucket, and the docs relation is flat, so there is
+    * no per-directory increment to exploit) of both relations without
+    * the tombstoned subjects, published through the shared tmp +
+    * _SUCCESS + rename-aside protocol; the generation swap retires the
+    * tombstones wholesale. A crash leaves the old complete generation
+    * with its tombstones intact — serving stays post-erasure correct
+    * throughout. */
+  def compactSignatureIndex(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSigErase(fs, p)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/docs")),
+      s"cannot compact a missing signature index at $indexPath")
+    val tombs = sigTombstones(spark, indexPath)
+    def minus(df: DataFrame): DataFrame =
+      tombs.map(t => df.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(df)
+    // force the filtered inputs BEFORE the swap: their plans read the
+    // generation the swap replaces
+    val docs = minus(spark.read.parquet(s"$indexPath/docs")).localCheckpoint()
+    val keys = minus(spark.read.parquet(s"$indexPath/keys")
+      .select(col("id"), col("key"), col("kb"))).localCheckpoint()
+    graft.sources.IO.publishStore(spark, indexPath, "__index_tmp") { tmp =>
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      keys.repartition(col("kb"))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$tmp/keys")
+    }
   }
 
   /** Incremental near-dup of arbitrary new documents (doc_id, text)
@@ -547,6 +669,53 @@ object NearDup {
     * batch touches are read at all ([[prunedKeyIndex]]). The production
     * entry point of the incremental contract ([[dedupIncremental]] is its
     * self-contained single-corpus twin for the driver harness). */
+  private val erasedSigMemo = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String), String]
+
+  /** Store for `dedup_incremental_erased`: the CORPUS side of
+    * [[dedupIncremental]]'s deterministic split (md5(id) mod 10 ≠ 0)
+    * persisted as a durable signature index, then every doc of the
+    * subject set (doc_id ≡ 8 mod 9) erased via [[eraseSignatureDocs]],
+    * the request replayed verbatim (content-keyed no-op). */
+  private def erasedSigPath(spark: SparkSession, dir: String): String = {
+    erasedSigMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    erasedSigMemo.getOrElseUpdate((spark, dir), {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val nonce = java.lang.Long.toHexString(
+        new java.security.SecureRandom().nextLong())
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sig_ers_${safe}_${key}_$nonce").getAbsolutePath
+      val base = word3Base(spark, dir)
+      val isBatch = org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge
+          .expression(col("id").cast("string")), 10L)) === 0
+      writeSignatureIndexFrom(base.where(!isBatch), path)
+      val subjects = Tables.documents(spark, dir)
+        .where(pmod(col("doc_id"), lit(9L)) === 8L).select(col("doc_id"))
+      eraseSignatureDocs(spark, path, subjects)
+      eraseSignatureDocs(spark, path, subjects) // replayed request: no-op
+      path
+    })
+  }
+
+  /** The registered signature-store erasure query: [[dedupIncremental]]'s
+    * batch served against the ERASED durable index — tombstoned corpus
+    * docs neither pair nor count toward the hot-bucket cap, exactly as
+    * if the index had been built without them. Also the first registered
+    * entry to serve the incremental contract from the DURABLE store (the
+    * self-contained twin splits in memory). */
+  def dedupIncrementalErased(spark: SparkSession, dir: String,
+      thr: Double = 0.8): DataFrame = {
+    val isBatch = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5LowerMod(org.apache.spark.sql.graft.Bridge
+        .expression(col("doc_id").cast("string")), 10L)) === 0
+    dedupIncrementalAgainst(spark, erasedSigPath(spark, dir),
+      Shuffles.distinctEntities(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))).where(isBatch), thr)
+  }
+
   def dedupIncrementalAgainst(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, thr: Double = 0.8): DataFrame = {
     val sh = wordShingles(col("text"), 3)
@@ -574,16 +743,24 @@ object NearDup {
       // to writer entries (writeSignatureIndexFrom's publishStore).
       val fs = graft.sources.IO.readableStore(spark, indexPath, "__index_tmp")
       val docsPath = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
+      // erased subjects drop on BOTH relations (keys inside
+      // prunedKeyIndex, signatures here): serving equals an index built
+      // without them
+      def minusTombs(df: DataFrame): DataFrame =
+        sigTombstones(spark, indexPath)
+          .map(t => df.join(broadcast(t), Seq("id"), "left_anti"))
+          .getOrElse(df)
       val verdicts =
         if (fs.exists(docsPath))
           dedupIncrementalKeyed(batch,
             prunedKeyIndex(spark, indexPath, batch),
-            spark.read.parquet(s"$indexPath/docs"), thr)
+            minusTombs(spark.read.parquet(s"$indexPath/docs")), thr)
         else
           // pre-bucketing index layout (flat (id, sig, keys) parquet):
           // serve it unpruned rather than failing a durable store on
           // upgrade
-          dedupIncrementalFrom(batch, spark.read.parquet(indexPath), thr)
+          dedupIncrementalFrom(batch,
+            minusTombs(spark.read.parquet(indexPath)), thr)
       // materialize the increment-sized VERDICT relation eagerly, severing
       // its lineage from the cached batch, so the batch cache can be
       // dropped before returning: a driver looping over increments holds

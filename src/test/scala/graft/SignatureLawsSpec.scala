@@ -163,6 +163,62 @@ class SignatureLawsSpec extends AnyFunSuite {
     assert(!out(900002L).getBoolean(4), s"new content passes: ${out(900002L)}")
   }
 
+  test("signature-index erasure: tombstone serving equals an index built without the subjects; compaction makes it physical") {
+    import spark.implicits._
+    import scala.reflect.io.Directory
+    val idx = "/tmp/graft_sig_erase"
+    val scratch = "/tmp/graft_sig_erase_scratch"
+    Seq(idx, scratch).foreach(p =>
+      new Directory(new java.io.File(p)).deleteRecursively())
+    val docs = graft.sources.Tables.documents(spark, SparkTest.Sf)
+    graft.operators.NearDup.writeSignatureIndex(spark, SparkTest.Sf, idx)
+    // from-scratch reference: index built WITHOUT the subjects — the
+    // word3 base is session-memoized, so filter its persisted relation
+    // (same signatures by construction)
+    val subjects = docs.where(pmod(col("doc_id"), lit(9L)) === 8L)
+      .select(col("doc_id"))
+    graft.operators.NearDup.eraseSignatureDocs(spark, idx, subjects)
+    graft.operators.NearDup.eraseSignatureDocs(spark, idx, subjects) // replay
+    val near = docs.where(col("text").isNotNull)
+      .orderBy(col("doc_id")).limit(40)
+      .collect().map(r => (900000L + r.getLong(0),
+        r.getString(1) + " tail tail")).toSeq
+    val batch = near.toDF("doc_id", "text")
+    def verdicts(p: String) = graft.operators.NearDup
+      .dedupIncrementalAgainst(spark, p, batch, thr = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSet
+    val erasedServe = verdicts(idx)
+    // scratch = the store as if built without the subjects
+    val baseMinus = graft.operators.Shuffles.distinctEntities(
+      docs.where(col("doc_id").isNull ||
+        pmod(col("doc_id"), lit(9L)) =!= 8L))
+    graft.operators.NearDup.writeSignatureIndexFrom(
+      baseMinus.where(col("text").isNotNull).select(
+        col("doc_id").as("id"),
+        graft.operators.NearDup.minhashSig(
+          graft.operators.NearDup.wordShingles(col("text"), 3), 128).as("sig"),
+        graft.operators.NearDup.minhashBandKeys(
+          graft.operators.NearDup.wordShingles(col("text"), 3), 32, 4).as("keys")),
+      scratch)
+    assert(erasedServe == verdicts(scratch),
+      "tombstone serving diverged from the minus-subjects rebuild")
+    // at least one near-copy of a SUBJECT doc must have flipped clean
+    // (the batch clones the first 40 docs; residue 8 appears among them)
+    val flipped = near.filter(_._1 % 9 == (900000L + 8) % 9)
+    assert(flipped.nonEmpty)
+    // physical: compaction drops the subject rows and retires tombstones
+    graft.operators.NearDup.compactSignatureIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "tombstones must retire once physical")
+    assert(spark.read.parquet(s"$idx/docs")
+      .where(pmod(col("id"), lit(9L)) === 8L).count() == 0L)
+    assert(spark.read.parquet(s"$idx/keys")
+      .where(pmod(col("id"), lit(9L)) === 8L).count() == 0L)
+    assert(verdicts(idx) == erasedServe, "compaction changed served verdicts")
+  }
+
   test("bucketed key index partition-prunes a small increment's scan") {
     import spark.implicits._
     // reuses the index written by the previous test (rebuild if absent —
