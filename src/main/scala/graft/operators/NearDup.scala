@@ -545,13 +545,40 @@ object NearDup {
       .select(explode(col("keys")).as("key"))
       .select(pmod(col("key"), lit(IndexBuckets.toLong)).as("kb"))
       .distinct().collect().map(_.getLong(0))
-    val raw = spark.read.parquet(s"$indexPath/keys")
+    val raw = readSigKeys(spark, indexPath)
       .where(col("kb").isin(touched.toIndexedSeq: _*))
       .select(col("id"), col("key"))
     sigTombstones(spark, indexPath)
       .map(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
       .getOrElse(raw)
   }
+
+  /** The two store relations with EMPTY-corpus fallbacks (the lex
+    * readPostings contract): an empty corpus writes a keys dir with no
+    * data files (partitionBy of zero rows) and possibly a part-less docs
+    * dir — schema inference fails there, and the correct serving input
+    * is the empty relation with the store's canonical schema. */
+  private def readSigKeys(spark: SparkSession, indexPath: String): DataFrame =
+    try spark.read.parquet(s"$indexPath/keys") catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("id", LongType),
+            StructField("key", LongType), StructField("kb", IntegerType))))
+    }
+
+  private def readSigDocs(spark: SparkSession, indexPath: String): DataFrame =
+    try spark.read.parquet(s"$indexPath/docs") catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("id", LongType),
+            StructField("sig", ArrayType(LongType)))))
+    }
 
   /** The tombstone relation of a signature store, if any subject was
     * erased and not yet compacted away — request-sized, broadcast. */
@@ -653,8 +680,8 @@ object NearDup {
         .getOrElse(df)
     // force the filtered inputs BEFORE the swap: their plans read the
     // generation the swap replaces
-    val docs = minus(spark.read.parquet(s"$indexPath/docs")).localCheckpoint()
-    val keys = minus(spark.read.parquet(s"$indexPath/keys")
+    val docs = minus(readSigDocs(spark, indexPath)).localCheckpoint()
+    val keys = minus(readSigKeys(spark, indexPath)
       .select(col("id"), col("key"), col("kb"))).localCheckpoint()
     graft.sources.IO.publishStore(spark, indexPath, "__index_tmp") { tmp =>
       docs.write.mode("overwrite").parquet(s"$tmp/docs")
@@ -754,7 +781,7 @@ object NearDup {
         if (fs.exists(docsPath))
           dedupIncrementalKeyed(batch,
             prunedKeyIndex(spark, indexPath, batch),
-            minusTombs(spark.read.parquet(s"$indexPath/docs")), thr)
+            minusTombs(readSigDocs(spark, indexPath)), thr)
         else
           // pre-bucketing index layout (flat (id, sig, keys) parquet):
           // serve it unpruned rather than failing a durable store on
