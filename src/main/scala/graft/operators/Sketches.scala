@@ -147,6 +147,29 @@ object Sketches {
     spark.read.parquet(path)
   }
 
+  /** GDPR-article-17 erasure for the HLL slice store — the one durable
+    * store whose state is information-theoretically NON-decrementable:
+    * a register holds max(rho) over every value that hashed to it, and
+    * max is idempotent but not invertible — there is no "negative
+    * register" to append (the lexical store's negative-stats trick has
+    * no analog), and a tombstone can't be consulted because the raw
+    * values are gone from the state by design. Erasure is therefore a
+    * SLICE REBUILD from the raw rows minus the subject (the raw corpus
+    * is the source of truth; a sketch is derived state — the same
+    * reason the IVF erasure keeps its centroids but the z-table rewrite
+    * drops rows). Slicing is what bounds the cost: only the slices the
+    * subject touched rebuild (one day-job per touched day at 100 TB),
+    * and the atomic generation swap ([[writeHllSketch]]'s publish
+    * protocol) makes the rebuilt slice indistinguishable from one built
+    * without the subject — the exact contract the other four stores
+    * prove via tombstones + compaction, reached here by the only route
+    * a sketch admits. Idempotent trivially: re-running the rebuild
+    * writes the same registers. */
+  def eraseHllSubject(sliceRaw: DataFrame, subject: Column, group: Column,
+      value: Column, path: String): Unit =
+    writeHllSketch(sliceRaw.where(!coalesce(subject, lit(false))),
+      group, value, path)
+
   /** Distinct-count estimates over the UNION of any set of persisted
     * slices: union the register relations, max-merge per (g, b), run the
     * same estimator. Because register max is idempotent, overlapping or

@@ -610,6 +610,30 @@ class CoreSpec extends AnyFunSuite {
     Sketches.writeHllSketch(slice(1, 600), col("g0"), col("v"), base + "_a")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "_a__sketch_tmp")),
       "writer entry heals tmp debris")
+    // ERASURE is a slice rebuild (register max is not invertible — no
+    // tombstone or negative increment exists for a sketch): rebuilding
+    // slice _a without ids 1..99 must make the merged store BIT-identical
+    // to slices built from scratch without them, and the estimate drops
+    val subject = col("v") < 100L
+    Sketches.eraseHllSubject(slice(1, 600), subject, col("g0"), col("v"),
+      base + "_a")
+    val erasedMerge = Sketches.mergeHllEstimate(
+      Seq(Sketches.readHllSketch(spark, base + "_a"),
+        Sketches.readHllSketch(spark, base + "_b")), "n").collect()
+    val scratch = Sketches.hllDistinct(
+      slice(100, 600).union(slice(400, 1000)), col("g0"), col("v"), "n")
+      .collect()
+    assert(erasedMerge.map(_.toSeq).toSeq == scratch.map(_.toSeq).toSeq,
+      "erased-slice merge must equal the from-scratch-without-subject sketch")
+    assert(erasedMerge.head.getLong(1) < est,
+      "the estimate must visibly drop with 99 subjects erased")
+    // idempotent: the rebuild writes the same registers
+    Sketches.eraseHllSubject(slice(1, 600), subject, col("g0"), col("v"),
+      base + "_a")
+    assert(Sketches.mergeHllEstimate(
+      Seq(Sketches.readHllSketch(spark, base + "_a"),
+        Sketches.readHllSketch(spark, base + "_b")), "n").collect()
+      .map(_.toSeq).toSeq == erasedMerge.map(_.toSeq).toSeq)
   }
 
   test("log_templates collapses variable parts into one template per shape") {
