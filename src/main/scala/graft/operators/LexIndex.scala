@@ -282,16 +282,13 @@ object LexIndex {
 
   /** The tombstone relation of a store, if any subject was erased and
     * not yet compacted away — erasure-request-sized (a dimension),
-    * hence always broadcast at the consumer. */
+    * hence always broadcast at the consumer. Discovery goes through
+    * [[graft.sources.StoreProtocol.tombstones]] (the path's own Hadoop
+    * filesystem — never java.io.File, which silently answers "no
+    * tombstones" on a remote store and serves erased subjects). */
   private def lexTombstones(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val d = new java.io.File(s"$path/tombstones")
-    val has = Option(d.listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (has) Some(spark.read.parquet(s"$path/tombstones")
-      .select(col("doc_id")).distinct())
-    else None
-  }
+      path: String): Option[DataFrame] =
+    graft.sources.StoreProtocol.tombstones(spark, path, "doc_id")
 
   /** GDPR-article-17 erasure for the lexical index — the retrieval-store
     * leg of the governance family (the z-table's [[graft.operators
@@ -344,65 +341,33 @@ object LexIndex {
       .select(col("doc_id"), col("text"))
       .where(col("doc_id").isNotNull).localCheckpoint()
     if (fresh.isEmpty) return // fully-replayed or empty request: no-op
-    val key = fresh.agg(concat_ws("_",
-        coalesce(expr("bit_xor(xxhash64(CAST(doc_id AS STRING)))"), lit(0L)),
-        count(lit(1))).as("k")).head().getString(0)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__erase_tmp")
-    fs.delete(tmp, true)
-    fresh.select(col("doc_id")).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    statsOf(fresh).select(
-        concat(lit("erase:"), col("inc_id")).as("inc_id"),
-        (-col("total_len")).as("total_len"),
-        (-col("n_docs")).as("n_docs"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
-    fs.create(new org.apache.hadoop.fs.Path(tmp, s"KEY_$key")).close()
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-    promoteLexErase(fs, tmp, p, key)
-  }
-
-  /** Move a COMPLETE erase tmp's two artifacts into the live store under
-    * names keyed by the request content. Idempotent: each target renames
-    * at most once. */
-  private def promoteLexErase(fs: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
-      key: String): Unit = {
-    def moveOne(sub: String, dstDir: String): Unit = {
-      val from = new org.apache.hadoop.fs.Path(tmp, sub)
-      if (!fs.exists(from)) return
-      val dst = new org.apache.hadoop.fs.Path(p, dstDir)
-      fs.mkdirs(dst)
-      fs.listStatus(from)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
-          case (f, i) =>
-            val target = new org.apache.hadoop.fs.Path(dst,
-              s"ers-$key-$i.parquet")
-            if (fs.exists(target)) fs.delete(f, false)
-            else if (!fs.rename(f, target))
-              sys.error(s"erase: cannot move $f to $target")
-        }
+    val key = graft.sources.StoreProtocol.contentKey(fresh,
+      expr("xxhash64(CAST(doc_id AS STRING))"))
+    graft.sources.StoreProtocol.publishKeyed(fs, p, "__erase_tmp", "KEY",
+      "ers", key, LexEraseSubs) { tmp =>
+      fresh.select(col("doc_id")).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+      statsOf(fresh).select(
+          concat(lit("erase:"), col("inc_id")).as("inc_id"),
+          (-col("total_len")).as("total_len"),
+          (-col("n_docs")).as("n_docs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     }
-    moveOne("tombstones", "tombstones")
-    moveOne("stats", "stats")
-    fs.delete(tmp, true)
   }
 
-  /** WRITER-entry healing for a crashed erasure: a tmp with the root
-    * _SUCCESS resumes its promote under the key persisted in the tmp;
-    * one without is debris — dropped (the caller replays the request,
-    * and the content key plus the already-tombstoned exclusion make
-    * that safe). */
+  private val LexEraseSubs =
+    Seq(("tombstones", "tombstones"), ("stats", "stats"))
+
+  /** WRITER-entry healing for a crashed erasure promote — the shared
+    * content-keyed contract ([[graft.sources.StoreProtocol]]). */
   private def recoverLexErase(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__erase_tmp")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      fs.listStatus(tmp).map(_.getPath.getName)
-        .find(_.startsWith("KEY_")).map(_.stripPrefix("KEY_"))
-        .foreach(key => promoteLexErase(fs, tmp, p, key))
-    else fs.delete(tmp, true)
-  }
+      p: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.StoreProtocol.recoverKeyedPromote(fs, p, "__erase_tmp",
+      "KEY") { (tmp, key) =>
+      graft.sources.StoreProtocol.promoteKeyed(fs, tmp, p, "ers", key,
+        LexEraseSubs)
+      fs.delete(tmp, true)
+    }
 
   /** Physical compaction of the lexical store — the maintenance pass
     * that makes erasure physical and reverses append decay: postings
@@ -420,6 +385,11 @@ object LexIndex {
   def compactLexIndex(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed generation swap FIRST (the erase/append entries do
+    // the same): without it a store mid-swap fails the require below
+    // instead of healing at this writer entry
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(path + "__lex_tmp"))
     recoverLexAppend(fs, p)
     recoverLexErase(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),

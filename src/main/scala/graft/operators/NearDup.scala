@@ -581,16 +581,14 @@ object NearDup {
     }
 
   /** The tombstone relation of a signature store, if any subject was
-    * erased and not yet compacted away — request-sized, broadcast. */
+    * erased and not yet compacted away — request-sized, broadcast.
+    * Discovery goes through [[graft.sources.StoreProtocol.tombstones]]
+    * (the path's own Hadoop filesystem — never java.io.File, which
+    * silently answers "no tombstones" on a remote store and serves
+    * erased subjects). */
   private def sigTombstones(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
-    val d = new java.io.File(s"$indexPath/tombstones")
-    val has = Option(d.listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (has) Some(spark.read.parquet(s"$indexPath/tombstones")
-      .select(col("id")).distinct())
-    else None
-  }
+      indexPath: String): Option[DataFrame] =
+    graft.sources.StoreProtocol.tombstones(spark, indexPath, "id")
 
   /** GDPR-article-17 erasure for the signature index — the near-dup
     * store's governance leg (the z-table / lexical / IVF siblings; a
@@ -617,47 +615,26 @@ object NearDup {
       .map(t => fresh0.join(broadcast(t), Seq("id"), "left_anti"))
       .getOrElse(fresh0).localCheckpoint()
     if (fresh.isEmpty) return // fully-replayed or empty request: no-op
-    val key = fresh.agg(concat_ws("_",
-        coalesce(expr("bit_xor(xxhash64(CAST(id AS STRING)))"), lit(0L)),
-        count(lit(1))).as("k")).head().getString(0)
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__erase_tmp")
-    fs.delete(tmp, true)
-    fresh.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombstones")
-    fs.create(new org.apache.hadoop.fs.Path(tmp, s"KEY_$key")).close()
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
-    promoteSigErase(fs, tmp, p, key)
-  }
-
-  private def promoteSigErase(fs: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
-      key: String): Unit = {
-    val from = new org.apache.hadoop.fs.Path(tmp, "tombstones")
-    if (fs.exists(from)) {
-      val dst = new org.apache.hadoop.fs.Path(p, "tombstones")
-      fs.mkdirs(dst)
-      fs.listStatus(from)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
-          case (f, i) =>
-            val target = new org.apache.hadoop.fs.Path(dst, s"ers-$key-$i.parquet")
-            if (fs.exists(target)) fs.delete(f, false)
-            else if (!fs.rename(f, target))
-              sys.error(s"erase: cannot move $f to $target")
-        }
+    val key = graft.sources.StoreProtocol.contentKey(fresh,
+      expr("xxhash64(CAST(id AS STRING))"))
+    graft.sources.StoreProtocol.publishKeyed(fs, p, "__erase_tmp", "KEY",
+      "ers", key, SigEraseSubs) { tmp =>
+      fresh.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombstones")
     }
-    fs.delete(tmp, true)
   }
 
+  private val SigEraseSubs = Seq(("tombstones", "tombstones"))
+
+  /** WRITER-entry healing for a crashed erasure promote — the shared
+    * content-keyed contract ([[graft.sources.StoreProtocol]]). */
   private def recoverSigErase(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__erase_tmp")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      fs.listStatus(tmp).map(_.getPath.getName)
-        .find(_.startsWith("KEY_")).map(_.stripPrefix("KEY_"))
-        .foreach(key => promoteSigErase(fs, tmp, p, key))
-    else fs.delete(tmp, true)
-  }
+      p: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.StoreProtocol.recoverKeyedPromote(fs, p, "__erase_tmp",
+      "KEY") { (tmp, key) =>
+      graft.sources.StoreProtocol.promoteKeyed(fs, tmp, p, "ers", key,
+        SigEraseSubs)
+      fs.delete(tmp, true)
+    }
 
   /** Physical compaction of the signature store: a full-generation
     * rewrite (the lexical pattern — an erased doc's key rows scatter
@@ -671,6 +648,11 @@ object NearDup {
   def compactSignatureIndex(spark: SparkSession, indexPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed generation swap FIRST (the erase entry does the
+    // same): without it a store mid-swap fails the require below instead
+    // of healing at this writer entry
+    graft.sources.IO.recoverStore(fs, p,
+      new org.apache.hadoop.fs.Path(indexPath + "__index_tmp"))
     recoverSigErase(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/docs")),
       s"cannot compact a missing signature index at $indexPath")

@@ -287,15 +287,11 @@ object Relational {
     // clustered TABLE, not a key list (and a join-back on event_id would
     // multiply duplicate ids); the planner output projects them away
     //
-    // FLOOR division, not DIV (which truncates toward zero): the serve
-    // path maps day predicates via LocalDate.toEpochDay — floor
-    // semantics — and a pre-1970 timestamp under DIV would land one day
-    // high, breaking the pruning-is-a-superset contract. Integer-exact
-    // floor: subtract the non-negative remainder first (never a double
-    // floor(), whose 2^53 mantissa cannot carry unix_micros exactly).
-    val ev = ev0.withColumn("day_idx",
-      expr("(unix_micros(ts) - ((unix_micros(ts) % 86400000000) " +
-        "+ 86400000000) % 86400000000) DIV 86400000000"))
+    // the ONE floor day-index definition ([[zorderDayIdx]]) — the build,
+    // append, and serve paths must bucket identically or pruning stops
+    // being a superset (an inline copy here drifted once; see the
+    // r17 advisor note)
+    val ev = ev0.withColumn("day_idx", zorderDayIdx)
     val hk = Sketches.md5mod(
       concat(lit("sample:"), col("event_id").cast("string")),
       graft.expressions.SigUtil.P)
@@ -345,8 +341,11 @@ object Relational {
   }
 
   /** FLOOR day index of `ts` — matches the serve path's
-    * LocalDate.toEpochDay exactly, including pre-1970 (see the comment
-    * in [[zorderAssigned]]). ONE definition for the build and append
+    * LocalDate.toEpochDay exactly, including pre-1970: FLOOR division,
+    * not DIV (which truncates toward zero — a pre-1970 timestamp would
+    * land one day high). Integer-exact floor: subtract the non-negative
+    * remainder first (never a double floor(), whose 2^53 mantissa cannot
+    * carry unix_micros exactly). ONE definition for the build and append
     * paths: a drift here silently breaks pruning-is-a-superset. */
   private def zorderDayIdx: Column =
     expr("(unix_micros(ts) - ((unix_micros(ts) % 86400000000) " +
@@ -467,6 +466,7 @@ object Relational {
       // supersedes the store either way, and no append tmp may leak
       // into the new generation); a crashed compaction heals the same way
       recoverZorderAppend(fs, p)
+      recoverZorderErase(fs, p)
       recoverZorderCompact(fs, p)
       cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
       assigned
@@ -479,22 +479,24 @@ object Relational {
     }
   }
 
-  /** Content-keyed increment id of an event batch — the lex-index
-    * `statsOf` convention (XOR fold of row hashes + the count, NUL-
-    * separated fields so ("ab","c") never keys like ("a","bc")): a
-    * byte-identical redelivery of the same increment keys identically,
-    * which is exactly what makes the append ledger idempotent. */
+  /** Content-keyed increment id of an event batch — the shared
+    * [[graft.sources.StoreProtocol.contentKey]] fold (XOR + decimal sum +
+    * count, NUL-separated fields so ("ab","c") never keys like
+    * ("a","bc")): a byte-identical redelivery of the same increment keys
+    * identically, which is exactly what makes the append ledger
+    * idempotent — and the key is MULTISET-sensitive, because duplicate
+    * event rows are legal data here: under a bare XOR fold paired
+    * duplicates cancel ({A,A,B} keys like {C,C,B}), so a distinct second
+    * increment could silently drop as a "fully-promoted replay". */
   private[graft] def zorderIncId(events: DataFrame): String =
-    events.agg(concat_ws("_",
-        coalesce(expr("bit_xor(xxhash64(concat_ws(CHR(0), " +
-          "coalesce(CAST(event_id AS STRING), 'null'), " +
-          "coalesce(CAST(unix_micros(ts) AS STRING), 'null'), " +
-          "coalesce(CAST(user_id AS STRING), 'null'), " +
-          "coalesce(event_type, 'null'), " +
-          "coalesce(CAST(value AS STRING), 'null'), " +
-          "coalesce(props, 'null'))))"), lit(0L)),
-        count(lit(1))).as("inc_id"))
-      .head().getString(0)
+    graft.sources.StoreProtocol.contentKey(events,
+      expr("xxhash64(concat_ws(CHR(0), " +
+        "coalesce(CAST(event_id AS STRING), 'null'), " +
+        "coalesce(CAST(unix_micros(ts) AS STRING), 'null'), " +
+        "coalesce(CAST(user_id AS STRING), 'null'), " +
+        "coalesce(event_type, 'null'), " +
+        "coalesce(CAST(value AS STRING), 'null'), " +
+        "coalesce(props, 'null')))"))
 
   /** Append an event increment to a persisted z-table — the store-family
     * contract ("increments at increment cost", the appendIvfIndex /
@@ -528,6 +530,7 @@ object Relational {
     graft.sources.IO.recoverStore(fs, p,
       new org.apache.hadoop.fs.Path(path + "__zorder_tmp"))
     recoverZorderAppend(fs, p)
+    recoverZorderErase(fs, p)
     recoverZorderCompact(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cuts")),
       s"cannot append to a missing z-table at $path — build with writeZorderTable")
@@ -561,32 +564,29 @@ object Relational {
 
   /** Move a COMPLETE append tmp's fid files into the live data dirs under
     * deterministic names, then cut the ledger marker and drop the tmp.
-    * Idempotent: each target name is a pure function of (inc id, fid,
-    * file rank) — re-running after a crash moves whatever remains. */
+    * Idempotent two ways (the shared [[graft.sources.StoreProtocol
+    * .promoteKeyed]] contract): each target name is a pure function of
+    * (inc id, the source file's ORIGINAL name) — the original name is
+    * the stable rank, so a resume over the surviving files maps each to
+    * the same target it had before the crash (a rank over the REMAINING
+    * files would shift and delete a not-yet-moved file against an
+    * already-landed target: silent row loss) — and the ledger marker
+    * cuts BEFORE the tmp drops, so a full re-write (which would mint
+    * fresh part names) can never follow a completed move. */
   private def promoteZorderAppend(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
       incId: String): Unit = {
     val dataTmp = new org.apache.hadoop.fs.Path(tmp, "data")
-    if (fs.exists(dataTmp))
-      fs.listStatus(dataTmp).filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("fid=")).foreach { fdir =>
-        val dst = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(p, "data"), fdir.getPath.getName)
-        fs.mkdirs(dst)
-        fs.listStatus(fdir.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
-            case (f, i) =>
-              val target = new org.apache.hadoop.fs.Path(dst,
-                s"inc-$incId-$i.parquet")
-              if (fs.exists(target)) fs.delete(f, false) // already landed
-              else if (!fs.rename(f, target))
-                sys.error(s"append: cannot move $f into $target")
-          }
-      }
+    val subs = if (!fs.exists(dataTmp)) Seq.empty[(String, String)]
+      else fs.listStatus(dataTmp).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("fid="))
+        .map(d => (s"data/${d.getPath.getName}",
+          s"data/${d.getPath.getName}")).toSeq
+    graft.sources.StoreProtocol.promoteKeyed(fs, tmp, p, "inc", incId, subs)
     fs.mkdirs(new org.apache.hadoop.fs.Path(p, "incs"))
-    fs.create(new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(p, "incs"), incId)).close()
+    val marker = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(p, "incs"), incId)
+    if (!fs.exists(marker)) fs.create(marker).close()
     fs.delete(tmp, true)
   }
 
@@ -656,9 +656,12 @@ object Relational {
     graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
     // an EMPTY corpus publishes a cuts row of NULL cutpoints and zero
     // data directories (partitionBy writes nothing): serve the same
-    // answer the raw-table aggregate gives — one row of zero counts
-    val dataDirs = Option(new java.io.File(s"$path/data").listFiles())
-      .map(_.count(_.getName.startsWith("fid="))).getOrElse(0)
+    // answer the raw-table aggregate gives — one row of zero counts.
+    // Probed on the PATH'S OWN filesystem (StoreProtocol) — a
+    // java.io.File probe on an hdfs://-style store answers 0 and a
+    // populated table would serve the zero-row aggregate.
+    val dataDirs =
+      graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
     if (dataDirs == 0)
       return spark.range(1).select(lit(userId).as("user_id"),
         lit(0L).as("n_events"), lit(null).cast("double").as("total_value"),
@@ -699,52 +702,74 @@ object Relational {
 
   /** The tombstone relation of a store, if any subject was erased and
     * not yet physically compacted away — subject-count-sized (a
-    * dimension, never a fact), hence always broadcast. */
+    * dimension, never a fact), hence always broadcast. Discovery goes
+    * through [[graft.sources.StoreProtocol.tombstones]] (the path's own
+    * Hadoop filesystem — never java.io.File, which silently answers
+    * "no tombstones" on a remote store and serves erased subjects). */
   private def zorderTombstones(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val d = new java.io.File(s"$path/tombstones")
-    val has = Option(d.listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (has) Some(spark.read.parquet(s"$path/tombstones")
-      .select(col("user_id")).distinct())
-    else None
-  }
+      path: String): Option[DataFrame] =
+    graft.sources.StoreProtocol.tombstones(spark, path, "user_id")
 
   /** GDPR-article-17 erasure for the z-table — the executable leg of
-    * [[graft.operators.LogOps.dsarReport]]'s erasure plan: the store is
-    * append-only, so erasure lands as a TOMBSTONE (one single-row
-    * parquet per subject, deterministically named — a replayed erasure
-    * request is a no-op) that every serve consults via broadcast
-    * anti-join, and the next [[compactZorderStore]] makes it PHYSICAL:
-    * the subject's candidate fid directories (cuts-pruned — bounded by
-    * the z-curve, never the whole store) rewrite without the subject's
-    * rows, after which the tombstone retires. Serving is therefore
-    * hash-identical to a from-scratch store built without the subject
-    * at EVERY point of the lifecycle. */
+    * [[graft.operators.LogOps.dsarReport]]'s erasure plan, single-subject
+    * convenience over [[eraseZorderSubjects]]. */
   def eraseZorderSubject(spark: SparkSession, path: String,
-      userId: Long): Unit = {
+      userId: Long): Unit =
+    eraseZorderSubjects(spark, path,
+      spark.range(1).select(lit(userId).as("user_id")))
+
+  /** BATCH GDPR-article-17 erasure for the z-table — the DataFrame-shaped
+    * request the lexical store established ([[graft.operators.LexIndex
+    * .eraseLexDocs]]): a DSAR batch of N subjects lands as ONE writer
+    * entry and one tmp cycle, not N (the r17 verdict's scaling note —
+    * a thousand-subject batch must not pay a thousand store publishes).
+    * The store is append-only, so erasure lands as a TOMBSTONE relation
+    * every serve consults via broadcast anti-join, and the next
+    * [[compactZorderStore]] makes it PHYSICAL: each subject's candidate
+    * fid directories (cuts-pruned — bounded by the z-curve, never the
+    * whole store) rewrite without the subjects' rows, after which the
+    * tombstones retire. Serving is therefore hash-identical to a
+    * from-scratch store built without the subjects at EVERY point of the
+    * lifecycle. Idempotent by content: already-tombstoned subjects are
+    * excluded first (an overlapping second request is a partial no-op; a
+    * fully-replayed one returns before writing), and the promote follows
+    * the shared content-keyed crash contract
+    * ([[graft.sources.StoreProtocol.publishKeyed]]). */
+  def eraseZorderSubjects(spark: SparkSession, path: String,
+      subjects: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.IO.recoverStore(fs, p,
       new org.apache.hadoop.fs.Path(path + "__zorder_tmp"))
     recoverZorderAppend(fs, p)
+    recoverZorderErase(fs, p)
     recoverZorderCompact(fs, p)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cuts")),
       s"cannot erase from a missing z-table at $path")
-    val target = new org.apache.hadoop.fs.Path(s"$path/tombstones/sub-$userId.parquet")
-    if (fs.exists(target)) return // replayed erasure request: no-op
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tomb_tmp")
-    fs.delete(tmp, true)
-    spark.range(1).select(lit(userId).as("user_id"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"erase: no parquet part under $tmp"))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tombstones"))
-    if (!fs.exists(target) && !fs.rename(part, target))
-      sys.error(s"erase: cannot move $part to $target")
-    fs.delete(tmp, true)
+    val fresh0 = subjects.select(col("user_id"))
+      .where(col("user_id").isNotNull).distinct()
+    val fresh = zorderTombstones(spark, path)
+      .map(t => fresh0.join(broadcast(t), Seq("user_id"), "left_anti"))
+      .getOrElse(fresh0).localCheckpoint()
+    if (fresh.isEmpty) return // fully-replayed or empty request: no-op
+    val key = graft.sources.StoreProtocol.contentKey(fresh,
+      expr("xxhash64(CAST(user_id AS STRING))"))
+    graft.sources.StoreProtocol.publishKeyed(fs, p, "__erase_tmp", "KEY",
+      "ers", key, Seq(("tombstones", "tombstones"))) { tmp =>
+      fresh.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
   }
+
+  /** WRITER-entry healing for a crashed erasure promote — the shared
+    * content-keyed contract. */
+  private def recoverZorderErase(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.StoreProtocol.recoverKeyedPromote(fs, p, "__erase_tmp",
+      "KEY") { (tmp, key) =>
+      graft.sources.StoreProtocol.promoteKeyed(fs, tmp, p, "ers", key,
+        Seq(("tombstones", "tombstones")))
+      fs.delete(tmp, true)
+    }
 
   /** Compact a z-table in place — [[compactionPlan]] made executable
     * against the durable store, plus the physical half of
@@ -778,6 +803,7 @@ object Relational {
     graft.sources.IO.recoverStore(fs, p,
       new org.apache.hadoop.fs.Path(path + "__zorder_tmp"))
     recoverZorderAppend(fs, p)
+    recoverZorderErase(fs, p)
     recoverZorderCompact(fs, p)
     val dataDir = new org.apache.hadoop.fs.Path(p, "data")
     if (!fs.exists(dataDir)) return (0, 0)
