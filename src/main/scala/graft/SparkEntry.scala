@@ -253,6 +253,14 @@ object SparkEntry {
     // without the subject gives; subject 5 untouched, from the SAME store
     "events_2d_erasure"     -> ((s: SparkSession, d: String) =>
       Relational.eventsServed2dErasure(s, d)),
+    // batch DSAR erasure: subjects {3,9} in ONE DataFrame request plus a
+    // replay and an overlapping {9,11} request — parameter point of the
+    // erasure lifecycle (inventory row 167)
+    "events_2d_erasure_batch" -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2dErasureBatch(s, d)),
+    // as-of point lookup from the pruned z-table file set
+    "events_2d_asof"        -> ((s: SparkSession, d: String) =>
+      Relational.eventsAsofServed(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -4327,6 +4335,33 @@ object SparkEntry {
         |  AND user_id = 5
         |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
         |  AND ts <  TIMESTAMP '2024-02-16 00:00:00'""".stripMargin,
+
+    // the batch request erased exactly {3, 9, 11}; 5 is untouched
+    "events_2d_erasure_batch" -> Seq(3, 9, 11, 5).map(u =>
+      s"""SELECT CAST($u AS BIGINT) AS user_id, count(*) AS n_events,
+         |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+         |                              ELSE value END AS DECIMAL(12,2)))
+         |            AS DOUBLE) AS total_value,
+         |       count(DISTINCT event_type) AS n_types
+         |FROM events
+         |WHERE user_id NOT IN (3, 9, 11)
+         |  AND user_id = $u
+         |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND ts <  TIMESTAMP '2024-02-16 00:00:00'""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    // the raw-table as-of: the latest row per (user, horizon) under the
+    // pinned total order — z-pruning must be invisible in the answer
+    "events_2d_asof" -> Seq((3, "2024-01-20 00:00:00"),
+        (5, "2024-02-10 12:00:00")).map { case (u, t) =>
+      s"""(SELECT CAST($u AS BIGINT) AS user_id, epoch_us(ts) AS asof_us,
+         |        event_type, CAST(value AS DOUBLE) AS value
+         | FROM events
+         | WHERE user_id = $u AND ts <= TIMESTAMP '$t'
+         | ORDER BY ts DESC, event_id DESC NULLS LAST,
+         |          event_type DESC NULLS LAST
+         | LIMIT 1)""".stripMargin }
+      .mkString("\nUNION ALL\n"),
 
     // the raw-table filter: z-pruning must be invisible in the answer
     "events_2d_served" ->

@@ -667,16 +667,8 @@ object Relational {
         lit(0L).as("n_events"), lit(null).cast("double").as("total_value"),
         lit(0L).as("n_types"))
     val cutsRow = spark.read.parquet(s"$path/cuts").head()
-    // NULL cut arrays (a corpus whose every row lacks one dimension —
-    // the sample is empty but fid=-1 still holds data) place everything
-    // in bucket 0 / fid -1; bucketOf over the empty seq below does the
-    // same, so pruning stays a superset
-    def longs(field: String): Seq[Long] =
-      Option(cutsRow.getSeq[Any](cutsRow.fieldIndex(field)))
-        .map(_.collect { case l: java.lang.Long => l.longValue })
-        .getOrElse(Seq.empty)
-    val cutsU = longs("cuts_u")
-    val cutsD = longs("cuts_d")
+    val cutsU = cutLongs(cutsRow, "cuts_u")
+    val cutsD = cutLongs(cutsRow, "cuts_d")
     val (bits, files) = zorderGeometry(cutsRow)
     val loDay = java.time.LocalDate.parse(dayLo).toEpochDay
     val hiDay = java.time.LocalDate.parse(dayHi).toEpochDay
@@ -698,6 +690,68 @@ object Relational {
         countDistinct(col("event_type")).as("n_types"))
       .select(lit(userId).as("user_id"), col("n_events"),
         col("total_value"), col("n_types"))
+  }
+
+  /** A cutpoint array of the persisted cuts row, as longs. NULL cut
+    * arrays (a corpus whose every row lacks one dimension — the sample
+    * is empty but fid=-1 still holds data) read as empty; bucketOf over
+    * the empty seq places everything in bucket 0, so pruning stays a
+    * superset. ONE definition for every reader of the cuts relation. */
+  private def cutLongs(cutsRow: org.apache.spark.sql.Row,
+      field: String): Seq[Long] =
+    Option(cutsRow.getSeq[Any](cutsRow.fieldIndex(field)))
+      .map(_.collect { case l: java.lang.Long => l.longValue })
+      .getOrElse(Seq.empty)
+
+  /** As-of point lookup served from the z-table — the "latest state for
+    * user X as of time t" query a 100 TB ops table answers constantly:
+    * the cutpoints map (user, (-∞, t]) onto its pruned fid set — ub is
+    * fixed by the user, so by the z-curve bound the set stays ≤4-of-32
+    * for ANY time horizon, not just narrow windows — the scan
+    * partition-prunes to those directories, the exact predicate runs as
+    * a residual, and the latest surviving row wins (total order pinned:
+    * ts DESC, then event_id / event_type DESC NULLS LAST — both engines
+    * seat the same row under at-least-once duplicates). NULL-ts rows are
+    * off the timeline (the shared sessionizer rule — never "as of"
+    * anything), which also keeps the fid=-1 NULL-dim residue out of the
+    * answer by predicate alone. Erased subjects drop via the tombstone
+    * anti-join, so an erased user's as-of answer is the EMPTY relation —
+    * exactly what a store built without them serves. Result ≡ the
+    * raw-table as-of, which IS the oracle. */
+  def eventsAsofServedFrom(spark: SparkSession, path: String, userId: Long,
+      asOf: String): DataFrame = {
+    graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
+    def empty = spark.range(0).select(lit(userId).as("user_id"),
+      lit(null).cast("long").as("asof_us"),
+      lit(null).cast("string").as("event_type"),
+      lit(null).cast("double").as("value"))
+    val dataDirs =
+      graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
+    if (dataDirs == 0) return empty
+    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsU = cutLongs(cutsRow, "cuts_u")
+    val cutsD = cutLongs(cutsRow, "cuts_d")
+    val (bits, files) = zorderGeometry(cutsRow)
+    // every day bucket from the earliest (below all cutpoints) up to the
+    // as-of day: day(ts) ≤ day(asOf) whenever ts ≤ asOf, so the pruned
+    // set is a superset of the predicate's rows
+    val dayLo = if (cutsD.isEmpty) 0L else cutsD.min - 1
+    val dayHi = java.time.LocalDate.parse(asOf.take(10)).toEpochDay
+    val fids = zorderPrunedFids(cutsU, cutsD, userId, dayLo, dayHi,
+      bits, files)
+    val scan = spark.read.parquet(s"$path/data")
+      .where(col("fid").isin(fids: _*))
+      .where(col("user_id") === userId &&
+        col("ts") <= lit(asOf).cast("timestamp_ntz"))
+    val latest = Window.partitionBy(col("user_id")).orderBy(col("ts").desc,
+      col("event_id").desc_nulls_last, col("event_type").desc_nulls_last)
+    zorderTombstones(spark, path)
+      .map(t => scan.join(broadcast(t), Seq("user_id"), "left_anti"))
+      .getOrElse(scan)
+      .withColumn("rk", row_number().over(latest))
+      .where(col("rk") === 1)
+      .select(col("user_id"), expr("unix_micros(ts)").as("asof_us"),
+        col("event_type"), col("value").cast("double").as("value"))
   }
 
   /** The tombstone relation of a store, if any subject was erased and
@@ -818,11 +872,8 @@ object Relational {
     val tombFidNames: Set[String] = if (tombIds.isEmpty) Set.empty else {
       val cutsRow = spark.read.parquet(s"$path/cuts").head()
       val (bits, files) = zorderGeometry(cutsRow)
-      def longs(field: String): Seq[Long] =
-        Option(cutsRow.getSeq[Any](cutsRow.fieldIndex(field)))
-          .map(_.collect { case l: java.lang.Long => l.longValue })
-          .getOrElse(Seq.empty)
-      val (cutsU, cutsD) = (longs("cuts_u"), longs("cuts_d"))
+      val (cutsU, cutsD) = (cutLongs(cutsRow, "cuts_u"),
+        cutLongs(cutsRow, "cuts_d"))
       // every day bucket of the subject's user bucket: pass day values
       // that bracket ALL cutpoints (the full db range 0..buckets-1)
       val (dayLo, dayHi) =
@@ -968,6 +1019,47 @@ object Relational {
     val path = erasedZorderPath(spark, dir)
     eventsServed2dFrom(spark, path, 3L, "2024-01-03", "2024-02-15")
       .unionAll(eventsServed2dFrom(spark, path, 5L, "2024-01-03", "2024-02-15"))
+  }
+
+  /** Store for `events_2d_erasure_batch`: full build, then subjects 3
+    * and 9 erased in ONE DataFrame-shaped request (the DSAR batch path —
+    * one writer entry and one tmp cycle for the whole batch), the same
+    * request replayed (content-keyed no-op), then an OVERLAPPING request
+    * {9, 11} whose shared subject is already tombstoned — only 11 is
+    * fresh, so the overlap must not double-land. */
+  private def erasedBatchZorderPath(spark: SparkSession, dir: String): String =
+    zorderStorePath(spark, dir, "ersb") { path =>
+      def req(ids: Long*): DataFrame = {
+        val sp = spark
+        import sp.implicits._
+        ids.toDF("user_id")
+      }
+      writeZorderTable(spark, dir, path)
+      eraseZorderSubjects(spark, path, req(3L, 9L))
+      eraseZorderSubjects(spark, path, req(3L, 9L)) // replayed: no-op
+      eraseZorderSubjects(spark, path, req(9L, 11L)) // overlap: 11 fresh
+    }
+
+  /** Batch-erasure verification — the registered multi-subject
+    * governance query: subjects 3, 9 (one request) and 11 (an
+    * overlapping second request) all serve the zero row; subject 5 is
+    * untouched — four rows from ONE store, so the oracle proves the
+    * batch request erased exactly its subjects. */
+  def eventsServed2dErasureBatch(spark: SparkSession, dir: String): DataFrame = {
+    val path = erasedBatchZorderPath(spark, dir)
+    Seq(3L, 9L, 11L, 5L)
+      .map(eventsServed2dFrom(spark, path, _, "2024-01-03", "2024-02-15"))
+      .reduce(_ unionAll _)
+  }
+
+  /** As-of serve from the base z-store — the registered point-lookup
+    * query: two subjects at two horizons (one mid-corpus, one past the
+    * last event so the whole history is in scope), each answered by the
+    * latest surviving row from the pruned ≤4-of-32 file set. */
+  def eventsAsofServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = servedZorderPath(spark, dir)
+    eventsAsofServedFrom(spark, path, 3L, "2024-01-20 00:00:00")
+      .unionAll(eventsAsofServedFrom(spark, path, 5L, "2024-02-10 12:00:00"))
   }
 
   private lazy val zorderNonce: String = java.lang.Long.toHexString(

@@ -395,4 +395,77 @@ class ZorderStoreSpec extends AnyFunSuite {
       assert(serve(p, u) == serve(scratch, u),
         s"post-compaction serving diverged for $u")
   }
+
+  test("batch erasure: one multi-subject request equals a scratch store without the subjects; replay and overlap no-op") {
+    val p = s"$Root/eraseb"
+    val scratch = s"$Root/eraseb_scratch"
+    wipe(p); wipe(scratch)
+    def req(ids: Long*) = {
+      val sp = spark
+      import sp.implicits._
+      ids.toDF("user_id")
+    }
+    Relational.writeZorderTableFrom(ev, p)
+    // ONE request, two subjects — one writer entry, one tombstone promote
+    Relational.eraseZorderSubjects(spark, p, req(3L, 7L))
+    val tombFiles = Option(new java.io.File(s"$p/tombstones").listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(tombFiles == 1,
+      s"a batch request must land ONE tombstone artifact, found $tombFiles")
+    Relational.writeZorderTableFrom(
+      ev.where(col("user_id").isNull || !col("user_id").isin(3L, 7L)),
+      scratch)
+    for (u <- Seq(3L, 5L, 7L))
+      assert(serve(p, u) == serve(scratch, u),
+        s"batch-erased serving diverged from the scratch store for $u")
+    // byte-identical replay: content-keyed no-op (no second artifact)
+    Relational.eraseZorderSubjects(spark, p, req(3L, 7L))
+    assert(Option(new java.io.File(s"$p/tombstones").listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) == tombFiles)
+    // overlapping request {7, 9}: only 9 is fresh — 7 must not
+    // double-land, 9 must take effect
+    Relational.eraseZorderSubjects(spark, p, req(7L, 9L))
+    assert(serve(p, 9L) == rawAnswer(9L, excludeUser = Some(9L)))
+    assert(serve(p, 5L) == rawAnswer(5L))
+    // compaction makes the whole batch physical
+    Relational.compactZorderStore(spark, p)
+    assert(spark.read.parquet(s"$p/data")
+      .where(col("user_id").isin(3L, 7L, 9L)).count() == 0L,
+      "batch-erased subjects must have no physical rows after compaction")
+  }
+
+  test("as-of serve: latest surviving row from the pruned file set equals the raw-table as-of at every horizon") {
+    val p = s"$Root/asof"
+    wipe(p)
+    Relational.writeZorderTableFrom(ev, p)
+    def rawAsof(u: Long, t: String): Seq[Seq[Any]] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc,
+        col("event_id").desc_nulls_last, col("event_type").desc_nulls_last)
+      ev.where(col("user_id") === u &&
+          col("ts") <= lit(t).cast("timestamp_ntz"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("user_id"), expr("unix_micros(ts)").as("asof_us"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .collect().map(_.toSeq).toSeq
+    }
+    val horizons = Seq("2024-01-05 00:00:00", "2024-01-20 12:00:00",
+      "2024-03-01 00:00:00", "1999-01-01 00:00:00")
+    for (u <- Seq(3L, 5L, 7L); t <- horizons) {
+      val served = Relational.eventsAsofServedFrom(spark, p, u, t)
+        .collect().map(_.toSeq).toSeq
+      assert(served == rawAsof(u, t), s"as-of serve diverged at ($u, $t)")
+      // the pre-corpus horizon must serve the EMPTY relation
+      if (t.startsWith("1999")) assert(served.isEmpty)
+    }
+    // an erased subject's as-of answer is empty at every horizon
+    Relational.eraseZorderSubject(spark, p, 3L)
+    assert(Relational.eventsAsofServedFrom(spark, p, 3L,
+      "2024-03-01 00:00:00").collect().isEmpty,
+      "erased subject must have no as-of answer")
+    assert(Relational.eventsAsofServedFrom(spark, p, 5L,
+      "2024-03-01 00:00:00").collect().map(_.toSeq).toSeq ==
+      rawAsof(5L, "2024-03-01 00:00:00"),
+      "untouched subject's as-of answer must survive the erasure")
+  }
 }
