@@ -2,6 +2,8 @@ package graft.expressions
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -243,6 +245,43 @@ object Kernels {
       b += 1
     }
     new GenericArrayData(keys)
+  }
+
+  /** Pinned sign hashes of the perceptual weighted SimHash: one 64-bit
+    * md5 ("ph:<bin>") per histogram bin — bit t of bin j's hash is j's
+    * vote sign for signature bit t. The engine-wide md5_number_lower
+    * family, so the SQL oracle embeds the identical literals. */
+  private lazy val perceptualBinHash: Array[Long] =
+    Array.tabulate(64)(j => md5LowerOf(UTF8String.fromString("ph:" + j)))
+
+  /** Perceptual media signature in ONE kernel pass over the payload:
+    * struct(n = byte count, counts = the 64-bin byte-value histogram as
+    * exact longs, sig = the 32-bit weighted SimHash — s_t = Σ_j
+    * counts(j)·sign(j,t), bit t = [s_t ≥ 0]). The media twin of
+    * [[simhashSig]]: counts stay integer so the verify stage's
+    * cross-multiplied L1 is exact, and the signature rides codegen like
+    * the text kernels (no encoder round-trip, no mapPartitions). */
+  def perceptualSig(payload: Array[Byte]): InternalRow = {
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) % 64) += 1L
+      i += 1
+    }
+    var sig = 0L
+    var t = 0
+    while (t < 32) {
+      var s = 0L
+      var j = 0
+      while (j < 64) {
+        s += counts(j) * (((perceptualBinHash(j) >>> t) & 1L) * 2L - 1L)
+        j += 1
+      }
+      if (s >= 0L) sig |= 1L << t
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](payload.length.toLong,
+      new GenericArrayData(counts), sig))
   }
 
   def simhashSig(toks: ArrayData): Long = {

@@ -284,16 +284,10 @@ object Multimodal {
         md5(col("counts_csv")).as("feat_sig"))
   }
 
-  /** Perceptual signature constants: one pinned 64-bit hash per histogram
-    * bin (md5 of "ph:<bin>", the engine-wide md5_number_lower family the
-    * SQL oracle replays verbatim); bit t of bin j's hash is j's vote sign
-    * for signature bit t. Driver-computed once — 64 longs. */
-  private lazy val PerceptualBinHash: Array[Long] =
-    Array.tabulate(64)(j => graft.expressions.Kernels.md5LowerOf(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s"ph:$j")))
-
   /** Signature bits (32): the weighted-SimHash vote over the byte
-    * histogram — s_t = Σ_j counts(j)·sign(j,t), bit t = [s_t ≥ 0]. */
+    * histogram — s_t = Σ_j counts(j)·sign(j,t), bit t = [s_t ≥ 0]. The
+    * pinned per-bin sign hashes (md5 of "ph:<bin>") live in the kernel
+    * ([[graft.expressions.Kernels.perceptualSig]]). */
   val PerceptualBits = 32
 
   /** Perceptual media near-dup — the leg [[dedupMedia]]'s byte-digest
@@ -330,35 +324,29 @@ object Multimodal {
   /** [[dedupMediaPerceptual]] over an explicit (media_id, kind, payload)
     * relation — `media` must already be entity-distinct (the mediaTable
     * contract). */
+  /** The perceptual signature stage: ONE native kernel pass per payload
+    * ([[graft.expressions.PerceptualSig]] — the SimHashSig pattern):
+    * histogram + weighted SimHash ride whole-stage codegen, the scan
+    * prunes to (media_id, payload), and no encoder round-trip runs in
+    * the hot path (the mapPartitions form this replaced deserialized
+    * every row). Exposed for the plan pin. */
+  private[graft] def perceptualBase(media: DataFrame): DataFrame = {
+    val ps = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.PerceptualSig(
+        org.apache.spark.sql.graft.Bridge.expression(col("payload"))))
+    media
+      .select(col("media_id").as("id"), ps.as("ps"))
+      .select(col("id"), col("ps.n").as("n"),
+        col("ps.counts").as("counts"), col("ps.sig").as("sig"))
+      .withColumn("keys", array((0 until PerceptualBits / 8).map(c =>
+        concat_ws("|", lit(c),
+          shiftrightunsigned(col("sig"), 8 * c).bitwiseAND(lit(0xffL)))): _*))
+      .where(col("n") > 0)
+  }
+
   private[graft] def dedupMediaPerceptualFrom(media: DataFrame,
       thr: Double): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val binHash = PerceptualBinHash
-    val nBits = PerceptualBits
-    val base = media.as[MediaRecord]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val counts = new Array[Long](64)
-        var i = 0
-        while (i < m.payload.length) { counts((m.payload(i) & 0xff) % 64) += 1L; i += 1 }
-        var sig = 0L
-        var t = 0
-        while (t < nBits) {
-          var s = 0L
-          var j = 0
-          while (j < 64) {
-            s += counts(j) * (((binHash(j) >>> t) & 1L) * 2L - 1L)
-            j += 1
-          }
-          if (s >= 0L) sig |= 1L << t
-          t += 1
-        }
-        val keys = (0 until nBits / 8).map(c =>
-          s"$c|${(sig >>> (8 * c)) & 0xffL}")
-        (m.media_id, m.payload.length.toLong, counts.toSeq, sig, keys)
-      }))
-      .toDF("id", "n", "counts", "sig", "keys")
-      .where(col("n") > 0)
+    val base = perceptualBase(media)
     // the signature base feeds the key explode, the key-count cap, and
     // both sides of the candidate join — persist it once (the NearDup
     // memoBase rationale, scoped to this call)

@@ -421,4 +421,22 @@ class PlanShapeSpec extends AnyFunSuite {
     pin("metrics_locf", "events")
     pin("source_overlap", "documents")
   }
+
+  test("perceptual media signature is the native kernel: no object " +
+    "round-trip, inside whole-stage codegen") {
+    // the registered query localCheckpoints its result (its executed
+    // plan is just the checkpoint scan) — pin the SIGNATURE stage the
+    // operator composes from
+    val df = graft.operators.Multimodal.perceptualBase(
+      graft.operators.Multimodal.mediaTable(spark, Sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"perceptual signature must be a kernel projection, not an encoder " +
+        s"round-trip:\n$p")
+    assert(p.toLowerCase.contains("perceptualsig"),
+      s"expected the PerceptualSig kernel in the plan:\n$p")
+    assert(p.contains("*("),
+      s"the signature projection must sit inside a codegen span:\n$p")
+  }
 }
