@@ -97,13 +97,19 @@ object Bench {
       val totals = passTotals(passes)
       if (totals.isEmpty || totals.min == 0.0) 1.0 else totals.max / totals.min
     }
-    // 3 retries, not 2: r12 exhausted 2 and still recorded contended
-    // (spread 1.224) — one more whole-suite attempt (~3 min) is cheap
-    // against a round record that poisons every downstream comparison
-    val maxAttempts = 1 + math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt)
+    // 5 retries (was 3): r17 exhausted the budget with every attempt
+    // contended (spread 1.165) and the OFFICIAL record shipped
+    // non-authoritative — the retries stop early the moment one attempt
+    // is clean, so a quiet host never pays for the headroom, and a noisy
+    // one gets two more chances at a usable round record
+    val maxAttempts = 1 + math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "5").toInt)
     val attempts = scala.collection.mutable.ArrayBuffer[IndexedSeq[Map[String, Double]]]()
     var settled = false
     while (attempts.size < maxAttempts && !settled) {
+      // contention is usually transient (a co-tenant's build, the gate's
+      // own tail) — pause before a RETRY so the next attempt samples a
+      // different window instead of the same noisy one
+      if (attempts.nonEmpty) Thread.sleep(45000)
       val failedBefore = failed.size
       attempts += (1 to runs).map(_ => suitePass())
       // an attempt that produced a NEW failure changed the comparable
