@@ -455,7 +455,7 @@ object ScaleProbe {
     // FREE at serve time": appended/rebuilt ≈ 1, and compaction keeps it
     // there while restoring the one-file-per-dir layout.
     val zPts: Seq[Option[(String, Double, Double)]] =
-      if (want("z2d_append") || want("z2d_compact")) {
+      if (want("z2d_append") || want("z2d_compact") || want("z2d_asof")) {
         val zR = "/tmp/graft_probe_zR"
         val zA = "/tmp/graft_probe_zA"
         import scala.reflect.io.Directory
@@ -475,8 +475,18 @@ object ScaleProbe {
         graft.operators.Relational.compactZorderStore(spark, zA)
         val c1 = time("z2d rebuilt'")(zServe(zR))
         val c2 = time("z2d compacted")(zServe(zA))
+        // as-of point serve: the horizon is UNBOUNDED below (the whole
+        // history is in predicate scope), yet the pruned fid set is the
+        // same geometry-bounded ≤4-of-32 — the as-of must cost what the
+        // windowed 2-D serve costs, on either store lifecycle
+        def zAsof(p: String): DataFrame =
+          graft.operators.Relational.eventsAsofServedFrom(spark, p, 5L,
+            "2024-02-15 00:00:00")
+        val f1 = time("z2d asof rebuilt")(zAsof(zR))
+        val f2 = time("z2d asof compacted")(zAsof(zA))
         Seq(if (want("z2d_append")) Some(("z2d_append", a1, a2)) else None,
-          if (want("z2d_compact")) Some(("z2d_compact", c1, c2)) else None)
+          if (want("z2d_compact")) Some(("z2d_compact", c1, c2)) else None,
+          if (want("z2d_asof")) Some(("z2d_asof", f1, f2)) else None)
       } else Seq.empty
 
     def point(name: String)(a: => Double, b: => Double)

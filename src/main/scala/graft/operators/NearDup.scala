@@ -736,8 +736,13 @@ object NearDup {
     // the increment. The cache entry is explicitly released below —
     // Dataset.persist pins the plan in the session CacheManager until an
     // unpersist; nothing frees it on GC.
+    // NULL-text docs STAY in the report universe (NULL sig/keys — they
+    // probe nothing and pair with nothing, but the verdict relation
+    // reports them with n_candidates 0): the word3Base/self-contained
+    // twin and the SQL oracle both report every batch entity, and a
+    // text filter here silently shrank the served universe on corpora
+    // with NULL documents (the combined/null probe axes caught it).
     val batch = newDocs
-      .where(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         minhashSig(sh, 128).as("sig"),
         minhashBandKeys(sh, 32, 4).as("keys"))

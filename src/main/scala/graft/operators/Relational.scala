@@ -593,17 +593,13 @@ object Relational {
   /** WRITER-entry healing for a crashed append: a tmp with the root
     * _SUCCESS is a complete increment — resume its move under the inc id
     * persisted in the tmp; one without is partial debris — drop it (the
-    * caller replays the batch, and the content key makes that safe). */
+    * caller replays the batch, and the content key makes that safe).
+    * The shared content-keyed contract ([[graft.sources.StoreProtocol
+    * .recoverKeyedPromote]]), INCID-marked. */
   private def recoverZorderAppend(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__append_tmp")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      fs.listStatus(tmp).map(_.getPath.getName)
-        .find(_.startsWith("INCID_")).map(_.stripPrefix("INCID_"))
-        .foreach(incId => promoteZorderAppend(fs, tmp, p, incId))
-    else fs.delete(tmp, true)
-  }
+      p: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.StoreProtocol.recoverKeyedPromote(fs, p, "__append_tmp",
+      "INCID")((tmp, incId) => promoteZorderAppend(fs, tmp, p, incId))
 
   /** (bits, files) persisted in the cuts relation — a reader must never
     * assume the writer's geometry. */
