@@ -261,6 +261,9 @@ object SparkEntry {
     // as-of point lookup from the pruned z-table file set
     "events_2d_asof"        -> ((s: SparkSession, d: String) =>
       Relational.eventsAsofServed(s, d)),
+    // N point-range requests answered by ONE pruned scan + broadcast join
+    "events_2d_batch_served" -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2dBatch(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -4348,6 +4351,25 @@ object SparkEntry {
          |  AND user_id = $u
          |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND ts <  TIMESTAMP '2024-02-16 00:00:00'""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    // the raw-table filter per request: one pruned scan + broadcast join
+    // must be invisible in the answers
+    "events_2d_batch_served" -> Seq(
+        (3, "2024-01-03", "2024-02-15"), (5, "2024-01-10", "2024-03-01"),
+        (7, "2024-02-01", "2024-02-10"), (11, "2024-01-05", "2024-01-06"))
+      .map { case (u, lo, hi) =>
+        val hiX = java.time.LocalDate.parse(hi).plusDays(1)
+        s"""SELECT CAST($u AS BIGINT) AS user_id, '$lo' AS win_lo,
+           |       '$hi' AS win_hi, count(*) AS n_events,
+           |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+           |                              ELSE value END AS DECIMAL(12,2)))
+           |            AS DOUBLE) AS total_value,
+           |       count(DISTINCT event_type) AS n_types
+           |FROM events
+           |WHERE user_id = $u
+           |  AND ts >= TIMESTAMP '$lo 00:00:00'
+           |  AND ts <  TIMESTAMP '$hiX 00:00:00'""".stripMargin }
       .mkString("\nUNION ALL\n"),
 
     // the raw-table as-of: the latest row per (user, horizon) under the

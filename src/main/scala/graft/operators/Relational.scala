@@ -750,6 +750,76 @@ object Relational {
         col("event_type"), col("value").cast("double").as("value"))
   }
 
+  /** Serve a BATCH of (user, day-window) predicates from ONE pruned scan
+    * of the z-table — the dashboard / API-batch shape at 100 TB: N
+    * point-range requests cost one scan of the UNION of their pruned
+    * file sets (each ≤4-of-32 by the z-curve, so the union stays
+    * request-bounded, never store-sized) plus one broadcast join —
+    * not N separate passes. The request set is dimension-sized (a
+    * driver list in production too — it came off an API queue); each
+    * event row joins every request it satisfies, so overlapping windows
+    * and repeated users aggregate independently and exactly; a request
+    * matching nothing still reports its zero row, and erased subjects
+    * drop via the tombstone anti-join before aggregation (the
+    * single-serve contract, element-for-element). */
+  def eventsServed2dBatchFrom(spark: SparkSession, path: String,
+      requests: Seq[(Long, String, String)]): DataFrame = {
+    require(requests.nonEmpty, "batch serve needs at least one request")
+    graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
+    val sp = spark
+    import sp.implicits._
+    val reqDf = requests.map { case (u, lo, hi) =>
+      (u, lo, hi, s"$lo 00:00:00",
+        s"${java.time.LocalDate.parse(hi).plusDays(1)} 00:00:00")
+    }.toDF("q_user", "win_lo", "win_hi", "lo_s", "hi_s")
+      .withColumn("lo_ts", col("lo_s").cast("timestamp_ntz"))
+      .withColumn("hi_ts", col("hi_s").cast("timestamp_ntz"))
+      .drop("lo_s", "hi_s")
+    def zeros = reqDf.select(col("q_user").as("user_id"), col("win_lo"),
+      col("win_hi"), lit(0L).as("n_events"),
+      lit(null).cast("double").as("total_value"), lit(0L).as("n_types"))
+    val dataDirs =
+      graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
+    if (dataDirs == 0) return zeros
+    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsU = cutLongs(cutsRow, "cuts_u")
+    val cutsD = cutLongs(cutsRow, "cuts_d")
+    val (bits, files) = zorderGeometry(cutsRow)
+    val fids = requests.flatMap { case (u, lo, hi) =>
+      zorderPrunedFids(cutsU, cutsD, u,
+        java.time.LocalDate.parse(lo).toEpochDay,
+        java.time.LocalDate.parse(hi).toEpochDay, bits, files)
+    }.distinct
+    val scan0 = spark.read.parquet(s"$path/data")
+      .where(col("fid").isin(fids: _*))
+    val scan = zorderTombstones(spark, path)
+      .map(t => scan0.join(broadcast(t), Seq("user_id"), "left_anti"))
+      .getOrElse(scan0)
+    val v = expr("try_cast(value AS DECIMAL(12,2))")
+    val agg = scan.join(broadcast(reqDf),
+        col("user_id") === col("q_user") &&
+          col("ts") >= col("lo_ts") && col("ts") < col("hi_ts"))
+      .groupBy(col("q_user"), col("win_lo"), col("win_hi"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(v).cast("double").as("total_value"),
+        countDistinct(col("event_type")).as("n_types"))
+    reqDf.join(agg, Seq("q_user", "win_lo", "win_hi"), "left")
+      .select(col("q_user").as("user_id"), col("win_lo"), col("win_hi"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("total_value"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+  }
+
+  /** Batch serve from the base z-store — the registered API-batch query:
+    * four requests (one per user-window shape, including a narrow
+    * two-day window) answered by one pruned scan. */
+  def eventsServed2dBatch(spark: SparkSession, dir: String): DataFrame =
+    eventsServed2dBatchFrom(spark, servedZorderPath(spark, dir), Seq(
+      (3L, "2024-01-03", "2024-02-15"),
+      (5L, "2024-01-10", "2024-03-01"),
+      (7L, "2024-02-01", "2024-02-10"),
+      (11L, "2024-01-05", "2024-01-06")))
+
   /** The tombstone relation of a store, if any subject was erased and
     * not yet physically compacted away — subject-count-sized (a
     * dimension, never a fact), hence always broadcast. Discovery goes

@@ -468,4 +468,39 @@ class ZorderStoreSpec extends AnyFunSuite {
       rawAsof(5L, "2024-03-01 00:00:00"),
       "untouched subject's as-of answer must survive the erasure")
   }
+
+  test("batch serve: N requests equal their element-wise single serves through ONE pruned scan") {
+    val p = s"$Root/batch"
+    wipe(p)
+    Relational.writeZorderTableFrom(ev, p)
+    Relational.eraseZorderSubject(spark, p, 7L)
+    val reqs = Seq(
+      (3L, "2024-01-03", "2024-02-15"),
+      (5L, "2024-01-10", "2024-03-01"),
+      (7L, "2024-02-01", "2024-02-10"), // erased: must report the zero row
+      (999L, "2024-01-05", "2024-01-06")) // absent user: zero row too
+    val batch = Relational.eventsServed2dBatchFrom(spark, p, reqs)
+    val got = batch.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getLong(5))).toSet
+    val want = reqs.map { case (u, lo, hi) =>
+      val single = Relational.eventsServed2dFrom(spark, p, u, lo, hi).head()
+      (u, lo, hi, single.getLong(1),
+        if (single.isNullAt(2)) None else Some(single.getDouble(2)),
+        single.getLong(3))
+    }.toSet
+    assert(got == want, s"batch serve diverged from single serves:\n" +
+      s"only-batch=${(got -- want).take(3)} only-single=${(want -- got).take(3)}")
+    assert(got.exists { case (u, _, _, n, _, _) => u == 7L && n == 0L },
+      "erased subject must report the zero row in the batch")
+    assert(got.exists { case (u, _, _, n, _, _) => u == 3L && n > 0L })
+    // ONE scan of the store's data relation — the batch's whole point
+    val scans = batch.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/data"))
+        => s
+    }
+    assert(scans.length == 1,
+      s"batch serve must read the data relation ONCE, found ${scans.length}")
+  }
 }
