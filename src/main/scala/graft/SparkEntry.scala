@@ -264,6 +264,9 @@ object SparkEntry {
     // N point-range requests answered by ONE pruned scan + broadcast join
     "events_2d_batch_served" -> ((s: SparkSession, d: String) =>
       Relational.eventsServed2dBatch(s, d)),
+    // N as-of lookups from one pruned scan — parameter point of row 172
+    "events_2d_asof_batch"  -> ((s: SparkSession, d: String) =>
+      Relational.eventsAsofBatch(s, d)),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -4370,6 +4373,22 @@ object SparkEntry {
            |WHERE user_id = $u
            |  AND ts >= TIMESTAMP '$lo 00:00:00'
            |  AND ts <  TIMESTAMP '$hiX 00:00:00'""".stripMargin }
+      .mkString("\nUNION ALL\n"),
+
+    // the batch as-of: per request, the same LIMIT-1 raw as-of with the
+    // horizon echoed as a disambiguating column; the pre-corpus horizon
+    // contributes no row on either engine
+    "events_2d_asof_batch" -> Seq((3, "2024-01-20 00:00:00"),
+        (5, "2024-02-10 12:00:00"), (5, "2024-01-08 06:00:00"),
+        (7, "1999-01-01 00:00:00")).map { case (u, t) =>
+      s"""(SELECT CAST($u AS BIGINT) AS user_id, '$t' AS horizon,
+         |        epoch_us(ts) AS asof_us, event_type,
+         |        CAST(value AS DOUBLE) AS value
+         | FROM events
+         | WHERE user_id = $u AND ts <= TIMESTAMP '$t'
+         | ORDER BY ts DESC, event_id DESC NULLS LAST,
+         |          event_type DESC NULLS LAST
+         | LIMIT 1)""".stripMargin }
       .mkString("\nUNION ALL\n"),
 
     // the raw-table as-of: the latest row per (user, horizon) under the

@@ -820,6 +820,66 @@ object Relational {
       (7L, "2024-02-01", "2024-02-10"),
       (11L, "2024-01-05", "2024-01-06")))
 
+  /** Batch as-of: N (user, horizon) point lookups from ONE pruned scan —
+    * [[eventsAsofServedFrom]] given the [[eventsServed2dBatchFrom]]
+    * treatment: the union of the requests' pruned fid sets feeds one
+    * partition-pruned scan, requests ride a broadcast join, and the
+    * per-request latest row wins under the same pinned total order (the
+    * rank window partitions by the REQUEST, so one user at two horizons
+    * answers independently). A request with nothing at-or-before its
+    * horizon — or an erased subject — contributes NO row, exactly the
+    * single-serve contract. */
+  def eventsAsofBatchFrom(spark: SparkSession, path: String,
+      requests: Seq[(Long, String)]): DataFrame = {
+    require(requests.nonEmpty, "batch as-of needs at least one request")
+    graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
+    val sp = spark
+    import sp.implicits._
+    val reqDf = requests.toDF("q_user", "horizon")
+      .withColumn("asof_ts", col("horizon").cast("timestamp_ntz"))
+    def empty = reqDf.limit(0).select(col("q_user").as("user_id"),
+      col("horizon"), lit(null).cast("long").as("asof_us"),
+      lit(null).cast("string").as("event_type"),
+      lit(null).cast("double").as("value"))
+    val dataDirs =
+      graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
+    if (dataDirs == 0) return empty
+    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsU = cutLongs(cutsRow, "cuts_u")
+    val cutsD = cutLongs(cutsRow, "cuts_d")
+    val (bits, files) = zorderGeometry(cutsRow)
+    val dayLo = if (cutsD.isEmpty) 0L else cutsD.min - 1
+    val fids = requests.flatMap { case (u, asOf) =>
+      zorderPrunedFids(cutsU, cutsD, u, dayLo,
+        java.time.LocalDate.parse(asOf.take(10)).toEpochDay, bits, files)
+    }.distinct
+    val scan0 = spark.read.parquet(s"$path/data")
+      .where(col("fid").isin(fids: _*))
+    val scan = zorderTombstones(spark, path)
+      .map(t => scan0.join(broadcast(t), Seq("user_id"), "left_anti"))
+      .getOrElse(scan0)
+    val latest = Window.partitionBy(col("q_user"), col("horizon"))
+      .orderBy(col("ts").desc, col("event_id").desc_nulls_last,
+        col("event_type").desc_nulls_last)
+    scan.join(broadcast(reqDf),
+        col("user_id") === col("q_user") && col("ts") <= col("asof_ts"))
+      .withColumn("rk", row_number().over(latest))
+      .where(col("rk") === 1)
+      .select(col("q_user").as("user_id"), col("horizon"),
+        expr("unix_micros(ts)").as("asof_us"),
+        col("event_type"), col("value").cast("double").as("value"))
+  }
+
+  /** Batch as-of from the base z-store — the registered query: four
+    * requests including the same user at two horizons and a pre-corpus
+    * horizon (which contributes no row). */
+  def eventsAsofBatch(spark: SparkSession, dir: String): DataFrame =
+    eventsAsofBatchFrom(spark, servedZorderPath(spark, dir), Seq(
+      (3L, "2024-01-20 00:00:00"),
+      (5L, "2024-02-10 12:00:00"),
+      (5L, "2024-01-08 06:00:00"),
+      (7L, "1999-01-01 00:00:00")))
+
   /** The tombstone relation of a store, if any subject was erased and
     * not yet physically compacted away — subject-count-sized (a
     * dimension, never a fact), hence always broadcast. Discovery goes

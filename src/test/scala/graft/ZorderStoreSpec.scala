@@ -503,4 +503,30 @@ class ZorderStoreSpec extends AnyFunSuite {
     assert(scans.length == 1,
       s"batch serve must read the data relation ONCE, found ${scans.length}")
   }
+
+  test("batch as-of: N lookups equal their element-wise single as-ofs through ONE pruned scan") {
+    val p = s"$Root/batch" // built (with subject 7 erased) by the test above
+    val reqs = Seq(
+      (3L, "2024-01-20 00:00:00"),
+      (5L, "2024-02-10 12:00:00"),
+      (5L, "2024-01-08 06:00:00"), // same user, second horizon
+      (7L, "2024-03-01 00:00:00"), // erased subject: no row
+      (9L, "1999-01-01 00:00:00")) // pre-corpus horizon: no row
+    val batch = Relational.eventsAsofBatchFrom(spark, p, reqs)
+    val got = batch.collect().map(_.toSeq).toSet
+    val want = reqs.flatMap { case (u, t) =>
+      Relational.eventsAsofServedFrom(spark, p, u, t).collect()
+        .map(r => Seq[Any](r.get(0), t, r.get(1), r.get(2), r.get(3)))
+    }.toSet
+    assert(got == want, s"batch as-of diverged from single as-ofs:\n" +
+      s"only-batch=${(got -- want).take(3)} only-single=${(want -- got).take(3)}")
+    assert(got.size == 3, s"exactly the three answerable requests report: $got")
+    val scans = batch.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/data"))
+        => s
+    }
+    assert(scans.length == 1,
+      s"batch as-of must read the data relation ONCE, found ${scans.length}")
+  }
 }
