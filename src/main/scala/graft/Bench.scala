@@ -12,10 +12,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Max clean-looking pass-total spread: above this an attempt retries
     * (budget permitting) and a record that still exceeds it carries
-    * `"contended":true` on the official line. */
-  private val SpreadLimit = 1.15
+    * `"contended":true` on the official line. Env-overridable for LOCAL
+    * kill-survival testing only (forcing the retry path deterministically);
+    * the driver never sets it, so official records always use 1.15. */
+  private val SpreadLimit =
+    sys.env.get("SPARK_GRAFT_BENCH_SPREAD_LIMIT").map(_.toDouble).getOrElse(1.15)
 
   def main(args: Array[String]): Unit = {
+    // wall-clock starts HERE, not at the retry loop: the driver's ceiling
+    // counts warmup and the pipeline bench too, so the retry budget must
+    // be charged for them
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -25,6 +33,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The audited global-window sites are bounded by design (day grids,
+    // limit-k survivors, cutpoint samples — PlanShapeSpec pins their
+    // measured cardinality); their per-execution "No Partition Defined"
+    // warning is pure noise here and buries real warnings in the bench
+    // log. Silenced for this MAIN only — the library never mutes logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // optional comma-separated query filter for LOCAL A/B runs (the
     // driver never sets it, so official records always cover the full
     // registry): isolates one query's cost from suite neighbors when
@@ -97,42 +113,6 @@ object Bench {
       val totals = passTotals(passes)
       if (totals.isEmpty || totals.min == 0.0) 1.0 else totals.max / totals.min
     }
-    // 5 retries (was 3): r17 exhausted the budget with every attempt
-    // contended (spread 1.165) and the OFFICIAL record shipped
-    // non-authoritative — the retries stop early the moment one attempt
-    // is clean, so a quiet host never pays for the headroom, and a noisy
-    // one gets two more chances at a usable round record
-    val maxAttempts = 1 + math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "5").toInt)
-    val attempts = scala.collection.mutable.ArrayBuffer[IndexedSeq[Map[String, Double]]]()
-    var settled = false
-    while (attempts.size < maxAttempts && !settled) {
-      // contention is usually transient (a co-tenant's build, the gate's
-      // own tail) — pause before a RETRY so the next attempt samples a
-      // different window instead of the same noisy one
-      if (attempts.nonEmpty) Thread.sleep(45000)
-      val failedBefore = failed.size
-      attempts += (1 to runs).map(_ => suitePass())
-      // an attempt that produced a NEW failure changed the comparable
-      // query set mid-flight: its in-loop spread (computed over the grown
-      // failed set) could disagree with the post-loop re-scoring, so it
-      // can never prove the host is quiet — retry while budget remains.
-      // Once failures stabilize (failed queries are never re-run), the
-      // in-loop check and the final pass score the same query set.
-      settled = failed.size == failedBefore && spreadOf(attempts.last) <= SpreadLimit
-    }
-    // `failed` is final here, so every attempt's spread is computed over the
-    // same query set; ties go to the earliest attempt
-    val passes = attempts.minBy(spreadOf)
-    val spread = spreadOf(passes)
-    val contended = spread > SpreadLimit
-    val results = names.filterNot(failed).map { name =>
-      // upper-median for even run counts — biased against flattering noise
-      val times = passes.map(_(name)).sorted
-      name -> times(times.size / 2)
-    }
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-
     // ---- per-query regression gate (r12) ----
     // The total-only gate hides a 3x single-query regression inside a
     // flat sum. Compare this run's medians against the last UNCONTENDED
@@ -143,7 +123,7 @@ object Bench {
     // >2x and +0.5s so 1-decimal flicker on sub-second queries can't cry
     // wolf. Comparison only — the record still ships; the field is for
     // the judge's (and next round's) eyes.
-    val sfName = sfDir.split('/').last
+    val sfName = sfDir.split("/").filter(_.nonEmpty).last
     def baselineQueries(): Map[String, Double] = try {
       val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -166,20 +146,14 @@ object Bench {
       }.nextOption().getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     val baseline = baselineQueries()
-    val regressed =
-      if (contended) Seq.empty // a noisy run proves nothing per-query
-      else results.collect {
-        case (name, cur) if baseline.get(name)
-          .exists(b => cur > 2.0 * b && cur - b > 0.5) => name
-      }
-    regressed.foreach(n => System.err.println(
-      s"[bench] REGRESSION $n: ${fmt(results.toMap.apply(n), 2)}s vs baseline ${fmt(baseline(n), 2)}s"))
 
-    // ---- IncidentPipeline end-to-end (r12) ----
+    // ---- IncidentPipeline end-to-end (r12, moved BEFORE the suite in r19) ----
     // The pipeline (the reference's main.py twin) is spec'd for
     // determinism but was never benched whole; one median number per
-    // round tracks its drift. Runs AFTER the suite so its file I/O
-    // can't pollute the per-query medians.
+    // round tracks its drift. It runs before the first timed attempt so
+    // every provisional record already carries pipeline_sec (r18's record
+    // died waiting for it), and its file I/O completes before the first
+    // timed pass starts, so it still can't pollute the per-query medians.
     val pipeSec: Double = {
       val ts = (1 to 3).map { _ =>
         val out = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
@@ -191,69 +165,146 @@ object Bench {
       }.sorted
       ts(1)
     }
+
+    // ---- record emission (r19: callable after EVERY completed attempt) ----
+    // r18's official record was lost to a driver timeout because the one
+    // record line printed only after all attempts plus the pipeline bench —
+    // three complete suite passes died unprinted with the process. Now a
+    // full official record (detail line + degradation-ladder official line)
+    // is emitted after every completed attempt, scored over the attempts so
+    // far; the driver's keep-the-LAST-parseable-line capture then always
+    // holds the newest complete record no matter when the process is killed.
+    // The final emission (after the last attempt) is scored over the final
+    // failed set and all attempts — identical to the old single emission.
     def totalsJson(a: Seq[Map[String, Double]]): String =
       passTotals(a).map(fmt(_, 1)).mkString("[", ",", "]")
-    val pt = totalsJson(passes)
-    // every attempt's totals stay on the detail line so a retried record is
-    // auditable — the discarded contended attempts don't vanish
-    val attemptsField =
-      if (attempts.size == 1) ""
-      else s""","attempt_totals":${attempts.map(totalsJson).mkString("[", ",", "]")}"""
-    // The harness that records the official round number keeps only the LAST
-    // ~2KB of stdout, and the full-precision per-query map alone is ~3KB —
-    // five rounds of records lost their headline total to that truncation.
-    // So: one "detail:"-prefixed full-precision line for humans (the prefix
-    // keeps line-oriented JSON parsers off it), then the official record as
-    // the FINAL line, compact (2-decimal per-query seconds, ~1.8KB for 69
-    // queries) so the whole line survives a tail capture.
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""detail: {"pass_totals":$pt,"contended":$contended$attemptsField,"queries":$qsFull,"sf":"$sfDir"}""")
-    // n_queries makes totals honestly comparable across runs: a run that
-    // dropped a failed query must not read as a wall-clock improvement.
-    // The official line carries only what the record needs (pass_totals /
-    // contended live on the detail line) and the sf basename — and if the
-    // query count ever pushes the line past the capture budget, it
-    // degrades per-query precision to 1 decimal rather than losing the
-    // whole record to truncation again.
-    // an EMPTY failed list is dead weight in a byte-budgeted line; a
-    // non-empty one is a signal that must survive
-    val failedField = if (failed.isEmpty) "" else s""","failed":$fs"""
-    // a clean record doesn't spend bytes saying so; a still-contended one
-    // (after exhausting retries) must carry the flag on the OFFICIAL line
-    // PLUS an explicit non-authoritative marker: a contended total is a
-    // ceiling, not a measurement — round-over-round comparisons and the
-    // per-query gate must skip it (baselineQueries above does)
-    val contendedField =
-      if (contended) s""","contended":true,"authoritative":false""" else ""
-    // same economics: regressions are rare and must survive; none = no bytes
-    val regressedField = if (regressed.isEmpty) "" else
-      regressed.map("\"" + _ + "\"").mkString(""","regressed":[""", ",", "]")
-    def line(qsField: String): String =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"spread":${fmt(spread, 3)}$contendedField,"pipeline_sec":${fmt(pipeSec, 2)}$regressedField,"queries":$qsField$failedField,"sf":"$sfName"}"""
-    def qmap(decimals: Int): String = results.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(v, decimals)
-    }.mkString("{", ",", "}")
-    // top-K-by-cost map with the omitted remainder folded into "_others":
-    // when the full map can't fit the capture budget, the expensive
-    // queries (the ones a perf read actually needs) survive and the total
-    // stays reconstructible
-    def topMap(k: Int): String = {
-      val sorted = results.sortBy(-_._2)
-      val entries = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + fmt(v, 1) }
-      val others = "\"_others\":" + fmt(sorted.drop(k).map(_._2).sum, 1)
-      (entries :+ others).mkString("{", ",", "}")
+    def emitRecord(attempts: Seq[IndexedSeq[Map[String, Double]]]): Unit = {
+      // every attempt's spread is computed over the current failed set
+      // (final at the last emission); ties go to the earliest attempt
+      val passes = attempts.minBy(spreadOf)
+      val spread = spreadOf(passes)
+      val contended = spread > SpreadLimit
+      val results = names.filterNot(failed).map { name =>
+        // upper-median for even run counts — biased against flattering noise
+        val times = passes.map(_(name)).sorted
+        name -> times(times.size / 2)
+      }
+      val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).sum
+      val regressed =
+        if (contended) Seq.empty // a noisy run proves nothing per-query
+        else results.collect {
+          case (name, cur) if baseline.get(name)
+            .exists(b => cur > 2.0 * b && cur - b > 0.5) => name
+        }
+      regressed.foreach(n => System.err.println(
+        s"[bench] REGRESSION $n: ${fmt(results.toMap.apply(n), 2)}s vs baseline ${fmt(baseline(n), 2)}s"))
+      val pt = totalsJson(passes)
+      // every attempt's totals stay on the detail line so a retried record is
+      // auditable — the discarded contended attempts don't vanish
+      val attemptsField =
+        if (attempts.size == 1) ""
+        else s""","attempt_totals":${attempts.map(totalsJson).mkString("[", ",", "]")}"""
+      // The harness that records the official round number keeps only the LAST
+      // ~2KB of stdout, and the full-precision per-query map alone is ~3KB —
+      // five rounds of records lost their headline total to that truncation.
+      // So: one "detail:"-prefixed full-precision line for humans (the prefix
+      // keeps line-oriented JSON parsers off it), then the official record as
+      // the FINAL line, compact (2-decimal per-query seconds, ~1.8KB for 69
+      // queries) so the whole line survives a tail capture.
+      val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""detail: {"pass_totals":$pt,"contended":$contended$attemptsField,"queries":$qsFull,"sf":"$sfDir"}""")
+      // n_queries makes totals honestly comparable across runs: a run that
+      // dropped a failed query must not read as a wall-clock improvement.
+      // The official line carries only what the record needs (pass_totals /
+      // contended live on the detail line) and the sf basename — and if the
+      // query count ever pushes the line past the capture budget, it
+      // degrades per-query precision to 1 decimal rather than losing the
+      // whole record to truncation again.
+      // an EMPTY failed list is dead weight in a byte-budgeted line; a
+      // non-empty one is a signal that must survive
+      val failedField = if (failed.isEmpty) "" else s""","failed":$fs"""
+      // a clean record doesn't spend bytes saying so; a still-contended one
+      // (after exhausting retries) must carry the flag on the OFFICIAL line
+      // PLUS an explicit non-authoritative marker: a contended total is a
+      // ceiling, not a measurement — round-over-round comparisons and the
+      // per-query gate must skip it (baselineQueries above does)
+      val contendedField =
+        if (contended) s""","contended":true,"authoritative":false""" else ""
+      // same economics: regressions are rare and must survive; none = no bytes
+      val regressedField = if (regressed.isEmpty) "" else
+        regressed.map("\"" + _ + "\"").mkString(""","regressed":[""", ",", "]")
+      def line(qsField: String): String =
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"spread":${fmt(spread, 3)}$contendedField,"pipeline_sec":${fmt(pipeSec, 2)}$regressedField,"queries":$qsField$failedField,"sf":"$sfName"}"""
+      def qmap(decimals: Int): String = results.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v, decimals)
+      }.mkString("{", ",", "}")
+      // top-K-by-cost map with the omitted remainder folded into "_others":
+      // when the full map can't fit the capture budget, the expensive
+      // queries (the ones a perf read actually needs) survive and the total
+      // stays reconstructible
+      def topMap(k: Int): String = {
+        val sorted = results.sortBy(-_._2)
+        val entries = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + fmt(v, 1) }
+        val others = "\"_others\":" + fmt(sorted.drop(k).map(_._2).sum, 1)
+        (entries :+ others).mkString("{", ",", "}")
+      }
+      // degradation ladder: full 2-decimal map → 1-decimal map → shrinking
+      // top-K-by-cost maps → headline with an empty map. A parsed headline
+      // beats a truncated everything. Budget: the capture keeps ~2000 chars
+      // and sbt's epilogue line costs ~80 of them. (83 queries pushed the
+      // full 1-decimal map past the budget in r7 — the driver record lost
+      // its whole per-query map to the last ladder rung.)
+      val candidates = Seq(line(qmap(2)), line(qmap(1))) ++
+        Seq(60, 50, 40, 30, 20, 10).map(k => line(topMap(k))) :+ line("{}")
+      val out = candidates.find(_.length <= 1915).getOrElse(line("{}"))
+      println(out)
+      // a kill can land between any two statements — the record only
+      // survives it if the line has actually left the JVM's buffers
+      System.out.flush()
     }
-    // degradation ladder: full 2-decimal map → 1-decimal map → shrinking
-    // top-K-by-cost maps → headline with an empty map. A parsed headline
-    // beats a truncated everything. Budget: the capture keeps ~2000 chars
-    // and sbt's epilogue line costs ~80 of them. (83 queries pushed the
-    // full 1-decimal map past the budget in r7 — the driver record lost
-    // its whole per-query map to the last ladder rung.)
-    val candidates = Seq(line(qmap(2)), line(qmap(1))) ++
-      Seq(60, 50, 40, 30, 20, 10).map(k => line(topMap(k))) :+ line("{}")
-    val out = candidates.find(_.length <= 1915).getOrElse(line("{}"))
-    println(out)
+
+    // ---- time-boxed retry loop (r19) ----
+    // The retry budget is WALL-CLOCK, not attempts: r18 raised the attempt
+    // budget 3→5 and the worst case (6 attempts × 3 suite passes + 225 s of
+    // sleeps) blew past the driver's ceiling — rc=124, no record. Retrying
+    // stops when the projected cost of one more attempt (the last attempt's
+    // duration plus the 45 s backoff) would cross the budget; the cleanest
+    // attempt so far is already on stdout from the per-attempt emission.
+    // Default 1500 s leaves the driver's ceiling comfortable headroom even
+    // with JVM/sbt startup and the sf0.001 warmup pass on top.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val maxAttempts = 1 + math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "5").toInt)
+    val attempts = scala.collection.mutable.ArrayBuffer[IndexedSeq[Map[String, Double]]]()
+    var settled = false
+    var lastAttemptSec = 0.0
+    while (attempts.size < maxAttempts && !settled &&
+      // first attempt always runs (a budget too small for even one attempt
+      // must still produce SOME record); retries must fit projected cost
+      (attempts.isEmpty || elapsedSec + lastAttemptSec + 45.0 <= budgetSec)) {
+      // contention is usually transient (a co-tenant's build, the gate's
+      // own tail) — pause before a RETRY so the next attempt samples a
+      // different window instead of the same noisy one
+      if (attempts.nonEmpty) Thread.sleep(45000)
+      val failedBefore = failed.size
+      val t0 = System.nanoTime()
+      attempts += (1 to runs).map(_ => suitePass())
+      lastAttemptSec = (System.nanoTime() - t0) / 1e9
+      // an attempt that produced a NEW failure changed the comparable
+      // query set mid-flight: its in-loop spread (computed over the grown
+      // failed set) could disagree with the post-loop re-scoring, so it
+      // can never prove the host is quiet — retry while budget remains.
+      // Once failures stabilize (failed queries are never re-run), the
+      // in-loop check and the final pass score the same query set.
+      settled = failed.size == failedBefore && spreadOf(attempts.last) <= SpreadLimit
+      // provisional-or-final record after EVERY completed attempt: a kill
+      // at any later point leaves this (the newest complete record) as the
+      // last parseable stdout line
+      emitRecord(attempts.toSeq)
+    }
+    if (!settled && attempts.size < maxAttempts) System.err.println(
+      s"[bench] budget stop: ${fmt(elapsedSec, 0)}s elapsed + ${fmt(lastAttemptSec, 0)}s/attempt vs ${fmt(budgetSec, 0)}s budget; shipped cleanest of ${attempts.size}")
     spark.stop()
   }
 }
