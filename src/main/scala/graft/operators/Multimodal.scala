@@ -321,9 +321,6 @@ object Multimodal {
       thr: Double = 0.98): DataFrame =
     dedupMediaPerceptualFrom(mediaTable(spark, dir), thr)
 
-  /** [[dedupMediaPerceptual]] over an explicit (media_id, kind, payload)
-    * relation — `media` must already be entity-distinct (the mediaTable
-    * contract). */
   /** The perceptual signature stage: ONE native kernel pass per payload
     * ([[graft.expressions.PerceptualSig]] — the SimHashSig pattern):
     * histogram + weighted SimHash ride whole-stage codegen, the scan
@@ -344,6 +341,9 @@ object Multimodal {
       .where(col("n") > 0)
   }
 
+  /** [[dedupMediaPerceptual]] over an explicit (media_id, kind, payload)
+    * relation — `media` must already be entity-distinct (the mediaTable
+    * contract). */
   private[graft] def dedupMediaPerceptualFrom(media: DataFrame,
       thr: Double): DataFrame = {
     val base = perceptualBase(media)

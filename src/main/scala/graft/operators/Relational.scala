@@ -548,6 +548,18 @@ object Relational {
     val (bits, files) = zorderGeometry(cutsRow)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/incs/$incId")))
       return // fully-promoted replay: the at-least-once no-op
+    // FORMAT COMPAT (r18 advisor): the inc id grew a middle decimal-sum
+    // field (xor_count → xor_sum_count). A store persisted under the old
+    // format holds ledger markers the new id can't match, so a replayed
+    // old increment would append its rows a SECOND time — permanent
+    // duplicates in an exactly-once-by-content store. The legacy id is
+    // derivable (drop the middle field), so the replay gate checks both.
+    val legacyIncId = incId.split('_') match {
+      case Array(x, _, c) => s"${x}_$c"
+      case _ => incId
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/incs/$legacyIncId")))
+      return // fully-promoted replay recorded under the pre-r18 id format
     val tmp = new org.apache.hadoop.fs.Path(path + "__append_tmp")
     fs.delete(tmp, true) // stale no-_SUCCESS debris from a crashed write
     zorderApplyCuts(newEvents, broadcast(cutsDf), bits, files)

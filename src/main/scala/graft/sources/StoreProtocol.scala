@@ -63,16 +63,29 @@ object StoreProtocol {
     * the XOR fold with an overflow-proof decimal SUM of the same row
     * hashes plus the row count. A byte-identical redelivery keys
     * identically (what makes the ledgers idempotent); no two distinct
-    * multisets can cancel in both folds. The decimal(30,0) sum is exact
-    * up to 10^10 rows per request — never wraps, never overflows (an ANSI
-    * long sum would throw instead). `rowHash` is the store's row-hash
-    * expression (NUL-separated field concat under xxhash64). */
-  def contentKey(df: DataFrame, rowHash: Column): String =
-    df.agg(concat_ws("_",
-        coalesce(bit_xor(rowHash), lit(0L)),
-        coalesce(sum(rowHash.cast("decimal(20,0)")), lit(0L)),
-        count(lit(1))).as("k"))
-      .head().getString(0)
+    * multisets can cancel in both folds. The explicit decimal(30,0) cast
+    * makes the sum decimal(38,0) — exact up to 10^18 rows per request, so
+    * it can never wrap in practice. An overflow past THAT is loud, never
+    * key-degrading: the sum-NULL case is only coalesced away when the
+    * relation is EMPTY (count 0); a non-empty NULL sum (non-ANSI decimal
+    * overflow) throws instead of silently keying as xor+count (r18
+    * advisor finding). `rowHash` is the store's row-hash expression
+    * (NUL-separated field concat under xxhash64). The rendered key string
+    * is unchanged from the decimal(20,0)-widened form — existing ledger
+    * markers keep matching. */
+  def contentKey(df: DataFrame, rowHash: Column): String = {
+    val r = df.agg(
+        coalesce(bit_xor(rowHash), lit(0L)).as("x"),
+        sum(rowHash.cast("decimal(30,0)")).as("s"),
+        count(lit(1)).as("c"))
+      .head()
+    val c = r.getLong(2)
+    val s = if (c == 0L) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    require(s != null,
+      s"content-key decimal sum overflowed over $c rows — refusing to " +
+        "degrade the key to xor+count (ledger idempotence would weaken)")
+    s"${r.getLong(0)}_${s.toBigInteger}_$c"
+  }
 
   /** Move a COMPLETE tmp's artifact subdirs into the live store under
     * deterministic names. The target name is a pure function of

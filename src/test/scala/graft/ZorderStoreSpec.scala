@@ -95,6 +95,30 @@ class ZorderStoreSpec extends AnyFunSuite {
     assert(serve(app, 5L) == ansBefore)
   }
 
+  test("a replay against a PRE-r18 ledger marker (legacy xor_count id) is still a no-op") {
+    // FORMAT COMPAT: stores persisted before the inc id grew its decimal-
+    // sum middle field hold 2-field markers; a replayed old increment
+    // must match them, not append its rows a second time (r18 advisor)
+    import org.apache.hadoop.fs.Path
+    val p = s"$Root/legacy"
+    wipe(p)
+    val (base, inc1, _) = split
+    Relational.writeZorderTableFrom(base, p)
+    Relational.appendZorderTable(spark, p, inc1)
+    val incId = Relational.zorderIncId(inc1)
+    assert(incId.split('_').length == 3, "current id format is 3-field")
+    val legacyId = { val a = incId.split('_'); s"${a(0)}_${a(2)}" }
+    // rewrite the ledger to what a pre-r18 writer would have left behind
+    assert(fs.delete(new Path(s"$p/incs/$incId"), false))
+    fs.create(new Path(s"$p/incs/$legacyId")).close()
+    val filesBefore = dataFileCount(p)
+    val rowsBefore = spark.read.parquet(s"$p/data").count()
+    Relational.appendZorderTable(spark, p, inc1) // replay vs legacy marker
+    assert(dataFileCount(p) == filesBefore,
+      "replay against a legacy-format marker must not land a second time")
+    assert(spark.read.parquet(s"$p/data").count() == rowsBefore)
+  }
+
   test("geometry is read from the cuts relation, never assumed: non-default (bits, files) serves exactly") {
     val p = s"$Root/geom"
     wipe(p)
@@ -469,11 +493,21 @@ class ZorderStoreSpec extends AnyFunSuite {
       "untouched subject's as-of answer must survive the erasure")
   }
 
-  test("batch serve: N requests equal their element-wise single serves through ONE pruned scan") {
+  /** Shared fixture for the two batch-serve tests: built ONCE at first
+    * use (full store, subject 7 erased), so each test is self-contained
+    * when run in isolation and an abort in one can't poison the other
+    * (r18 advisor finding: the as-of test used to piggyback on the store
+    * the serve test had built and mutated). */
+  private lazy val batchStore: String = {
     val p = s"$Root/batch"
     wipe(p)
     Relational.writeZorderTableFrom(ev, p)
     Relational.eraseZorderSubject(spark, p, 7L)
+    p
+  }
+
+  test("batch serve: N requests equal their element-wise single serves through ONE pruned scan") {
+    val p = batchStore
     val reqs = Seq(
       (3L, "2024-01-03", "2024-02-15"),
       (5L, "2024-01-10", "2024-03-01"),
@@ -505,7 +539,7 @@ class ZorderStoreSpec extends AnyFunSuite {
   }
 
   test("batch as-of: N lookups equal their element-wise single as-ofs through ONE pruned scan") {
-    val p = s"$Root/batch" // built (with subject 7 erased) by the test above
+    val p = batchStore
     val reqs = Seq(
       (3L, "2024-01-20 00:00:00"),
       (5L, "2024-02-10 12:00:00"),
