@@ -1178,6 +1178,7 @@ object Corpus {
         key.as("k0"))
       .orderBy(col("k0"), col("doc_id"))
       .limit(k)
+      // bounded: ranks only the ≤k rows the limit just kept, never a fact
       .withColumn("rk", row_number().over(
         Window.orderBy(col("k0"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("weight"),
@@ -1496,6 +1497,7 @@ object Corpus {
       .select(col("doc_id"), col("n_terms"), round(raw, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+      // bounded: ranks only the ≤topK rows the limit just kept
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }

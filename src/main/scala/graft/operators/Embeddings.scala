@@ -191,6 +191,7 @@ object Embeddings {
       .withColumn("sim", round(VecFns.dot(col("emb"), col("qemb")), 6))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(topL)
+      // bounded: ranks only the ≤topL rows the limit just kept
       .withColumn("vec_rk", row_number().over(
         Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id").as("doc_id"), col("vec_rk"))
@@ -203,6 +204,7 @@ object Embeddings {
           6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+      // bounded: ranks only the ≤topK rows the limit just kept
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }

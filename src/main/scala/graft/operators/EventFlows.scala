@@ -282,6 +282,8 @@ object EventFlows {
       .where(col("t2").isNotNull && col("t3").isNotNull)
       .groupBy(col("t1"), col("t2"), col("t3"))
       .agg(count(lit(1)).cast("long").as("n"))
+      // bounded: the global sum runs on the trigram AGGREGATE (≤ distinct
+      // event-type³ rows), never on events
       .withColumn("share", round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
   }

@@ -658,6 +658,7 @@ object LogOps {
 
   private[graft] def metricsMovingAvgFrom(events: DataFrame, days: Int = 7): DataFrame = {
     require(days >= 1, s"window must span at least one day: $days")
+    // bounded: runs on the filled day GRID (one row per calendar day)
     val w = Window.orderBy(col("day")).rowsBetween(-(days - 1), Window.currentRow)
     metricsTimelineFilledFrom(events)
       .select(col("day"), col("n_incidents"),

@@ -310,6 +310,7 @@ object Relational {
         Window.partitionBy(col("salt")).orderBy(col("hk"), col("event_id"))))
       .where(col("s1") <= k)
     val sample = phase1
+      // bounded: phase1 already cut to ≤64·k salted survivors
       .withColumn("srk", row_number().over(
         Window.orderBy(col("hk"), col("event_id"))))
       .where(col("srk") <= k)
@@ -319,6 +320,7 @@ object Relational {
       floor((lit(j.toLong) * col("n_s")).cast("double") /
         lit(buckets.toDouble)).cast("long"))
     // one 1-row relation carries both dimensions' cutpoint arrays
+    // (bounded: both rank windows run on the ≤k-row sample, never events)
     val cuts = broadcast(sample
       .withColumn("rn", row_number().over(
         Window.orderBy(col("user_id"), col("event_id"))).cast("long"))
@@ -1221,6 +1223,7 @@ object Relational {
       .groupBy(coalesce(date_format(col("ts"), "yyyy-MM-dd"),
         lit("unknown")).as("day"))
       .agg(count(lit(1)).as("n_rows"))
+    // bounded: runs on the per-day aggregate (one row per calendar day)
     val before = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byDay

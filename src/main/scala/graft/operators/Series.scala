@@ -113,6 +113,7 @@ object Series {
   private[graft] def metricsEwmaFrom(events: DataFrame,
       alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    // bounded: runs on the filled day GRID (one row per calendar day)
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     LogOps.metricsTimelineFilledFrom(events)

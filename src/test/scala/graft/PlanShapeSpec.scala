@@ -439,4 +439,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("*("),
       s"the signature projection must sit inside a codegen span:\n$p")
   }
+
+  test("unpartitioned windows run on bounded relations, never a fact") {
+    // The audited global-window sites are bounded BY DESIGN (day grids,
+    // limit(k) survivors, cutpoint samples, aggregated shares) — their
+    // WindowExec warnings are benign noise. This pin EXECUTES the two
+    // largest carriers (the zorder cutpoint sampler and the count-of-
+    // counts percentile histogram) and asserts the measured row count
+    // entering every unpartitioned WindowExec stays dimension-sized, so
+    // a refactor that seats one on a fact relation fails here instead of
+    // hiding in the warning flood.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(unpartitionedWindows)
+    }
+    // a window's direct child is usually a Sort (no row metric) — walk
+    // down to the first descendant that measured its output rows (the
+    // nodes between are row-preserving sorts/projections/exchanges)
+    def inputRows(p: SparkPlan): Option[Long] =
+      p.metrics.get("numOutputRows").map(_.value).orElse(p match {
+        case a: AdaptiveSparkPlanExec => inputRows(a.executedPlan)
+        case q: QueryStageExec => inputRows(q.plan)
+        case other => other.children.headOption.flatMap(inputRows)
+      })
+    // sf0.001 has ~12k events; the bound must separate "dimension-sized"
+    // (cut samples ≤ 4096 + ties, day grids ≤ 100, histograms ≤ 1000)
+    // from "someone windowed the fact" (≥ 12k)
+    val bound = 6000L
+    for (q <- Seq("layout_zorder", "user_percentiles")) {
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.write.format("noop").mode("overwrite").save()
+      val ws = unpartitionedWindows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$q: expected at least one global window " +
+        "(did the operator shape change? re-audit the bound)")
+      val measured = ws.flatMap(w => inputRows(w.child).map(w -> _))
+      assert(measured.nonEmpty,
+        s"$q: no global window exposed an input row count — pin is blind")
+      measured.foreach { case (w, n) => assert(n <= bound,
+        s"$q: an unpartitioned window consumed $n rows (> $bound) — " +
+          s"it is sitting on a fact relation:\n$w")
+      }
+    }
+  }
 }
