@@ -267,6 +267,32 @@ object SparkEntry {
     // N as-of lookups from one pruned scan — parameter point of row 172
     "events_2d_asof_batch"  -> ((s: SparkSession, d: String) =>
       Relational.eventsAsofBatch(s, d)),
+    // RELATION-shaped batch serve: requests read from a parquet table
+    // (the API-queue shape), duplicate request planted — answers once
+    "events_2d_batch_rel"   -> ((s: SparkSession, d: String) =>
+      Relational.eventsServed2dBatchParquet(s, d)),
+    // relation-shaped batch as-of from a parquet request table
+    "events_2d_asof_rel"    -> ((s: SparkSession, d: String) =>
+      Relational.eventsAsofBatchParquet(s, d)),
+    // streaming serving-cache twin of the as-of serve: latest row per
+    // (user, horizon) via one flatMapGroupsWithState record — batch
+    // mode checks against the same raw-table as-of oracle
+    "events_2d_asof_stateful" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val reqs = Seq((3L, "2024-01-20 00:00:00"), (5L, "2024-02-10 12:00:00"))
+      val ev0 = graft.sources.Tables.events(s, d).where(col("ts").isNotNull)
+      val tagged = reqs.map { case (u, t) =>
+        ev0.where(col("user_id") === u &&
+            col("ts") <= lit(t).cast("timestamp_ntz"))
+          .select(col("user_id"), lit(t).as("horizon"), col("ts"),
+            col("event_id"), col("event_type"),
+            col("value").cast("double").as("value"))
+      }.reduce(_ unionAll _).as[graft.streaming.AsofEvent]
+      graft.streaming.StatefulAsof(tagged).toDF()
+        .select(col("user_id"), col("horizon"), col("asof_us"),
+          col("event_type"), col("value"))
+    }),
     "dedup_simhash"         -> ((s: SparkSession, d: String) => NearDup.dedupSimhash(s, d)),
     "ngram_jaccard"         -> ((s: SparkSession, d: String) => NearDup.ngramJaccard(s, d)),
     "dedup_containment"     -> ((s: SparkSession, d: String) => NearDup.dedupContainment(s, d)),
@@ -4373,6 +4399,54 @@ object SparkEntry {
            |WHERE user_id = $u
            |  AND ts >= TIMESTAMP '$lo 00:00:00'
            |  AND ts <  TIMESTAMP '$hiX 00:00:00'""".stripMargin }
+      .mkString("\nUNION ALL\n"),
+
+    // the relation-shaped batch serve: the oracle answers the DISTINCT
+    // request set (the planted duplicate answers once — the relation
+    // contract), each as the raw-table filter
+    "events_2d_batch_rel" -> Seq(
+        (2, "2024-01-01", "2024-01-10"), (5, "2024-01-05", "2024-02-20"),
+        (7, "2024-01-15", "2024-02-01"), (11, "2024-02-01", "2024-03-01"))
+      .map { case (u, lo, hi) =>
+        val hiX = java.time.LocalDate.parse(hi).plusDays(1)
+        s"""SELECT CAST($u AS BIGINT) AS user_id, '$lo' AS win_lo,
+           |       '$hi' AS win_hi, count(*) AS n_events,
+           |       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+           |                              ELSE value END AS DECIMAL(12,2)))
+           |            AS DOUBLE) AS total_value,
+           |       count(DISTINCT event_type) AS n_types
+           |FROM events
+           |WHERE user_id = $u
+           |  AND ts >= TIMESTAMP '$lo 00:00:00'
+           |  AND ts <  TIMESTAMP '$hiX 00:00:00'""".stripMargin }
+      .mkString("\nUNION ALL\n"),
+
+    // the streaming cache's batch mode must equal the raw-table as-of —
+    // the same LIMIT-1 oracle the z-store serve answers to
+    "events_2d_asof_stateful" -> Seq((3, "2024-01-20 00:00:00"),
+        (5, "2024-02-10 12:00:00")).map { case (u, t) =>
+      s"""(SELECT CAST($u AS BIGINT) AS user_id, '$t' AS horizon,
+         |        epoch_us(ts) AS asof_us, event_type,
+         |        CAST(value AS DOUBLE) AS value
+         | FROM events
+         | WHERE user_id = $u AND ts <= TIMESTAMP '$t'
+         | ORDER BY ts DESC, event_id DESC NULLS LAST,
+         |          event_type DESC NULLS LAST
+         | LIMIT 1)""".stripMargin }
+      .mkString("\nUNION ALL\n"),
+
+    // relation-shaped batch as-of: LIMIT-1 per DISTINCT request
+    "events_2d_asof_rel" -> Seq((2, "2024-02-01 00:00:00"),
+        (5, "2024-01-15 18:00:00"), (11, "2024-02-20 00:00:00"))
+      .map { case (u, t) =>
+      s"""(SELECT CAST($u AS BIGINT) AS user_id, '$t' AS horizon,
+         |        epoch_us(ts) AS asof_us, event_type,
+         |        CAST(value AS DOUBLE) AS value
+         | FROM events
+         | WHERE user_id = $u AND ts <= TIMESTAMP '$t'
+         | ORDER BY ts DESC, event_id DESC NULLS LAST,
+         |          event_type DESC NULLS LAST
+         | LIMIT 1)""".stripMargin }
       .mkString("\nUNION ALL\n"),
 
     // the batch as-of: per request, the same LIMIT-1 raw as-of with the

@@ -778,6 +778,31 @@ object Relational {
     * single-serve contract, element-for-element). */
   def eventsServed2dBatchFrom(spark: SparkSession, path: String,
       requests: Seq[(Long, String, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    eventsServed2dBatchRelation(spark, path,
+      requests.toDF("q_user", "win_lo", "win_hi"))
+  }
+
+  /** [[eventsServed2dBatchFrom]] with the request set as a RELATION — the
+    * production shape: an API/DSAR queue hands requests as a table (the
+    * batch-erasure convention, [[eraseZorderSubjects]]), not a driver
+    * Seq. Columns: `q_user` (long), `win_lo` / `win_hi` ('yyyy-MM-dd'
+    * strings). Requests are DISTINCTed (a redelivered request answers
+    * once) and NULL-field rows drop (unanswerable as posed). The request
+    * dimension is collected to drive the fid-union pruning — legal by
+    * the family's contract: requests are dimension-sized (they came off
+    * a queue), never a fact. The Seq form above is a thin wrapper. */
+  def eventsServed2dBatchRelation(spark: SparkSession, path: String,
+      reqRelation: DataFrame): DataFrame = {
+    val requests = reqRelation
+      .select(col("q_user").cast("long"), col("win_lo").cast("string"),
+        col("win_hi").cast("string"))
+      .where(col("q_user").isNotNull && col("win_lo").isNotNull &&
+        col("win_hi").isNotNull)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
     require(requests.nonEmpty, "batch serve needs at least one request")
     graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
     val sp = spark
@@ -845,6 +870,23 @@ object Relational {
     * single-serve contract. */
   def eventsAsofBatchFrom(spark: SparkSession, path: String,
       requests: Seq[(Long, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    eventsAsofBatchRelation(spark, path, requests.toDF("q_user", "horizon"))
+  }
+
+  /** [[eventsAsofBatchFrom]] with the request set as a RELATION — the
+    * [[eventsServed2dBatchRelation]] contract applied to the as-of
+    * lookup: columns `q_user` (long), `horizon` (timestamp string);
+    * distinct requests, NULL-field rows drop, the collected request
+    * dimension drives the fid-union pruning. */
+  def eventsAsofBatchRelation(spark: SparkSession, path: String,
+      reqRelation: DataFrame): DataFrame = {
+    val requests = reqRelation
+      .select(col("q_user").cast("long"), col("horizon").cast("string"))
+      .where(col("q_user").isNotNull && col("horizon").isNotNull)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     require(requests.nonEmpty, "batch as-of needs at least one request")
     graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
     val sp = spark
@@ -893,6 +935,54 @@ object Relational {
       (5L, "2024-02-10 12:00:00"),
       (5L, "2024-01-08 06:00:00"),
       (7L, "1999-01-01 00:00:00")))
+
+  /** Write a tiny request table to parquet and read it back — the
+    * fixture for the relation-shaped serve entries: requests genuinely
+    * come OFF DISK as a relation (the API-queue story), not from a
+    * driver literal. Deterministic path per (tag, testdata dir);
+    * overwrite is idempotent and request-sized. */
+  private def requestParquet(spark: SparkSession, dir: String,
+      tag: String)(build: => DataFrame): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zreq_${tag}_$key").getAbsolutePath
+    build.coalesce(1).write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  /** Relation-shaped batch serve exercised END-TO-END from a parquet
+    * request table — the registered parameter point of the API-queue
+    * story. The request set differs from the Seq-form entry (a fresh
+    * parameter point) and plants a DUPLICATE request row to prove the
+    * distinct contract: a redelivered request answers once. */
+  def eventsServed2dBatchParquet(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val reqs = requestParquet(spark, dir, "win")(Seq(
+      (2L, "2024-01-01", "2024-01-10"),
+      (5L, "2024-01-05", "2024-02-20"),
+      (7L, "2024-01-15", "2024-02-01"),
+      (7L, "2024-01-15", "2024-02-01"), // redelivered: answers once
+      (11L, "2024-02-01", "2024-03-01"))
+      .toDF("q_user", "win_lo", "win_hi"))
+    eventsServed2dBatchRelation(spark, servedZorderPath(spark, dir), reqs)
+  }
+
+  /** [[eventsServed2dBatchParquet]]'s as-of twin: the relation-shaped
+    * batch as-of from a parquet request table, duplicate request
+    * planted. */
+  def eventsAsofBatchParquet(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val reqs = requestParquet(spark, dir, "asof")(Seq(
+      (2L, "2024-02-01 00:00:00"),
+      (5L, "2024-01-15 18:00:00"),
+      (5L, "2024-01-15 18:00:00"), // redelivered: answers once
+      (11L, "2024-02-20 00:00:00"))
+      .toDF("q_user", "horizon"))
+    eventsAsofBatchRelation(spark, servedZorderPath(spark, dir), reqs)
+  }
 
   /** The tombstone relation of a store, if any subject was erased and
     * not yet physically compacted away — subject-count-sized (a

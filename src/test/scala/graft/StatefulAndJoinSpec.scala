@@ -132,6 +132,51 @@ class StatefulAndJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of cache: latest wins, ties break on event_id, a late older event never regresses it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{AsofEvent, StatefulAsof}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsofEvent]
+    val q = StatefulAsof(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("asof_cache_test")
+      .outputMode("update").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    def rows() = spark.table("asof_cache_test").collect()
+    try {
+      mem.addData(
+        AsofEvent(Some(1L), "h", ts("2024-01-01 10:00:00"), Some(1L), Some("a"), Some(1.0)),
+        AsofEvent(Some(1L), "h", ts("2024-01-01 11:00:00"), Some(2L), Some("b"), Some(2.0)))
+      q.processAllAvailable()
+      val b1 = rows()
+      assert(b1.length == 1 && b1(0).getAs[String]("event_type") == "b",
+        s"trigger 1 must seed the cache with the latest row: ${b1.mkString(";")}")
+      // a newer event advances the cache; a ts-TIE breaks on event_id
+      mem.addData(
+        AsofEvent(Some(1L), "h", ts("2024-01-01 12:00:00"), Some(3L), Some("c"), Some(3.0)),
+        AsofEvent(Some(1L), "h", ts("2024-01-01 12:00:00"), Some(4L), Some("d"), Some(4.0)))
+      q.processAllAvailable()
+      assert(rows().last.getAs[String]("event_type") == "d",
+        "ties at equal ts must seat the higher event_id")
+      // LATE delivery of an OLDER event: max is order-insensitive — the
+      // cache re-emits the same winner and never regresses (the property
+      // the SCD2 twin needs a guard for and this one gets for free)
+      mem.addData(
+        AsofEvent(Some(1L), "h", ts("2024-01-01 09:00:00"), Some(9L), Some("z"), Some(9.0)))
+      q.processAllAvailable()
+      val fin = rows()
+      assert(fin.last.getAs[String]("event_type") == "d" &&
+        !fin.exists(_.getAs[String]("event_type") == "z"),
+        s"a late older event must not regress the cache: ${fin.mkString(";")}")
+      // a second group is independent state
+      mem.addData(
+        AsofEvent(Some(2L), "h", ts("2024-01-01 08:00:00"), Some(1L), Some("x"), Some(1.0)))
+      q.processAllAvailable()
+      assert(rows().exists(r => r.getAs[Long]("user_id") == 2L &&
+        r.getAs[String]("event_type") == "x"))
+    } finally q.stop()
+  }
+
   test("streaming first-seen templates alert once per shape, then stay silent") {
     import spark.implicits._
     import graft.streaming.{StatefulTemplates, TemplEvent}
