@@ -958,6 +958,9 @@ object Embeddings {
     }
     val t = new org.apache.hadoop.fs.Path(p, "tombstones")
     if (fs.exists(t)) fs.delete(t, true)
+    // tombstones retired AFTER the swaps — re-stale the serve memos so a
+    // racing serve can't pin a tombstone relation over deleted files
+    graft.sources.StoreProtocol.invalidateStore(p.toString)
   }
 
   private def recoverIvfCompact(fs: org.apache.hadoop.fs.FileSystem,

@@ -676,7 +676,7 @@ object Relational {
       return spark.range(1).select(lit(userId).as("user_id"),
         lit(0L).as("n_events"), lit(null).cast("double").as("total_value"),
         lit(0L).as("n_types"))
-    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsRow = servedCutsRow(spark, path)
     val cutsU = cutLongs(cutsRow, "cuts_u")
     val cutsD = cutLongs(cutsRow, "cuts_d")
     val (bits, files) = zorderGeometry(cutsRow)
@@ -701,6 +701,18 @@ object Relational {
       .select(lit(userId).as("user_id"), col("n_events"),
         col("total_value"), col("n_types"))
   }
+
+  /** The persisted cuts row for a SERVE path, memoized per session (the
+    * [[graft.sources.StoreProtocol.cached]] serve-metadata cache):
+    * repeat point lookups pay zero FS listings and zero geometry jobs;
+    * any writer entry on the store invalidates. Writers keep reading
+    * fresh — they run after their own recovery pass and must never
+    * trust a pre-recovery snapshot. */
+  private def servedCutsRow(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row =
+    graft.sources.StoreProtocol.cached(spark, s"$path/cuts", "row") {
+      spark.read.parquet(s"$path/cuts").head()
+    }
 
   /** A cutpoint array of the persisted cuts row, as longs. NULL cut
     * arrays (a corpus whose every row lacks one dimension — the sample
@@ -738,7 +750,7 @@ object Relational {
     val dataDirs =
       graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
     if (dataDirs == 0) return empty
-    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsRow = servedCutsRow(spark, path)
     val cutsU = cutLongs(cutsRow, "cuts_u")
     val cutsD = cutLongs(cutsRow, "cuts_d")
     val (bits, files) = zorderGeometry(cutsRow)
@@ -820,7 +832,7 @@ object Relational {
     val dataDirs =
       graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
     if (dataDirs == 0) return zeros
-    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsRow = servedCutsRow(spark, path)
     val cutsU = cutLongs(cutsRow, "cuts_u")
     val cutsD = cutLongs(cutsRow, "cuts_d")
     val (bits, files) = zorderGeometry(cutsRow)
@@ -900,7 +912,7 @@ object Relational {
     val dataDirs =
       graft.sources.StoreProtocol.subdirCount(spark, s"$path/data", "fid=")
     if (dataDirs == 0) return empty
-    val cutsRow = spark.read.parquet(s"$path/cuts").head()
+    val cutsRow = servedCutsRow(spark, path)
     val cutsU = cutLongs(cutsRow, "cuts_u")
     val cutsD = cutLongs(cutsRow, "cuts_d")
     val (bits, files) = zorderGeometry(cutsRow)
@@ -935,6 +947,86 @@ object Relational {
       (5L, "2024-02-10 12:00:00"),
       (5L, "2024-01-08 06:00:00"),
       (7L, "1999-01-01 00:00:00")))
+
+  /** Pruning-bound calibration for the z-store — the minhash_calibration
+    * pattern applied to layout (the "how good is the approximation"
+    * harness the other families already carry): for a real predicate
+    * workload drawn from the corpus, MEASURE the pruned-file count per
+    * predicate family against the z-curve's theoretical worst case. The
+    * workload is a deterministic md5 1-in-4 subject sample (the
+    * dsar_report pick — SQL-replayable, and at 100 TB the same pick
+    * bounds the calibration's cost) crossed with three day-window
+    * families (full history / one month / one week — all user-fixed, so
+    * the curve bound is the ≤4-of-32 serve bound), plus every distinct
+    * corpus day as a day-point family (the ≤8 transpose bound). The
+    * `bound` column is computed from the geometry grid itself (max over
+    * all buckets), so the relation reads "empirical max vs worst case"
+    * per family; the oracle replays cutpoints, bucket maps, morton
+    * arithmetic, and the grid bound in SQL. All integer arithmetic
+    * except the round(avg, 6). */
+  def zorderCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val path = servedZorderPath(spark, dir)
+    graft.sources.IO.readableStore(spark, path, "__zorder_tmp")
+    val cutsRow = servedCutsRow(spark, path)
+    val cutsU = cutLongs(cutsRow, "cuts_u")
+    val cutsD = cutLongs(cutsRow, "cuts_d")
+    val (bits, files) = zorderGeometry(cutsRow)
+    val buckets = 1 << bits
+    val zspan = buckets.toLong * buckets
+    def bucketOf(cuts: Seq[Long], v: Long): Long = cuts.count(_ <= v).toLong
+    def morton(ub: Long, db: Long): Long = (0 until bits).map(i =>
+      (((ub >> i) & 1L) << (2 * i + 1)) | (((db >> i) & 1L) << (2 * i))).sum
+    def fid(ub: Long, db: Long): Long = morton(ub, db) / (zspan / files)
+    // geometry worst cases (the grid max — for the default (4, 32):
+    // user-fixed 4, day-fixed 8)
+    val boundU = (0L until buckets).map(ub =>
+      (0L until buckets).map(db => fid(ub, db)).distinct.size).max.toLong
+    val boundD = (0L until buckets).map(db =>
+      (0L until buckets).map(ub => fid(ub, db)).distinct.size).max.toLong
+    val ev = Tables.events(spark, dir)
+    val users = ev.where(col("user_id").isNotNull)
+      .where(Sketches.md5mod(
+        concat(lit("cal:"), col("user_id").cast("string")), 4L) === 0L)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val days = ev.where(col("ts").isNotNull)
+      .select(expr("(unix_micros(ts) - ((unix_micros(ts) % 86400000000) " +
+        "+ 86400000000) % 86400000000) DIV 86400000000").as("d"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    def dayOf(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+    def userFamily(name: String, dbLo: Long, dbHi: Long) = {
+      val nfs = users.map { u =>
+        val ub = bucketOf(cutsU, u)
+        (dbLo to dbHi).map(db => fid(ub, db)).distinct.size.toLong
+      }
+      (name, nfs, boundU)
+    }
+    val fams = Seq(
+      userFamily("user_history", 0L, buckets - 1L),
+      userFamily("user_month",
+        bucketOf(cutsD, dayOf("2024-01-01")),
+        bucketOf(cutsD, dayOf("2024-01-31"))),
+      userFamily("user_week",
+        bucketOf(cutsD, dayOf("2024-01-08")),
+        bucketOf(cutsD, dayOf("2024-01-14"))),
+      ("day_point", days.map { d =>
+        val db = bucketOf(cutsD, d)
+        (0L until buckets).map(ub => fid(ub, db)).distinct.size.toLong
+      }, boundD))
+    val rows = fams.map { case (name, nfs, bound) =>
+      val max = if (nfs.isEmpty) None else Some(nfs.max)
+      // HALF_UP over the exact binary double = Spark round() = DuckDB
+      // round() (half away from zero, positive domain)
+      val avg = if (nfs.isEmpty) None else Some(BigDecimal(
+        nfs.sum.toDouble / nfs.size).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (name, nfs.size.toLong, max, avg, bound, max.map(_ <= bound))
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("family", "n_queries", "files_max", "files_avg", "bound",
+      "within_bound")
+  }
 
   /** Write a tiny request table to parquet and read it back — the
     * fixture for the relation-shaped serve entries: requests genuinely

@@ -36,6 +36,11 @@ object IO {
     * caveat — the consistency point is commit completion). */
   def commitDirSwaps(fs: FileSystem, tmp: Path, liveParent: Path,
       old: Path, prefix: String): Unit = {
+    // writer entry: the swapped dirs AND their store root (tombstones,
+    // cuts, stats live beside liveParent) go stale for every serve memo
+    StoreProtocol.invalidateStore(liveParent.toString)
+    Option(liveParent.getParent)
+      .foreach(pp => StoreProtocol.invalidateStore(pp.toString))
     fs.mkdirs(old)
     fs.listStatus(tmp).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(prefix)).foreach { rd =>
@@ -160,6 +165,7 @@ object IO {
     recoverStore(fs, p, tmp) // writer-entry healing; tmp never survives it
     write(tmp)
     fs.create(new Path(tmp, "_SUCCESS")).close()
+    StoreProtocol.invalidateStore(path) // serve memos go stale with the swap
     swapInto(fs, tmp, p)
   }
 

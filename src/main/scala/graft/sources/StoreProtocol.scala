@@ -23,38 +23,92 @@ object StoreProtocol {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- serve-path metadata cache (r19) --------------------------------
+  // Every serve used to pay 2-3 filesystem round-trips (subdirCount +
+  // cuts head() + tombstone listStatus) per call — negligible on local
+  // disk, ~100 ms of object listing per point lookup on S3. The memo is
+  // SESSION-scoped and keyed on the normalized store path; EVERY writer
+  // entry (publishStore / promoteKeyed / commitDirSwaps / the compaction
+  // tails) invalidates the store's whole key range, so a serve issued
+  // after an erase on the same session always re-reads the tombstones
+  // (spec-pinned). Cross-PROCESS writers are outside the memo's view —
+  // the stores' single-flight-writer contract already makes concurrent
+  // external mutation undefined; a new session starts cold.
+
+  private val metaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Any]
+
+  /** Cache-miss counter — test-visible so a spec can pin "repeat serves
+    * probe the filesystem zero times". */
+  private[graft] val probeMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Normalized key prefix of a store path: Hadoop Path normalization so
+    * `file:///x`, `file:/x` and a writer's `Path.toString` of the same
+    * store key identically. */
+  private def norm(path: String): String = new Path(path).toString
+
+  /** Session-scoped memo of a serve-path metadata probe. `slot` names the
+    * probe kind; invalidation is by store-path prefix, so probes of a
+    * store's SUBDIRECTORIES (data/, tombstones/, cuts/) fall with the
+    * store root. */
+  private[graft] def cached[T](spark: SparkSession, path: String,
+      slot: String)(compute: => T): T = {
+    metaMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    metaMemo.getOrElseUpdate((spark, s"${norm(path)}#$slot"), {
+      probeMisses.incrementAndGet()
+      compute
+    }).asInstanceOf[T]
+  }
+
+  /** Drop every cached probe of the store at `path` (and anything below
+    * it) for ALL sessions — called by every writer entry. Prefix-safe:
+    * `/a/b` never invalidates `/a/bc`. */
+  def invalidateStore(path: String): Unit = {
+    val n = norm(path)
+    metaMemo.filterInPlace { case ((_, k), _) =>
+      !(k.startsWith(n + "#") || k.startsWith(n + "/"))
+    }
+  }
+
   /** Whether `dir` holds at least one `.parquet` data file — the gate
     * serve paths use before reading an OPTIONAL store relation (the
     * tombstone dir). Remote-FS-correct: listStatus on the path's own
     * filesystem; a missing dir is simply "absent", never an error. */
-  def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = fsOf(spark, dir)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet"))
-  }
+  def hasParquet(spark: SparkSession, dir: String): Boolean =
+    cached(spark, dir, "hasParquet") {
+      val p = new Path(dir)
+      val fs = fsOf(spark, dir)
+      fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
 
   /** The tombstone relation of a store, if any subject was erased and not
     * yet physically compacted away — erasure-request-sized (a dimension,
     * never a fact), hence always broadcast at the consumer. `idCol` is the
-    * store's subject-id column (user_id / doc_id / vec_id / id). */
+    * store's subject-id column (user_id / doc_id / vec_id / id). The
+    * cached value pins the parquet file listing too (InMemoryFileIndex
+    * resolves at DataFrame construction) — exactly the snapshot the memo
+    * invalidates on the next writer entry. */
   def tombstones(spark: SparkSession, path: String,
       idCol: String): Option[DataFrame] =
-    if (hasParquet(spark, s"$path/tombstones"))
-      Some(spark.read.parquet(s"$path/tombstones")
-        .select(col(idCol)).distinct())
-    else None
+    cached(spark, s"$path/tombstones", s"tombstones:$idCol") {
+      if (hasParquet(spark, s"$path/tombstones"))
+        Some(spark.read.parquet(s"$path/tombstones")
+          .select(col(idCol)).distinct())
+      else None
+    }
 
   /** Count of `prefix`-named subdirectories under `dir` — the z-serve's
     * populated-store probe (zero data dirs = the legal empty-corpus
     * store, which serves the zero-row aggregate). */
-  def subdirCount(spark: SparkSession, dir: String, prefix: String): Int = {
-    val p = new Path(dir)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(st =>
-      st.isDirectory && st.getPath.getName.startsWith(prefix))
-  }
+  def subdirCount(spark: SparkSession, dir: String, prefix: String): Int =
+    cached(spark, dir, s"subdir:$prefix") {
+      val p = new Path(dir)
+      val fs = fsOf(spark, dir)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith(prefix))
+    }
 
   /** Content key of an increment / erasure request: MULTISET-sensitive —
     * bit_xor alone has structural collisions under duplicate rows (paired
@@ -102,7 +156,8 @@ object StoreProtocol {
     * disappears, or a replayed full re-write would land the same rows
     * under fresh part names). */
   def promoteKeyed(fs: FileSystem, tmp: Path, p: Path, prefix: String,
-      key: String, subs: Seq[(String, String)]): Unit =
+      key: String, subs: Seq[(String, String)]): Unit = {
+    invalidateStore(p.toString) // writer entry: serve memos go stale NOW
     subs.foreach { case (srcSub, dstSub) =>
       val from = new Path(tmp, srcSub)
       if (fs.exists(from)) {
@@ -118,6 +173,7 @@ object StoreProtocol {
           }
       }
     }
+  }
 
   /** WRITER-entry healing for a crashed content-keyed promote: a tmp with
     * the root _SUCCESS is COMPLETE — resume its promote under the key

@@ -493,6 +493,35 @@ class ZorderStoreSpec extends AnyFunSuite {
       "untouched subject's as-of answer must survive the erasure")
   }
 
+  test("serve-path metadata memo: repeat serves probe the FS zero times; erase and compaction invalidate") {
+    val p = s"$Root/memo"
+    wipe(p)
+    Relational.writeZorderTableFrom(ev, p)
+    // first serve fills the memo (subdir count, cuts row, tombstone gate)
+    Relational.eventsServed2dFrom(spark, p, 3L, "2024-01-01", "2024-02-15")
+      .collect()
+    val misses0 = graft.sources.StoreProtocol.probeMisses.get
+    Relational.eventsServed2dFrom(spark, p, 5L, "2024-01-01", "2024-02-15")
+      .collect()
+    assert(graft.sources.StoreProtocol.probeMisses.get == misses0,
+      "a repeat serve on an unchanged store must answer from the memo — " +
+        "zero FS probes, zero metadata jobs")
+    // STALENESS-AFTER-ERASE: a serve AFTER an erase on the same session
+    // must see the tombstone (the writer entry invalidates the memo)
+    Relational.eraseZorderSubject(spark, p, 3L)
+    assert(Relational.eventsServed2dFrom(spark, p, 3L,
+        "2024-01-01", "2024-02-15").head().getLong(1) == 0L,
+      "a serve after an erase must see the tombstone, not the memo")
+    // tombstone RETIREMENT invalidates too: the serve after compaction
+    // must not pin a tombstone relation over deleted files
+    Relational.compactZorderStore(spark, p)
+    assert(Relational.eventsServed2dFrom(spark, p, 3L,
+        "2024-01-01", "2024-02-15").head().getLong(1) == 0L)
+    assert(Relational.eventsServed2dFrom(spark, p, 5L,
+        "2024-01-01", "2024-02-15").head().getLong(1) > 0L,
+      "untouched subject must survive compaction")
+  }
+
   /** Shared fixture for the two batch-serve tests: built ONCE at first
     * use (full store, subject 7 erased), so each test is self-contained
     * when run in isolation and an abort in one can't poison the other
