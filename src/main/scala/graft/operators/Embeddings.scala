@@ -506,7 +506,7 @@ object Embeddings {
   private val seededMemo = new scala.collection.concurrent.TrieMap[
     (SparkSession, String), (DataFrame, DataFrame)]
 
-  private def seededAssignFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def seededAssignFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     seededMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     seededMemo.getOrElseUpdate((spark, dir), seededAssign(corpus(spark, dir)))
   }

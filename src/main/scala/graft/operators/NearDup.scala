@@ -195,7 +195,7 @@ object NearDup {
 
   /** Shared word-3-shingle signature base (dedup_minhash, dedup_clusters,
     * train_test_split all read it) — memoized + persisted per session. */
-  private def word3Base(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def word3Base(spark: SparkSession, dir: String): DataFrame =
     memoBase(spark, s"word3:$dir") {
       val sh = wordShingles(col("text"), 3)
       // at-least-once delivery collapses to the distinct document entity
@@ -569,7 +569,7 @@ object NearDup {
             StructField("key", LongType), StructField("kb", IntegerType))))
     }
 
-  private def readSigDocs(spark: SparkSession, indexPath: String): DataFrame =
+  private[graft] def readSigDocs(spark: SparkSession, indexPath: String): DataFrame =
     try spark.read.parquet(s"$indexPath/docs") catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
