@@ -1247,6 +1247,9 @@ object Relational {
       p: org.apache.hadoop.fs.Path): Unit = {
     val t = new org.apache.hadoop.fs.Path(p, "tombstones")
     if (fs.exists(t)) fs.delete(t, true)
+    // tombstones retire AFTER the dir swaps — re-stale the serve memos so
+    // a racing serve can't pin a tombstone relation over deleted files
+    graft.sources.StoreProtocol.invalidateStore(p.toString)
   }
 
   private val zorderMemo =
