@@ -46,47 +46,67 @@ object Dsar {
   private val memo = scala.collection.concurrent.TrieMap.empty[
     (SparkSession, String), Stores]
 
-  /** Net indexed-doc count of a lexical store: the stats relation's
-    * n_docs sum (erasure legs land negative rows; compaction nets them
-    * out — the sum is invariant across that rewrite). */
-  private def lexNetDocs(spark: SparkSession, lex: String): Long =
-    spark.read.parquet(s"$lex/stats")
-      .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
-
-  /** Sum of per-group distinct-user estimates served from the HLL
-    * store — the store's one queryable number. */
-  private def hllEstSum(spark: SparkSession, hll: String): Long =
-    Sketches.mergeHllEstimate(
+  /** One (store, after, subj) evidence relation across all five stores —
+    * r20, §2.6/§5: the evidence pass previously issued ~12 SEQUENTIAL
+    * driver actions (one count per store per question), each a tiny job
+    * whose scheduling floor dominated its request-sized data; dsar_execute
+    * was the single most expensive bench entry (3.9 s) and ran FASTER at
+    * 8 cores than 32. The legs are independent single-row aggregates, so
+    * they union into ONE job whose stages schedule concurrently.
+    *
+    * Leg semantics are byte-identical to the replaced per-count helpers:
+    *  - zorder: physical row count + subject-predicate row count (0 rows
+    *    for the empty-corpus store, whose data dir holds no fid dirs —
+    *    the read would fail, not return empty);
+    *  - lex: the stats relation's n_docs sum (erasure legs land negative
+    *    rows; compaction nets them out — invariant across that rewrite)
+    *    × the subject postings count;
+    *  - ivf/sig: count(DISTINCT id) with the oracle's null-exclusion
+    *    (count_distinct skips nulls by definition);
+    *  - hll: the estimate sum; no per-subject state exists to probe
+    *    (registers are non-decrementable; the leg is a rebuild) — zero
+    *    by construction. */
+  private def evidenceRelation(spark: SparkSession, z: String, lex: String,
+      ivf: String, sig: String, hll: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    def empty(store: String): DataFrame =
+      Seq((store, 0L, 0L)).toDF("store", "after", "subj")
+    val subjEv = col("user_id").isin(SubjectUsers.map(Long.box): _*)
+    val zLeg =
+      if (graft.sources.StoreProtocol.subdirCount(spark, s"$z/data",
+          "fid=") == 0) empty("zorder")
+      else spark.read.parquet(s"$z/data")
+        .agg(count(lit(1)).cast("long").as("after"),
+          coalesce(sum(when(subjEv, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("subj"))
+        .select(lit("zorder").as("store"), col("after"), col("subj"))
+    val lexDocs = spark.read.parquet(s"$lex/stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("after"))
+    val lexLeg =
+      if (graft.sources.StoreProtocol.subdirCount(spark, s"$lex/postings",
+          "tb=") == 0)
+        lexDocs.select(lit("lex").as("store"), col("after"), lit(0L).as("subj"))
+      else lexDocs.crossJoin(
+          spark.read.parquet(s"$lex/postings").where(owned(col("doc_id")))
+            .agg(count(lit(1)).cast("long").as("subj")))
+        .select(lit("lex").as("store"), col("after"), col("subj"))
+    val ivfLeg =
+      if (graft.sources.StoreProtocol.subdirCount(spark, s"$ivf/assign",
+          "bucket=") == 0) empty("ivf")
+      else spark.read.parquet(s"$ivf/assign")
+        .agg(count_distinct(col("vec_id")).as("after"),
+          count_distinct(when(owned(col("vec_id")), col("vec_id"))).as("subj"))
+        .select(lit("ivf").as("store"), col("after"), col("subj"))
+    val sigLeg = NearDup.readSigDocs(spark, sig)
+      .agg(count_distinct(col("id")).as("after"),
+        count_distinct(when(owned(col("id")), col("id"))).as("subj"))
+      .select(lit("sig").as("store"), col("after"), col("subj"))
+    val hllLeg = Sketches.mergeHllEstimate(
         Seq(Sketches.readHllSketch(spark, hll)), "est")
-      .agg(coalesce(sum(col("est")), lit(0L))).head().getLong(0)
-
-  /** Distinct entity ids in the IVF assignment relation; 0 for the
-    * legal empty-corpus store (partitionBy of zero rows writes no
-    * bucket dirs — the read would fail, not return empty). */
-  private def ivfVecCount(spark: SparkSession, ivf: String,
-      pred: Option[Column] = None): Long = {
-    if (graft.sources.StoreProtocol.subdirCount(spark, s"$ivf/assign",
-        "bucket=") == 0) return 0L
-    // NOT NULL mirrors the oracle's count(DISTINCT …) null-exclusion
-    val d = spark.read.parquet(s"$ivf/assign")
-      .where(col("vec_id").isNotNull)
-    pred.fold(d)(d.where(_)).select(col("vec_id")).distinct().count()
-  }
-
-  /** Physical event-row count of a z-store (0 for the empty-corpus
-    * store, whose data dir holds no fid dirs). */
-  private def zRowCount(spark: SparkSession, z: String,
-      pred: Option[Column] = None): Long = {
-    if (graft.sources.StoreProtocol.subdirCount(spark, s"$z/data",
-        "fid=") == 0) return 0L
-    val d = spark.read.parquet(s"$z/data")
-    pred.fold(d)(d.where(_)).count()
-  }
-
-  private def lexSubjectPostings(spark: SparkSession, lex: String): Long = {
-    if (graft.sources.StoreProtocol.subdirCount(spark, s"$lex/postings",
-        "tb=") == 0) return 0L
-    spark.read.parquet(s"$lex/postings").where(owned(col("doc_id"))).count()
+      .agg(coalesce(sum(col("est")), lit(0L)).cast("long").as("after"))
+      .select(lit("hll").as("store"), col("after"), lit(0L).as("subj"))
+    zLeg.unionAll(lexLeg).unionAll(ivfLeg).unionAll(sigLeg).unionAll(hllLeg)
   }
 
   /** Build the five stores fresh, run the ONE subject-set DSAR across
@@ -112,13 +132,11 @@ object Dsar {
       Embeddings.writeIvfIndexFrom(assigned, cents, ivf)
       NearDup.writeSignatureIndexFrom(NearDup.word3Base(spark, dir), sig)
       Sketches.writeHllSketch(ev, col("event_type"), col("user_id"), hll)
-      val before = Map(
-        "zorder" -> zRowCount(spark, z),
-        "lex" -> lexNetDocs(spark, lex),
-        "ivf" -> ivfVecCount(spark, ivf),
-        "sig" -> NearDup.readSigDocs(spark, sig)
-          .where(col("id").isNotNull).select(col("id")).distinct().count(),
-        "hll" -> hllEstSum(spark, hll))
+      // pre-erasure entity counts: ONE job over the five-leg union
+      // (the subject column is ignored here — erasure hasn't run yet)
+      val before = evidenceRelation(spark, z, lex, ivf, sig, hll)
+        .select(col("store"), col("after")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       // ---- the one request, five legs (each replayed: content-keyed
       // no-op), then physical compaction everywhere one exists ----
       val sp = spark
@@ -158,29 +176,17 @@ object Dsar {
     * tables). */
   def dsarExecute(spark: SparkSession, dir: String): DataFrame = {
     val st = buildAndErase(spark, dir)
-    val subjEv = col("user_id").isin(SubjectUsers.map(Long.box): _*)
-    val zAfter = zRowCount(spark, st.z)
-    val zSubj = zRowCount(spark, st.z, Some(subjEv))
-    val lexAfter = lexNetDocs(spark, st.lex)
-    val lexSubj = lexSubjectPostings(spark, st.lex)
-    val ivfAfter = ivfVecCount(spark, st.ivf)
-    val ivfSubj = ivfVecCount(spark, st.ivf, Some(owned(col("vec_id"))))
-    val sigDocs = NearDup.readSigDocs(spark, st.sig)
-      .where(col("id").isNotNull).select(col("id")).distinct()
-    val sigAfter = sigDocs.count()
-    val sigSubj = sigDocs.where(owned(col("id"))).count()
-    val hllAfter = hllEstSum(spark, st.hll)
-    val rows = Seq(
-      ("zorder", st.before("zorder") - zAfter, zSubj, zAfter),
-      ("lex", st.before("lex") - lexAfter, lexSubj, lexAfter),
-      ("ivf", st.before("ivf") - ivfAfter, ivfSubj, ivfAfter),
-      ("sig", st.before("sig") - sigAfter, sigSubj, sigAfter),
-      // no per-subject HLL state exists to probe (registers are
-      // non-decrementable; the leg is a rebuild) — zero by construction
-      ("hll", st.before("hll") - hllAfter, 0L, hllAfter))
-    val sp = spark
-    import sp.implicits._
-    rows.toDF("store", "entities_removed", "subject_rows_after",
-      "entities_after")
+    // r20: the whole evidence pass is ONE plan (the five-leg union) —
+    // zero driver collects in the query path, one job instead of ~12
+    // sequential ones; the remembered pre-erasure counts enter as
+    // literals, so the same rows come out in the same order.
+    val beforeExpr = st.before.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("store") === lit(k), lit(v)).otherwise(acc)
+    }
+    evidenceRelation(spark, st.z, st.lex, st.ivf, st.sig, st.hll)
+      .select(col("store"),
+        (beforeExpr - col("after")).as("entities_removed"),
+        col("subj").as("subject_rows_after"),
+        col("after").as("entities_after"))
   }
 }

@@ -984,22 +984,38 @@ object Relational {
     val boundD = (0L until buckets).map(db =>
       (0L until buckets).map(ub => fid(ub, db)).distinct.size).max.toLong
     val ev = Tables.events(spark, dir)
-    val users = ev.where(col("user_id").isNotNull)
+    // Per-bucket DISTRIBUTED aggregation (r20 — replaces a driver collect
+    // of every sampled user and every distinct day, which scaled with the
+    // corpus): a query's pruned-file count depends ONLY on its entity's
+    // cut bucket (`fid` is a function of the bucket pair), so the ≤2^bits
+    // per-bucket populations are sufficient statistics for the per-family
+    // max and avg. One job, ≤ 2·2^bits rows to the driver at ANY corpus
+    // size — the calibration's cost is now genuinely bounded by the
+    // geometry, as the scaladoc claims.
+    def bucketCol(cuts: Seq[Long], v: Column): Column =
+      if (cuts.isEmpty) lit(0L)
+      else cuts.map(c => when(v >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
+    val uAgg = ev.where(col("user_id").isNotNull)
       .where(Sketches.md5mod(
         concat(lit("cal:"), col("user_id").cast("string")), 4L) === 0L)
-      .select(col("user_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val days = ev.where(col("ts").isNotNull)
+      .groupBy(bucketCol(cutsU, col("user_id")).as("b"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .select(lit("u").as("k"), col("b"), col("n"))
+    val dAgg = ev.where(col("ts").isNotNull)
       .select(expr("(unix_micros(ts) - ((unix_micros(ts) % 86400000000) " +
         "+ 86400000000) % 86400000000) DIV 86400000000").as("d"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      .groupBy(bucketCol(cutsD, col("d")).as("b"))
+      .agg(count_distinct(col("d")).as("n"))
+      .select(lit("d").as("k"), col("b"), col("n"))
+    val popRows = uAgg.unionAll(dAgg).collect()
+    def pops(k: String): Map[Long, Long] = popRows
+      .filter(_.getString(0) == k).map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val (userPop, dayPop) = (pops("u"), pops("d"))
     def dayOf(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
     def userFamily(name: String, dbLo: Long, dbHi: Long) = {
-      val nfs = users.map { u =>
-        val ub = bucketOf(cutsU, u)
-        (dbLo to dbHi).map(db => fid(ub, db)).distinct.size.toLong
-      }
-      (name, nfs, boundU)
+      val nfOf = (0L until buckets).map(ub =>
+        ub -> (dbLo to dbHi).map(db => fid(ub, db)).distinct.size.toLong).toMap
+      (name, userPop, nfOf, boundU)
     }
     val fams = Seq(
       userFamily("user_history", 0L, buckets - 1L),
@@ -1009,18 +1025,20 @@ object Relational {
       userFamily("user_week",
         bucketOf(cutsD, dayOf("2024-01-08")),
         bucketOf(cutsD, dayOf("2024-01-14"))),
-      ("day_point", days.map { d =>
-        val db = bucketOf(cutsD, d)
-        (0L until buckets).map(ub => fid(ub, db)).distinct.size.toLong
-      }, boundD))
-    val rows = fams.map { case (name, nfs, bound) =>
-      val max = if (nfs.isEmpty) None else Some(nfs.max)
+      ("day_point", dayPop, (0L until buckets).map(db =>
+        db -> (0L until buckets).map(ub => fid(ub, db)).distinct.size.toLong
+      ).toMap, boundD))
+    val rows = fams.map { case (name, pop, nfOf, bound) =>
+      val n = pop.values.sum
+      val max = if (n == 0) None else Some(pop.keys.map(nfOf).max)
       // HALF_UP over the exact binary double = Spark round() = DuckDB
-      // round() (half away from zero, positive domain)
-      val avg = if (nfs.isEmpty) None else Some(BigDecimal(
-        nfs.sum.toDouble / nfs.size).setScale(6,
+      // round() (half away from zero, positive domain). The weighted sum
+      // Σ pop(b)·nf(b) is the SAME exact integer the per-entity list
+      // summed to, so the divide produces the identical double.
+      val avg = if (n == 0) None else Some(BigDecimal(
+        pop.map { case (b, c) => c * nfOf(b) }.sum.toDouble / n).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
-      (name, nfs.size.toLong, max, avg, bound, max.map(_ <= bound))
+      (name, n, max, avg, bound, max.map(_ <= bound))
     }
     val sp = spark
     import sp.implicits._

@@ -11,8 +11,27 @@ import org.apache.spark.sql.functions._
   * partitioned table root instead of a single file; nothing else changes.
   */
 object Tables {
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** One resolved relation per (session, dir, table) — r20.
+    *
+    * `spark.read.parquet(path)` resolves EAGERLY: it lists the path and
+    * reads a footer for schema inference on every call, driver-side.
+    * This suite plans ~200 queries × several tables × several passes per
+    * session, so the repeated listings were a measurable slice of the
+    * per-query floor (guide §6: file listing is driver-side, single
+    * process — at S3 latencies it's ~100 ms per table per query). The
+    * memo holds the LAZY resolved plan only: every action still computes
+    * from the parquet files (nothing materialized, nothing persisted),
+    * exactly like a production app that defines its table DataFrames
+    * once at startup. Testdata dirs are immutable inputs, so there is no
+    * invalidation to miss; stopped sessions are swept on entry. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    memo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    memo.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

@@ -15,6 +15,14 @@ object SparkTest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Same rationale as the Bench/Verify mains (r19): the audited bounded
+    // global-window sites are pinned by PlanShapeSpec; their per-execution
+    // "No Partition Defined" warning flooded the 20-minute test log with
+    // thousands of lines, burying real warnings. Suite-level session setup
+    // only — the library never mutes logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
   val Sf = "/root/testdata/sf0.001"
