@@ -34,6 +34,8 @@ object Profile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks.toLong)
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+          println(f"    stage ${sc.stageInfo.stageId}%-4d tasks=${sc.stageInfo.numTasks}%-4d ${sc.stageInfo.name.take(90)}")
       }
     })
     val names = if (args.nonEmpty) args.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)

@@ -101,7 +101,23 @@ object Graphs {
     val nNodes = nodes.count()
     val out =
       if (nNodes + nEdges <= driverCap) pagerankDriver(spark, edges, nodes, iters)
-      else pagerankDistributed(edges, nodes, nNodes, iters)
+      else {
+        // r20 §2.2/§2.6: the loop re-reads edges 1× and ranks 3× per
+        // iteration; re-pin both relations at a size-adaptive EXPLICIT
+        // partition count (see Shuffles.sizedPartitions — caches and
+        // checkpoints never get AQE-coalesced, so they were conf-wide
+        // regardless of size). One tiny extra shuffle each, once.
+        val p = Shuffles.sizedPartitions(edges, nNodes + nEdges)
+        val conf = spark.sessionState.conf.numShufflePartitions
+        val edgesP = if (p < conf)
+          edges.repartition(p, col("from_type")).persist() else edges
+        val nodesP = if (p < conf)
+          nodes.repartition(p, col("node")).persist() else nodes
+        val r = pagerankDistributed(edgesP, nodesP, nNodes, iters, p)
+        if (edgesP ne edges) edgesP.unpersist()
+        if (nodesP ne nodes) nodesP.unpersist()
+        r
+      }
     edges.unpersist(); nodes.unpersist()
     out.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -158,36 +174,58 @@ object Graphs {
     * broadcast 1-row dangling mass, and an eager lineage cut (previous
     * cut freed — at most one rank copy in executor storage). */
   private def pagerankDistributed(edges: DataFrame, nodes: DataFrame,
-      nNodes: Long, iters: Int): DataFrame = {
+      nNodes: Long, iters: Int, p: Int): DataFrame = {
     val spark = edges.sparkSession
     val nD = nNodes.toDouble
     val tele = lit((1.0 - Damping) / nD)
-    val outNodes = edges.select(col("from_type").as("node")).distinct()
     def fold(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, x) => acc + x)
-    var ranks = nodes.select(col("node"), lit(1.0 / nD).as("rank"))
+    // r20 — minimum-exchange loop body (§2.4/§2.6; was ~11 AQE stage
+    // jobs per iteration, now ~5):
+    //  - the dangling-node FLAG is loop-invariant: computed once here
+    //    and carried through every checkpoint as a ranks column, so the
+    //    per-iteration dangling mass is a filter+aggregate over ranks
+    //    instead of an anti-join against a recomputed distinct;
+    //  - every checkpoint is re-pinned at p partitions hash(node)
+    //    (explicit counts are exempt from AQE coalescing; a checkpoint's
+    //    final stage otherwise materializes conf-wide), and the
+    //    checkpointed LogicalRDD PRESERVES that partitioning, so the
+    //    rank-update join needs no exchange on either side;
+    //  - the contribution aggregation repartitions to hash(node, p)
+    //    BEFORE the groupBy — one exchange serving both the aggregation
+    //    and the join/checkpoint layout (§2.4's "two operations keyed
+    //    the same way share one exchange").
+    val outNodes = edges.select(col("from_type").as("node")).distinct()
+    var ranks = nodes
+      .join(outNodes.withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), lit(1.0 / nD).as("rank"),
+        coalesce(col("__out"), lit(false)).as("has_out"))
+      .repartition(p, col("node"))
       .localCheckpoint()
     var lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(ranks)
     var k = 0
     while (k < iters) {
-      // dangling mass: pinned fold over node-sorted ranks (1 row)
-      val dang = broadcast(ranks.join(outNodes, Seq("node"), "left_anti")
+      // dangling mass: pinned fold over node-sorted dangling ranks (1 row)
+      val dang = broadcast(ranks.where(!col("has_out"))
         .agg(fold(transform(
           sort_array(collect_list(struct(col("node"), col("rank")))),
           p => p.getField("rank"))).as("s")))
       // incoming contributions: pinned fold over from-sorted (rank·w)
       val inc = edges
-        .join(ranks.withColumnRenamed("node", "from_type"), Seq("from_type"))
+        .join(ranks.select(col("node").as("from_type"), col("rank")),
+          Seq("from_type"))
         .select(col("to_type").as("node"), col("from_type"),
           (col("rank") * col("w")).as("c"))
+        .repartition(p, col("node"))
         .groupBy(col("node"))
         .agg(fold(transform(
           sort_array(collect_list(struct(col("from_type"), col("c")))),
           p => p.getField("c"))).as("inc"))
-      val next = nodes.join(inc, Seq("node"), "left").crossJoin(dang)
+      val next = ranks.join(inc, Seq("node"), "left").crossJoin(dang)
         .select(col("node"),
           (tele + lit(Damping) *
-            (col("s") / lit(nD) + coalesce(col("inc"), lit(0.0)))).as("rank"))
+            (col("s") / lit(nD) + coalesce(col("inc"), lit(0.0)))).as("rank"),
+          col("has_out"))
         .localCheckpoint() // eager: bounds plan depth AND double-read
       Corpus.freeCheckpoint(spark, lastCutId)
       lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(next)
@@ -275,7 +313,20 @@ object Graphs {
     }
     val out =
       if (nNodes + nEdges <= driverCap) lpaDriver(spark, sym, nodes, rounds)
-      else lpaDistributed(sym, nodes, rounds)
+      else {
+        // same size-adaptive re-pin as the pagerank loop (r20): sym is
+        // re-read once per round on its join key v, labels 2× per round
+        val p = Shuffles.sizedPartitions(sym, nNodes + nEdges)
+        val conf = spark.sessionState.conf.numShufflePartitions
+        val symP = if (p < conf)
+          sym.repartition(p, col("v")).persist() else sym
+        val nodesP = if (p < conf)
+          nodes.repartition(p, col("node")).persist() else nodes
+        val r = lpaDistributed(symP, nodesP, rounds, p)
+        if (symP ne sym) symP.unpersist()
+        if (nodesP ne nodes) nodesP.unpersist()
+        r
+      }
     sym.unpersist(); nodes.unpersist()
     out
   }
@@ -334,21 +385,31 @@ object Graphs {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     freePendingCut()
-    val sym = edges
+    val sym0 = edges
       .select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
       .distinct().persist()
+    // size the loop relations from the materialized edge count (the
+    // pagerank/LPA re-pin, r20) — sym is re-read on v every round,
+    // labels 2× per round; dimension-sized inputs land at p = 1
+    val nEdges = sym0.count()
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val p = Shuffles.sizedPartitions(sym0, nEdges)
+    val sym = if (p < conf) sym0.repartition(p, col("v")).persist() else sym0
     val nodes = sym.select(col("u").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
+      .repartition(p, col("node"))
       .localCheckpoint()
     var lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(labels)
     var k = 0
     while (k < rounds) {
+      // one exchange per round — the LPA-round layout-sharing pattern
       val best = sym
         .join(labels.select(col("node").as("v"), col("label").as("nl")),
           Seq("v"))
+        .repartition(p, col("u"))
         .groupBy(col("u").as("node")).agg(min(col("nl")).as("best"))
       val next = labels.join(best, Seq("node"), "left")
         .select(col("node"),
@@ -360,7 +421,8 @@ object Graphs {
       labels = next
       k += 1
     }
-    sym.unpersist()
+    if (sym ne sym0) sym.unpersist()
+    sym0.unpersist()
     pendingCut.set((spark, lastCutId))
     labels
   }
@@ -445,16 +507,23 @@ object Graphs {
   }
 
   private def lpaDistributed(sym: DataFrame, nodes: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, p: Int): DataFrame = {
     val spark = sym.sparkSession
     var labels = nodes.select(col("node"), col("node").as("label"))
+      .repartition(p, col("node"))
       .localCheckpoint()
     var lastCutId = org.apache.spark.sql.graft.Bridge.checkpointRddId(labels)
     var k = 0
     while (k < rounds) {
+      // one exchange per round (r20, §2.4): hash(u, p) BEFORE the
+      // aggregation satisfies the (u, nl) grouping, the u-keyed vote
+      // window, and — after the u→node rename — the label join against
+      // the checkpoint's preserved hash(node, p) layout, so the round's
+      // vote count, rank, join, and checkpoint all share it
       val best = sym
         .join(labels.select(col("node").as("v"), col("label").as("nl")),
           Seq("v"))
+        .repartition(p, col("u"))
         .groupBy(col("u"), col("nl"))
         .agg(sum(col("w")).cast("long").as("s"))
         .withColumn("rk", row_number().over(

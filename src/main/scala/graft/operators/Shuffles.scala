@@ -27,4 +27,20 @@ object Shuffles {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     df.repartition(n, df.columns.map(col).toIndexedSeq: _*).distinct()
   }
+
+  /** Size-adaptive EXPLICIT partition count for persisted / checkpointed
+    * loop relations (the ivfAssign cache-compaction policy, shared) —
+    * r20. Iterative operators re-read their pinned relations once or
+    * more per round; a cached plan keeps whatever width it executed at
+    * (AQE never re-coalesces a cache: canChangeCachedPlanOutputPartitioning
+    * is off) and a localCheckpoint materializes the FINAL stage at the
+    * session width too (the RDD is handed out before AQE could coalesce
+    * it), so a vocabulary-sized rank/label relation was paying
+    * conf-many tasks per read per round. An explicit count is exempt
+    * from AQE coalescing by definition and scales with the DATA:
+    * ~50k rows per partition, capped at the session width. */
+  def sizedPartitions(df: DataFrame, rows: Long): Int = {
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(conf.toLong, rows / 50000L + 1L)).toInt
+  }
 }
