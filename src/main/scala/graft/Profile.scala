@@ -21,7 +21,8 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_LOGLEVEL", "ERROR"))
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
@@ -34,8 +35,12 @@ object Profile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks.toLong)
-        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
-          println(f"    stage ${sc.stageInfo.stageId}%-4d tasks=${sc.stageInfo.numTasks}%-4d ${sc.stageInfo.name.take(90)}")
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")) {
+          val ms = (for {
+            s <- sc.stageInfo.submissionTime; c <- sc.stageInfo.completionTime
+          } yield c - s).getOrElse(-1L)
+          println(f"    stage ${sc.stageInfo.stageId}%-4d tasks=${sc.stageInfo.numTasks}%-4d ms=$ms%-6d ${sc.stageInfo.name.take(80)}")
+        }
       }
     })
     val names = if (args.nonEmpty) args.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)

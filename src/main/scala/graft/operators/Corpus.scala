@@ -419,21 +419,31 @@ object Corpus {
       .select(explode(col("grams")).as("g")).distinct()
     // The sketch rides in as an uncorrelated SCALAR SUBQUERY (the same
     // shape Spark's own runtime row-group filtering injects): building
-    // this DataFrame stays a pure plan — no job at construction, no
-    // multi-MB sketch literal in the plan string — and the one-row
-    // subquery executes with the query. Built from the RAW exploded
-    // grams, not `evalGrams`: bloom insertion is idempotent, so paying
-    // the distinct's shuffle before sketching would buy nothing. On an
-    // empty eval set the subquery yields NULL and might_contain returns
-    // NULL → the filter drops every train gram, which is correct (nothing
-    // to be contaminated by) — the train scan still runs in that case;
-    // laziness is deliberately priced above the empty-eval fast path a
-    // driver-side sketch collect would enable (an empty eval set is a
-    // misconfiguration at any real scale).
+    // the subquery keeps the multi-MB sketch literal out of the plan
+    // string, and the one-row subquery executes with the query. Built
+    // from the RAW exploded grams, not `evalGrams`: bloom insertion is
+    // idempotent, so paying the distinct's shuffle before sketching
+    // would buy nothing. On an empty eval set the subquery yields NULL
+    // and might_contain returns NULL → the filter drops every train
+    // gram, which is correct (nothing to be contaminated by).
+    //
+    // The sketch is SIZED from the measured eval gram volume (r20, §5):
+    // a flat `bloomItems` allocation serialized a ~5 MB mostly-zero
+    // bitmap into the task binary of every consuming stage (the bench's
+    // "Broadcasting large task binary with size 7.0 MiB" triplets were
+    // this operator). The occurrence count is a cheap upper bound on the
+    // distinct gram count, so the configured `bloomItems` becomes the
+    // CEILING (the 100 TB allocation), not the every-time cost; the
+    // false-positive guarantee holds whenever items ≥ true cardinality,
+    // and the sketch only prefilters — the exact equi-join decides
+    // membership, so results are bit-identical at ANY sketch size.
+    val nEvalGrams = grams.where(isEval)
+      .select(explode(col("grams")).as("g")).count()
+    val items = math.min(bloomItems, math.max(1024L, nEvalGrams))
     val bloomDf = grams.where(isEval)
       .select(explode(col("grams")).as("g"))
       .agg(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("g"))), bloomItems)
+        Bridge.expression(xxhash64(col("g"))), items)
         .toAggregateExpression()).as("bf"))
     val trainGrams = train.select(col("doc_id"), explode(col("grams")).as("g"))
     val candGrams = trainGrams.where(Bridge.column(BloomFilterMightContain(
@@ -2082,22 +2092,25 @@ object Corpus {
       .localCheckpoint(false)
     val vsize = vocab.agg(count(lit(1)).cast("long").as("v"))
     val tk = tkAll.join(broadcast(vocab.select(col("token"))), Seq("token"))
-    // class-conditional token counts and totals (exact integers);
-    // cut: ck_t/ck_f/tot_t/tot_f are four readers of this tiny relation
-    val cc = tk.groupBy(col("token"), col("kept"))
-      .agg(sum(col("c")).cast("long").as("ck"))
-      .localCheckpoint(false)
-    def classTotal(k: Boolean, name: String): DataFrame =
-      cc.where(col("kept") === k)
-        .agg(coalesce(sum(col("ck")), lit(0L)).cast("long").as(name))
+    // class-conditional token counts, PIVOTED in one aggregation (r20,
+    // §2.4: the (token, kept)-keyed form fed four separate readers — two
+    // filtered joins plus two class-total aggregates, each its own
+    // exchange; one token-keyed aggregation with conditional sums yields
+    // the same exact integers, and both class totals fall out of ONE
+    // aggregate over it)
+    val cc = tk.groupBy(col("token"))
+      .agg(coalesce(sum(when(col("kept"), col("c"))), lit(0L))
+          .cast("long").as("ck_t"),
+        coalesce(sum(when(!col("kept"), col("c"))), lit(0L))
+          .cast("long").as("ck_f"))
+      .localCheckpoint(false) // the model join + the totals read it
+    val totals = cc.agg(
+      coalesce(sum(col("ck_t")), lit(0L)).cast("long").as("tot_t"),
+      coalesce(sum(col("ck_f")), lit(0L)).cast("long").as("tot_f"))
     // fitted model: one row per vocab token with both classes' log-probs
     val lpW = vocab.select(col("token"))
-      .join(cc.where(col("kept") === true)
-        .select(col("token"), col("ck").as("ck_t")), Seq("token"), "left")
-      .join(cc.where(col("kept") === false)
-        .select(col("token"), col("ck").as("ck_f")), Seq("token"), "left")
-      .crossJoin(classTotal(true, "tot_t"))
-      .crossJoin(classTotal(false, "tot_f"))
+      .join(cc, Seq("token"), "left")
+      .crossJoin(totals)
       .crossJoin(vsize)
       .select(col("token"),
         log((coalesce(col("ck_t"), lit(0L)).cast("double") + lit(1.0)) /

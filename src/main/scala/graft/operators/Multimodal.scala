@@ -338,7 +338,6 @@ object Multimodal {
       .withColumn("keys", array((0 until PerceptualBits / 8).map(c =>
         concat_ws("|", lit(c),
           shiftrightunsigned(col("sig"), 8 * c).bitwiseAND(lit(0xffL)))): _*))
-      .where(col("n") > 0)
   }
 
   /** [[dedupMediaPerceptual]] over an explicit (media_id, kind, payload)
@@ -346,13 +345,29 @@ object Multimodal {
     * contract). */
   private[graft] def dedupMediaPerceptualFrom(media: DataFrame,
       thr: Double): DataFrame = {
-    val base = perceptualBase(media)
-    // the signature base feeds the key explode, the key-count cap, and
-    // both sides of the candidate join — persist it once (the NearDup
-    // memoBase rationale, scoped to this call)
-    base.persist()
+    // ONE payload pass (r20, §8): the signature relation now carries
+    // EVERY media entity (zero-byte payloads included, with n = 0), so
+    // the final every-entity roster reads it too — previously the
+    // roster re-ran the whole payload-carrying scan+encode+distinct a
+    // second time. Everything after this line operates on the ~300-byte
+    // signature proxy, never the payload. The persisted base is also
+    // compacted to a size-proportionate partition count (the NearDup
+    // memoBase policy): the kernel pass runs at full fan-out during
+    // materialization, but the ~6 downstream re-reads then pay
+    // size-many tasks instead of conf-many.
+    val wide = perceptualBase(media).persist()
+    val nEnt = wide.count()
+    val conf = media.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(conf.toLong, nEnt / 50000L + 1L)).toInt
+    val base = if (parts < conf) {
+      val c = wide.repartition(parts).persist()
+      c.count()
+      wide.unpersist()
+      c
+    } else wide
     try {
-      val allKeys = base.select(col("id"), explode(col("keys")).as("key"))
+      val sigs = base.where(col("n") > 0)
+      val allKeys = sigs.select(col("id"), explode(col("keys")).as("key"))
       val keyCounts = allKeys.groupBy("key").agg(count("*").as("kn"))
       // kn >= 2 (a solo key can never pair) and <= the hot-bucket cap
       // (one viral asset re-encoded 10^6 times must not go quadratic;
@@ -366,7 +381,7 @@ object Multimodal {
           col("l.key") === col("r.key") && col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .distinct()
-      val sides = base.select(col("id"), col("n"), col("counts"))
+      val sides = sigs.select(col("id"), col("n"), col("counts"))
       // exact integer cross-L1 over the fixed 64 bins: a plain codegen'd
       // 64-term sum, no interpreted lambdas in the hot path
       val l1x = (0 until 64).map(j =>
@@ -390,8 +405,9 @@ object Multimodal {
         .select(col("id"), col("n_candidates"),
           col("best.other").as("best_match_id"), col("best.sim").as("best_sim"))
       // every media entity reports, zero-byte payloads included (they
-      // carry no signature, hence no candidates)
-      media.select(col("media_id"))
+      // carry no signature, hence no candidates) — the roster comes off
+      // the persisted signature relation, NOT a second payload scan
+      base.select(col("id").as("media_id"))
         .join(perDoc, col("media_id") === col("id"), "left")
         .select(col("media_id"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

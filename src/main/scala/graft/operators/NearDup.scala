@@ -742,13 +742,28 @@ object NearDup {
     // twin and the SQL oracle both report every batch entity, and a
     // text filter here silently shrank the served universe on corpora
     // with NULL documents (the combined/null probe axes caught it).
-    val batch = newDocs
+    var batch = newDocs
       .select(col("doc_id").as("id"),
         minhashSig(sh, 128).as("sig"),
         minhashBandKeys(sh, 32, 4).as("keys"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      batch.count() // materialize while the plan is this narrow
+      val nBatch = batch.count() // materialize while the plan is this narrow
+      // cache compacted to a size-proportionate partition count (the
+      // memoBase policy, r20): the signature kernels ran at full fan-out
+      // during the count above; the touched-bucket collect and the
+      // scoring plan then re-read the cache at size-many tasks instead
+      // of conf-many
+      val conf = spark.sessionState.conf.numShufflePartitions
+      val parts = math.max(1L,
+        math.min(conf.toLong, nBatch / 50000L + 1L)).toInt
+      if (parts < conf) {
+        val compact = batch.repartition(parts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        compact.count()
+        batch.unpersist(false)
+        batch = compact
+      }
       // READER-passive healing (the shared IO.readableStore contract):
       // complete a crashed swap only when no live dir exists, never
       // delete — a tmp next to a live index may be a concurrent

@@ -362,6 +362,19 @@ class TextAndStreamSpec extends AnyFunSuite {
       .where(col("media_id") === 200L).collect().head
     assert(c.getBoolean(4) && c.getDouble(3) == 1.0,
       s"byte-identical clone must score sim 1.0: $c")
+    // r20 roster pin: the every-entity report now comes off the persisted
+    // signature relation (one payload pass), and a ZERO-byte payload —
+    // which carries no signature — must still report, with no candidates
+    // and no dup flag
+    val withEmpty = media.unionAll(
+      Seq((300L, "image", Array.emptyByteArray))
+        .toDF("media_id", "kind", "payload"))
+    val e = Multimodal.dedupMediaPerceptualFrom(withEmpty, thr = 0.98)
+    assert(e.count() == media.count() + 1,
+      "every media entity reports, zero-byte payloads included")
+    val er = e.where(col("media_id") === 300L).collect().head
+    assert(er.getLong(1) == 0L && er.isNullAt(2) && !er.getBoolean(4),
+      s"zero-byte payload: no candidates, no dup flag: $er")
   }
 
   test("multimodal frame offsets are monotone within a video") {
