@@ -495,17 +495,13 @@ object Embeddings {
       val cents = spark.createDataFrame(
         seedRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
           (i, r.getSeq[Double](1).toArray) }).toDF("bucket", "cemb")
-      // cache compacted to a size-proportionate partition count (the
-      // ivfAssignFrom policy, r20): the argmin kernel runs at full
-      // fan-out during materialization, but every consumer re-read of
-      // the session-lifetime cache then pays size-many tasks instead of
-      // conf-many. Conditional, like memoBase: when parts == conf the
-      // repartition would be a pure extra shuffle.
-      val conf = spark.sessionState.conf.numShufflePartitions
-      val parts = math.max(1L, math.min(conf.toLong, n / 50000L + 1L)).toInt
-      val assigned0 = assignDistinct(c, cents)
-      val assigned =
-        (if (parts < conf) assigned0.repartition(parts) else assigned0).persist()
+      // NOT cache-compacted, deliberately (r20 — measured): consumers
+      // run KERNEL-heavy scans directly over this cache (ann_pq's ADC
+      // pass, the in-bucket cosine ranks), so the distinctEntities
+      // fan-out doctrine applies — a size-proportionate re-pin
+      // serialized ann_pq's ADC scan onto one core (1.1 s -> 5.7 s in
+      // the bench) and was reverted.
+      val assigned = assignDistinct(c, cents).persist()
       assigned.count() // materialize so the build scaffold can be freed
       (assigned, cents)
     } finally { c.unpersist(); () }
